@@ -1,0 +1,146 @@
+"""Analysis chain — StandardTokenizer-like tokenize + lowercase + stop,
+vectorized over pandas Series (used inside Arrow pandas UDFs; never
+row-at-a-time Python at the Spark level).
+
+Reference semantics:
+  - StandardTokenizer: UAX#29 word-break; tokens longer than
+    maxTokenLength (255) are DROPPED but still consume a position
+    (analysis/standard/StandardTokenizer.java:39-190, :154-164).
+    Our regex approximates UAX#29 on code-like text: runs of word chars
+    (unicode letters/digits/underscore) optionally joined by interior
+    '.' or ''' between word chars (WB6/WB7 MidNumLetQ) — golden-token
+    tests in tests/test_analyzer.py define the contract.
+  - LowerCaseFilter (analysis/LowerCaseFilter.java:40-46).
+  - StopFilter: removed tokens still consume position increments
+    (analysis/StopFilter.java, FilteringTokenFilter). NOTE the reference
+    StandardAnalyzer defaults to an EMPTY stop set
+    (analysis/standard/StandardAnalyzer.java:51-53, LUCENE-7444); the
+    33-word English set lives in EnglishAnalyzer.java:43-55.
+  - Field length for norms = number of tokens actually emitted
+    (FieldInvertState.getLength(); stopped/overlong tokens don't count),
+    numOverlap = 0 for our single-valued field.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (EnglishAnalyzer.java:43-55)
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or
+    such that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardTokenizer.java DEFAULT_MAX_TOKEN_LENGTH
+
+# Word-char runs joined by interior '.' / ''' (UAX#29 WB6/WB7 approximation).
+_TOKEN_RE = re.compile(r"\w+(?:['.]\w+)*", re.UNICODE)
+
+# ASCII-only pattern used by the SQL oracle path — must stay in sync with
+# sql/relational.py's regexp_extract_all pattern.
+SQL_TOKEN_PATTERN = "[a-z0-9_]+"
+_SQL_TOKEN_RE = re.compile(SQL_TOKEN_PATTERN)
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """StandardAnalyzer-equivalent pipeline configuration."""
+
+    stop_words: frozenset = frozenset()  # reference default: EMPTY set
+    max_token_length: int = MAX_TOKEN_LENGTH
+    lowercase: bool = True
+
+    def with_english_stop(self) -> "AnalyzerConfig":
+        return AnalyzerConfig(
+            stop_words=ENGLISH_STOP_WORDS,
+            max_token_length=self.max_token_length,
+            lowercase=self.lowercase,
+        )
+
+
+STANDARD = AnalyzerConfig()
+ENGLISH = AnalyzerConfig(stop_words=ENGLISH_STOP_WORDS)
+
+
+def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]:
+    """Analyze one string → (terms, positions). Positions reflect the
+    pre-filter token index so stop/overlong removals keep increments."""
+    if not text:
+        return [], []
+    # Lowercase the source, then tokenize: identical result to Lucene's
+    # tokenize-then-LowerCaseFilter on ASCII-dominant code text, and keeps
+    # this path byte-identical to the vectorized analyze_series path.
+    if cfg.lowercase:
+        text = text.lower()
+    raw = _TOKEN_RE.findall(text)
+    terms, positions = [], []
+    for pos, tok in enumerate(raw):
+        if len(tok) > cfg.max_token_length:
+            continue  # dropped but position consumed (StandardTokenizer.java:154-164)
+        if tok in cfg.stop_words:
+            continue  # position consumed (FilteringTokenFilter)
+        terms.append(tok)
+        positions.append(pos)
+    return terms, positions
+
+
+def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Series:
+    """Vectorized analysis: Series[str] → Series[list[str]] of terms.
+
+    pandas .str.findall runs the regex in C per row — this is the Arrow
+    UDF hot path (no Spark-level per-row Python)."""
+    src = texts.fillna("")
+    if cfg.lowercase:
+        src = src.str.lower()
+    raw = src.str.findall(_TOKEN_RE)
+    max_len = cfg.max_token_length
+    stop = cfg.stop_words
+    return raw.map(
+        lambda toks: [t for t in toks if len(t) <= max_len and t not in stop]
+    )
+
+
+def analyze_with_positions(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
+    """Series[str] → (Series[list[str]], Series[list[int]]) with positions."""
+    out_terms, out_pos = [], []
+    for text in texts.fillna(""):
+        t, p = tokenize_one(text, cfg)
+        out_terms.append(t)
+        out_pos.append(p)
+    return pd.Series(out_terms, index=texts.index), pd.Series(out_pos, index=texts.index)
+
+
+def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
+    """Vectorized inversion prep: Series[str] →
+    (terms np.ndarray[object], row_idx np.ndarray[int64], pos np.ndarray[int64],
+     doc_len np.ndarray[int64]) — doc_len is the post-filter token count
+    (the norm input). All steps are pandas/NumPy C loops.
+    """
+    n = len(texts)
+    src = texts.fillna("")
+    if cfg.lowercase:
+        src = src.str.lower()
+    tok_lists = src.str.findall(_TOKEN_RE)
+    raw_counts = tok_lists.map(len).to_numpy(dtype=np.int64)
+    total = int(raw_counts.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), z, z, np.zeros(n, dtype=np.int64)
+    terms = np.concatenate(
+        [np.asarray(t, dtype=object) for t in tok_lists if t]
+    )
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+    # position = raw token index within its document
+    offsets = np.concatenate(([0], np.cumsum(raw_counts)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, raw_counts)
+    term_s = pd.Series(terms, dtype=object)
+    keep = (term_s.str.len() <= cfg.max_token_length).to_numpy()
+    if cfg.stop_words:
+        keep &= ~term_s.isin(cfg.stop_words).to_numpy()
+    terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+    doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
+    return terms, row_idx, pos, doc_len
