@@ -1,0 +1,148 @@
+"""Distributed index build — Spark partitions as DWPTs (SURVEY.md §3.1).
+
+Shape: read corpus → repartition(num_segments, doc key) →
+mapInPandas(analyze + invert + encode + write segment) → driver commits the
+manifest. The build is SHUFFLE-FREE except the single repartition (which is
+also what fixes docID determinism); inversion, compression and file writes
+are partition-local, so throughput scales linearly with executors — the
+basis of the N→4N ≥0.8 scaling target.
+
+Each task writes its own segment parquet files directly (the executors are
+the writers, as in any Spark sink), then a per-segment meta.json checkpoint
+marker. On re-run, a task whose (partition_id, input_fingerprint) checkpoint
+already exists skips the build entirely — resumability without recompute.
+
+Scale notes (100 TB): partition count is the segment-size knob (the RAM
+flush-trigger analog, IndexWriterConfig.java:94) — size partitions so one
+segment's postings fit executor memory (~1-4 GB input text each). Paths are
+plain strings; on a cluster they would be object-store URIs via fsspec.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark import TaskContext
+
+from ..kernels.analyzer import AnalyzerConfig, STANDARD
+from . import manifest as mf
+from .schemas import MANIFEST_ROW_DDL
+from .segment import DOC_KEY, build_segment_frames, segment_fingerprint, content_sha
+
+_POSTINGS_FILE = "postings.parquet"
+_NORMS_FILE = "norms.parquet"
+
+
+def _write_parquet(pdf: pd.DataFrame, path: str, segment_id: str) -> None:
+    pdf = pdf.copy()
+    pdf.insert(0, "segment_id", segment_id)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, path, compression="zstd")
+
+
+def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitions):
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx else 0
+    if fail_partitions and pid in fail_partitions:
+        raise RuntimeError(f"injected failure on partition {pid} (resume test)")
+    pdfs = [b for b in batches]
+    pdf = (
+        pd.concat(pdfs, ignore_index=True)
+        if pdfs
+        else pd.DataFrame(columns=["repo", "path", "commit", "lang", "content"])
+    )
+    pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
+    fingerprint = _fingerprint_of(pdf)
+    segment_id = f"s{pid:05d}-{fingerprint[:10]}"
+
+    meta = mf.read_segment_meta(index_dir, segment_id)
+    if meta is not None and meta.get("input_fingerprint") == fingerprint:
+        meta = dict(meta)
+        meta["reused"] = True
+        yield pd.DataFrame([_manifest_row(meta)])
+        return
+
+    t0 = time.monotonic()
+    postings, norms, stats = build_segment_frames(pdf, cfg)
+    seg_dir = mf.segment_dir(index_dir, segment_id)
+    os.makedirs(seg_dir, exist_ok=True)
+    _write_parquet(postings, os.path.join(seg_dir, _POSTINGS_FILE), segment_id)
+    _write_parquet(norms, os.path.join(seg_dir, _NORMS_FILE), segment_id)
+    meta = {
+        "segment_id": segment_id,
+        "partition_id": pid,
+        "input_fingerprint": fingerprint,
+        **stats,
+        "build_wall_s": time.monotonic() - t0,
+        "reused": False,
+    }
+    mf.write_segment_meta(index_dir, segment_id, meta)  # checkpoint marker, LAST
+    yield pd.DataFrame([_manifest_row(meta)])
+
+
+def _fingerprint_of(pdf: pd.DataFrame) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for s in content_sha(pdf["content"]):
+        h.update(s.encode())
+    return h.hexdigest()
+
+
+_MANIFEST_FIELDS = [f.split()[0] for f in MANIFEST_ROW_DDL.split(", ")]
+
+
+def _manifest_row(meta: dict) -> dict:
+    return {k: meta.get(k) for k in _MANIFEST_FIELDS}
+
+
+def build_index(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    index_dir: str,
+    num_segments: int = 8,
+    cfg: AnalyzerConfig = STANDARD,
+    fail_partitions: set[int] | None = None,
+) -> dict:
+    """Build (or resume) an index over `corpus_df`; returns the manifest.
+
+    `fail_partitions` injects task failures (resume tests only).
+    """
+    from functools import partial
+
+    df = corpus_df.select("repo", "path", "commit", "lang", "content").repartition(
+        num_segments, *DOC_KEY
+    )
+    rows = df.mapInPandas(
+        partial(
+            _build_partition,
+            index_dir=index_dir,
+            cfg=cfg,
+            fail_partitions=fail_partitions or set(),
+        ),
+        schema=MANIFEST_ROW_DDL,
+    ).collect()
+    segments = [r.asDict() for r in rows]
+    return mf.commit_manifest(
+        index_dir, segments, extra={"num_segments": num_segments}
+    )
+
+
+def postings_paths(index_dir: str, manifest: dict) -> list[str]:
+    return [
+        os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _POSTINGS_FILE)
+        for s in manifest["segments"]
+    ]
+
+
+def norms_paths(index_dir: str, manifest: dict) -> list[str]:
+    return [
+        os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _NORMS_FILE)
+        for s in manifest["segments"]
+    ]

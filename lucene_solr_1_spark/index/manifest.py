@@ -1,0 +1,92 @@
+"""Segment manifest — the `segments_N` analog (index/SegmentInfos.java).
+
+Two-phase commit: segment directories (with per-segment meta.json commit
+markers) are durable first; then the driver atomically publishes a new
+manifest generation via tmp-file + rename. Readers always open the highest
+generation, so a crashed build never exposes partial segments — and a
+re-run resumes from the per-partition checkpoints (meta.json files) it
+finds (north_rule: resumable from per-partition checkpoints with lineage
+and token/posting-count metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+_GEN_RE = re.compile(r"manifest-(\d+)\.json$")
+
+
+def segments_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments")
+
+
+def segment_dir(index_dir: str, segment_id: str) -> str:
+    return os.path.join(segments_dir(index_dir), segment_id)
+
+
+def latest_generation(index_dir: str) -> int:
+    if not os.path.isdir(index_dir):
+        return 0
+    gens = [
+        int(m.group(1))
+        for f in os.listdir(index_dir)
+        if (m := _GEN_RE.match(f))
+    ]
+    return max(gens, default=0)
+
+
+def read_manifest(index_dir: str) -> dict | None:
+    gen = latest_generation(index_dir)
+    if gen == 0:
+        return None
+    with open(os.path.join(index_dir, f"manifest-{gen}.json")) as f:
+        return json.load(f)
+
+
+def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = None) -> dict:
+    """Atomically publish a new generation listing `segments` as live."""
+    os.makedirs(index_dir, exist_ok=True)
+    gen = latest_generation(index_dir) + 1
+    # global docID bases: segments ordered by partition_id (LeafReaderContext
+    # docBase analog)
+    segs = sorted(segments, key=lambda s: s["partition_id"])
+    base = 0
+    for s in segs:
+        s["doc_base"] = base
+        base += s["doc_count"]
+    manifest = {
+        "generation": gen,
+        "committed_at": time.time(),
+        "doc_count": base,
+        "sum_ttf": sum(s["sum_ttf"] for s in segs),
+        "segments": segs,
+        **(extra or {}),
+    }
+    tmp = os.path.join(index_dir, f".manifest-{gen}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, f"manifest-{gen}.json"))
+    return manifest
+
+
+def read_segment_meta(index_dir: str, segment_id: str) -> dict | None:
+    """Per-partition checkpoint marker; present ⇒ segment files are complete."""
+    p = os.path.join(segment_dir(index_dir, segment_id), "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_segment_meta(index_dir: str, segment_id: str, meta: dict) -> None:
+    """Atomic per-segment commit marker — written LAST, after parquet files."""
+    d = segment_dir(index_dir, segment_id)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".meta.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(d, "meta.json"))

@@ -1,0 +1,37 @@
+"""Fixed derived schemas for the index tables (SURVEY.md §1.4).
+
+The posting table is both the term dictionary and the postings file:
+one row per (segment_id, term), with FOR-compressed doc/freq/position
+streams and per-block skip + impact metadata as plain columns — Spark
+predicate pushdown on `term` replaces Lucene's FST/.tip seek
+(Lucene50PostingsFormat.java:42-106, BlockTreeTermsWriter.java).
+"""
+
+POSTINGS_DDL = (
+    "term string, "
+    "doc_freq bigint, "
+    "ttf bigint, "
+    "docs_enc binary, "
+    "docs_offsets array<bigint>, "
+    "freqs_enc binary, "
+    "freqs_offsets array<bigint>, "
+    "pos_enc binary, "
+    "pos_offsets array<bigint>, "
+    "block_last_doc array<bigint>, "
+    "block_max_freq array<bigint>, "
+    "block_min_norm array<bigint>"
+)
+
+# Norms table doubles as the docmap / stored-fields pointer: per-segment
+# dense docIDs plus the row keys for retrieval (Lucene .nvd + .fdt analog).
+NORMS_DDL = (
+    "doc_id bigint, norm bigint, dl bigint, "
+    "repo string, path string, commit string, lang string, content_sha string"
+)
+
+MANIFEST_ROW_DDL = (
+    "segment_id string, partition_id int, input_fingerprint string, "
+    "doc_count bigint, sum_ttf bigint, distinct_terms bigint, "
+    "total_postings bigint, build_wall_s double, "
+    "min_key string, max_key string, reused boolean"
+)

@@ -1,0 +1,152 @@
+"""Partition-local segment construction — pure pandas/NumPy (no Spark).
+
+This is the DWPT analog: each Spark input partition independently inverts
+its documents into one immutable segment (SURVEY.md §2.3;
+index/DocumentsWriterPerThread.java, index/TermsHashPerField.java:147-185,
+index/FreqProxTermsWriter.java:69-103, Lucene50PostingsWriter.java:207-380).
+The inversion is a vectorized sort + run-length pass instead of a per-doc
+hash insert; encoding produces our own FOR-block format (kernels/forcodec).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.analyzer import AnalyzerConfig, STANDARD, flatten_tokens
+from ..kernels.forcodec import BLOCK_SIZE, encode_blocks, encode_doc_deltas
+from ..kernels.smallfloat import int_to_byte4
+
+DOC_KEY = ["repo", "path", "commit"]
+
+POSTINGS_COLS = [
+    "term", "doc_freq", "ttf",
+    "docs_enc", "docs_offsets", "freqs_enc", "freqs_offsets",
+    "pos_enc", "pos_offsets",
+    "block_last_doc", "block_max_freq", "block_min_norm",
+]
+
+
+def content_sha(texts: pd.Series) -> pd.Series:
+    """Per-row sha256 hex of content — the ingest invariant
+    (BASELINE.json input_hint); equals Spark's sha2(content, 256)."""
+    return texts.fillna("").map(lambda t: hashlib.sha256(t.encode("utf-8")).hexdigest())
+
+
+def build_segment_frames(
+    pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD
+) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
+    """Invert one partition of corpus rows into (postings, norms) frames.
+
+    Rows are sorted by (repo, path, commit) so per-segment docIDs are
+    deterministic for any partitioning (SURVEY.md §7 'hard parts' (5)).
+    """
+    t0 = time.monotonic()
+    pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
+    n_docs = len(pdf)
+    terms, doc_ids, positions, doc_len = flatten_tokens(pdf["content"], cfg)
+    norms = int_to_byte4(doc_len)
+
+    norms_pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "norm": norms.astype(np.int64),
+            "dl": doc_len,
+            "repo": pdf["repo"].to_numpy(),
+            "path": pdf["path"].to_numpy(),
+            "commit": pdf["commit"].to_numpy(),
+            "lang": pdf["lang"].to_numpy(),
+            "content_sha": content_sha(pdf["content"]).to_numpy(),
+        }
+    )
+
+    stats = {
+        "doc_count": int(n_docs),
+        "sum_ttf": int(doc_len.sum()),
+        "min_key": "|".join(pdf.iloc[0][DOC_KEY]) if n_docs else "",
+        "max_key": "|".join(pdf.iloc[-1][DOC_KEY]) if n_docs else "",
+    }
+
+    if len(terms) == 0:
+        empty = pd.DataFrame({c: pd.Series(dtype=object) for c in POSTINGS_COLS})
+        stats.update(distinct_terms=0, total_postings=0, build_wall_s=time.monotonic() - t0)
+        return empty, norms_pdf, stats
+
+    # --- inversion: factorize to sorted term codes, then integer lexsort ---
+    # pandas sorted-unique order on str == unicode codepoint order == UTF-8
+    # byte order (Lucene BytesRef term order).
+    codes, uniq_terms = pd.factorize(pd.Series(terms), sort=True)
+    order = np.lexsort((positions, doc_ids, codes))
+    c, d, p = codes[order], doc_ids[order], positions[order]
+
+    # run-length over (term, doc): one posting per run
+    pair_start = np.flatnonzero(
+        np.concatenate(([True], (c[1:] != c[:-1]) | (d[1:] != d[:-1])))
+    )
+    pair_end = np.concatenate((pair_start[1:], [len(c)]))
+    pair_term = c[pair_start]
+    pair_doc = d[pair_start]
+    pair_freq = (pair_end - pair_start).astype(np.int64)
+
+    # position deltas within each (term, doc) run (prox deltas,
+    # FreqProxTermsWriterPerField.java:79-96 semantics, our encoding)
+    prev = np.concatenate(([0], p[:-1]))
+    is_run_start = np.zeros(len(p), dtype=bool)
+    is_run_start[pair_start] = True
+    pos_delta = np.where(is_run_start, p, p - prev)
+
+    # term boundaries over pairs
+    term_start = np.flatnonzero(
+        np.concatenate(([True], pair_term[1:] != pair_term[:-1]))
+    )
+    term_end = np.concatenate((term_start[1:], [len(pair_term)]))
+
+    norms_by_doc = norms.astype(np.int64)
+
+    rows = []
+    for ts, te in zip(term_start, term_end):
+        docs = pair_doc[ts:te]
+        freqs = pair_freq[ts:te]
+        docs_enc, docs_off = encode_doc_deltas(docs)
+        freqs_enc, freqs_off = encode_blocks(freqs)
+        # flattened position-delta stream across this term's occurrences
+        occ_lo, occ_hi = pair_start[ts], pair_end[te - 1]
+        pos_enc, pos_off = encode_blocks(pos_delta[occ_lo:occ_hi])
+        # per-block skip + impact metadata (CompetitiveImpactAccumulator
+        # simplified to one competitive pair (max_freq, min_norm) per block —
+        # a valid, slightly looser upper bound for block-max WAND)
+        n_pairs = len(docs)
+        blk_idx = np.arange(0, n_pairs, BLOCK_SIZE)
+        blk_last = docs[np.minimum(blk_idx + BLOCK_SIZE - 1, n_pairs - 1)]
+        blk_maxf = np.maximum.reduceat(freqs, blk_idx)
+        blk_minn = np.minimum.reduceat(norms_by_doc[docs], blk_idx)
+        rows.append(
+            (
+                uniq_terms[pair_term[ts]],
+                int(te - ts),
+                int(freqs.sum()),
+                docs_enc, docs_off.tolist(),
+                freqs_enc, freqs_off.tolist(),
+                pos_enc, pos_off.tolist(),
+                blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
+            )
+        )
+
+    postings_pdf = pd.DataFrame(rows, columns=POSTINGS_COLS)
+    stats.update(
+        distinct_terms=int(len(term_start)),
+        total_postings=int(len(pair_term)),
+        build_wall_s=time.monotonic() - t0,
+    )
+    return postings_pdf, norms_pdf, stats
+
+
+def segment_fingerprint(norms_pdf: pd.DataFrame) -> str:
+    """Input fingerprint for resume: sha256 over the sorted row shas."""
+    h = hashlib.sha256()
+    for s in norms_pdf["content_sha"]:
+        h.update(s.encode())
+    return h.hexdigest()

@@ -1,0 +1,413 @@
+"""Per-segment DAAT scoring kernels — pure NumPy, run inside Arrow UDFs.
+
+Two physical strategies over the same logical plan (results identical,
+equivalence-tested per TestBlockMaxConjunction/TestApproximationSearchEquivalence):
+
+- exhaustive: decode every posting block of the query terms, vector-score,
+  select top-k (the reference's non-TOP_SCORES path).
+- block-max WAND: per-block score upper bounds from the stored impact
+  metadata (block_max_freq, block_min_norm) let whole windows of the doc
+  space be skipped once the top-k floor θ exceeds their UB
+  (search/WANDScorer.java, search/ImpactsDISI.java:95-127,
+  search/MaxScoreCache.java:61-124). Windows are processed in descending
+  UB order, so the first non-competitive window ends the search (MaxScore).
+
+Per-clause scores are float32 (kernels/bm25.py, bit-order-exact);
+disjunction sums accumulate in float64 and cast to float32 at the end
+(DisjunctionSumScorer's double accumulator).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels import bm25
+from ..kernels.forcodec import decode_all, decode_block
+from .query import (
+    Bool, Boost, ConstantScore, DisjunctionMax, MatchAll, MatchNone, Occur,
+    Phrase, Query, Synonym, Term,
+)
+
+F32 = np.float32
+_EMPTY_I = np.empty(0, dtype=np.int64)
+_EMPTY_F = np.empty(0, dtype=np.float64)
+
+
+# --------------------------------------------------------------------------
+# plan compilation (driver side): Query tree + GLOBAL stats → picklable plan
+# with per-term float32 weights baked in (the Weight tree of
+# IndexSearcher.createWeight; global-stats barrier SURVEY.md §3.2 step 3)
+# --------------------------------------------------------------------------
+
+def compile_plan(q: Query, global_df: dict, doc_count: int, boost: float = 1.0) -> dict:
+    if isinstance(q, Boost):
+        return compile_plan(q.query, global_df, doc_count, boost * q.boost)
+    if isinstance(q, ConstantScore):
+        return {
+            "type": "const",
+            "node": compile_plan(q.query, global_df, doc_count, 1.0),
+            "score": F32(boost * q.score),
+        }
+    if isinstance(q, Term):
+        df = global_df.get(q.text, 0)
+        idf = bm25.idf(df, doc_count) if df > 0 else F32(0.0)
+        return {"type": "term", "term": q.text, "weight": bm25.term_weight(idf, boost)}
+    if isinstance(q, Synonym):
+        present = [t for t in q.terms if global_df.get(t)]
+        idfs = [bm25.idf(global_df[t], doc_count) for t in present]
+        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
+        return {"type": "synonym", "terms": list(q.terms), "weight": w}
+    if isinstance(q, Phrase):
+        present = [t for t in q.terms if global_df.get(t)]
+        idfs = [bm25.idf(global_df[t], doc_count) for t in present]
+        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
+        return {"type": "phrase", "terms": list(q.terms), "weight": w, "slop": q.slop}
+    if isinstance(q, Bool):
+        return {
+            "type": "bool",
+            "msm": q.min_should_match,
+            "clauses": [
+                {"occur": c.occur.value, "node": compile_plan(c.query, global_df, doc_count, boost)}
+                for c in q.clauses
+            ],
+        }
+    if isinstance(q, DisjunctionMax):
+        return {
+            "type": "dismax",
+            "tie": F32(q.tie_breaker),
+            "nodes": [compile_plan(s, global_df, doc_count, boost) for s in q.queries],
+        }
+    if isinstance(q, MatchAll):
+        return {"type": "matchall", "score": F32(boost)}
+    if isinstance(q, MatchNone):
+        return {"type": "matchnone"}
+    raise TypeError(f"cannot compile {q!r} — expand multi-term queries first")
+
+
+# --------------------------------------------------------------------------
+# segment-side data access
+# --------------------------------------------------------------------------
+
+class SegmentData:
+    """Decoded-on-demand view of one segment's postings for the query terms."""
+
+    def __init__(self, postings_pdf, norms: np.ndarray, n_docs: int):
+        self.rows = {r.term: r for r in postings_pdf.itertuples(index=False)}
+        self.norms = norms  # uint8-valued int array indexed by doc_id
+        self.n_docs = n_docs
+        self._decoded: dict = {}
+
+    def postings(self, term: str):
+        """(docs, freqs) fully decoded, or (empty, empty)."""
+        if term in self._decoded:
+            return self._decoded[term]
+        r = self.rows.get(term)
+        if r is None:
+            out = (_EMPTY_I, _EMPTY_I)
+        else:
+            docs = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets)))
+            freqs = decode_all(bytes(r.freqs_enc), np.asarray(r.freqs_offsets))
+            out = (docs, freqs)
+        self._decoded[term] = out
+        return out
+
+    def positions(self, term: str):
+        """list-like: flat position array + per-posting offsets (by freqs)."""
+        r = self.rows.get(term)
+        if r is None:
+            return None
+        docs, freqs = self.postings(term)
+        pos_deltas = decode_all(bytes(r.pos_enc), np.asarray(r.pos_offsets))
+        # positions are delta-coded per (term, doc) run; run starts are
+        # absolute — rebuild via segmented cumsum
+        starts = np.concatenate(([0], np.cumsum(freqs)[:-1]))
+        pos = _segmented_cumsum(pos_deltas, starts)
+        return docs, freqs, starts, pos
+
+
+def _segmented_cumsum(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at each index in `starts`."""
+    out = np.cumsum(deltas)
+    if len(starts) <= 1:
+        return out
+    corr = np.zeros(len(deltas), dtype=np.int64)
+    # subtract the running total just before each segment start
+    seg_base = out[starts[1:] - 1]
+    corr[starts[1:]] = np.diff(np.concatenate(([0], seg_base)))
+    return out - np.cumsum(corr)
+
+
+# --------------------------------------------------------------------------
+# exhaustive evaluation: node → (docs sorted asc, scores float64)
+# --------------------------------------------------------------------------
+
+def eval_node(node: dict, seg: SegmentData, cache: np.ndarray):
+    t = node["type"]
+    if t == "term":
+        docs, freqs = seg.postings(node["term"])
+        if len(docs) == 0:
+            return _EMPTY_I, _EMPTY_F
+        s = bm25.score(freqs, seg.norms[docs], node["weight"], cache)
+        return docs, s.astype(np.float64)
+    if t == "synonym":
+        # freqs summed across member terms, scored once (SynonymQuery.java)
+        parts = [seg.postings(term) for term in node["terms"]]
+        parts = [(d, f) for d, f in parts if len(d)]
+        if not parts:
+            return _EMPTY_I, _EMPTY_F
+        alldocs = np.concatenate([d for d, _ in parts])
+        allfreqs = np.concatenate([f for _, f in parts])
+        docs, inv = np.unique(alldocs, return_inverse=True)
+        freqs = np.zeros(len(docs), dtype=np.int64)
+        np.add.at(freqs, inv, allfreqs)
+        s = bm25.score(freqs, seg.norms[docs], node["weight"], cache)
+        return docs, s.astype(np.float64)
+    if t == "phrase":
+        return _eval_phrase(node, seg, cache)
+    if t == "bool":
+        return _eval_bool(node, seg, cache)
+    if t == "dismax":
+        return _eval_dismax(node, seg, cache)
+    if t == "const":
+        docs, _ = eval_node(node["node"], seg, cache)
+        return docs, np.full(len(docs), float(node["score"]), dtype=np.float64)
+    if t == "matchall":
+        docs = np.arange(seg.n_docs, dtype=np.int64)
+        return docs, np.full(seg.n_docs, float(node["score"]), dtype=np.float64)
+    if t == "matchnone":
+        return _EMPTY_I, _EMPTY_F
+    raise ValueError(f"unknown node {t}")
+
+
+def _eval_bool(node, seg, cache):
+    musts, shoulds, filters, must_nots = [], [], [], []
+    for cl in node["clauses"]:
+        sub = eval_node(cl["node"], seg, cache)
+        {"MUST": musts, "SHOULD": shoulds, "FILTER": filters, "MUST_NOT": must_nots}[
+            cl["occur"]
+        ].append(sub)
+    msm = node["msm"]
+
+    if musts or filters:
+        cand = None
+        for d, _ in musts + filters:
+            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for d, s in musts:
+            idx = np.searchsorted(d, cand)
+            scores += s[idx]
+        if shoulds:
+            scnt = np.zeros(len(cand), dtype=np.int64)
+            for d, s in shoulds:
+                m = np.isin(cand, d, assume_unique=True)
+                idx = np.searchsorted(d, cand[m])
+                scores[m] += s[idx]
+                scnt[m] += 1
+            if msm > 0:
+                keep = scnt >= msm
+                cand, scores = cand[keep], scores[keep]
+        docs = cand
+    else:
+        # pure disjunction with minShouldMatch (MinShouldMatchSumScorer)
+        eff_msm = max(msm, 1)
+        if not shoulds:
+            return _EMPTY_I, _EMPTY_F
+        alldocs = np.concatenate([d for d, _ in shoulds])
+        allscores = np.concatenate([s for _, s in shoulds])
+        docs, inv = np.unique(alldocs, return_inverse=True)
+        scores = np.zeros(len(docs), dtype=np.float64)
+        np.add.at(scores, inv, allscores)
+        cnt = np.bincount(inv, minlength=len(docs))
+        keep = cnt >= eff_msm
+        docs, scores = docs[keep], scores[keep]
+
+    for d, _ in must_nots:
+        m = ~np.isin(docs, d, assume_unique=True)
+        docs, scores = docs[m], scores[m]
+    return docs, scores
+
+
+def _eval_dismax(node, seg, cache):
+    subs = [eval_node(s, seg, cache) for s in node["nodes"]]
+    subs = [(d, s) for d, s in subs if len(d)]
+    if not subs:
+        return _EMPTY_I, _EMPTY_F
+    alldocs = np.concatenate([d for d, _ in subs])
+    allscores = np.concatenate([s for _, s in subs])
+    docs, inv = np.unique(alldocs, return_inverse=True)
+    mx = np.zeros(len(docs), dtype=np.float64)
+    np.maximum.at(mx, inv, allscores)
+    sm = np.zeros(len(docs), dtype=np.float64)
+    np.add.at(sm, inv, allscores)
+    tie = float(node["tie"])
+    return docs, mx + tie * (sm - mx)
+
+
+def _eval_phrase(node, seg, cache):
+    terms = node["terms"]
+    if not terms:
+        return _EMPTY_I, _EMPTY_F
+    post = [seg.positions(t) for t in terms]
+    if any(p is None for p in post):
+        return _EMPTY_I, _EMPTY_F
+    # candidate docs: conjunction of all terms
+    cand = post[0][0]
+    for d, *_ in post[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if len(cand) == 0:
+        return _EMPTY_I, _EMPTY_F
+    out_docs, out_freqs = [], []
+    for doc in cand:
+        first = None
+        ok = True
+        for i, (docs_i, freqs_i, starts_i, pos_i) in enumerate(post):
+            j = int(np.searchsorted(docs_i, doc))
+            lo, hi = int(starts_i[j]), int(starts_i[j]) + int(freqs_i[j])
+            p = pos_i[lo:hi] - i  # align: occurrence at pos-i
+            first = p if first is None else first[np.isin(first, p, assume_unique=True)]
+            if len(first) == 0:
+                ok = False
+                break
+        if ok and len(first):
+            out_docs.append(doc)
+            out_freqs.append(len(first))
+    if not out_docs:
+        return _EMPTY_I, _EMPTY_F
+    docs = np.asarray(out_docs, dtype=np.int64)
+    freqs = np.asarray(out_freqs, dtype=np.int64)
+    s = bm25.score(freqs, seg.norms[docs], node["weight"], cache)
+    return docs, s.astype(np.float64)
+
+
+# --------------------------------------------------------------------------
+# top-k selection with reference tie-break: score desc, docID asc
+# (search/HitQueue.java:76-81)
+# --------------------------------------------------------------------------
+
+def top_k(docs: np.ndarray, scores64: np.ndarray, k: int):
+    """Returns (docs, scores float32) of the top k."""
+    scores = scores64.astype(F32)
+    if len(docs) == 0:
+        return docs, scores
+    if len(docs) > k * 4:
+        # pre-prune before the exact sort: keep every doc scoring >= the
+        # kth-largest score (ties included so docID tie-break stays exact)
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = scores >= kth
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))
+    return docs[order][:k], scores[order][:k]
+
+
+def score_exhaustive(plan: dict, seg: SegmentData, cache: np.ndarray, k: int):
+    docs, scores64 = eval_node(plan, seg, cache)
+    total = len(docs)
+    d, s = top_k(docs, scores64, k)
+    return d, s, total, "EQUAL_TO"
+
+
+# --------------------------------------------------------------------------
+# block-max WAND (flat disjunction / single term / flat top-level of terms)
+# --------------------------------------------------------------------------
+
+def wand_applicable(plan: dict) -> bool:
+    if plan["type"] in ("term", "synonym"):
+        return True
+    if plan["type"] == "bool" and plan["msm"] <= 1:
+        return all(
+            cl["occur"] == "SHOULD" and cl["node"]["type"] == "term"
+            for cl in plan["clauses"]
+        )
+    return False
+
+
+def _wand_terms(plan: dict):
+    if plan["type"] == "term":
+        return [(plan["term"], plan["weight"])]
+    if plan["type"] == "synonym":
+        return None  # synonym needs freq-merge; fall back
+    return [(cl["node"]["term"], cl["node"]["weight"]) for cl in plan["clauses"]]
+
+
+def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
+               window: int = 4096):
+    """Block-max pruned top-k — identical results to score_exhaustive.
+
+    Doc space is cut into fixed windows; each window's UB = Σ_t max UB of
+    the blocks of t overlapping it (from stored impacts). Windows are
+    visited in UB-descending order; once θ (kth score so far) ≥ next UB,
+    the remaining windows can never contribute — stop (MaxScore/BMW hybrid,
+    safe because UB bounds every doc score in the window).
+    """
+    tw = _wand_terms(plan)
+    if tw is None:
+        return score_exhaustive(plan, seg, cache, k)
+    n_win = max(1, -(-seg.n_docs // window))
+    win_ub = np.zeros(n_win, dtype=np.float64)
+    term_info = []
+    for term, weight in tw:
+        r = seg.rows.get(term)
+        if r is None:
+            continue
+        blk_last = np.asarray(r.block_last_doc, dtype=np.int64)
+        blk_maxf = np.asarray(r.block_max_freq, dtype=np.int64)
+        blk_minn = np.asarray(r.block_min_norm, dtype=np.int64)
+        ub = bm25.score(blk_maxf, blk_minn, weight, cache).astype(np.float64)
+        # block b covers (blk_last[b-1], blk_last[b]] → window range
+        blk_first = np.concatenate(([0], blk_last[:-1] + 1))
+        w_lo = blk_first // window
+        w_hi = blk_last // window
+        # per-term per-window max block UB, then summed across terms
+        tmax = np.zeros(n_win, dtype=np.float64)
+        for b in range(len(blk_last)):
+            lo, hi = w_lo[b], w_hi[b] + 1
+            seg_slice = tmax[lo:hi]
+            np.maximum(seg_slice, ub[b], out=seg_slice)
+        win_ub += tmax
+        term_info.append((term, weight, r))
+    if not term_info:
+        return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
+
+    order = np.argsort(-win_ub, kind="stable")
+    best_docs = _EMPTY_I
+    best_scores = np.empty(0, dtype=F32)
+    theta = -np.inf
+    total = 0
+    pruned = False
+    for w in order:
+        if win_ub[w] <= 0:
+            pruned = True
+            break
+        # strict <: a window whose UB equals θ may still hold an equal-score
+        # doc with a SMALLER docID, which wins the tie-break (HitQueue.java)
+        if len(best_docs) >= k and win_ub[w] < theta:
+            pruned = True
+            break
+        lo_doc, hi_doc = w * window, (w + 1) * window
+        # gather (doc, score) within this window across terms
+        wdocs, wscores = [], []
+        for term, weight, r in term_info:
+            docs, freqs = seg.postings(term)
+            a = np.searchsorted(docs, lo_doc)
+            b = np.searchsorted(docs, hi_doc)
+            if a == b:
+                continue
+            dd = docs[a:b]
+            s = bm25.score(freqs[a:b], seg.norms[dd], weight, cache)
+            wdocs.append(dd)
+            wscores.append(s.astype(np.float64))
+        if not wdocs:
+            continue
+        alld = np.concatenate(wdocs)
+        alls = np.concatenate(wscores)
+        docs_u, inv = np.unique(alld, return_inverse=True)
+        ssum = np.zeros(len(docs_u), dtype=np.float64)
+        np.add.at(ssum, inv, alls)
+        total += len(docs_u)
+        cd = np.concatenate((best_docs, docs_u))
+        cs = np.concatenate((best_scores.astype(np.float64), ssum))
+        best_docs, best_scores = top_k(cd, cs, k)
+        if len(best_docs) >= k:
+            theta = float(best_scores[-1])
+    relation = "GREATER_THAN_OR_EQUAL_TO" if pruned else "EQUAL_TO"
+    return best_docs, best_scores, total, relation

@@ -1,0 +1,203 @@
+"""Immutable query tree + rewrite rules.
+
+Python analog of Lucene's Query classes (search/TermQuery.java,
+search/BooleanQuery.java, search/SynonymQuery.java, search/PhraseQuery.java,
+multi-term queries search/PrefixQuery.java etc.) and of the
+IndexSearcher.rewrite fixpoint (search/IndexSearcher.java:665-668,
+BooleanQuery rewrite simplifications search/BooleanQuery.java:211-290).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+    FILTER = "FILTER"
+
+
+class Query:
+    """Marker base class."""
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    text: str
+
+
+@dataclass(frozen=True)
+class Synonym(Query):
+    """Multi-term scored as one: freqs summed, idfs summed
+    (SynonymQuery.java:54,253-272)."""
+    terms: tuple
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    """Exact phrase (slop=0) — positional intersection (PhraseQuery.java)."""
+    terms: tuple
+    slop: int = 0
+
+
+@dataclass(frozen=True)
+class Boost(Query):
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstantScore(Query):
+    query: Query
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAll(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNone(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class Clause:
+    occur: Occur
+    query: Query
+
+
+@dataclass(frozen=True)
+class Bool(Query):
+    clauses: tuple
+    min_should_match: int = 0
+
+    @staticmethod
+    def of(*pairs, min_should_match: int = 0) -> "Bool":
+        return Bool(
+            tuple(Clause(o, q) for o, q in pairs), min_should_match=min_should_match
+        )
+
+
+@dataclass(frozen=True)
+class DisjunctionMax(Query):
+    """score = max(clauses) + tie_breaker * (sum - max)
+    (DisjunctionMaxQuery.java)."""
+    queries: tuple
+    tie_breaker: float = 0.0
+
+
+# --- multi-term queries: expand against the term dictionary, then rewrite ---
+
+@dataclass(frozen=True)
+class Prefix(Query):
+    prefix: str
+
+
+@dataclass(frozen=True)
+class Wildcard(Query):
+    """? = one char, * = any run (WildcardQuery.java)."""
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Regexp(Query):
+    pattern: str
+
+
+@dataclass(frozen=True)
+class Fuzzy(Query):
+    text: str
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class TermRange(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount
+
+
+def rewrite(q: Query) -> Query:
+    """Fixpoint simplification (BooleanQuery.java:211-290 subset):
+    1-clause positive Bool → clause; empty Bool → MatchNone; pure-negative
+    Bool → MatchNone; nested SHOULD-Bool flattening; Boost(1.0) unwrap."""
+    while True:
+        r = _rewrite_once(q)
+        if r == q:
+            return r
+        q = r
+
+
+def _rewrite_once(q: Query) -> Query:
+    if isinstance(q, Boost):
+        inner = rewrite(q.query)
+        if q.boost == 1.0:
+            return inner
+        if isinstance(inner, MatchNone):
+            return inner
+        return Boost(inner, q.boost)
+    if isinstance(q, DisjunctionMax):
+        qs = tuple(rewrite(s) for s in q.queries)
+        qs = tuple(s for s in qs if not isinstance(s, MatchNone))
+        if not qs:
+            return MatchNone()
+        if len(qs) == 1:
+            return qs[0]
+        return DisjunctionMax(qs, q.tie_breaker)
+    if not isinstance(q, Bool):
+        return q
+    clauses = []
+    msm = q.min_should_match
+    for cl in q.clauses:
+        sub = rewrite(cl.query)
+        if isinstance(sub, MatchNone):
+            if cl.occur in (Occur.MUST, Occur.FILTER):
+                return MatchNone()
+            continue  # drop no-op SHOULD / MUST_NOT
+        # flatten nested SHOULD-only Bool into a SHOULD context
+        if (
+            cl.occur == Occur.SHOULD
+            and isinstance(sub, Bool)
+            and sub.min_should_match <= 1
+            and all(c.occur == Occur.SHOULD for c in sub.clauses)
+        ):
+            clauses.extend(sub.clauses)
+            continue
+        clauses.append(Clause(cl.occur, sub))
+    if not clauses:
+        return MatchNone()
+    positive = [c for c in clauses if c.occur != Occur.MUST_NOT]
+    if not positive:
+        return MatchNone()  # pure negation matches nothing
+    if len(clauses) == 1 and clauses[0].occur in (Occur.MUST, Occur.SHOULD):
+        return clauses[0].query
+    n_should = sum(1 for c in clauses if c.occur == Occur.SHOULD)
+    if msm > n_should:
+        return MatchNone()
+    return Bool(tuple(clauses), min_should_match=msm)
+
+
+def query_terms(q: Query) -> set:
+    """All posting-list terms the query touches (after expansion)."""
+    if isinstance(q, Term):
+        return {q.text}
+    if isinstance(q, (Synonym, Phrase)):
+        return set(q.terms)
+    if isinstance(q, (Boost, ConstantScore)):
+        return query_terms(q.query)
+    if isinstance(q, Bool):
+        return set().union(*(query_terms(c.query) for c in q.clauses)) if q.clauses else set()
+    if isinstance(q, DisjunctionMax):
+        return set().union(*(query_terms(s) for s in q.queries)) if q.queries else set()
+    if isinstance(q, (MatchAll, MatchNone)):
+        return set()
+    raise TypeError(f"unexpanded multi-term query: {q!r} — call expand() first")

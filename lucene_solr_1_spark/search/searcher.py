@@ -1,0 +1,222 @@
+"""Distributed IndexSearcher (SURVEY.md §3.2 Spark shape).
+
+search flow:
+ 1. rewrite the query tree; expand multi-term queries against the term
+    dictionary (a Catalyst filter over the postings table — predicate
+    pushdown replaces the FST seek; TopTermsRewrite cap 1024).
+ 2. global-stats barrier: per-term docFreq summed across segments (one
+    tiny aggregation), docCount/sumTTF from the manifest — then bake
+    float32 weights into a picklable plan (createWeight analog).
+ 3. per-segment scoring: postings rows for the query terms cogrouped with
+    the segment's norms → applyInPandas runs the DAAT kernel → per-segment
+    top-k (IndexSearcher leaf slices on executors).
+ 4. driver k-way merge with the reference tie-break: score desc, then
+    global docID asc (TopDocs.merge, TopDocs.java:203-265).
+
+TOTAL_HITS_THRESHOLD = 1000 (IndexSearcher.java:101): once a segment kernel
+has ≥1000 hits it may prune, reporting relation GREATER_THAN_OR_EQUAL_TO.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..index import manifest as mf
+from ..index.builder import norms_paths, postings_paths
+from ..kernels import bm25
+from . import kernel as K
+from .query import (
+    Bool, Clause, Fuzzy, MatchNone, Occur, Prefix, Query, Regexp, Synonym,
+    Term, TermRange, Wildcard, query_terms, rewrite, MAX_CLAUSE_COUNT,
+)
+
+TOTAL_HITS_THRESHOLD = 1000
+
+_HIT_SCHEMA = (
+    "segment_id string, doc_id bigint, score float, total bigint, relation string"
+)
+
+
+def _kernel_udf(key, postings_pdf, norms_pdf, plan, cache, k, use_wand):
+    segment_id = key[0]
+    n_docs = len(norms_pdf)
+    norms_arr = np.zeros(n_docs, dtype=np.int64)
+    norms_arr[norms_pdf["doc_id"].to_numpy()] = norms_pdf["norm"].to_numpy()
+    seg = K.SegmentData(postings_pdf, norms_arr, n_docs)
+    if use_wand and K.wand_applicable(plan):
+        docs, scores, total, relation = K.score_wand(plan, seg, cache, k)
+    else:
+        docs, scores, total, relation = K.score_exhaustive(plan, seg, cache, k)
+    return pd.DataFrame(
+        {
+            "segment_id": segment_id,
+            "doc_id": docs,
+            "score": scores.astype(np.float32),
+            "total": np.int64(total),
+            "relation": relation,
+        }
+    )
+
+
+class LuceneSparkSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = mf.read_manifest(index_dir)
+        if self.manifest is None:
+            raise FileNotFoundError(f"no committed manifest in {index_dir}")
+        self.doc_count = self.manifest["doc_count"]
+        self.sum_ttf = self.manifest["sum_ttf"]
+        self.avgdl = bm25.avg_field_length(self.sum_ttf, max(self.doc_count, 1))
+        self.cache = bm25.norm_cache(self.avgdl)
+        self.doc_base = {
+            s["segment_id"]: s["doc_base"] for s in self.manifest["segments"]
+        }
+        self._postings = spark.read.parquet(*postings_paths(index_dir, self.manifest))
+        self._norms = spark.read.parquet(*norms_paths(index_dir, self.manifest))
+
+    # ---------------- multi-term expansion (§2.5 PrefixQuery etc.) --------
+
+    def _expand_terms(self, cond, cap: int = MAX_CLAUSE_COUNT) -> list[str]:
+        t = self._postings.groupBy("term").agg(F.sum("doc_freq").alias("df"))
+        rows = t.where(cond).orderBy(F.desc("df"), F.asc("term")).limit(cap).collect()
+        return [r["term"] for r in rows]
+
+    def expand(self, q: Query) -> Query:
+        """Rewrite multi-term queries to term disjunctions (ScoringRewrite /
+        TopTermsRewrite: terms ranked by docFreq, capped at 1024)."""
+        col = F.col("term")
+        if isinstance(q, Prefix):
+            terms = self._expand_terms(col.startswith(q.prefix))
+        elif isinstance(q, Wildcard):
+            rx = "^" + re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+            terms = self._expand_terms(col.rlike(rx))
+        elif isinstance(q, Regexp):
+            terms = self._expand_terms(col.rlike("^" + q.pattern + "$"))
+        elif isinstance(q, Fuzzy):
+            # length pre-filter keeps the levenshtein scan cheap
+            lo, hi = len(q.text) - q.max_edits, len(q.text) + q.max_edits
+            cond = (F.length(col).between(lo, hi)) & (
+                F.levenshtein(col, F.lit(q.text)) <= q.max_edits
+            )
+            terms = self._expand_terms(cond)
+        elif isinstance(q, TermRange):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (col >= q.lower if q.include_lower else col > q.lower)
+            if q.upper is not None:
+                cond = cond & (col <= q.upper if q.include_upper else col < q.upper)
+            terms = self._expand_terms(cond)
+        elif isinstance(q, Bool):
+            return Bool(
+                tuple(Clause(c.occur, self.expand(c.query)) for c in q.clauses),
+                q.min_should_match,
+            )
+        else:
+            from .query import Boost, ConstantScore, DisjunctionMax
+
+            if isinstance(q, DisjunctionMax):
+                return DisjunctionMax(
+                    tuple(self.expand(s) for s in q.queries), q.tie_breaker
+                )
+            if isinstance(q, Boost):
+                return Boost(self.expand(q.query), q.boost)
+            if isinstance(q, ConstantScore):
+                return ConstantScore(self.expand(q.query), q.score)
+            return q
+        if not terms:
+            return MatchNone()
+        if len(terms) == 1:
+            return Term(terms[0])
+        return Bool.of(*((Occur.SHOULD, Term(t)) for t in terms))
+
+    # ---------------- stats + search --------------------------------------
+
+    def _global_df(self, terms: set) -> dict:
+        if not terms:
+            return {}
+        rows = (
+            self._postings.where(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.sum("doc_freq").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search(
+        self,
+        q: Query,
+        k: int = 10,
+        use_wand: bool = True,
+        with_stored: bool = True,
+    ) -> pd.DataFrame:
+        q = rewrite(self.expand(rewrite(q)))
+        if isinstance(q, MatchNone):
+            out = pd.DataFrame(
+                columns=["rank", "score", "global_doc_id", "segment_id", "doc_id"]
+            )
+            out.attrs["total_hits"] = 0
+            out.attrs["relation"] = "EQUAL_TO"
+            return out
+        terms = query_terms(q)
+        plan = K.compile_plan(q, self._global_df(terms), max(self.doc_count, 1))
+
+        post = self._postings.where(F.col("term").isin(list(terms))) if terms else self._postings.limit(0)
+        norms = self._norms.select("segment_id", "doc_id", "norm")
+        hits = (
+            post.groupBy("segment_id")
+            .cogroup(norms.groupBy("segment_id"))
+            .applyInPandas(
+                partial(
+                    _kernel_udf, plan=plan, cache=self.cache, k=k, use_wand=use_wand
+                ),
+                schema=_HIT_SCHEMA,
+            )
+            .toPandas()
+        )
+        # TopDocs.merge: score desc → global docID asc (leaf order, doc order)
+        if len(hits):
+            hits["global_doc_id"] = (
+                hits["segment_id"].map(self.doc_base) + hits["doc_id"]
+            )
+            totals = hits.groupby("segment_id").agg(
+                total=("total", "first"), relation=("relation", "first")
+            )
+            total_hits = int(totals["total"].sum())
+            relation = (
+                "EQUAL_TO"
+                if (totals["relation"] == "EQUAL_TO").all()
+                else "GREATER_THAN_OR_EQUAL_TO"
+            )
+            hits = hits.sort_values(
+                ["score", "global_doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+        else:
+            hits = hits.assign(global_doc_id=pd.Series(dtype="int64"))
+            total_hits, relation = 0, "EQUAL_TO"
+        hits = hits.reset_index(drop=True)
+        hits.insert(0, "rank", np.arange(len(hits)))
+        hits = hits.drop(columns=["total", "relation"], errors="ignore")
+        if with_stored and len(hits):
+            stored = self._fetch_stored(hits)
+            hits = hits.merge(stored, on=["segment_id", "doc_id"], how="left")
+        hits.attrs["total_hits"] = total_hits
+        hits.attrs["relation"] = relation
+        return hits
+
+    def _fetch_stored(self, hits: pd.DataFrame) -> pd.DataFrame:
+        """Stored-fields retrieval = broadcast join of the tiny hit set
+        against the norms/docmap table (SURVEY.md §2.1)."""
+        pairs = hits[["segment_id", "doc_id"]]
+        hit_df = self.spark.createDataFrame(pairs)
+        out = (
+            self._norms.join(F.broadcast(hit_df), on=["segment_id", "doc_id"])
+            .select("segment_id", "doc_id", "repo", "path", "commit", "lang", "dl")
+            .toPandas()
+        )
+        return out

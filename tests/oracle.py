@@ -1,0 +1,88 @@
+"""Brute-force BM25 oracle — independent of the engine (FIXTURES.md §5).
+
+Pure pandas/float64 implementation: no index, no compression, no pruning.
+Only the analyzer is shared (the tokenization contract is pinned by its own
+golden tests). Used to assert rank-identity of the engine's top-k.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from lucene_solr_1_spark.kernels.analyzer import AnalyzerConfig, STANDARD, tokenize_one
+from lucene_solr_1_spark.kernels.smallfloat import byte4_to_int, int_to_byte4
+
+
+class OracleIndex:
+    def __init__(self, corpus_pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD):
+        pdf = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        self.pdf = pdf
+        self.docs = []  # list[dict term -> freq]
+        self.positions = []  # list[dict term -> [pos]]
+        dls = []
+        for text in pdf["content"]:
+            terms, pos = tokenize_one(text, cfg)
+            tf: dict = {}
+            pp: dict = {}
+            for t, p in zip(terms, pos):
+                tf[t] = tf.get(t, 0) + 1
+                pp.setdefault(t, []).append(p)
+            self.docs.append(tf)
+            self.positions.append(pp)
+            dls.append(len(terms))
+        # dl goes through the lossy norm-byte roundtrip, like the engine
+        self.dl = byte4_to_int(int_to_byte4(np.asarray(dls, dtype=np.int64))).astype(
+            np.float64
+        )
+        self.exact_dl = np.asarray(dls, dtype=np.int64)
+        self.n_docs = len(pdf)
+        self.sum_ttf = int(self.exact_dl.sum())
+        self.avgdl = self.sum_ttf / self.n_docs
+        self.df = {}
+        for tf in self.docs:
+            for t in tf:
+                self.df[t] = self.df.get(t, 0) + 1
+
+    def idf(self, term: str) -> float:
+        n = self.df.get(term, 0)
+        return math.log(1 + (self.n_docs - n + 0.5) / (n + 0.5))
+
+    def term_scores(self, term: str, boost: float = 1.0) -> dict:
+        w = boost * self.idf(term)
+        out = {}
+        for doc_id, tf in enumerate(self.docs):
+            f = tf.get(term)
+            if f:
+                denom = f + 1.2 * (0.25 + 0.75 * self.dl[doc_id] / self.avgdl)
+                out[doc_id] = w * f / denom
+        return out
+
+    def bool_or(self, terms, min_should_match: int = 1) -> dict:
+        per = [self.term_scores(t) for t in terms]
+        docs = {}
+        cnt = {}
+        for p in per:
+            for d, s in p.items():
+                docs[d] = docs.get(d, 0.0) + s
+                cnt[d] = cnt.get(d, 0) + 1
+        return {d: s for d, s in docs.items() if cnt[d] >= min_should_match}
+
+    def bool_and(self, terms) -> dict:
+        per = [self.term_scores(t) for t in terms]
+        if not per:
+            return {}
+        common = set(per[0])
+        for p in per[1:]:
+            common &= set(p)
+        return {d: sum(p[d] for p in per) for d in common}
+
+    def top_k(self, scores: dict, k: int) -> list[tuple[int, float]]:
+        """tie-break: score desc, docID asc (HitQueue.java:76-81)."""
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def key_of(self, doc_id: int) -> str:
+        r = self.pdf.iloc[doc_id]
+        return f"{r['repo']}|{r['path']}|{r['commit']}"

@@ -1,0 +1,265 @@
+"""End-to-end engine tests: build index on the tiny synthetic corpus, run
+the query set, assert rank-identity against the brute-force oracle
+(FIXTURES.md §5), WAND↔exhaustive equivalence, merge invariance and the
+content-sha ingest invariant."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_1_spark.index.builder import build_index
+from lucene_solr_1_spark.search.query import (
+    Bool, Boost, DisjunctionMax, Fuzzy, MatchAll, Occur, Phrase, Prefix,
+    Synonym, Term, Wildcard,
+)
+from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+from .oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark, tiny_corpus_pdf, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("idx_tiny"))
+    df = spark.createDataFrame(tiny_corpus_pdf)
+    manifest = build_index(spark, df, index_dir, num_segments=4)
+    return index_dir, manifest
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus_pdf):
+    return OracleIndex(tiny_corpus_pdf)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tiny_index):
+    index_dir, _ = tiny_index
+    return LuceneSparkSearcher(spark, index_dir)
+
+
+def keys_of(hits: pd.DataFrame) -> list[str]:
+    return [f"{r.repo}|{r.path}|{r.commit}" for r in hits.itertuples(index=False)]
+
+
+def assert_matches_oracle(hits, oracle_topk, oracle):
+    got = keys_of(hits)
+    want = [oracle.key_of(d) for d, _ in oracle_topk]
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    got_scores = hits["score"].to_numpy(dtype=np.float64)
+    want_scores = np.array([s for _, s in oracle_topk])
+    np.testing.assert_allclose(got_scores, want_scores, rtol=2e-5)
+
+
+def test_manifest_global_stats(tiny_index, oracle):
+    _, manifest = tiny_index
+    assert manifest["doc_count"] == oracle.n_docs
+    assert manifest["sum_ttf"] == oracle.sum_ttf
+    assert len(manifest["segments"]) == 4
+    for s in manifest["segments"]:
+        assert s["input_fingerprint"]
+        assert s["total_postings"] >= 0
+
+
+def test_single_hot_term(searcher, oracle):
+    hits = searcher.search(Term("return"), k=10)
+    assert_matches_oracle(hits, oracle.top_k(oracle.term_scores("return"), 10), oracle)
+    assert hits.attrs["total_hits"] == len(oracle.term_scores("return"))
+
+
+def test_single_rare_term(searcher, oracle):
+    hits = searcher.search(Term("tail_marker"), k=10)
+    assert_matches_oracle(
+        hits, oracle.top_k(oracle.term_scores("tail_marker"), 10), oracle
+    )
+
+
+def test_absent_term(searcher):
+    hits = searcher.search(Term("zzz_not_there"), k=10)
+    assert len(hits) == 0
+    assert hits.attrs["total_hits"] == 0
+
+
+def test_bool_or(searcher, oracle):
+    q = Bool.of((Occur.SHOULD, Term("return")), (Occur.SHOULD, Term("class")))
+    hits = searcher.search(q, k=10)
+    assert_matches_oracle(
+        hits, oracle.top_k(oracle.bool_or(["return", "class"]), 10), oracle
+    )
+
+
+def test_bool_and(searcher, oracle):
+    q = Bool.of((Occur.MUST, Term("return")), (Occur.MUST, Term("public")))
+    hits = searcher.search(q, k=10)
+    assert_matches_oracle(
+        hits, oracle.top_k(oracle.bool_and(["return", "public"]), 10), oracle
+    )
+
+
+def test_must_not(searcher, oracle):
+    q = Bool.of((Occur.MUST, Term("return")), (Occur.MUST_NOT, Term("class")))
+    hits = searcher.search(q, k=10)
+    want = {
+        d: s
+        for d, s in oracle.term_scores("return").items()
+        if d not in oracle.term_scores("class")
+    }
+    assert_matches_oracle(hits, oracle.top_k(want, 10), oracle)
+
+
+def test_min_should_match(searcher, oracle):
+    terms = ["return", "class", "import"]
+    q = Bool.of(*((Occur.SHOULD, Term(t)) for t in terms), min_should_match=2)
+    hits = searcher.search(q, k=10)
+    assert_matches_oracle(
+        hits, oracle.top_k(oracle.bool_or(terms, min_should_match=2), 10), oracle
+    )
+
+
+def test_boost(searcher, oracle):
+    hits = searcher.search(Boost(Term("return"), 2.5), k=5)
+    want = oracle.top_k(oracle.term_scores("return", boost=2.5), 5)
+    # float32 boost multiply — slightly looser tolerance
+    got = keys_of(hits)
+    assert got == [oracle.key_of(d) for d, _ in want]
+    np.testing.assert_allclose(
+        hits["score"].to_numpy(np.float64), [s for _, s in want], rtol=3e-5
+    )
+
+
+def test_synonym_freqs_summed(searcher, oracle):
+    hits = searcher.search(Synonym(("return", "int")), k=10)
+    # oracle: summed freqs, summed idf, scored once
+    w = oracle.idf("return") + oracle.idf("int")
+    want = {}
+    for d in range(oracle.n_docs):
+        f = oracle.docs[d].get("return", 0) + oracle.docs[d].get("int", 0)
+        if f:
+            denom = f + 1.2 * (0.25 + 0.75 * oracle.dl[d] / oracle.avgdl)
+            want[d] = w * f / denom
+    assert_matches_oracle(hits, oracle.top_k(want, 10), oracle)
+
+
+def test_dismax(searcher, oracle):
+    q = DisjunctionMax((Term("return"), Term("class")), tie_breaker=0.3)
+    hits = searcher.search(q, k=10)
+    a, b = oracle.term_scores("return"), oracle.term_scores("class")
+    want = {}
+    for d in set(a) | set(b):
+        s = sorted((a.get(d, 0.0), b.get(d, 0.0)))
+        want[d] = s[1] + 0.3 * s[0]
+    assert_matches_oracle(hits, oracle.top_k(want, 10), oracle)
+
+
+def test_match_all(searcher, oracle):
+    hits = searcher.search(MatchAll(), k=oracle.n_docs + 10)
+    assert len(hits) == oracle.n_docs
+    assert hits.attrs["total_hits"] == oracle.n_docs
+    assert (hits["score"] == 1.0).all()
+
+
+def test_phrase_exact(searcher, oracle):
+    # edge doc 2: "alpha <300-char token> beta gamma" — "beta gamma" adjacent
+    hits = searcher.search(Phrase(("beta", "gamma")), k=10)
+    want_docs = [
+        d
+        for d in range(oracle.n_docs)
+        if any(
+            p + 1 in oracle.positions[d].get("gamma", [])
+            for p in oracle.positions[d].get("beta", [])
+        )
+    ]
+    assert sorted(keys_of(hits)) == sorted(oracle.key_of(d) for d in want_docs)
+    assert len(hits) > 0
+
+
+def test_prefix_and_wildcard(searcher, oracle):
+    hits = searcher.search(Prefix("tail_"), k=10)
+    assert keys_of(hits) == [
+        oracle.key_of(d) for d, _ in oracle.top_k(oracle.term_scores("tail_marker"), 10)
+    ]
+    hits_w = searcher.search(Wildcard("tail_*"), k=10)
+    assert keys_of(hits_w) == keys_of(hits)
+
+
+def test_fuzzy(searcher, oracle):
+    # 'returm' ~1 → 'return' (and possibly other 1-edit vocab terms)
+    hits = searcher.search(Fuzzy("returm", max_edits=1), k=10)
+    assert len(hits) > 0
+    assert set(keys_of(hits)) <= {
+        oracle.key_of(d)
+        for t in oracle.df
+        if _lev(t, "returm") <= 1
+        for d in oracle.term_scores(t)
+    }
+
+
+def _lev(a, b):
+    if abs(len(a) - len(b)) > 2:
+        return 99
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+def test_wand_equals_exhaustive(searcher):
+    queries = [
+        Term("return"),
+        Term("id_0001"),
+        Bool.of((Occur.SHOULD, Term("return")), (Occur.SHOULD, Term("int")),
+                (Occur.SHOULD, Term("id_0002"))),
+    ]
+    for q in queries:
+        for k in (3, 10, 100):
+            a = searcher.search(q, k=k, use_wand=True, with_stored=False)
+            b = searcher.search(q, k=k, use_wand=False, with_stored=False)
+            np.testing.assert_array_equal(
+                a["global_doc_id"].to_numpy(), b["global_doc_id"].to_numpy()
+            )
+            np.testing.assert_array_equal(
+                a["score"].to_numpy(), b["score"].to_numpy()
+            )
+
+
+def test_merge_invariance_partitioning(spark, tiny_corpus_pdf, tmp_path_factory, oracle):
+    """1-segment and 8-segment indexes give identical stats and top-k
+    (FIXTURES.md §5 merge invariance)."""
+    df = spark.createDataFrame(tiny_corpus_pdf)
+    results = []
+    for n in (1, 8):
+        d = str(tmp_path_factory.mktemp(f"idx_{n}"))
+        m = build_index(spark, df, d, num_segments=n)
+        s = LuceneSparkSearcher(spark, d)
+        assert m["doc_count"] == oracle.n_docs
+        assert m["sum_ttf"] == oracle.sum_ttf
+        hits = s.search(Term("return"), k=10)
+        results.append((keys_of(hits), hits["score"].round(5).tolist()))
+    assert results[0] == results[1]
+
+
+def test_content_sha_invariant(spark, tiny_index, tiny_corpus_pdf):
+    """Per-row sha256(content) equality vs ingest (BASELINE.json input_hint)."""
+    from pyspark.sql import functions as F
+    from lucene_solr_1_spark.index.builder import norms_paths
+
+    index_dir, manifest = tiny_index
+    norms = spark.read.parquet(*norms_paths(index_dir, manifest))
+    ingest = spark.createDataFrame(tiny_corpus_pdf).select(
+        "repo", "path", "commit", F.sha2(F.col("content"), 256).alias("sha_ingest")
+    )
+    joined = norms.join(ingest, ["repo", "path", "commit"])
+    n_bad = joined.where(F.col("content_sha") != F.col("sha_ingest")).count()
+    assert n_bad == 0
+    assert joined.count() == len(tiny_corpus_pdf)
+
+
+def test_edge_cases_indexed(searcher, oracle):
+    # empty doc and stopword-only docs are present but unmatchable by rare terms
+    assert searcher.manifest["doc_count"] == 64
+    # overlong token must NOT be searchable
+    hits = searcher.search(Term("z" * 300), k=5)
+    assert len(hits) == 0
+    # unicode identifier is searchable
+    hits = searcher.search(Term("δelta"), k=5)
+    assert len(hits) == 1
