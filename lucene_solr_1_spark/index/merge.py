@@ -1,0 +1,207 @@
+"""Tiered segment merging (SURVEY.md §2.4).
+
+Driver-side policy chooses merge groups (TieredMergePolicy.java:96-103,312-560
+shape: bounded merge width, size-skew-scored candidates, small-segment floor);
+the merge itself is one Spark job per group: postings of the group segments
+are shuffled by `term` and re-encoded with rebased docIDs
+(SegmentMerger.java:100-180, DocIDMerger.java docBase arithmetic).
+
+Groups are CONTIGUOUS in partition order, and inputs are concatenated in
+that order, so global docIDs (doc_base + local) are unchanged by a merge —
+top-k results and tie-breaks are invariant (merge-invariance tests).
+
+Skew note: hot terms ('the', 'return') have the largest posting rows, but a
+merge shuffles ≤ len(group) PRE-AGGREGATED compressed rows per term — skew
+is structurally bounded by the group width, not by posting length. The
+row-level shuffle (norms rewrite) is salted by hash of doc key via
+repartition. New-block impact metadata is recomputed conservatively from
+the input blocks' (max_freq, min_norm) — upper bounds stay valid for WAND.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from functools import partial
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..kernels.forcodec import BLOCK_SIZE, decode_all, encode_blocks, encode_doc_deltas
+from . import manifest as mf
+from .builder import _write_parquet, _POSTINGS_FILE, _NORMS_FILE
+from .schemas import POSTINGS_DDL
+from .segment import POSTINGS_COLS
+
+MAX_MERGE_AT_ONCE = 10  # TieredMergePolicy.java:96 maxMergeAtOnce
+SEGS_PER_TIER = 10      # TieredMergePolicy.java:103 segsPerTier
+
+
+def find_merges(manifest: dict, target_segments: int = SEGS_PER_TIER) -> list[list[str]]:
+    """Pick contiguous (partition-order) groups of the smallest segments
+    until the live set would shrink to ≤ target_segments."""
+    segs = sorted(manifest["segments"], key=lambda s: s["partition_id"])
+    if len(segs) <= target_segments:
+        return []
+    groups = []
+    n_live = len(segs)
+    i = 0
+    while i < len(segs) and n_live > target_segments:
+        width = min(MAX_MERGE_AT_ONCE, len(segs) - i, n_live - target_segments + 1)
+        if width >= 2:
+            groups.append([s["segment_id"] for s in segs[i : i + width]])
+            n_live -= width - 1
+        i += max(width, 1)
+    return [g for g in groups if len(g) >= 2]
+
+
+def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict) -> pd.DataFrame:
+    """Merge the posting rows of one term across segments: decode → rebase →
+    concat (inputs already docID-sorted per segment; offsets are ordered) →
+    re-encode + rebuild block metadata."""
+    pdf = pdf.sort_values("segment_id", key=lambda s: s.map(seg_order))
+    docs_parts, freqs_parts, pos_parts = [], [], []
+    imp = []  # (last_doc_rebased, max_freq, min_norm) per input block
+    for r in pdf.itertuples(index=False):
+        off = seg_offset[r.segment_id]
+        d = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets))) + off
+        f = decode_all(bytes(r.freqs_enc), np.asarray(r.freqs_offsets))
+        p = decode_all(bytes(r.pos_enc), np.asarray(r.pos_offsets))
+        docs_parts.append(d)
+        freqs_parts.append(f)
+        pos_parts.append(p)
+        bl = np.asarray(r.block_last_doc, dtype=np.int64) + off
+        imp.append(
+            np.stack(
+                [bl, np.asarray(r.block_max_freq, np.int64), np.asarray(r.block_min_norm, np.int64)],
+                axis=1,
+            )
+        )
+    docs = np.concatenate(docs_parts)
+    freqs = np.concatenate(freqs_parts)
+    pos_flat = np.concatenate(pos_parts)
+    imp_all = np.concatenate(imp)  # ordered: per segment asc, block asc → last_doc asc
+
+    docs_enc, docs_off = encode_doc_deltas(docs)
+    freqs_enc, freqs_off = encode_blocks(freqs)
+    pos_enc, pos_off = encode_blocks(pos_flat)
+
+    n = len(docs)
+    blk_idx = np.arange(0, n, BLOCK_SIZE)
+    blk_last = docs[np.minimum(blk_idx + BLOCK_SIZE - 1, n - 1)]
+    blk_maxf = np.maximum.reduceat(freqs, blk_idx)
+    # conservative min_norm: min over input blocks overlapping the new block
+    in_last = imp_all[:, 0]
+    blk_minn = np.empty(len(blk_idx), dtype=np.int64)
+    blk_first = docs[blk_idx]
+    for j in range(len(blk_idx)):
+        lo = np.searchsorted(in_last, blk_first[j], side="left")
+        hi = np.searchsorted(in_last, blk_last[j], side="left")
+        hi = min(hi + 1, len(in_last))
+        blk_minn[j] = imp_all[lo:hi, 2].min()
+    row = pdf.iloc[0]
+    return pd.DataFrame(
+        [
+            (
+                row["term"],
+                int(len(docs)),
+                int(freqs.sum()),
+                docs_enc, docs_off.tolist(),
+                freqs_enc, freqs_off.tolist(),
+                pos_enc, pos_off.tolist(),
+                blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
+            )
+        ],
+        columns=POSTINGS_COLS,
+    )
+
+
+def merge_once(spark: SparkSession, index_dir: str, group: list[str]) -> dict:
+    """Merge one group of segments into a new segment; commit new manifest."""
+    t0 = time.monotonic()
+    manifest = mf.read_manifest(index_dir)
+    by_id = {s["segment_id"]: s for s in manifest["segments"]}
+    group_segs = sorted((by_id[g] for g in group), key=lambda s: s["partition_id"])
+    seg_order = {s["segment_id"]: i for i, s in enumerate(group_segs)}
+    offsets, base = {}, 0
+    for s in group_segs:
+        offsets[s["segment_id"]] = base
+        base += s["doc_count"]
+
+    fingerprint = hashlib.sha256(
+        "|".join(s["input_fingerprint"] for s in group_segs).encode()
+    ).hexdigest()
+    new_sid = f"m{manifest['generation']:03d}-{group_segs[0]['partition_id']:05d}-{fingerprint[:10]}"
+    seg_dir = mf.segment_dir(index_dir, new_sid)
+    os.makedirs(seg_dir, exist_ok=True)
+
+    paths = [
+        os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _POSTINGS_FILE)
+        for s in group_segs
+    ]
+    postings = spark.read.parquet(*paths)
+    merged = (
+        postings.groupBy("term")
+        .applyInPandas(
+            partial(_merge_term_group, seg_order=seg_order, seg_offset=offsets),
+            schema=POSTINGS_DDL,
+        )
+        .withColumn("segment_id", F.lit(new_sid))
+    )
+    # distributed executor-side write, range-partitioned + sorted by term so
+    # parquet row-group min/max stats prune term lookups (the .tip analog)
+    n_out = max(2, min(len(group), 8))
+    merged.repartitionByRange(n_out, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(seg_dir, _POSTINGS_FILE))
+    distinct_terms = spark.read.parquet(os.path.join(seg_dir, _POSTINGS_FILE)).count()
+
+    npaths = [
+        os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _NORMS_FILE)
+        for s in group_segs
+    ]
+    off_expr = F.create_map(
+        *[x for sid, off in offsets.items() for x in (F.lit(sid), F.lit(off))]
+    )
+    norms = (
+        spark.read.parquet(*npaths)
+        .withColumn("doc_id", F.col("doc_id") + off_expr[F.col("segment_id")])
+        .withColumn("segment_id", F.lit(new_sid))
+        # salted row-level repartition: uniform spread regardless of input skew
+        .repartition(n_out, F.hash("repo", "path", "commit"))
+    )
+    norms.write.mode("overwrite").parquet(os.path.join(seg_dir, _NORMS_FILE))
+
+    meta = {
+        "segment_id": new_sid,
+        "partition_id": group_segs[0]["partition_id"],
+        "input_fingerprint": fingerprint,
+        "doc_count": int(base),
+        "sum_ttf": int(sum(s["sum_ttf"] for s in group_segs)),
+        "distinct_terms": int(distinct_terms),
+        "total_postings": int(sum(s["total_postings"] for s in group_segs)),
+        "build_wall_s": time.monotonic() - t0,
+        "min_key": group_segs[0].get("min_key", ""),
+        "max_key": group_segs[-1].get("max_key", ""),
+        "reused": False,
+        "merged_from": [s["segment_id"] for s in group_segs],
+    }
+    mf.write_segment_meta(index_dir, new_sid, meta)
+    live = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
+    live.append({k: v for k, v in meta.items()})
+    return mf.commit_manifest(index_dir, live, extra={"merge": new_sid})
+
+
+def merge_down(spark: SparkSession, index_dir: str, target_segments: int = SEGS_PER_TIER) -> dict:
+    """Run merges until ≤ target_segments remain (ConcurrentMergeScheduler
+    loop, sequential here)."""
+    manifest = mf.read_manifest(index_dir)
+    while True:
+        groups = find_merges(manifest, target_segments)
+        if not groups:
+            return manifest
+        for g in groups:
+            manifest = merge_once(spark, index_dir, g)

@@ -1,0 +1,448 @@
+"""Relational BM25 — the engine's semantics expressed as one declarative
+DataFrame plan (Catalyst optimizes it: the term filter is applied in the
+same stage as the explode, aggregations get map-side partial combine, the
+tiny df/totals frames are broadcast). This path trades the inverted index
+for brute-force scan+aggregate; it exists (a) as the SQL-expressible oracle
+contract (each function has a DuckDB twin generated from the SAME spec so
+the formula cannot drift) and (b) as the reference's 'query without an
+index' equivalence baseline.
+
+Scale notes: the explode→filter→groupBy(doc_id, term) aggregation has
+map-side combine, so hot-term skew collapses before the shuffle; the df
+and totals aggregates are broadcast, never shuffled on the big side.
+
+BM25 here is float64 (matches DuckDB); exact dl (no norm-byte quantization).
+The float32/norm-byte bit-exact scoring lives in the kernel path — the two
+are cross-checked in tests at rank level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+K1 = 1.2
+B = 0.75
+TOKEN_PATTERN = "[a-z0-9_]+"
+
+
+def spark_tokens_expr(text_col: str = "text") -> str:
+    return f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+
+
+def duck_tokens_expr(text_col: str = "text") -> str:
+    return f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}')"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _sql_list(terms) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+# ---------------------------------------------------------------------------
+# generic boolean BM25 (MUST / SHOULD / MUST_NOT / minShouldMatch)
+# ---------------------------------------------------------------------------
+
+def bm25_bool_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    should: tuple = (),
+    must: tuple = (),
+    must_not: tuple = (),
+    msm: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    totals = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("sum_dl"),
+    )
+    all_terms = sorted(set(should) | set(must) | set(must_not))
+    scoring = sorted(set(should) | set(must))
+    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    tf = (
+        toks.where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    sc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "s",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + K1 * ((1 - B) + B * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))
+            ),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term").isin(scoring), F.col("s"))).alias("score_raw"),
+        F.count_distinct(F.when(F.col("term").isin(list(must)), F.col("term"))).alias("n_must"),
+        F.count_distinct(F.when(F.col("term").isin(list(should)), F.col("term"))).alias("n_should"),
+        F.count_distinct(F.when(F.col("term").isin(list(must_not)), F.col("term"))).alias("n_not"),
+    )
+    cond = F.col("n_not") == 0
+    if must:
+        cond = cond & (F.col("n_must") == len(set(must)))
+        if msm > 0:
+            cond = cond & (F.col("n_should") >= msm)
+    else:
+        cond = cond & (F.col("n_should") >= max(msm, 1))
+    out = agg.where(cond)
+    if k is not None:
+        # bounded top-k → TakeOrderedAndProject; k=None returns the full
+        # match set unordered (subquery use — a global sort would be wasted)
+        out = out.orderBy(F.round(F.col("score_raw"), 6).desc(), F.col("doc_id")).limit(k)
+    return out.select("doc_id", F.round(F.col("score_raw"), 4).alias("score"))
+
+
+def bm25_bool_duck(
+    should: tuple = (),
+    must: tuple = (),
+    must_not: tuple = (),
+    msm: int = 0,
+    k: int = 10,
+) -> str:
+    all_terms = sorted(set(should) | set(must) | set(must_not))
+    scoring = sorted(set(should) | set(must))
+    conds = ["n_not = 0"]
+    if must:
+        conds.append(f"n_must = {len(set(must))}")
+        if msm > 0:
+            conds.append(f"n_should >= {msm}")
+    else:
+        conds.append(f"n_should >= {max(msm, 1)}")
+    te = duck_tokens_expr()
+    return f"""
+WITH tot AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(len({te}))::DOUBLE AS sum_dl FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest({te}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({_sql_list(all_terms)}) GROUP BY 1, 2
+),
+dfr AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1
+),
+dl AS (
+  SELECT doc_id, len({te})::DOUBLE AS dl FROM documents
+),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (tot.n_docs - dfr.df + 0.5)/(dfr.df + 0.5))
+           * tf.tf / (tf.tf + {K1}*((1-{B}) + {B}*dl.dl/(tot.sum_dl/tot.n_docs))) AS s
+  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ({_sql_list(scoring)}) THEN s END) AS score_raw,
+         count(DISTINCT CASE WHEN term IN ({_sql_list(must) or "''"}) THEN term END) AS n_must,
+         count(DISTINCT CASE WHEN term IN ({_sql_list(should) or "''"}) THEN term END) AS n_should,
+         count(DISTINCT CASE WHEN term IN ({_sql_list(must_not) or "''"}) THEN term END) AS n_not
+  FROM sc GROUP BY 1
+)
+SELECT doc_id, round(score_raw, 4) AS score FROM agg
+WHERE {" AND ".join(conds)}
+{f"ORDER BY round(score_raw, 6) DESC, doc_id LIMIT {k}" if k is not None else ""}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# synonym (freqs summed, idfs summed — SynonymQuery semantics)
+# ---------------------------------------------------------------------------
+
+def bm25_synonym_spark(spark, sf_dir, terms: tuple, k: int = 10) -> DataFrame:
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    totals = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("sum_dl"),
+    )
+    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    tf = (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    idf_sum = dfreq.crossJoin(F.broadcast(totals)).agg(
+        F.sum(
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        ).alias("idf")
+    )
+    freq = tf.groupBy("doc_id").agg(F.sum("tf").alias("f"))
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    out = (
+        freq.join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(idf_sum))
+        .withColumn(
+            "score_raw",
+            F.col("idf")
+            * F.col("f")
+            / (F.col("f") + K1 * ((1 - B) + B * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))),
+        )
+        .orderBy(F.round(F.col("score_raw"), 6).desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round(F.col("score_raw"), 4).alias("score"))
+    )
+    return out
+
+
+def bm25_synonym_duck(terms: tuple, k: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tot AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(len({te}))::DOUBLE AS sum_dl FROM documents
+),
+tok AS (SELECT doc_id, unnest({te}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({_sql_list(terms)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT sum(ln(1.0 + (tot.n_docs - df + 0.5)/(df + 0.5))) AS idf
+  FROM dfr CROSS JOIN tot
+),
+freq AS (SELECT doc_id, sum(tf) AS f FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({te})::DOUBLE AS dl FROM documents)
+SELECT doc_id,
+       round(idf.idf * f / (f + {K1}*((1-{B}) + {B}*dl.dl/(tot.sum_dl/tot.n_docs))), 4) AS score
+FROM freq JOIN dl USING (doc_id) CROSS JOIN tot CROSS JOIN idf
+ORDER BY round(idf.idf * f / (f + {K1}*((1-{B}) + {B}*dl.dl/(tot.sum_dl/tot.n_docs))), 6) DESC, doc_id
+LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# dismax: max(clause) + tie * (sum - max) over single-term clauses
+# ---------------------------------------------------------------------------
+
+def bm25_dismax_spark(spark, sf_dir, terms: tuple, tie: float, k: int = 10) -> DataFrame:
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    totals = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("sum_dl"),
+    )
+    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    tf = (
+        toks.where(F.col("term").isin(list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    sc = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "s",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + K1 * ((1 - B) + B * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))),
+        )
+    )
+    out = (
+        sc.groupBy("doc_id")
+        .agg((F.max("s") + tie * (F.sum("s") - F.max("s"))).alias("score_raw"))
+        .orderBy(F.round(F.col("score_raw"), 6).desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round(F.col("score_raw"), 4).alias("score"))
+    )
+    return out
+
+
+def bm25_dismax_duck(terms: tuple, tie: float, k: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tot AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(len({te}))::DOUBLE AS sum_dl FROM documents
+),
+tok AS (SELECT doc_id, unnest({te}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({_sql_list(terms)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({te})::DOUBLE AS dl FROM documents),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (tot.n_docs - dfr.df + 0.5)/(dfr.df + 0.5))
+           * tf.tf / (tf.tf + {K1}*((1-{B}) + {B}*dl.dl/(tot.sum_dl/tot.n_docs))) AS s
+  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+)
+SELECT doc_id, round(max(s) + {tie}*(sum(s) - max(s)), 4) AS score
+FROM sc GROUP BY 1
+ORDER BY round(max(s) + {tie}*(sum(s) - max(s)), 6) DESC, doc_id LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# exact phrase via positional self-join (ExactPhraseMatcher relational form)
+# ---------------------------------------------------------------------------
+
+def phrase_match_spark(spark, sf_dir, t1: str, t2: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    pos = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
+    a = pos.where(F.col("term") == t1).select("doc_id", F.col("pos").alias("p1"))
+    b = pos.where(F.col("term") == t2).select("doc_id", F.col("pos").alias("p2"))
+    out = (
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (b["p2"] == a["p1"] + 1))
+        .groupBy(a["doc_id"].alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("phrase_freq"))
+        .orderBy("doc_id")
+    )
+    return out
+
+
+def phrase_match_duck(t1: str, t2: str) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH pos AS (
+  SELECT doc_id, unnest({te}) AS term, generate_subscripts({te}, 1) AS pos
+  FROM documents
+),
+a AS (SELECT doc_id, pos AS p1 FROM pos WHERE term = '{t1}'),
+b AS (SELECT doc_id, pos AS p2 FROM pos WHERE term = '{t2}')
+SELECT a.doc_id AS doc_id, count(*)::BIGINT AS phrase_freq
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.p2 = a.p1 + 1
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# term dictionary stats / multi-term expansion predicates / facets / grouping
+# ---------------------------------------------------------------------------
+
+def term_stats_spark(spark, sf_dir, top_n: int = 25) -> DataFrame:
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("df"),
+            F.count("*").cast("bigint").alias("ttf"),
+        )
+        .orderBy(F.desc("df"), F.desc("ttf"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
+def term_stats_duck(top_n: int = 25) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM tok GROUP BY 1
+ORDER BY df DESC, ttf DESC, term ASC LIMIT {top_n}
+""".strip()
+
+
+def prefix_docs_spark(spark, sf_dir, prefix: str) -> DataFrame:
+    """Constant-score prefix query: docs containing any term with prefix
+    (PrefixQuery → constant-score rewrite)."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    return (
+        toks.where(F.col("term").startswith(prefix))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def prefix_docs_duck(prefix: str) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents)
+SELECT DISTINCT doc_id FROM tok WHERE term LIKE '{prefix}%' ORDER BY doc_id
+""".strip()
+
+
+def fuzzy_terms_spark(spark, sf_dir, text: str, max_edits: int = 1) -> DataFrame:
+    """Fuzzy term expansion against the dictionary (FuzzyQuery rewrite)."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    toks = docs.select(F.explode("toks").alias("term")).distinct()
+    return (
+        toks.where(
+            (F.length("term").between(len(text) - max_edits, len(text) + max_edits))
+            & (F.levenshtein(F.col("term"), F.lit(text)) <= max_edits)
+        )
+        .orderBy("term")
+    )
+
+
+def fuzzy_terms_duck(text: str, max_edits: int = 1) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (SELECT DISTINCT unnest({te}) AS term FROM documents)
+SELECT term FROM tok
+WHERE length(term) BETWEEN {len(text) - max_edits} AND {len(text) + max_edits}
+  AND levenshtein(term, '{text}') <= {max_edits}
+ORDER BY term
+""".strip()
+
+
+def facet_counts_spark(spark, sf_dir) -> DataFrame:
+    """Facet counting = groupBy().count() (lucene/facet analog)."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy("lang", "source")
+    )
+
+
+def facet_counts_duck() -> str:
+    return (
+        "SELECT lang, source, count(*)::BIGINT AS cnt FROM documents "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def grouping_top1_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Grouping: best BM25 doc per `source` group (grouping module analog:
+    Window.partitionBy + row_number)."""
+    from pyspark.sql import Window
+
+    scored = bm25_bool_spark(spark, sf_dir, should=(term,), k=None)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "doc_id", "score")
+        .orderBy("source")
+    )
+
+
+def grouping_top1_duck(term: str) -> str:
+    inner = bm25_bool_duck(should=(term,), k=None)
+    return f"""
+WITH scored AS ({inner}),
+j AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, score FROM j WHERE rn = 1 ORDER BY source
+""".strip()

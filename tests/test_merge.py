@@ -1,0 +1,80 @@
+"""Tiered merge tests: stats preserved, top-k invariant, docIDs stable
+(FIXTURES.md §5 merge invariance; SegmentMerger/TieredMergePolicy analogs)."""
+
+import numpy as np
+
+from lucene_solr_1_spark.index import manifest as mf
+from lucene_solr_1_spark.index.builder import build_index
+from lucene_solr_1_spark.index.merge import find_merges, merge_down, merge_once
+from lucene_solr_1_spark.search.query import Bool, Occur, Phrase, Term
+from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+
+def test_find_merges_policy():
+    manifest = {
+        "segments": [
+            {"segment_id": f"s{i}", "partition_id": i, "doc_count": 10}
+            for i in range(25)
+        ]
+    }
+    groups = find_merges(manifest, target_segments=10)
+    merged_away = sum(len(g) - 1 for g in groups)
+    assert 25 - merged_away <= 10
+    for g in groups:
+        assert 2 <= len(g) <= 10
+    # groups must be contiguous in partition order and disjoint
+    seen = set()
+    for g in groups:
+        ids = sorted(int(s[1:]) for s in g)
+        assert ids == list(range(ids[0], ids[-1] + 1))
+        assert not (set(ids) & seen)
+        seen |= set(ids)
+
+
+def test_merge_preserves_results(spark, small_corpus_pdf, tmp_path_factory):
+    df = spark.createDataFrame(small_corpus_pdf)
+    d = str(tmp_path_factory.mktemp("idx_m"))
+    m0 = build_index(spark, df, d, num_segments=8)
+    s0 = LuceneSparkSearcher(spark, d)
+    queries = [
+        Term("return"),
+        Bool.of((Occur.MUST, Term("return")), (Occur.SHOULD, Term("class")),
+                (Occur.MUST_NOT, Term("id_0003"))),
+        Phrase(("beta", "gamma")),
+    ]
+    before = [s0.search(q, k=20, with_stored=False) for q in queries]
+
+    m1 = merge_down(spark, d, target_segments=2)
+    assert len(m1["segments"]) <= 2
+    assert m1["doc_count"] == m0["doc_count"]
+    assert m1["sum_ttf"] == m0["sum_ttf"]
+
+    s1 = LuceneSparkSearcher(spark, d)
+    after = [s1.search(q, k=20, with_stored=False) for q in queries]
+    for b, a in zip(before, after):
+        # global docIDs and float32 scores must be bit-identical post-merge
+        np.testing.assert_array_equal(
+            b["global_doc_id"].to_numpy(), a["global_doc_id"].to_numpy()
+        )
+        np.testing.assert_array_equal(b["score"].to_numpy(), a["score"].to_numpy())
+        assert b.attrs["total_hits"] == a.attrs["total_hits"]
+
+    # WAND still equals exhaustive on the merged (multi-block) index
+    aw = s1.search(Term("return"), k=15, use_wand=True, with_stored=False)
+    ae = s1.search(Term("return"), k=15, use_wand=False, with_stored=False)
+    np.testing.assert_array_equal(
+        aw["global_doc_id"].to_numpy(), ae["global_doc_id"].to_numpy()
+    )
+    np.testing.assert_array_equal(aw["score"].to_numpy(), ae["score"].to_numpy())
+
+
+def test_merge_global_df_consistent(spark, small_corpus_pdf, tmp_path_factory):
+    df = spark.createDataFrame(small_corpus_pdf)
+    d = str(tmp_path_factory.mktemp("idx_df"))
+    build_index(spark, df, d, num_segments=8)
+    s0 = LuceneSparkSearcher(spark, d)
+    df_before = s0._global_df({"return", "class", "id_0001"})
+    merge_down(spark, d, target_segments=1)
+    s1 = LuceneSparkSearcher(spark, d)
+    assert len(s1.manifest["segments"]) == 1
+    assert s1._global_df({"return", "class", "id_0001"}) == df_before
