@@ -46,9 +46,10 @@ def _write_parquet(pdf: pd.DataFrame, path: str, segment_id: str) -> None:
     pq.write_table(table, path, compression="zstd")
 
 
-def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitions):
+def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitions,
+                     pid_offset: int = 0):
     ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx else 0
+    pid = (ctx.partitionId() if ctx else 0) + pid_offset
     if fail_partitions and pid in fail_partitions:
         raise RuntimeError(f"injected failure on partition {pid} (resume test)")
     pdfs = [b for b in batches]
@@ -109,16 +110,24 @@ def build_index(
     num_segments: int = 8,
     cfg: AnalyzerConfig = STANDARD,
     fail_partitions: set[int] | None = None,
+    pre_partitioned: bool = False,
 ) -> dict:
     """Build (or resume) an index over `corpus_df`; returns the manifest.
+
+    `pre_partitioned=True` skips the repartition shuffle and builds one
+    segment per EXISTING input partition — the zero-shuffle ingest path for
+    sources already laid out by doc key (Iceberg bucketed / sorted tables;
+    the segment docID order stays deterministic because rows are re-sorted
+    by DOC_KEY inside each partition). With it the whole build is a single
+    fused stage: scan → analyze → invert → encode → write, no exchange.
 
     `fail_partitions` injects task failures (resume tests only).
     """
     from functools import partial
 
-    df = corpus_df.select("repo", "path", "commit", "lang", "content").repartition(
-        num_segments, *DOC_KEY
-    )
+    df = corpus_df.select("repo", "path", "commit", "lang", "content")
+    if not pre_partitioned:
+        df = df.repartition(num_segments, *DOC_KEY)
     rows = df.mapInPandas(
         partial(
             _build_partition,
@@ -129,9 +138,50 @@ def build_index(
         schema=MANIFEST_ROW_DDL,
     ).collect()
     segments = [r.asDict() for r in rows]
-    return mf.commit_manifest(
-        index_dir, segments, extra={"num_segments": num_segments}
+    extra = {"num_segments": num_segments}
+    prior = mf.read_manifest(index_dir)
+    if prior and prior.get("tombstone_files"):
+        extra["tombstone_files"] = prior["tombstone_files"]
+    return mf.commit_manifest(index_dir, segments, extra=extra)
+
+
+def add_documents(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    index_dir: str,
+    num_segments: int = 4,
+    cfg: AnalyzerConfig = STANDARD,
+) -> dict:
+    """Incremental indexing — the NRT refresh analog (SURVEY.md §1.5:
+    DirectoryReader.openIfChanged / SearcherManager). New documents become
+    NEW segment partitions appended to the manifest; existing segments,
+    their docIDs and tombstones are untouched, so open searchers stay
+    valid and a re-opened searcher sees old + new atomically.
+    """
+    from functools import partial
+
+    manifest = mf.read_manifest(index_dir)
+    if manifest is None:
+        return build_index(spark, corpus_df, index_dir, num_segments, cfg)
+    pid_offset = max(s["partition_id"] for s in manifest["segments"]) + 1
+    df = corpus_df.select("repo", "path", "commit", "lang", "content").repartition(
+        num_segments, *DOC_KEY
     )
+    rows = df.mapInPandas(
+        partial(
+            _build_partition,
+            index_dir=index_dir,
+            cfg=cfg,
+            fail_partitions=set(),
+            pid_offset=pid_offset,
+        ),
+        schema=MANIFEST_ROW_DDL,
+    ).collect()
+    segments = [dict(s) for s in manifest["segments"]] + [r.asDict() for r in rows]
+    extra = {"num_segments": len(segments)}
+    if manifest.get("tombstone_files"):
+        extra["tombstone_files"] = manifest["tombstone_files"]
+    return mf.commit_manifest(index_dir, segments, extra=extra)
 
 
 def postings_paths(index_dir: str, manifest: dict) -> list[str]:

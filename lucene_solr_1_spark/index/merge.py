@@ -192,7 +192,38 @@ def merge_once(spark: SparkSession, index_dir: str, group: list[str]) -> dict:
     mf.write_segment_meta(index_dir, new_sid, meta)
     live = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
     live.append({k: v for k, v in meta.items()})
-    return mf.commit_manifest(index_dir, live, extra={"merge": new_sid})
+    extra = {"merge": new_sid}
+    extra.update(_remap_tombstones(index_dir, manifest, offsets, new_sid))
+    return mf.commit_manifest(index_dir, live, extra=extra)
+
+
+def _remap_tombstones(index_dir, manifest, offsets: dict, new_sid: str) -> dict:
+    """Carry live-docs tombstones through a merge: rows for merged segments
+    are remapped to (new_sid, doc_id + offset); everything is consolidated
+    into one new tombstone file (deletes.py two-phase publish)."""
+    files = manifest.get("tombstone_files", [])
+    if not files:
+        return {}
+    import uuid
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    frames = [
+        pq.read_table(os.path.join(index_dir, rel)).to_pandas() for rel in files
+    ]
+    pdf = pd.concat(frames, ignore_index=True)
+    in_group = pdf["segment_id"].isin(offsets)
+    remapped = pdf[in_group].copy()
+    if len(remapped):
+        remapped["doc_id"] = remapped["doc_id"] + remapped["segment_id"].map(offsets)
+        remapped["segment_id"] = new_sid
+    out = pd.concat([pdf[~in_group], remapped], ignore_index=True)
+    os.makedirs(os.path.join(index_dir, "deletes"), exist_ok=True)
+    rel = os.path.join("deletes", f"del-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                   os.path.join(index_dir, rel))
+    return {"tombstone_files": [rel]}
 
 
 def merge_down(spark: SparkSession, index_dir: str, target_segments: int = SEGS_PER_TIER) -> dict:

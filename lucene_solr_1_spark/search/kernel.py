@@ -299,8 +299,34 @@ def top_k(docs: np.ndarray, scores64: np.ndarray, k: int):
     return docs[order][:k], scores[order][:k]
 
 
-def score_exhaustive(plan: dict, seg: SegmentData, cache: np.ndarray, k: int):
+def apply_live(docs: np.ndarray, scores64: np.ndarray, deleted):
+    """Live-docs mask (Lucene liveDocs bitset; LeafReader.getLiveDocs):
+    `deleted` is a sorted int64 array of tombstoned local docIDs."""
+    if deleted is None or len(deleted) == 0 or len(docs) == 0:
+        return docs, scores64
+    keep = ~np.isin(docs, deleted, assume_unique=True)
+    return docs[keep], scores64[keep]
+
+
+def apply_after(docs: np.ndarray, scores64: np.ndarray, after, doc_base: int):
+    """searchAfter(ScoreDoc) paging filter (IndexSearcher.java:391-420,
+    TopScoreDocCollector.java:95-158): keep hits strictly after the
+    (score, global docID) mark in (score desc, docID asc) order. Compared
+    in float32 — the reported score dtype — so page boundaries are exact."""
+    if after is None:
+        return docs, scores64
+    a_score, a_gdoc = after
+    s32 = scores64.astype(F32)
+    a32 = F32(a_score)
+    keep = (s32 < a32) | ((s32 == a32) & (docs + doc_base > a_gdoc))
+    return docs[keep], scores64[keep]
+
+
+def score_exhaustive(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
+                     after=None, doc_base: int = 0, deleted=None):
     docs, scores64 = eval_node(plan, seg, cache)
+    docs, scores64 = apply_live(docs, scores64, deleted)
+    docs, scores64 = apply_after(docs, scores64, after, doc_base)
     total = len(docs)
     d, s = top_k(docs, scores64, k)
     return d, s, total, "EQUAL_TO"
@@ -330,7 +356,7 @@ def _wand_terms(plan: dict):
 
 
 def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
-               window: int = 4096):
+               window: int = 4096, after=None, doc_base: int = 0, deleted=None):
     """Block-max pruned top-k — identical results to score_exhaustive.
 
     Doc space is cut into fixed windows; each window's UB = Σ_t max UB of
@@ -341,7 +367,9 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     """
     tw = _wand_terms(plan)
     if tw is None:
-        return score_exhaustive(plan, seg, cache, k)
+        return score_exhaustive(
+            plan, seg, cache, k, after=after, doc_base=doc_base, deleted=deleted
+        )
     n_win = max(1, -(-seg.n_docs // window))
     win_ub = np.zeros(n_win, dtype=np.float64)
     term_info = []
@@ -403,6 +431,8 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         docs_u, inv = np.unique(alld, return_inverse=True)
         ssum = np.zeros(len(docs_u), dtype=np.float64)
         np.add.at(ssum, inv, alls)
+        docs_u, ssum = apply_live(docs_u, ssum, deleted)
+        docs_u, ssum = apply_after(docs_u, ssum, after, doc_base)
         total += len(docs_u)
         cd = np.concatenate((best_docs, docs_u))
         cs = np.concatenate((best_scores.astype(np.float64), ssum))

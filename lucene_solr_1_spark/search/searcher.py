@@ -42,16 +42,23 @@ _HIT_SCHEMA = (
 )
 
 
-def _kernel_udf(key, postings_pdf, norms_pdf, plan, cache, k, use_wand):
+def _kernel_udf(key, postings_pdf, norms_pdf, plan, cache, k, use_wand,
+                after=None, doc_bases=None, tombstones=None):
     segment_id = key[0]
     n_docs = len(norms_pdf)
     norms_arr = np.zeros(n_docs, dtype=np.int64)
     norms_arr[norms_pdf["doc_id"].to_numpy()] = norms_pdf["norm"].to_numpy()
     seg = K.SegmentData(postings_pdf, norms_arr, n_docs)
+    base = (doc_bases or {}).get(segment_id, 0)
+    deleted = (tombstones or {}).get(segment_id)
     if use_wand and K.wand_applicable(plan):
-        docs, scores, total, relation = K.score_wand(plan, seg, cache, k)
+        docs, scores, total, relation = K.score_wand(
+            plan, seg, cache, k, after=after, doc_base=base, deleted=deleted
+        )
     else:
-        docs, scores, total, relation = K.score_exhaustive(plan, seg, cache, k)
+        docs, scores, total, relation = K.score_exhaustive(
+            plan, seg, cache, k, after=after, doc_base=base, deleted=deleted
+        )
     return pd.DataFrame(
         {
             "segment_id": segment_id,
@@ -77,6 +84,11 @@ class LuceneSparkSearcher:
         self.doc_base = {
             s["segment_id"]: s["doc_base"] for s in self.manifest["segments"]
         }
+        from ..index.deletes import read_tombstones
+
+        # tombstoned local docIDs per segment (live-docs analog) — tiny,
+        # shipped to the scoring kernels alongside the query plan
+        self.tombstones = read_tombstones(index_dir, self.manifest)
         self._postings = spark.read.parquet(*postings_paths(index_dir, self.manifest))
         self._norms = spark.read.parquet(*norms_paths(index_dir, self.manifest))
 
@@ -154,7 +166,10 @@ class LuceneSparkSearcher:
         k: int = 10,
         use_wand: bool = True,
         with_stored: bool = True,
+        after: tuple | None = None,
     ) -> pd.DataFrame:
+        """`after=(score, global_doc_id)` pages past a previous hit
+        (searchAfter, IndexSearcher.java:391-420)."""
         q = rewrite(self.expand(rewrite(q)))
         if isinstance(q, MatchNone):
             out = pd.DataFrame(
@@ -173,7 +188,9 @@ class LuceneSparkSearcher:
             .cogroup(norms.groupBy("segment_id"))
             .applyInPandas(
                 partial(
-                    _kernel_udf, plan=plan, cache=self.cache, k=k, use_wand=use_wand
+                    _kernel_udf, plan=plan, cache=self.cache, k=k,
+                    use_wand=use_wand, after=after, doc_bases=self.doc_base,
+                    tombstones=self.tombstones,
                 ),
                 schema=_HIT_SCHEMA,
             )

@@ -263,3 +263,53 @@ def test_edge_cases_indexed(searcher, oracle):
     # unicode identifier is searchable
     hits = searcher.search(Term("δelta"), k=5)
     assert len(hits) == 1
+
+
+def test_search_after_paging(searcher, oracle):
+    """searchAfter pages exactly partition the full ranking
+    (IndexSearcher.java:391-420 semantics)."""
+    full = searcher.search(Term("return"), k=30, with_stored=False)
+    pages, after = [], None
+    for _ in range(6):
+        p = searcher.search(Term("return"), k=5, with_stored=False, after=after)
+        if len(p) == 0:
+            break
+        pages.append(p)
+        last = p.iloc[-1]
+        after = (float(last["score"]), int(last["global_doc_id"]))
+    got = pd.concat(pages, ignore_index=True)
+    np.testing.assert_array_equal(
+        got["global_doc_id"].to_numpy(), full["global_doc_id"].to_numpy()
+    )
+    np.testing.assert_array_equal(got["score"].to_numpy(), full["score"].to_numpy())
+
+
+def test_search_after_wand_matches_exhaustive(searcher):
+    q = Bool.of((Occur.SHOULD, Term("return")), (Occur.SHOULD, Term("int")))
+    first = searcher.search(q, k=7, with_stored=False)
+    last = first.iloc[-1]
+    after = (float(last["score"]), int(last["global_doc_id"]))
+    a = searcher.search(q, k=7, with_stored=False, after=after, use_wand=True)
+    b = searcher.search(q, k=7, with_stored=False, after=after, use_wand=False)
+    np.testing.assert_array_equal(
+        a["global_doc_id"].to_numpy(), b["global_doc_id"].to_numpy()
+    )
+    np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_parsed_query_end_to_end(searcher, oracle):
+    """parse() → search() equals the hand-built query tree path."""
+    from lucene_solr_1_spark.search.parser import parse
+
+    q1 = parse("return AND int")
+    q2 = Bool.of((Occur.MUST, Term("return")), (Occur.MUST, Term("int")))
+    a = searcher.search(q1, k=10, with_stored=False)
+    b = searcher.search(q2, k=10, with_stored=False)
+    np.testing.assert_array_equal(
+        a["global_doc_id"].to_numpy(), b["global_doc_id"].to_numpy()
+    )
+    hits = searcher.search(parse('"return int"'), k=5, with_stored=False)
+    exp = searcher.search(Phrase(("return", "int")), k=5, with_stored=False)
+    np.testing.assert_array_equal(
+        hits["global_doc_id"].to_numpy(), exp["global_doc_id"].to_numpy()
+    )

@@ -1,0 +1,123 @@
+"""Golden parse tests for the classic query parser (queryparser/classic
+QueryParser.jj semantics subset; cases modeled on
+queryparser/.../classic/TestQueryParser.java)."""
+
+import pytest
+
+from lucene_solr_1_spark.search.parser import ParseError, parse
+from lucene_solr_1_spark.search.query import (
+    Bool, Boost, Clause, Fuzzy, MatchAll, MatchNone, Occur, Phrase, Prefix,
+    Term, TermRange, Wildcard, Regexp,
+)
+
+S, M, N = Occur.SHOULD, Occur.MUST, Occur.MUST_NOT
+
+
+def test_single_term():
+    assert parse("Hello") == Term("hello")
+
+
+def test_default_or():
+    assert parse("hello world") == Bool.of((S, Term("hello")), (S, Term("world")))
+
+
+def test_and():
+    assert parse("a AND b") == Bool.of((M, Term("a")), (M, Term("b")))
+    assert parse("a && b") == Bool.of((M, Term("a")), (M, Term("b")))
+
+
+def test_or_keyword():
+    assert parse("a OR b") == Bool.of((S, Term("a")), (S, Term("b")))
+
+
+def test_not_and_minus():
+    expected = Bool.of((S, Term("a")), (N, Term("b")))
+    assert parse("a NOT b") == expected
+    assert parse("a -b") == expected
+    assert parse("a !b") == expected
+
+
+def test_plus_required():
+    assert parse("+a b") == Bool.of((M, Term("a")), (S, Term("b")))
+
+
+def test_mixed_and_or():
+    # a AND b OR c → +a +b c (QueryParser conjunction is clause-local)
+    assert parse("a AND b OR c") == Bool.of(
+        (M, Term("a")), (M, Term("b")), (S, Term("c"))
+    )
+
+
+def test_phrase():
+    assert parse('"foo bar"') == Phrase(("foo", "bar"))
+
+
+def test_phrase_slop():
+    assert parse('"foo bar"~2') == Phrase(("foo", "bar"), slop=2)
+
+
+def test_single_token_phrase_is_term():
+    assert parse('"foo"') == Term("foo")
+
+
+def test_grouping_with_required():
+    q = parse("+(a b) c")
+    assert q == Bool.of(
+        (M, Bool.of((S, Term("a")), (S, Term("b")))), (S, Term("c"))
+    )
+
+
+def test_boost_term_and_group():
+    assert parse("foo^2") == Boost(Term("foo"), 2.0)
+    assert parse("(a b)^3") == Boost(Bool.of((S, Term("a")), (S, Term("b"))), 3.0)
+
+
+def test_fuzzy():
+    assert parse("roam~") == Fuzzy("roam", max_edits=2)
+    assert parse("roam~1") == Fuzzy("roam", max_edits=1)
+
+
+def test_prefix_and_wildcard():
+    assert parse("pre*") == Prefix("pre")
+    assert parse("wi*ld?") == Wildcard("wi*ld?")
+
+
+def test_regexp():
+    assert parse("/ab+c/") == Regexp("ab+c")
+
+
+def test_range():
+    assert parse("[Alpha TO omega]") == TermRange("alpha", "omega", True, True)
+    assert parse("{a TO b}") == TermRange("a", "b", False, False)
+    assert parse("[* TO b]") == TermRange(None, "b", True, True)
+
+
+def test_match_all():
+    assert parse("*:*") == MatchAll()
+
+
+def test_field_prefix_ignored():
+    assert parse("body:hello") == Term("hello")
+    assert parse('body:"a b"') != MatchNone()  # phrase under field
+
+
+def test_term_analysis_lowercases_and_splits():
+    # analyzer splits the syntactic token on '-'
+    q = parse("Foo-Bar")
+    assert q == Bool.of((S, Term("foo")), (S, Term("bar")))
+
+
+def test_empty_and_pure_negative():
+    assert parse("") == MatchNone()
+    assert parse("-a") == MatchNone()  # pure negation (rewrite rule)
+
+
+def test_unbalanced_paren_raises():
+    with pytest.raises(ParseError):
+        parse("(a b")
+
+
+def test_not_prefix_word_is_a_term():
+    # NOTE is a term, not the NOT operator
+    assert parse("note") == Term("note")
+    assert parse("NOTE") == Term("note")
