@@ -95,6 +95,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_dict_stats"] = lambda s, d: R.term_stats_spark(s, d, top_n=25)
     q["facet_counts"] = lambda s, d: R.facet_counts_spark(s, d)
     q["grouping_top1_per_source"] = lambda s, d: R.grouping_top1_spark(s, d, "query")
+    q["fts_sort_by_field"] = lambda s, d: R.sort_by_field_spark(s, d, "data", 15)
+    q["fts_numeric_range"] = lambda s, d: R.numeric_range_spark(s, d, 200, 400)
+    q["fts_term_in_set"] = lambda s, d: R.term_in_set_spark(s, d, ("en", "de"))
+    q["fts_wildcard_expand"] = lambda s, d: R.wildcard_terms_spark(s, d, "s?rt*")
+    q["fts_highlight"] = lambda s, d: R.highlight_spark(s, d, "query")
+    q["suggest_prefix"] = lambda s, d: R.suggest_prefix_spark(s, d, "pa")
 
     # --- training-data pipeline (oracle-checked) ---
     q["dedup_exact"] = dedup.dedup_exact_spark
@@ -145,6 +151,12 @@ def oracle_sql() -> dict[str, str]:
         "term_dict_stats": R.term_stats_duck(top_n=25),
         "facet_counts": R.facet_counts_duck(),
         "grouping_top1_per_source": R.grouping_top1_duck("query"),
+        "fts_sort_by_field": R.sort_by_field_duck("data", 15),
+        "fts_numeric_range": R.numeric_range_duck(200, 400),
+        "fts_term_in_set": R.term_in_set_duck(("en", "de")),
+        "fts_wildcard_expand": R.wildcard_terms_duck("s?rt*"),
+        "fts_highlight": R.highlight_duck("query"),
+        "suggest_prefix": R.suggest_prefix_duck("pa"),
         "dedup_exact": dedup.dedup_exact_duck(),
         "dedup_ngram_jaccard": dedup.dedup_jaccard_duck(0.4),
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),

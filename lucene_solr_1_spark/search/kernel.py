@@ -250,6 +250,7 @@ def _eval_phrase(node, seg, cache):
     post = [seg.positions(t) for t in terms]
     if any(p is None for p in post):
         return _EMPTY_I, _EMPTY_F
+    slop = int(node.get("slop", 0))
     # candidate docs: conjunction of all terms
     cand = post[0][0]
     for d, *_ in post[1:]:
@@ -258,25 +259,54 @@ def _eval_phrase(node, seg, cache):
         return _EMPTY_I, _EMPTY_F
     out_docs, out_freqs = [], []
     for doc in cand:
-        first = None
-        ok = True
+        term_pos = []
         for i, (docs_i, freqs_i, starts_i, pos_i) in enumerate(post):
             j = int(np.searchsorted(docs_i, doc))
             lo, hi = int(starts_i[j]), int(starts_i[j]) + int(freqs_i[j])
-            p = pos_i[lo:hi] - i  # align: occurrence at pos-i
-            first = p if first is None else first[np.isin(first, p, assume_unique=True)]
-            if len(first) == 0:
-                ok = False
-                break
-        if ok and len(first):
+            term_pos.append(pos_i[lo:hi] - i)  # offset-adjusted positions
+        if slop == 0:
+            first = term_pos[0]
+            for p in term_pos[1:]:
+                first = first[np.isin(first, p, assume_unique=True)]
+                if len(first) == 0:
+                    break
+            freq = float(len(first))
+        else:
+            freq = _sloppy_freq(term_pos, slop)
+        if freq > 0:
             out_docs.append(doc)
-            out_freqs.append(len(first))
+            out_freqs.append(freq)
     if not out_docs:
         return _EMPTY_I, _EMPTY_F
     docs = np.asarray(out_docs, dtype=np.int64)
-    freqs = np.asarray(out_freqs, dtype=np.int64)
+    freqs = np.asarray(out_freqs, dtype=np.float64)
     s = bm25.score(freqs, seg.norms[docs], node["weight"], cache)
     return docs, s.astype(np.float64)
+
+
+def _sloppy_freq(term_pos: list, slop: int) -> float:
+    """Sloppy phrase freq = Σ 1/(distance+1) over greedy minimal windows
+    (model: search/SloppyPhraseMatcher.java + PhraseScorer sloppyFreq
+    1/(slop-distance+1)-family; we use Lucene's 1/(1+matchLength) form).
+
+    An alignment picks one occurrence per term; its distance is
+    max(adjusted pos) - min(adjusted pos); valid when distance <= slop.
+    Windows are consumed left-to-right without reusing occurrences
+    (two-pointer over the merged position lists)."""
+    idx = [0] * len(term_pos)
+    total = 0.0
+    while all(idx[i] < len(term_pos[i]) for i in range(len(term_pos))):
+        vals = [term_pos[i][idx[i]] for i in range(len(term_pos))]
+        lo_i = min(range(len(vals)), key=lambda i: vals[i])
+        dist = int(max(vals) - vals[lo_i])
+        if dist <= slop:
+            total += 1.0 / (1.0 + dist)
+            # consume every occurrence in this window
+            for i in range(len(vals)):
+                idx[i] += 1
+        else:
+            idx[lo_i] += 1  # advance the lagging term
+    return total
 
 
 # --------------------------------------------------------------------------

@@ -54,6 +54,11 @@ def bm25_bool_spark(
     msm: int = 0,
     k: int = 10,
 ) -> DataFrame:
+    from pyspark.sql import Window
+
+    # two passes over the tokenized text (one for global totals, one for
+    # the term-filtered tf), dl carried through the explode and df via a
+    # window over the tiny filtered frame — no extra joins, no re-tokenize
     docs = load_documents(spark, sf_dir).withColumn(
         "toks", F.expr(spark_tokens_expr())
     )
@@ -63,19 +68,19 @@ def bm25_bool_spark(
     )
     all_terms = sorted(set(should) | set(must) | set(must_not))
     scoring = sorted(set(should) | set(must))
-    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    toks = docs.select(
+        "doc_id", F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
     tf = (
         toks.where(F.col("term").isin(all_terms))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count_distinct("doc_id").cast("double").alias("df")
-    )
-    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
     sc = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("double")
+        )
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "s",
@@ -172,23 +177,24 @@ def bm25_synonym_spark(spark, sf_dir, terms: tuple, k: int = 10) -> DataFrame:
         F.count("*").cast("double").alias("n_docs"),
         F.sum(F.size("toks")).cast("double").alias("sum_dl"),
     )
-    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    toks = docs.select(
+        "doc_id", F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
     tf = (
         toks.where(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").cast("double").alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     idf_sum = dfreq.crossJoin(F.broadcast(totals)).agg(
         F.sum(
             F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
         ).alias("idf")
     )
-    freq = tf.groupBy("doc_id").agg(F.sum("tf").alias("f"))
-    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    freq = tf.groupBy("doc_id").agg(F.sum("tf").alias("f"), F.first("dl").alias("dl"))
     out = (
-        freq.join(dl, "doc_id")
-        .crossJoin(F.broadcast(totals))
+        freq.crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(idf_sum))
         .withColumn(
             "score_raw",
@@ -234,22 +240,26 @@ LIMIT {k}
 # ---------------------------------------------------------------------------
 
 def bm25_dismax_spark(spark, sf_dir, terms: tuple, tie: float, k: int = 10) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
     totals = docs.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.sum(F.size("toks")).cast("double").alias("sum_dl"),
     )
-    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    toks = docs.select(
+        "doc_id", F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
     tf = (
         toks.where(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").cast("double").alias("df"))
-    dl = docs.select("doc_id", F.size("toks").cast("double").alias("dl"))
     sc = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("double")
+        )
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "s",
@@ -445,4 +455,138 @@ j AS (
   FROM scored s JOIN documents d USING (doc_id)
 )
 SELECT source, doc_id, score FROM j WHERE rn = 1 ORDER BY source
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TopFieldCollector (sort by arbitrary fields) / PointRangeQuery /
+# TermInSetQuery / wildcard / highlighting / suggest — SURVEY.md §2.5-2.8
+# ---------------------------------------------------------------------------
+
+def sort_by_field_spark(spark, sf_dir, term: str, k: int = 15) -> DataFrame:
+    """TopFieldCollector: matching docs ordered by Sort fields instead of
+    score (TopFieldCollector.java → native TakeOrderedAndProject)."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    return (
+        docs.where(F.array_contains("toks", term))
+        .orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+        .limit(k)
+        .select(F.col("doc_id").cast("bigint"), "lang", F.col("n_chars").cast("bigint"))
+    )
+
+
+def sort_by_field_duck(term: str, k: int = 15) -> str:
+    te = duck_tokens_expr()
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents WHERE list_contains({te}, '{term}')
+ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def numeric_range_spark(spark, sf_dir, lo: int, hi: int) -> DataFrame:
+    """PointRangeQuery: plain BETWEEN filter — Catalyst + parquet min/max
+    pruning replace the BKD tree (PointRangeQuery.java)."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.where(F.col("n_chars").between(lo, hi))
+        .select(F.col("doc_id").cast("bigint"), F.col("n_chars").cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+def numeric_range_duck(lo: int, hi: int) -> str:
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars "
+        f"FROM documents WHERE n_chars BETWEEN {lo} AND {hi} ORDER BY doc_id"
+    )
+
+
+def term_in_set_spark(spark, sf_dir, langs: tuple) -> DataFrame:
+    """TermInSetQuery: constant-score IN-set filter (TermInSetQuery.java →
+    Catalyst isin; the optimizer picks the physical strategy)."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.where(F.col("lang").isin(list(langs)))
+        .select(F.col("doc_id").cast("bigint"), "lang")
+        .orderBy("doc_id")
+    )
+
+
+def term_in_set_duck(langs: tuple) -> str:
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, lang FROM documents "
+        f"WHERE lang IN ({_sql_list(langs)}) ORDER BY doc_id"
+    )
+
+
+def wildcard_terms_spark(spark, sf_dir, pattern: str) -> DataFrame:
+    """Wildcard term expansion (WildcardQuery.java: ? = one char,
+    * = any run) against the term dictionary."""
+    import re as _re
+
+    rx = "^" + _re.escape(pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    toks = docs.select(F.explode("toks").alias("term")).distinct()
+    return toks.where(F.col("term").rlike(rx)).orderBy("term")
+
+
+def wildcard_terms_duck(pattern: str) -> str:
+    import re as _re
+
+    rx = "^" + _re.escape(pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (SELECT DISTINCT unnest({te}) AS term FROM documents)
+SELECT term FROM tok WHERE regexp_matches(term, '{rx}') ORDER BY term
+""".strip()
+
+
+def highlight_spark(spark, sf_dir, term: str, width: int = 30) -> DataFrame:
+    """Highlighting (lucene/highlighter analog): snippet of +-width chars
+    around the first case-insensitive occurrence of `term`."""
+    docs = load_documents(spark, sf_dir)
+    pos = F.instr(F.lower("text"), term.lower())
+    return (
+        docs.where(pos > 0)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.substring(
+                "text", F.greatest(pos - width, F.lit(1)).cast("int"), 2 * width
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def highlight_duck(term: str, width: int = 30) -> str:
+    return f"""
+SELECT doc_id::BIGINT AS doc_id,
+       substring(text, greatest(strpos(lower(text), '{term.lower()}') - {width}, 1), {2 * width}) AS snippet
+FROM documents WHERE strpos(lower(text), '{term.lower()}') > 0
+ORDER BY doc_id
+""".strip()
+
+
+def suggest_prefix_spark(spark, sf_dir, prefix: str, n: int = 10) -> DataFrame:
+    """Suggest/spell (lucene/suggest analog): prefix completions ranked by
+    docFreq desc (the suggester's weight), then term asc."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    return (
+        toks.where(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def suggest_prefix_duck(prefix: str, n: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS weight FROM tok
+WHERE term LIKE '{prefix}%' GROUP BY 1
+ORDER BY weight DESC, term ASC LIMIT {n}
 """.strip()

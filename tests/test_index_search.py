@@ -313,3 +313,25 @@ def test_parsed_query_end_to_end(searcher, oracle):
     np.testing.assert_array_equal(
         hits["global_doc_id"].to_numpy(), exp["global_doc_id"].to_numpy()
     )
+
+
+def test_sloppy_freq_golden():
+    """Hand-computed sloppy windows (SloppyPhraseMatcher model)."""
+    from lucene_solr_1_spark.search.kernel import _sloppy_freq
+
+    # doc "a b c": phrase (a, c) → adjusted positions a:[0], c:[2-1=1]
+    # window dist = 1 ≤ slop 1 → freq = 1/(1+1)
+    assert _sloppy_freq([np.array([0]), np.array([1])], 1) == 0.5
+    # exact adjacency: dist 0 → weight 1
+    assert _sloppy_freq([np.array([0]), np.array([0])], 1) == 1.0
+    # too far apart for slop
+    assert _sloppy_freq([np.array([0]), np.array([5])], 2) == 0.0
+    # two disjoint exact windows
+    assert _sloppy_freq([np.array([0, 10]), np.array([0, 10])], 0) == 2.0
+
+
+def test_sloppy_phrase_superset_of_exact(searcher):
+    exact = searcher.search(Phrase(("return", "int")), k=64, with_stored=False)
+    sloppy = searcher.search(Phrase(("return", "int"), slop=3), k=64, with_stored=False)
+    assert set(exact["global_doc_id"]) <= set(sloppy["global_doc_id"])
+    assert len(sloppy) >= len(exact)
