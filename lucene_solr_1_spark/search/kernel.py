@@ -171,6 +171,17 @@ def eval_node(node: dict, seg: SegmentData, cache: np.ndarray):
     if t == "const":
         docs, _ = eval_node(node["node"], seg, cache)
         return docs, np.full(len(docs), float(node["score"]), dtype=np.float64)
+    if t == "anyterm":
+        # constant-score union of EVERY posting row shipped to this kernel
+        # (multi-term query CONSTANT_SCORE_REWRITE: the Spark-side predicate
+        # on `term` already selected the expansion; MultiTermQuery.java
+        # CONSTANT_SCORE_REWRITE semantics — score = boost, no per-term BM25)
+        parts = [seg.postings(term)[0] for term in seg.rows]
+        parts = [d for d in parts if len(d)]
+        if not parts:
+            return _EMPTY_I, _EMPTY_F
+        docs = np.unique(np.concatenate(parts))
+        return docs, np.full(len(docs), float(node["score"]), dtype=np.float64)
     if t == "matchall":
         docs = np.arange(seg.n_docs, dtype=np.int64)
         return docs, np.full(seg.n_docs, float(node["score"]), dtype=np.float64)

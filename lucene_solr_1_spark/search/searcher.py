@@ -99,31 +99,40 @@ class LuceneSparkSearcher:
         rows = t.where(cond).orderBy(F.desc("df"), F.asc("term")).limit(cap).collect()
         return [r["term"] for r in rows]
 
-    def expand(self, q: Query) -> Query:
-        """Rewrite multi-term queries to term disjunctions (ScoringRewrite /
-        TopTermsRewrite: terms ranked by docFreq, capped at 1024)."""
+    def _mtq_cond(self, q: Query):
+        """Column predicate over the term dictionary for a multi-term query
+        — Catalyst pushes it to the postings parquet scan (the FST-seek
+        analog; .explain shows PushedFilters)."""
         col = F.col("term")
         if isinstance(q, Prefix):
-            terms = self._expand_terms(col.startswith(q.prefix))
-        elif isinstance(q, Wildcard):
+            return col.startswith(q.prefix)
+        if isinstance(q, Wildcard):
             rx = "^" + re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$"
-            terms = self._expand_terms(col.rlike(rx))
-        elif isinstance(q, Regexp):
-            terms = self._expand_terms(col.rlike("^" + q.pattern + "$"))
-        elif isinstance(q, Fuzzy):
+            return col.rlike(rx)
+        if isinstance(q, Regexp):
+            return col.rlike("^" + q.pattern + "$")
+        if isinstance(q, Fuzzy):
             # length pre-filter keeps the levenshtein scan cheap
             lo, hi = len(q.text) - q.max_edits, len(q.text) + q.max_edits
-            cond = (F.length(col).between(lo, hi)) & (
+            return (F.length(col).between(lo, hi)) & (
                 F.levenshtein(col, F.lit(q.text)) <= q.max_edits
             )
-            terms = self._expand_terms(cond)
-        elif isinstance(q, TermRange):
+        if isinstance(q, TermRange):
             cond = F.lit(True)
             if q.lower is not None:
                 cond = cond & (col >= q.lower if q.include_lower else col > q.lower)
             if q.upper is not None:
                 cond = cond & (col <= q.upper if q.include_upper else col < q.upper)
-            terms = self._expand_terms(cond)
+            return cond
+        return None
+
+    _MTQ_TYPES = (Prefix, Wildcard, Regexp, Fuzzy, TermRange)
+
+    def expand(self, q: Query) -> Query:
+        """Rewrite multi-term queries to term disjunctions (ScoringRewrite /
+        TopTermsRewrite: terms ranked by docFreq, capped at 1024)."""
+        if isinstance(q, self._MTQ_TYPES):
+            terms = self._expand_terms(self._mtq_cond(q))
         elif isinstance(q, Bool):
             return Bool(
                 tuple(Clause(c.occur, self.expand(c.query)) for c in q.clauses),
@@ -170,18 +179,26 @@ class LuceneSparkSearcher:
     ) -> pd.DataFrame:
         """`after=(score, global_doc_id)` pages past a previous hit
         (searchAfter, IndexSearcher.java:391-420)."""
-        q = rewrite(self.expand(rewrite(q)))
-        if isinstance(q, MatchNone):
-            out = pd.DataFrame(
-                columns=["rank", "score", "global_doc_id", "segment_id", "doc_id"]
-            )
-            out.attrs["total_hits"] = 0
-            out.attrs["relation"] = "EQUAL_TO"
-            return out
-        terms = query_terms(q)
-        plan = K.compile_plan(q, self._global_df(terms), max(self.doc_count, 1))
-
-        post = self._postings.where(F.col("term").isin(list(terms))) if terms else self._postings.limit(0)
+        q = rewrite(q)
+        if isinstance(q, self._MTQ_TYPES):
+            # top-level multi-term query: CONSTANT_SCORE_REWRITE fast path
+            # (MultiTermQuery.java default) — the dictionary predicate goes
+            # straight into the postings scan; no expansion round-trip, no
+            # per-term stats barrier
+            plan = {"type": "anyterm", "score": np.float32(1.0)}
+            post = self._postings.where(self._mtq_cond(q))
+        else:
+            q = rewrite(self.expand(q))
+            if isinstance(q, MatchNone):
+                out = pd.DataFrame(
+                    columns=["rank", "score", "global_doc_id", "segment_id", "doc_id"]
+                )
+                out.attrs["total_hits"] = 0
+                out.attrs["relation"] = "EQUAL_TO"
+                return out
+            terms = query_terms(q)
+            plan = K.compile_plan(q, self._global_df(terms), max(self.doc_count, 1))
+            post = self._postings.where(F.col("term").isin(list(terms))) if terms else self._postings.limit(0)
         norms = self._norms.select("segment_id", "doc_id", "norm")
         hits = (
             post.groupBy("segment_id")
