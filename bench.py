@@ -100,10 +100,22 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
             ),
             "prefix_expand": Prefix("id_1"),
         }
+        lat: list[float] = []
         for name, q in kernel_qs.items():
             queries[name] = _timed(
                 lambda q=q: searcher.search(q, k=10, with_stored=False)
             )
+        # p50/p95 top-k latency over repeated runs of the query set
+        # (north rule: report top-k BM25 query latency percentiles)
+        for _ in range(4):
+            for q in kernel_qs.values():
+                lat.append(_timed(lambda q=q: searcher.search(q, k=10, with_stored=False)))
+        lat.sort()
+        latency = {
+            "p50_sec": round(lat[len(lat) // 2], 3),
+            "p95_sec": round(lat[int(len(lat) * 0.95)], 3),
+            "n": len(lat),
+        }
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
@@ -136,6 +148,7 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
         "cpus": cpus,
         "corpus_files": n_files,
         "index_files_per_sec": round(n_files / build_s, 1),
+        "topk_latency": latency,
     }
 
 
