@@ -1,0 +1,133 @@
+"""CheckIndex analog — full-structure index verification
+(index/CheckIndex.java; postings ↔ norms cross-check per LUCENE-8279).
+
+Distributed: every posting row is decoded and validated in an Arrow UDF
+(docID monotonicity, df/ttf consistency, position counts, block skip +
+impact metadata); per-segment aggregates are then cross-checked against
+the norms table and the manifest on the driver. Returns a report dict;
+`errors` empty ⇔ index is sound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession, functions as F
+
+from . import manifest as mf
+from .builder import norms_paths, postings_paths
+
+_ROW_DDL = (
+    "segment_id string, term string, err string, ttf bigint, max_doc bigint"
+)
+
+
+def _check_rows(batches):
+    from ..kernels.forcodec import BLOCK_SIZE, decode_all
+
+    for pdf in batches:
+        out = []
+        for r in pdf.itertuples(index=False):
+            errs = []
+            docs = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets)))
+            freqs = decode_all(bytes(r.freqs_enc), np.asarray(r.freqs_offsets))
+            pos = decode_all(bytes(r.pos_enc), np.asarray(r.pos_offsets))
+            if len(docs) != r.doc_freq:
+                errs.append(f"df={r.doc_freq} != decoded {len(docs)}")
+            if len(freqs) != len(docs):
+                errs.append("freqs length != docs length")
+            if len(docs) and (np.diff(docs) <= 0).any():
+                errs.append("docIDs not strictly ascending")
+            if len(freqs) and (freqs < 1).any():
+                errs.append("freq < 1")
+            if int(freqs.sum()) != r.ttf:
+                errs.append(f"ttf={r.ttf} != sum(freqs)={int(freqs.sum())}")
+            if len(pos) != int(freqs.sum()):
+                errs.append("position count != sum(freqs)")
+            # skip/impact block metadata
+            blk_idx = np.arange(0, len(docs), BLOCK_SIZE)
+            blk_last = docs[np.minimum(blk_idx + BLOCK_SIZE - 1, len(docs) - 1)]
+            if not np.array_equal(blk_last, np.asarray(r.block_last_doc)):
+                errs.append("block_last_doc mismatch")
+            blk_maxf = np.maximum.reduceat(freqs, blk_idx) if len(docs) else []
+            if not np.array_equal(blk_maxf, np.asarray(r.block_max_freq)):
+                errs.append("block_max_freq mismatch")
+            out.append(
+                (
+                    r.segment_id,
+                    r.term,
+                    "; ".join(errs),
+                    int(freqs.sum()),
+                    int(docs[-1]) if len(docs) else -1,
+                )
+            )
+        yield pd.DataFrame(out, columns=["segment_id", "term", "err", "ttf", "max_doc"])
+
+
+def check_index(spark: SparkSession, index_dir: str) -> dict:
+    manifest = mf.read_manifest(index_dir)
+    if manifest is None:
+        return {"errors": ["no committed manifest"], "segments": 0}
+    post = spark.read.parquet(*postings_paths(index_dir, manifest))
+    checked = post.mapInPandas(_check_rows, schema=_ROW_DDL)
+    agg = (
+        checked.groupBy("segment_id")
+        .agg(
+            F.count("*").alias("terms"),
+            F.sum("ttf").alias("sum_ttf"),
+            F.max("max_doc").alias("max_doc"),
+            F.sum(F.when(F.col("err") != "", 1).otherwise(0)).alias("bad_rows"),
+            F.max(F.when(F.col("err") != "", F.concat_ws("/", "term", "err"))).alias(
+                "first_err"
+            ),
+        )
+        .toPandas()
+        .set_index("segment_id")
+    )
+    norms = spark.read.parquet(*norms_paths(index_dir, manifest))
+    nagg = (
+        norms.groupBy("segment_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.count_distinct("doc_id").alias("distinct_docs"),
+        )
+        .toPandas()
+        .set_index("segment_id")
+    )
+
+    errors: list[str] = []
+    for s in manifest["segments"]:
+        sid = s["segment_id"]
+        n = nagg.loc[sid] if sid in nagg.index else None
+        if n is None:
+            errors.append(f"{sid}: no norms rows")
+            continue
+        if int(n["n_docs"]) != s["doc_count"]:
+            errors.append(f"{sid}: norms rows {n['n_docs']} != manifest doc_count {s['doc_count']}")
+        if int(n["distinct_docs"]) != int(n["n_docs"]) or (
+            s["doc_count"] and int(n["max_doc_id"]) != s["doc_count"] - 1
+        ):
+            errors.append(f"{sid}: docIDs not dense 0..{s['doc_count'] - 1}")
+        if sid in agg.index:
+            a = agg.loc[sid]
+            if int(a["bad_rows"]) > 0:
+                errors.append(f"{sid}: {a['bad_rows']} bad posting rows ({a['first_err']})")
+            # postings ↔ norms cross-check (LUCENE-8279): total term freq
+            # must equal the sum of exact field lengths
+            if int(a["sum_ttf"]) != int(n["sum_dl"]):
+                errors.append(f"{sid}: postings ttf {a['sum_ttf']} != norms sum_dl {n['sum_dl']}")
+            if s["doc_count"] and int(a["max_doc"]) > s["doc_count"] - 1:
+                errors.append(f"{sid}: posting docID {a['max_doc']} out of range")
+        elif s["sum_ttf"]:
+            errors.append(f"{sid}: no posting rows but manifest sum_ttf {s['sum_ttf']}")
+    total_ttf = int(agg["sum_ttf"].sum()) if len(agg) else 0
+    if total_ttf != manifest["sum_ttf"]:
+        errors.append(f"global sum_ttf {total_ttf} != manifest {manifest['sum_ttf']}")
+    return {
+        "segments": len(manifest["segments"]),
+        "terms_checked": int(agg["terms"].sum()) if len(agg) else 0,
+        "errors": errors,
+    }

@@ -40,22 +40,56 @@ MAX_MERGE_AT_ONCE = 10  # TieredMergePolicy.java:96 maxMergeAtOnce
 SEGS_PER_TIER = 10      # TieredMergePolicy.java:103 segsPerTier
 
 
+def _merge_score(group: list[dict]) -> float:
+    """TieredMergePolicy.score() shape (TieredMergePolicy.java:566+):
+    skew = largest input / total (1/width = perfectly balanced, →1 =
+    lopsided), penalized by total size^0.05 so smaller merges win ties —
+    smaller score is better. (No deletes term: reclaim is handled by the
+    tombstone remap, not by merge selection.)"""
+    sizes = [max(s.get("total_postings") or 0, 1) for s in group]
+    tot = sum(sizes)
+    skew = max(sizes) / tot
+    return skew * (tot ** 0.05)
+
+
 def find_merges(manifest: dict, target_segments: int = SEGS_PER_TIER) -> list[list[str]]:
-    """Pick contiguous (partition-order) groups of the smallest segments
-    until the live set would shrink to ≤ target_segments."""
+    """Scored candidate selection under a contiguity constraint: slide
+    windows of width 2..maxMergeAtOnce over the partition-ordered live
+    set, score each with the TieredMergePolicy arithmetic, and repeatedly
+    take the best until ≤ target_segments would remain. Contiguity (an
+    extra constraint vs the reference) keeps global docIDs stable across
+    merges, which the merge-invariance tests pin."""
     segs = sorted(manifest["segments"], key=lambda s: s["partition_id"])
     if len(segs) <= target_segments:
         return []
-    groups = []
-    n_live = len(segs)
-    i = 0
-    while i < len(segs) and n_live > target_segments:
-        width = min(MAX_MERGE_AT_ONCE, len(segs) - i, n_live - target_segments + 1)
-        if width >= 2:
-            groups.append([s["segment_id"] for s in segs[i : i + width]])
-            n_live -= width - 1
-        i += max(width, 1)
-    return [g for g in groups if len(g) >= 2]
+    groups: list[list[str]] = []
+    live = list(segs)
+    while len(live) > target_segments:
+        need = len(live) - target_segments + 1
+        best, best_score = None, None
+        for width in range(2, min(MAX_MERGE_AT_ONCE, need) + 1):
+            for i in range(len(live) - width + 1):
+                cand = live[i : i + width]
+                # a group must consist of segments that exist NOW; windows
+                # spanning this round's planned outputs wait for the next
+                # find_merges round (merge_down loops until converged)
+                if any(s["segment_id"].startswith("pending-") for s in cand):
+                    continue
+                sc = _merge_score(cand) / width  # favor wider merges per unit
+                if best_score is None or sc < best_score:
+                    best, best_score = (i, width), sc
+        if best is None:
+            break
+        i, width = best
+        cand = live[i : i + width]
+        groups.append([s["segment_id"] for s in cand])
+        merged = {
+            "segment_id": f"pending-{len(groups)}",
+            "partition_id": cand[0]["partition_id"],
+            "total_postings": sum(max(s.get("total_postings") or 0, 1) for s in cand),
+        }
+        live = live[:i] + [merged] + live[i + width :]
+    return groups
 
 
 def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict) -> pd.DataFrame:

@@ -378,22 +378,39 @@ def score_exhaustive(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
 # --------------------------------------------------------------------------
 
 def wand_applicable(plan: dict) -> bool:
+    """Flat term queries run under block-max pruning: pure disjunctions
+    (WANDScorer.java) and conjunctions / MUST+SHOULD mixes
+    (BlockMaxConjunctionScorer.java, Boolean2ScorerSupplier.java:156-193).
+    MUST_NOT / minShouldMatch>1 / nested shapes use the exhaustive path."""
     if plan["type"] in ("term", "synonym"):
         return True
-    if plan["type"] == "bool" and plan["msm"] <= 1:
-        return all(
-            cl["occur"] == "SHOULD" and cl["node"]["type"] == "term"
-            for cl in plan["clauses"]
-        )
+    if plan["type"] == "bool":
+        if any(cl["node"]["type"] != "term" for cl in plan["clauses"]):
+            return False
+        occurs = {cl["occur"] for cl in plan["clauses"]}
+        if not occurs <= {"MUST", "SHOULD", "FILTER"}:
+            return False
+        has_must = bool(occurs & {"MUST", "FILTER"})
+        return plan["msm"] == 0 if has_must else plan["msm"] <= 1
     return False
 
 
 def _wand_terms(plan: dict):
+    """[(term, weight, required, scoring)] — required: conjunction member
+    (MUST/FILTER); scoring: contributes to the sum (not FILTER)."""
     if plan["type"] == "term":
-        return [(plan["term"], plan["weight"])]
+        return [(plan["term"], plan["weight"], False, True)]
     if plan["type"] == "synonym":
         return None  # synonym needs freq-merge; fall back
-    return [(cl["node"]["term"], cl["node"]["weight"]) for cl in plan["clauses"]]
+    return [
+        (
+            cl["node"]["term"],
+            cl["node"]["weight"],
+            cl["occur"] in ("MUST", "FILTER"),
+            cl["occur"] != "FILTER",
+        )
+        for cl in plan["clauses"]
+    ]
 
 
 def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
@@ -414,9 +431,12 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     n_win = max(1, -(-seg.n_docs // window))
     win_ub = np.zeros(n_win, dtype=np.float64)
     term_info = []
-    for term, weight in tw:
+    for term, weight, required, scoring in tw:
         r = seg.rows.get(term)
         if r is None:
+            if required:
+                # a MUST term absent from the segment ⇒ nothing matches
+                return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
             continue
         blk_last = np.asarray(r.block_last_doc, dtype=np.int64)
         blk_maxf = np.asarray(r.block_max_freq, dtype=np.int64)
@@ -428,12 +448,19 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         w_hi = blk_last // window
         # per-term per-window max block UB, then summed across terms
         tmax = np.zeros(n_win, dtype=np.float64)
+        covered = np.zeros(n_win, dtype=bool)
         for b in range(len(blk_last)):
             lo, hi = w_lo[b], w_hi[b] + 1
             seg_slice = tmax[lo:hi]
             np.maximum(seg_slice, ub[b], out=seg_slice)
-        win_ub += tmax
-        term_info.append((term, weight, r))
+            covered[lo:hi] = True
+        if scoring:
+            win_ub += tmax
+        if required:
+            # conjunction member: windows with no block of this term can
+            # never match (BlockMaxConjunctionScorer lead-iterator skip)
+            win_ub[~covered] = 0.0
+        term_info.append((term, weight, required, scoring, r))
     if not term_info:
         return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
 
@@ -454,24 +481,46 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
             break
         lo_doc, hi_doc = w * window, (w + 1) * window
         # gather (doc, score) within this window across terms
-        wdocs, wscores = [], []
-        for term, weight, r in term_info:
+        req_parts, opt_parts = [], []
+        window_dead = False
+        for term, weight, required, scoring, r in term_info:
             docs, freqs = seg.postings(term)
             a = np.searchsorted(docs, lo_doc)
             b = np.searchsorted(docs, hi_doc)
             if a == b:
+                if required:
+                    window_dead = True
+                    break
                 continue
             dd = docs[a:b]
-            s = bm25.score(freqs[a:b], seg.norms[dd], weight, cache)
-            wdocs.append(dd)
-            wscores.append(s.astype(np.float64))
-        if not wdocs:
+            if scoring:
+                s = bm25.score(freqs[a:b], seg.norms[dd], weight, cache).astype(
+                    np.float64
+                )
+            else:
+                s = np.zeros(len(dd), dtype=np.float64)  # FILTER: match, no score
+            (req_parts if required else opt_parts).append((dd, s))
+        if window_dead or (not req_parts and not opt_parts):
             continue
-        alld = np.concatenate(wdocs)
-        alls = np.concatenate(wscores)
-        docs_u, inv = np.unique(alld, return_inverse=True)
-        ssum = np.zeros(len(docs_u), dtype=np.float64)
-        np.add.at(ssum, inv, alls)
+        if req_parts:
+            # conjunction inside the window: leapfrog = sorted intersect
+            docs_u = req_parts[0][0]
+            for dd, _ in req_parts[1:]:
+                docs_u = docs_u[np.isin(docs_u, dd, assume_unique=True)]
+            if len(docs_u) == 0:
+                continue
+            ssum = np.zeros(len(docs_u), dtype=np.float64)
+            for dd, s in req_parts:
+                ssum += s[np.searchsorted(dd, docs_u)]
+            for dd, s in opt_parts:
+                m = np.isin(docs_u, dd, assume_unique=True)
+                ssum[m] += s[np.searchsorted(dd, docs_u[m])]
+        else:
+            alld = np.concatenate([dd for dd, _ in opt_parts])
+            alls = np.concatenate([s for _, s in opt_parts])
+            docs_u, inv = np.unique(alld, return_inverse=True)
+            ssum = np.zeros(len(docs_u), dtype=np.float64)
+            np.add.at(ssum, inv, alls)
         docs_u, ssum = apply_live(docs_u, ssum, deleted)
         docs_u, ssum = apply_after(docs_u, ssum, after, doc_base)
         total += len(docs_u)

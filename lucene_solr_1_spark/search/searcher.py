@@ -243,6 +243,84 @@ class LuceneSparkSearcher:
         hits.attrs["relation"] = relation
         return hits
 
+    # ---------------- explain (Explanation parity) ------------------------
+
+    def explain(self, q: Query, global_doc_id: int) -> dict:
+        """Score breakdown for one hit — Lucene's IndexSearcher.explain /
+        Explanation tree (BM25Similarity.explain, BM25Similarity.java:
+        222-226 formula terms). The reference's similarity property tests
+        assert explanation value == scorer score; tests do the same here."""
+        q = rewrite(self.expand(rewrite(q)))
+        if isinstance(q, MatchNone):
+            return {"value": 0.0, "description": "MatchNone", "details": []}
+        # locate the owning segment
+        sid, base = None, -1
+        for s, b in self.doc_base.items():
+            if b <= global_doc_id and b > base:
+                sid, base = s, b
+        local = global_doc_id - base
+        terms = query_terms(q)
+        plan = K.compile_plan(q, self._global_df(terms), max(self.doc_count, 1))
+        post = (
+            self._postings.where(
+                (F.col("segment_id") == sid) & F.col("term").isin(list(terms))
+            ).toPandas()
+            if terms
+            else pd.DataFrame()
+        )
+        norms = self._norms.where(F.col("segment_id") == sid).select(
+            "doc_id", "norm"
+        ).toPandas()
+        n_docs = int(norms["doc_id"].max()) + 1 if len(norms) else 0
+        arr = np.zeros(max(n_docs, local + 1), dtype=np.int64)
+        if len(norms):
+            arr[norms["doc_id"].to_numpy()] = norms["norm"].to_numpy()
+        seg = K.SegmentData(post, arr, max(n_docs, local + 1))
+        return self._explain_node(plan, seg, local)
+
+    def _explain_node(self, node: dict, seg, local: int) -> dict:
+        from ..kernels.smallfloat import byte4_to_int
+
+        docs, scores = K.eval_node(node, seg, self.cache)
+        i = np.searchsorted(docs, local)
+        matched = i < len(docs) and docs[i] == local
+        value = float(np.float32(scores[i])) if matched else 0.0
+        t = node["type"]
+        if t == "term":
+            if not matched:
+                return {"value": 0.0, "description": f"no match on term {node['term']!r}", "details": []}
+            d, f = seg.postings(node["term"])
+            freq = int(f[np.searchsorted(d, local)])
+            norm = int(seg.norms[local])
+            dl = int(byte4_to_int(np.asarray([norm]))[0])
+            return {
+                "value": value,
+                "description": f"weight(content:{node['term']} in {local}) [BM25, k1=1.2, b=0.75]",
+                "details": [
+                    {"value": float(node["weight"]), "description": "boost * idf", "details": []},
+                    {"value": freq, "description": "freq", "details": []},
+                    {"value": dl, "description": "dl (norm-quantized field length)", "details": []},
+                    {"value": float(self.avgdl), "description": "avgdl", "details": []},
+                ],
+            }
+        details = []
+        if t == "bool":
+            for cl in node["clauses"]:
+                sub = self._explain_node(cl["node"], seg, local)
+                sub["description"] = f"{cl['occur']}: " + sub["description"]
+                details.append(sub)
+        elif t in ("dismax",):
+            details = [self._explain_node(s, seg, local) for s in node["nodes"]]
+        elif t == "const":
+            details = [self._explain_node(node["node"], seg, local)]
+        return {
+            "value": value,
+            "description": {"bool": "sum of", "dismax": "max plus tie-broken sum of",
+                            "const": "constant score", "synonym": "synonym(freq-summed)",
+                            "phrase": "phrase", "matchall": "*:*", "anyterm": "multi-term"}.get(t, t),
+            "details": details,
+        }
+
     def _fetch_stored(self, hits: pd.DataFrame) -> pd.DataFrame:
         """Stored-fields retrieval = broadcast join of the tiny hit set
         against the norms/docmap table (SURVEY.md §2.1)."""

@@ -335,3 +335,78 @@ def test_sloppy_phrase_superset_of_exact(searcher):
     sloppy = searcher.search(Phrase(("return", "int"), slop=3), k=64, with_stored=False)
     assert set(exact["global_doc_id"]) <= set(sloppy["global_doc_id"])
     assert len(sloppy) >= len(exact)
+
+
+def test_blockmax_conjunction_equals_exhaustive(searcher):
+    """MUST / MUST+SHOULD / FILTER shapes under block-max pruning rank
+    identically to exhaustive scoring (TestBlockMaxConjunction model)."""
+    from lucene_solr_1_spark.search.query import Clause
+
+    shapes = [
+        Bool.of((Occur.MUST, Term("return")), (Occur.MUST, Term("int"))),
+        Bool.of(
+            (Occur.MUST, Term("return")),
+            (Occur.SHOULD, Term("class")),
+            (Occur.SHOULD, Term("id_0002")),
+        ),
+        Bool.of((Occur.FILTER, Term("return")), (Occur.SHOULD, Term("int"))),
+        Bool.of(
+            (Occur.MUST, Term("return")),
+            (Occur.MUST, Term("int")),
+            (Occur.MUST, Term("public")),
+        ),
+    ]
+    from lucene_solr_1_spark.search import kernel as K
+
+    for q in shapes:
+        for k in (3, 10, 50):
+            a = searcher.search(q, k=k, use_wand=True, with_stored=False)
+            b = searcher.search(q, k=k, use_wand=False, with_stored=False)
+            np.testing.assert_array_equal(
+                a["global_doc_id"].to_numpy(), b["global_doc_id"].to_numpy()
+            )
+            np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_wand_applicable_shapes():
+    from lucene_solr_1_spark.search import kernel as K
+
+    gdf = {"a": 5, "b": 3}
+    plan = K.compile_plan(
+        Bool.of((Occur.MUST, Term("a")), (Occur.SHOULD, Term("b"))), gdf, 10
+    )
+    assert K.wand_applicable(plan)
+    plan = K.compile_plan(
+        Bool.of((Occur.MUST, Term("a")), (Occur.MUST_NOT, Term("b"))), gdf, 10
+    )
+    assert not K.wand_applicable(plan)
+    plan = K.compile_plan(
+        Bool.of(
+            (Occur.SHOULD, Term("a")), (Occur.SHOULD, Term("b")),
+            min_should_match=2,
+        ),
+        gdf, 10,
+    )
+    assert not K.wand_applicable(plan)
+
+
+def test_explain_matches_score(searcher):
+    """Explanation value == scorer score for every top hit
+    (BaseSimilarityTestCase explanation==score property)."""
+    qs = [
+        Term("return"),
+        Bool.of((Occur.MUST, Term("return")), (Occur.SHOULD, Term("int"))),
+        Bool.of((Occur.SHOULD, Term("return")), (Occur.SHOULD, Term("class"))),
+    ]
+    for q in qs:
+        hits = searcher.search(q, k=5, with_stored=False)
+        for r in hits.itertuples(index=False):
+            ex = searcher.explain(q, int(r.global_doc_id))
+            assert ex["value"] == pytest.approx(float(r.score), rel=1e-6), (
+                q, r.global_doc_id, ex
+            )
+        # a non-matching doc explains to 0
+        missing = set(range(searcher.doc_count)) - set(hits["global_doc_id"])
+        if missing and len(hits) == searcher.manifest["doc_count"]:
+            ex0 = searcher.explain(q, sorted(missing)[0])
+            assert ex0["value"] == 0.0
