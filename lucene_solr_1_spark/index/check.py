@@ -53,6 +53,13 @@ def _check_rows(batches):
             blk_maxf = np.maximum.reduceat(freqs, blk_idx) if len(docs) else []
             if not np.array_equal(blk_maxf, np.asarray(r.block_max_freq)):
                 errs.append("block_max_freq mismatch")
+            norms = np.frombuffer(bytes(r.norms_enc), dtype=np.uint8)
+            if len(norms) != len(docs):
+                errs.append("norms_enc length != doc_freq")
+            elif len(docs):
+                blk_minn = np.minimum.reduceat(norms.astype(np.int64), blk_idx)
+                if not np.array_equal(blk_minn, np.asarray(r.block_min_norm)):
+                    errs.append("block_min_norm mismatch")
             out.append(
                 (
                     r.segment_id,

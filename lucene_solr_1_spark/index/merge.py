@@ -14,8 +14,8 @@ Skew note: hot terms ('the', 'return') have the largest posting rows, but a
 merge shuffles ≤ len(group) PRE-AGGREGATED compressed rows per term — skew
 is structurally bounded by the group width, not by posting length. The
 row-level shuffle (norms rewrite) is salted by hash of doc key via
-repartition. New-block impact metadata is recomputed conservatively from
-the input blocks' (max_freq, min_norm) — upper bounds stay valid for WAND.
+repartition. New-block impact metadata is recomputed EXACTLY from the merged
+per-posting freq and norm streams (norms travel inside the posting rows).
 """
 
 from __future__ import annotations
@@ -97,8 +97,7 @@ def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict) -> p
     concat (inputs already docID-sorted per segment; offsets are ordered) →
     re-encode + rebuild block metadata."""
     pdf = pdf.sort_values("segment_id", key=lambda s: s.map(seg_order))
-    docs_parts, freqs_parts, pos_parts = [], [], []
-    imp = []  # (last_doc_rebased, max_freq, min_norm) per input block
+    docs_parts, freqs_parts, pos_parts, norm_parts = [], [], [], []
     for r in pdf.itertuples(index=False):
         off = seg_offset[r.segment_id]
         d = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets))) + off
@@ -107,17 +106,11 @@ def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict) -> p
         docs_parts.append(d)
         freqs_parts.append(f)
         pos_parts.append(p)
-        bl = np.asarray(r.block_last_doc, dtype=np.int64) + off
-        imp.append(
-            np.stack(
-                [bl, np.asarray(r.block_max_freq, np.int64), np.asarray(r.block_min_norm, np.int64)],
-                axis=1,
-            )
-        )
+        norm_parts.append(np.frombuffer(bytes(r.norms_enc), dtype=np.uint8))
     docs = np.concatenate(docs_parts)
     freqs = np.concatenate(freqs_parts)
     pos_flat = np.concatenate(pos_parts)
-    imp_all = np.concatenate(imp)  # ordered: per segment asc, block asc → last_doc asc
+    norms = np.concatenate(norm_parts)
 
     docs_enc, docs_off = encode_doc_deltas(docs)
     freqs_enc, freqs_off = encode_blocks(freqs)
@@ -127,15 +120,10 @@ def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict) -> p
     blk_idx = np.arange(0, n, BLOCK_SIZE)
     blk_last = docs[np.minimum(blk_idx + BLOCK_SIZE - 1, n - 1)]
     blk_maxf = np.maximum.reduceat(freqs, blk_idx)
-    # conservative min_norm: min over input blocks overlapping the new block
-    in_last = imp_all[:, 0]
-    blk_minn = np.empty(len(blk_idx), dtype=np.int64)
-    blk_first = docs[blk_idx]
-    for j in range(len(blk_idx)):
-        lo = np.searchsorted(in_last, blk_first[j], side="left")
-        hi = np.searchsorted(in_last, blk_last[j], side="left")
-        hi = min(hi + 1, len(in_last))
-        blk_minn[j] = imp_all[lo:hi, 2].min()
+    # exact min_norm per new block — the per-posting norm bytes travel with
+    # the postings (norms_enc), so merged impacts are as tight as freshly
+    # built ones (no conservative widening)
+    blk_minn = np.minimum.reduceat(norms.astype(np.int64), blk_idx)
     row = pdf.iloc[0]
     return pd.DataFrame(
         [
@@ -146,6 +134,7 @@ def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict) -> p
                 docs_enc, docs_off.tolist(),
                 freqs_enc, freqs_off.tolist(),
                 pos_enc, pos_off.tolist(),
+                norms.tobytes(),
                 blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
             )
         ],

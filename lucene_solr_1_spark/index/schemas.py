@@ -17,10 +17,18 @@ POSTINGS_DDL = (
     "freqs_offsets array<bigint>, "
     "pos_enc binary, "
     "pos_offsets array<bigint>, "
+    "norms_enc binary, "
     "block_last_doc array<bigint>, "
     "block_max_freq array<bigint>, "
     "block_min_norm array<bigint>"
 )
+# norms_enc: one norm byte per posting doc (parallel to the doc stream).
+# Denormalizing the norm into the posting row is what makes a query touch
+# ONLY the (predicate-pruned) posting rows of its terms — scoring never
+# joins or shuffles the per-doc norms table. Lucene reads norms per doc
+# from .nvd at score time (LeafSimScorer.java:47-61); at Spark scale that
+# per-doc side lookup would be a full-table cogroup per query, so we trade
+# 1 byte/posting of storage for a shuffle-free search stage.
 
 # Norms table doubles as the docmap / stored-fields pointer: per-segment
 # dense docIDs plus the row keys for retrieval (Lucene .nvd + .fdt analog).

@@ -25,7 +25,7 @@ DOC_KEY = ["repo", "path", "commit"]
 POSTINGS_COLS = [
     "term", "doc_freq", "ttf",
     "docs_enc", "docs_offsets", "freqs_enc", "freqs_offsets",
-    "pos_enc", "pos_offsets",
+    "pos_enc", "pos_offsets", "norms_enc",
     "block_last_doc", "block_max_freq", "block_min_norm",
 ]
 
@@ -115,6 +115,8 @@ def build_segment_frames(
         # flattened position-delta stream across this term's occurrences
         occ_lo, occ_hi = pair_start[ts], pair_end[te - 1]
         pos_enc, pos_off = encode_blocks(pos_delta[occ_lo:occ_hi])
+        # norm byte per posting doc (schemas.py norms_enc rationale)
+        doc_norms = norms_by_doc[docs]
         # per-block skip + impact metadata (CompetitiveImpactAccumulator
         # simplified to one competitive pair (max_freq, min_norm) per block —
         # a valid, slightly looser upper bound for block-max WAND)
@@ -122,7 +124,7 @@ def build_segment_frames(
         blk_idx = np.arange(0, n_pairs, BLOCK_SIZE)
         blk_last = docs[np.minimum(blk_idx + BLOCK_SIZE - 1, n_pairs - 1)]
         blk_maxf = np.maximum.reduceat(freqs, blk_idx)
-        blk_minn = np.minimum.reduceat(norms_by_doc[docs], blk_idx)
+        blk_minn = np.minimum.reduceat(doc_norms, blk_idx)
         rows.append(
             (
                 uniq_terms[pair_term[ts]],
@@ -131,6 +133,7 @@ def build_segment_frames(
                 docs_enc, docs_off.tolist(),
                 freqs_enc, freqs_off.tolist(),
                 pos_enc, pos_off.tolist(),
+                doc_norms.astype(np.uint8).tobytes(),
                 blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
             )
         )

@@ -89,25 +89,29 @@ def compile_plan(q: Query, global_df: dict, doc_count: int, boost: float = 1.0) 
 # --------------------------------------------------------------------------
 
 class SegmentData:
-    """Decoded-on-demand view of one segment's postings for the query terms."""
+    """Decoded-on-demand view of one segment's postings for the query terms.
 
-    def __init__(self, postings_pdf, norms: np.ndarray, n_docs: int):
+    Norm bytes ride inside each posting row (norms_enc, schemas.py), so
+    scoring needs no side lookup into a norms table — the kernel's input
+    is exactly the pruned posting rows."""
+
+    def __init__(self, postings_pdf, n_docs: int):
         self.rows = {r.term: r for r in postings_pdf.itertuples(index=False)}
-        self.norms = norms  # uint8-valued int array indexed by doc_id
         self.n_docs = n_docs
         self._decoded: dict = {}
 
     def postings(self, term: str):
-        """(docs, freqs) fully decoded, or (empty, empty)."""
+        """(docs, freqs, norms) fully decoded, or empties."""
         if term in self._decoded:
             return self._decoded[term]
         r = self.rows.get(term)
         if r is None:
-            out = (_EMPTY_I, _EMPTY_I)
+            out = (_EMPTY_I, _EMPTY_I, _EMPTY_I)
         else:
             docs = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets)))
             freqs = decode_all(bytes(r.freqs_enc), np.asarray(r.freqs_offsets))
-            out = (docs, freqs)
+            norms = np.frombuffer(bytes(r.norms_enc), dtype=np.uint8).astype(np.int64)
+            out = (docs, freqs, norms)
         self._decoded[term] = out
         return out
 
@@ -116,7 +120,7 @@ class SegmentData:
         r = self.rows.get(term)
         if r is None:
             return None
-        docs, freqs = self.postings(term)
+        docs, freqs, _norms = self.postings(term)
         pos_deltas = decode_all(bytes(r.pos_enc), np.asarray(r.pos_offsets))
         # positions are delta-coded per (term, doc) run; run starts are
         # absolute — rebuild via segmented cumsum
@@ -144,23 +148,26 @@ def _segmented_cumsum(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
 def eval_node(node: dict, seg: SegmentData, cache: np.ndarray):
     t = node["type"]
     if t == "term":
-        docs, freqs = seg.postings(node["term"])
+        docs, freqs, norms = seg.postings(node["term"])
         if len(docs) == 0:
             return _EMPTY_I, _EMPTY_F
-        s = bm25.score(freqs, seg.norms[docs], node["weight"], cache)
+        s = bm25.score(freqs, norms, node["weight"], cache)
         return docs, s.astype(np.float64)
     if t == "synonym":
         # freqs summed across member terms, scored once (SynonymQuery.java)
         parts = [seg.postings(term) for term in node["terms"]]
-        parts = [(d, f) for d, f in parts if len(d)]
+        parts = [(d, f, n) for d, f, n in parts if len(d)]
         if not parts:
             return _EMPTY_I, _EMPTY_F
-        alldocs = np.concatenate([d for d, _ in parts])
-        allfreqs = np.concatenate([f for _, f in parts])
+        alldocs = np.concatenate([d for d, _, _ in parts])
+        allfreqs = np.concatenate([f for _, f, _ in parts])
+        allnorms = np.concatenate([n for _, _, n in parts])
         docs, inv = np.unique(alldocs, return_inverse=True)
         freqs = np.zeros(len(docs), dtype=np.int64)
         np.add.at(freqs, inv, allfreqs)
-        s = bm25.score(freqs, seg.norms[docs], node["weight"], cache)
+        norms = np.zeros(len(docs), dtype=np.int64)
+        norms[inv] = allnorms  # same doc ⇒ same norm byte
+        s = bm25.score(freqs, norms, node["weight"], cache)
         return docs, s.astype(np.float64)
     if t == "phrase":
         return _eval_phrase(node, seg, cache)
@@ -291,7 +298,9 @@ def _eval_phrase(node, seg, cache):
         return _EMPTY_I, _EMPTY_F
     docs = np.asarray(out_docs, dtype=np.int64)
     freqs = np.asarray(out_freqs, dtype=np.float64)
-    s = bm25.score(freqs, seg.norms[docs], node["weight"], cache)
+    d0, _f0, n0 = seg.postings(terms[0])
+    norms = n0[np.searchsorted(d0, docs)]
+    s = bm25.score(freqs, norms, node["weight"], cache)
     return docs, s.astype(np.float64)
 
 
@@ -484,7 +493,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         req_parts, opt_parts = [], []
         window_dead = False
         for term, weight, required, scoring, r in term_info:
-            docs, freqs = seg.postings(term)
+            docs, freqs, norms = seg.postings(term)
             a = np.searchsorted(docs, lo_doc)
             b = np.searchsorted(docs, hi_doc)
             if a == b:
@@ -494,7 +503,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
                 continue
             dd = docs[a:b]
             if scoring:
-                s = bm25.score(freqs[a:b], seg.norms[dd], weight, cache).astype(
+                s = bm25.score(freqs[a:b], norms[a:b], weight, cache).astype(
                     np.float64
                 )
             else:

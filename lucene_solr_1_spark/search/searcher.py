@@ -42,13 +42,11 @@ _HIT_SCHEMA = (
 )
 
 
-def _kernel_udf(key, postings_pdf, norms_pdf, plan, cache, k, use_wand,
-                after=None, doc_bases=None, tombstones=None):
+def _kernel_udf(key, postings_pdf, plan, cache, k, use_wand,
+                after=None, doc_bases=None, tombstones=None, doc_counts=None):
     segment_id = key[0]
-    n_docs = len(norms_pdf)
-    norms_arr = np.zeros(n_docs, dtype=np.int64)
-    norms_arr[norms_pdf["doc_id"].to_numpy()] = norms_pdf["norm"].to_numpy()
-    seg = K.SegmentData(postings_pdf, norms_arr, n_docs)
+    n_docs = (doc_counts or {}).get(segment_id, 0)
+    seg = K.SegmentData(postings_pdf, n_docs)
     base = (doc_bases or {}).get(segment_id, 0)
     deleted = (tombstones or {}).get(segment_id)
     if use_wand and K.wand_applicable(plan):
@@ -83,6 +81,9 @@ class LuceneSparkSearcher:
         self.cache = bm25.norm_cache(self.avgdl)
         self.doc_base = {
             s["segment_id"]: s["doc_base"] for s in self.manifest["segments"]
+        }
+        self.seg_doc_count = {
+            s["segment_id"]: s["doc_count"] for s in self.manifest["segments"]
         }
         from ..index.deletes import read_tombstones
 
@@ -180,6 +181,10 @@ class LuceneSparkSearcher:
         """`after=(score, global_doc_id)` pages past a previous hit
         (searchAfter, IndexSearcher.java:391-420)."""
         q = rewrite(q)
+        from .query import MatchAll
+
+        if isinstance(q, MatchAll):
+            return self._match_all(k, after, with_stored)
         if isinstance(q, self._MTQ_TYPES):
             # top-level multi-term query: CONSTANT_SCORE_REWRITE fast path
             # (MultiTermQuery.java default) — the dictionary predicate goes
@@ -199,15 +204,15 @@ class LuceneSparkSearcher:
             terms = query_terms(q)
             plan = K.compile_plan(q, self._global_df(terms), max(self.doc_count, 1))
             post = self._postings.where(F.col("term").isin(list(terms))) if terms else self._postings.limit(0)
-        norms = self._norms.select("segment_id", "doc_id", "norm")
+        # scoring input = ONLY the pruned posting rows (norm bytes ride in
+        # each row — no norms-table join/shuffle; see schemas.py norms_enc)
         hits = (
             post.groupBy("segment_id")
-            .cogroup(norms.groupBy("segment_id"))
             .applyInPandas(
                 partial(
                     _kernel_udf, plan=plan, cache=self.cache, k=k,
                     use_wand=use_wand, after=after, doc_bases=self.doc_base,
-                    tombstones=self.tombstones,
+                    tombstones=self.tombstones, doc_counts=self.seg_doc_count,
                 ),
                 schema=_HIT_SCHEMA,
             )
@@ -243,6 +248,41 @@ class LuceneSparkSearcher:
         hits.attrs["relation"] = relation
         return hits
 
+    def _match_all(self, k: int, after, with_stored: bool) -> pd.DataFrame:
+        """MatchAllDocsQuery: constant score 1.0 over the docmap — a
+        TakeOrdered over the norms table (no posting work at all). Ties
+        are all-equal, so ranking = global docID asc (HitQueue tie-break)."""
+        base_expr = F.create_map(
+            *[x for sid, b in self.doc_base.items() for x in (F.lit(sid), F.lit(b))]
+        )
+        df = self._norms.select("segment_id", "doc_id").withColumn(
+            "global_doc_id", base_expr[F.col("segment_id")] + F.col("doc_id")
+        )
+        n_deleted = sum(len(v) for v in self.tombstones.values())
+        if n_deleted:
+            del_pdf = pd.concat(
+                [
+                    pd.DataFrame({"segment_id": sid, "doc_id": ids})
+                    for sid, ids in self.tombstones.items()
+                ]
+            )
+            df = df.join(
+                F.broadcast(self.spark.createDataFrame(del_pdf)),
+                on=["segment_id", "doc_id"],
+                how="left_anti",
+            )
+        if after is not None:
+            df = df.where(F.col("global_doc_id") > int(after[1]))
+        hits = df.orderBy("global_doc_id").limit(k).toPandas()
+        hits.insert(0, "score", np.float32(1.0))
+        hits.insert(0, "rank", np.arange(len(hits)))
+        if with_stored and len(hits):
+            stored = self._fetch_stored(hits)
+            hits = hits.merge(stored, on=["segment_id", "doc_id"], how="left")
+        hits.attrs["total_hits"] = self.doc_count - n_deleted
+        hits.attrs["relation"] = "EQUAL_TO"
+        return hits
+
     # ---------------- explain (Explanation parity) ------------------------
 
     def explain(self, q: Query, global_doc_id: int) -> dict:
@@ -266,16 +306,9 @@ class LuceneSparkSearcher:
                 (F.col("segment_id") == sid) & F.col("term").isin(list(terms))
             ).toPandas()
             if terms
-            else pd.DataFrame()
+            else pd.DataFrame(columns=["term"])
         )
-        norms = self._norms.where(F.col("segment_id") == sid).select(
-            "doc_id", "norm"
-        ).toPandas()
-        n_docs = int(norms["doc_id"].max()) + 1 if len(norms) else 0
-        arr = np.zeros(max(n_docs, local + 1), dtype=np.int64)
-        if len(norms):
-            arr[norms["doc_id"].to_numpy()] = norms["norm"].to_numpy()
-        seg = K.SegmentData(post, arr, max(n_docs, local + 1))
+        seg = K.SegmentData(post, self.seg_doc_count.get(sid, local + 1))
         return self._explain_node(plan, seg, local)
 
     def _explain_node(self, node: dict, seg, local: int) -> dict:
@@ -289,10 +322,10 @@ class LuceneSparkSearcher:
         if t == "term":
             if not matched:
                 return {"value": 0.0, "description": f"no match on term {node['term']!r}", "details": []}
-            d, f = seg.postings(node["term"])
-            freq = int(f[np.searchsorted(d, local)])
-            norm = int(seg.norms[local])
-            dl = int(byte4_to_int(np.asarray([norm]))[0])
+            d, f, n = seg.postings(node["term"])
+            j = np.searchsorted(d, local)
+            freq = int(f[j])
+            dl = int(byte4_to_int(np.asarray([int(n[j])]))[0])
             return {
                 "value": value,
                 "description": f"weight(content:{node['term']} in {local}) [BM25, k1=1.2, b=0.75]",
