@@ -131,6 +131,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=10,
     )
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk_spark(s, d, 0, 20)
+
+    def _parsed(s, d):
+        from lucene_solr_1_spark.search.parser import parse
+
+        return _kernel_hits_df(s, _get_index(s, d), parse("data AND (query OR merge)"), k=10)
+
+    def _kernel_phrase(s, d):
+        from lucene_solr_1_spark.search.query import Phrase
+
+        return _kernel_hits_df(s, _get_index(s, d), Phrase(("fast", "sort")), k=10)
+
+    q["fts_kernel_parsed_query"] = _parsed
+    q["fts_kernel_phrase"] = _kernel_phrase
     return q
 
 
