@@ -116,6 +116,20 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
             "p95_sec": round(lat[int(len(lat) * 0.95)], 3),
             "n": len(lat),
         }
+        # batch throughput: 64 distinct queries in ONE Spark job
+        # (search_many — the micro-standard.alg 5000-searches analog)
+        batch = {f"q{i}": Term(f"id_{i * 37 % 5000:04d}") for i in range(60)}
+        batch.update(
+            b1=Bool.of((Occur.MUST, Term("return")), (Occur.SHOULD, Term("class"))),
+            b2=Bool.of((Occur.SHOULD, Term("public")), (Occur.SHOULD, Term("void"))),
+            b3=Term("return"),
+            b4=Term("static"),
+        )
+        t0 = time.monotonic()
+        searcher.search_many(batch, k=10)
+        batch_s = time.monotonic() - t0
+        queries["batch_64_queries"] = batch_s
+        latency["batch_qps"] = round(len(batch) / batch_s, 1)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
@@ -212,17 +226,24 @@ def run_scaling(n_files: int, partitions: int = 512) -> dict:
     out: dict = {}
     try:
         for cpus in (n_small, n_large):
-            cmd = [
-                sys.executable, os.path.abspath(__file__),
-                "--scaling-run", corpus_dir, str(cpus), str(partitions),
-            ]
-            if have_taskset:
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            r = subprocess.run(cmd, capture_output=True, text=True, check=True)
-            build_s = json.loads(r.stdout.strip().splitlines()[-1])["build_sec"]
+            # best-of-2 fresh processes per cluster size: single-box turbo /
+            # thermal state makes individual runs swing ±30%; the best run
+            # is the steady-state capability of that "cluster"
+            times = []
+            for _ in range(2):
+                cmd = [
+                    sys.executable, os.path.abspath(__file__),
+                    "--scaling-run", corpus_dir, str(cpus), str(partitions),
+                ]
+                if have_taskset:
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+                r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+                times.append(json.loads(r.stdout.strip().splitlines()[-1])["build_sec"])
+            build_s = min(times)
             out[f"local[{cpus}]"] = {
                 "build_sec": round(build_s, 3),
                 "files_per_sec": round(n_files / build_s, 1),
+                "runs": [round(t, 3) for t in times],
             }
     finally:
         shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)

@@ -7,8 +7,9 @@ search flow:
  2. global-stats barrier: per-term docFreq summed across segments (one
     tiny aggregation), docCount/sumTTF from the manifest — then bake
     float32 weights into a picklable plan (createWeight analog).
- 3. per-segment scoring: postings rows for the query terms cogrouped with
-    the segment's norms → applyInPandas runs the DAAT kernel → per-segment
+ 3. per-segment scoring: ONLY the pruned posting rows of the query terms
+    reach the kernels (norm bytes ride inside each row — no norms-table
+    join or shuffle); applyInPandas runs the DAAT kernel → per-segment
     top-k (IndexSearcher leaf slices on executors).
  4. driver k-way merge with the reference tie-break: score desc, then
     global docID asc (TopDocs.merge, TopDocs.java:203-265).
@@ -66,6 +67,38 @@ def _kernel_udf(key, postings_pdf, plan, cache, k, use_wand,
             "relation": relation,
         }
     )
+
+
+def _kernel_many_udf(key, postings_pdf, plans, cache, k, use_wand,
+                     tombstones=None, doc_counts=None):
+    """Batch kernel: one SegmentData (shared decode cache) scores every
+    compiled plan; output rows carry the query name."""
+    segment_id = key[0]
+    seg = K.SegmentData(postings_pdf, (doc_counts or {}).get(segment_id, 0))
+    deleted = (tombstones or {}).get(segment_id)
+    frames = []
+    for name, plan in plans.items():
+        if use_wand and K.wand_applicable(plan):
+            docs, scores, total, relation = K.score_wand(
+                plan, seg, cache, k, deleted=deleted
+            )
+        else:
+            docs, scores, total, relation = K.score_exhaustive(
+                plan, seg, cache, k, deleted=deleted
+            )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query": name,
+                    "segment_id": segment_id,
+                    "doc_id": docs,
+                    "score": scores.astype(np.float32),
+                    "total": np.int64(total),
+                    "relation": relation,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
 
 
 class LuceneSparkSearcher:
@@ -247,6 +280,69 @@ class LuceneSparkSearcher:
         hits.attrs["total_hits"] = total_hits
         hits.attrs["relation"] = relation
         return hits
+
+    def search_many(
+        self,
+        queries: dict[str, Query],
+        k: int = 10,
+        use_wand: bool = True,
+    ) -> pd.DataFrame:
+        """Batch search: ALL queries scored in ONE Spark job.
+
+        The reference's benchmark harness issues thousands of sequential
+        searches (micro-standard.alg); per-job dispatch would dominate on
+        Spark, so the batch path ships every compiled plan to the segment
+        kernels together — posting rows for the union of query terms are
+        scanned once, per-term decodes are shared across queries via the
+        SegmentData cache, and the driver merge runs per query. Returns a
+        frame with a `query` column; per-query rank/tie-break semantics
+        identical to search().
+        """
+        compiled: dict[str, dict] = {}
+        all_terms: set = set()
+        empties: list[str] = []
+        prepared: dict[str, Query] = {}
+        for name, q in queries.items():
+            q = rewrite(self.expand(rewrite(q)))
+            if isinstance(q, MatchNone):
+                empties.append(name)
+                continue
+            prepared[name] = q
+            all_terms |= query_terms(q)
+        gdf = self._global_df(all_terms)
+        for name, q in prepared.items():
+            compiled[name] = K.compile_plan(q, gdf, max(self.doc_count, 1))
+        if not compiled:
+            return pd.DataFrame(
+                columns=["query", "rank", "score", "global_doc_id", "segment_id", "doc_id"]
+            )
+        post = self._postings.where(F.col("term").isin(list(all_terms)))
+        hits = (
+            post.groupBy("segment_id")
+            .applyInPandas(
+                partial(
+                    _kernel_many_udf, plans=compiled, cache=self.cache, k=k,
+                    use_wand=use_wand, tombstones=self.tombstones,
+                    doc_counts=self.seg_doc_count,
+                ),
+                schema="query string, " + _HIT_SCHEMA,
+            )
+            .toPandas()
+        )
+        out_frames = []
+        for name in compiled:
+            h = hits[hits["query"] == name].copy()
+            if len(h):
+                h["global_doc_id"] = h["segment_id"].map(self.doc_base) + h["doc_id"]
+                h = h.sort_values(
+                    ["score", "global_doc_id"], ascending=[False, True], kind="mergesort"
+                ).head(k)
+            else:
+                h = h.assign(global_doc_id=pd.Series(dtype="int64"))
+            h = h.reset_index(drop=True)
+            h.insert(1, "rank", np.arange(len(h)))
+            out_frames.append(h.drop(columns=["total", "relation"], errors="ignore"))
+        return pd.concat(out_frames, ignore_index=True)
 
     def _match_all(self, k: int, after, with_stored: bool) -> pd.DataFrame:
         """MatchAllDocsQuery: constant score 1.0 over the docmap — a

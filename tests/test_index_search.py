@@ -410,3 +410,23 @@ def test_explain_matches_score(searcher):
         if missing and len(hits) == searcher.manifest["doc_count"]:
             ex0 = searcher.explain(q, sorted(missing)[0])
             assert ex0["value"] == 0.0
+
+
+def test_search_many_matches_sequential(searcher):
+    """Batch search returns exactly what per-query search() returns."""
+    queries = {
+        "t1": Term("return"),
+        "t2": Term("id_0001"),
+        "b1": Bool.of((Occur.MUST, Term("return")), (Occur.SHOULD, Term("int"))),
+        "none": Term("zzz_not_there"),
+    }
+    batch = searcher.search_many(queries, k=8)
+    for name, q in queries.items():
+        single = searcher.search(q, k=8, with_stored=False)
+        got = batch[batch["query"] == name]
+        np.testing.assert_array_equal(
+            got["global_doc_id"].to_numpy(), single["global_doc_id"].to_numpy()
+        )
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(), single["score"].to_numpy()
+        )
