@@ -114,6 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = textstats.fingerprint_spark
     q["multimodal_features"] = multimodal.multimodal_features_spark
 
+    def _windowed(s, d):
+        from lucene_solr_1_spark.streaming import analytics as A
+
+        return A.windowed_counts_spark(s, d)
+
+    q["events_windowed_counts"] = _windowed
+
     # --- kernel path: compressed index + float32 BM25 + block-max WAND ---
     # (not SQL-expressible 1:1 — float32/norm-byte quantization; rows-only
     # driver check, rank-identity oracle lives in tests/test_index_search.py)
@@ -180,4 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.quality_score_duck(),
         "doc_fingerprint": textstats.fingerprint_duck(),
         "multimodal_features": multimodal.multimodal_features_duck(),
+        "events_windowed_counts": __import__(
+            "lucene_solr_1_spark.streaming.analytics", fromlist=["x"]
+        ).windowed_counts_duck(),
     }

@@ -1,0 +1,51 @@
+"""Training-data pipeline internal checks (the DuckDB oracle gate covers
+value parity; these assert the cross-path semantic properties)."""
+
+import pandas as pd
+
+from lucene_solr_1_spark.pipeline import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF ANN with enough probes recovers the brute-force top-k exactly;
+    with fewer probes it returns a subset-quality ranking (recall ≥ 0.5)."""
+    brute = similarity.cosine_topk_spark(spark, SF, 0, 10).toPandas()
+    full = similarity.ivf_topk_spark(spark, SF, 0, 10, n_cells=4, n_probe=4).toPandas()
+    pd.testing.assert_frame_equal(
+        brute.reset_index(drop=True), full.reset_index(drop=True)
+    )
+    part = similarity.ivf_topk_spark(spark, SF, 0, 10, n_cells=8, n_probe=3).toPandas()
+    recall = len(set(part["vec_id"]) & set(brute["vec_id"])) / len(brute)
+    assert recall >= 0.5
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark):
+    """LSH banding must surface every pair the exact Jaccard check accepts
+    at a high threshold (the banding guarantee direction we rely on for
+    dedup at scale)."""
+    jac = dedup.dedup_jaccard_spark(spark, SF, 0.9).toPandas()
+    cand = dedup.minhash_bands_spark(spark, SF).toPandas()
+    jac_pairs = set(zip(jac["doc_a"], jac["doc_b"]))
+    cand_pairs = set(zip(cand["doc_a"], cand["doc_b"]))
+    assert jac_pairs <= cand_pairs
+
+
+def test_simhash_deterministic_and_nearby_for_neardups(spark):
+    sh1 = dedup.simhash_spark(spark, SF).toPandas().set_index("doc_id")["simhash"]
+    sh2 = dedup.simhash_spark(spark, SF).toPandas().set_index("doc_id")["simhash"]
+    pd.testing.assert_series_equal(sh1, sh2)  # run-to-run determinism
+    # statistical separation: near-dup pairs sit measurably closer in
+    # hamming space than random pairs (16-bit simhash bits near the 0
+    # threshold flip easily, so per-pair hard bounds would be flaky)
+    jac = dedup.dedup_jaccard_spark(spark, SF, 0.8).toPandas()
+    assert len(jac) > 0
+
+    def ham(a, b):
+        return bin(int(sh1[a]) ^ int(sh1[b])).count("1")
+
+    near = [ham(r.doc_a, r.doc_b) for r in jac.itertuples(index=False)]
+    ids = sh1.index.to_list()
+    rand = [ham(ids[i], ids[-(i + 1)]) for i in range(100)]
+    assert sum(near) / len(near) < sum(rand) / len(rand) - 1.5

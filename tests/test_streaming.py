@@ -44,3 +44,40 @@ def test_streaming_ingest_incremental(spark, tmp_path_factory):
     old = {sid: b for sid, b in s1.doc_base.items()}
     for sid, base in old.items():
         assert s2.doc_base.get(sid) == base
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming watermarked window agg == batch twin on the same events.
+    (Append mode emits only watermark-finalized windows; with availableNow
+    over a finite file source, all but the tail window finalize.)"""
+    import pandas as pd
+    from lucene_solr_1_spark.streaming import analytics as A
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path_factory.mktemp("ev_src"))
+    ckpt = str(tmp_path_factory.mktemp("ev_ckpt"))
+    out = str(tmp_path_factory.mktemp("ev_out"))
+    # copy events into the stream source dir
+    spark.read.parquet(f"{sf}/events.parquet").coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = A.windowed_counts_stream(spark, src, ckpt, out)
+    q.awaitTermination(240)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch = A.windowed_counts_spark(spark, sf).toPandas()
+    # the streaming run may withhold the final (unfinalized) windows
+    merged = batch.merge(
+        got, on=["window_start", "event_type"], suffixes=("_b", "_s")
+    )
+    assert len(got) > 0
+    assert len(merged) == len(got)  # every emitted window exists in batch
+    assert (merged["n_b"] == merged["n_s"]).all()
+    assert (abs(merged["sum_value_b"] - merged["sum_value_s"]) < 1e-9).all()
+    # coverage: all but at most the tail windows were finalized+emitted
+    assert len(got) >= len(batch) - len(batch["event_type"].unique()) * 4
