@@ -127,7 +127,13 @@ def build_index(
 
     df = corpus_df.select("repo", "path", "commit", "lang", "content")
     if not pre_partitioned:
-        df = df.repartition(num_segments, *DOC_KEY)
+        # RANGE partition by doc key: segments hold contiguous key ranges,
+        # so global docID order (doc_base + local) equals the global
+        # (repo, path, commit) sort order — a content-defined total order.
+        # That makes equal-score tie-breaks (HitQueue: docID asc) identical
+        # for ANY segment count and identical to the brute-force oracle
+        # (randomized rank-identity tests pin this).
+        df = df.repartitionByRange(num_segments, *DOC_KEY)
     rows = df.mapInPandas(
         partial(
             _build_partition,
@@ -164,9 +170,9 @@ def add_documents(
     if manifest is None:
         return build_index(spark, corpus_df, index_dir, num_segments, cfg)
     pid_offset = max(s["partition_id"] for s in manifest["segments"]) + 1
-    df = corpus_df.select("repo", "path", "commit", "lang", "content").repartition(
-        num_segments, *DOC_KEY
-    )
+    df = corpus_df.select(
+        "repo", "path", "commit", "lang", "content"
+    ).repartitionByRange(num_segments, *DOC_KEY)
     rows = df.mapInPandas(
         partial(
             _build_partition,
