@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_wildcard_expand"] = lambda s, d: R.wildcard_terms_spark(s, d, "s?rt*")
     q["fts_highlight"] = lambda s, d: R.highlight_spark(s, d, "query")
     q["suggest_prefix"] = lambda s, d: R.suggest_prefix_spark(s, d, "pa")
+    q["facet_on_results"] = lambda s, d: R.facet_on_results_spark(s, d, "query")
 
     # --- training-data pipeline (oracle-checked) ---
     q["dedup_exact"] = dedup.dedup_exact_spark
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_wildcard_expand": R.wildcard_terms_duck("s?rt*"),
         "fts_highlight": R.highlight_duck("query"),
         "suggest_prefix": R.suggest_prefix_duck("pa"),
+        "facet_on_results": R.facet_on_results_duck("query"),
         "dedup_exact": dedup.dedup_exact_duck(),
         "dedup_ngram_jaccard": dedup.dedup_jaccard_duck(0.4),
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),

@@ -590,3 +590,27 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS weight FROM tok
 WHERE term LIKE '{prefix}%' GROUP BY 1
 ORDER BY weight DESC, term ASC LIMIT {n}
 """.strip()
+
+
+def facet_on_results_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Solr-style faceting over a query's RESULT SET (FacetsCollector:
+    facets computed on the matched docs, not the whole corpus): BM25 match
+    set → facet counts per lang."""
+    matched = bm25_bool_spark(spark, sf_dir, should=(term,), k=None).select("doc_id")
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
+    return (
+        docs.join(matched, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy("lang")
+    )
+
+
+def facet_on_results_duck(term: str) -> str:
+    inner = bm25_bool_duck(should=(term,), k=None)
+    return f"""
+WITH matched AS ({inner})
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY 1 ORDER BY 1
+""".strip()
