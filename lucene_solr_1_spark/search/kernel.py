@@ -397,9 +397,13 @@ def wand_applicable(plan: dict) -> bool:
         if any(cl["node"]["type"] != "term" for cl in plan["clauses"]):
             return False
         occurs = {cl["occur"] for cl in plan["clauses"]}
-        if not occurs <= {"MUST", "SHOULD", "FILTER"}:
+        # FILTER is excluded: it matches with score 0, but window upper
+        # bounds come only from SCORING clauses — UB-0 windows holding
+        # FILTER-only matches would be pruned, dropping legitimate
+        # zero-score hits. FILTER shapes take the exhaustive path.
+        if not occurs <= {"MUST", "SHOULD"}:
             return False
-        has_must = bool(occurs & {"MUST", "FILTER"})
+        has_must = "MUST" in occurs
         return plan["msm"] == 0 if has_must else plan["msm"] <= 1
     return False
 

@@ -430,3 +430,25 @@ def test_search_many_matches_sequential(searcher):
         np.testing.assert_array_equal(
             got["score"].to_numpy(), single["score"].to_numpy()
         )
+
+
+def test_filter_only_query_returns_zero_score_matches(searcher):
+    """A FILTER-only Boolean matches docs at score 0 (ConstantScore-like
+    semantics without score contribution) — and WAND must not prune them
+    (regression: FILTER shapes route to the exhaustive path)."""
+    from lucene_solr_1_spark.search.query import Clause
+
+    q = Bool.of((Occur.FILTER, Term("tail_marker")))
+    a = searcher.search(q, k=5, use_wand=True, with_stored=False)
+    b = searcher.search(q, k=5, use_wand=False, with_stored=False)
+    assert len(a) == len(b) == 1
+    assert float(a["score"].iloc[0]) == 0.0
+    # FILTER + SHOULD: zero-score FILTER-only matches must survive with
+    # a large k under both strategies
+    q2 = Bool.of((Occur.FILTER, Term("return")), (Occur.SHOULD, Term("id_0002")))
+    a2 = searcher.search(q2, k=60, use_wand=True, with_stored=False)
+    b2 = searcher.search(q2, k=60, use_wand=False, with_stored=False)
+    np.testing.assert_array_equal(
+        a2["global_doc_id"].to_numpy(), b2["global_doc_id"].to_numpy()
+    )
+    assert (a2["score"].to_numpy() == 0).any()  # zero-score hits present
