@@ -437,7 +437,9 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     safe because UB bounds every doc score in the window).
     """
     tw = _wand_terms(plan)
-    if tw is None:
+    if tw is None or any(w <= 0 for _, w, _, s in tw if s):
+        # zero-weight scoring terms (boost 0) produce UB-0 windows whose
+        # legitimate zero-score matches pruning would drop — exhaustive
         return score_exhaustive(
             plan, seg, cache, k, after=after, doc_base=doc_base, deleted=deleted
         )

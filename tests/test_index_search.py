@@ -452,3 +452,12 @@ def test_filter_only_query_returns_zero_score_matches(searcher):
         a2["global_doc_id"].to_numpy(), b2["global_doc_id"].to_numpy()
     )
     assert (a2["score"].to_numpy() == 0).any()  # zero-score hits present
+
+
+def test_zero_boost_query_keeps_matches(searcher):
+    """boost=0 zeroes scores but must not drop matches (WAND falls back)."""
+    q = Boost(Term("tail_marker"), 0.0)
+    a = searcher.search(q, k=5, use_wand=True, with_stored=False)
+    b = searcher.search(q, k=5, use_wand=False, with_stored=False)
+    assert len(a) == len(b) == 1
+    assert float(a["score"].iloc[0]) == 0.0
