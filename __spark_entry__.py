@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_highlight"] = lambda s, d: R.highlight_spark(s, d, "query")
     q["suggest_prefix"] = lambda s, d: R.suggest_prefix_spark(s, d, "pa")
     q["facet_on_results"] = lambda s, d: R.facet_on_results_spark(s, d, "query")
+    q["fts_boosted_or"] = lambda s, d: R.bm25_boosted_or_spark(
+        s, d, {"query": 2.0, "merge": 0.5}, k=10
+    )
+    q["fts_constant_score"] = lambda s, d: R.constant_score_spark(s, d, "window", 1.0)
 
     # --- training-data pipeline (oracle-checked) ---
     q["dedup_exact"] = dedup.dedup_exact_spark
@@ -179,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_highlight": R.highlight_duck("query"),
         "suggest_prefix": R.suggest_prefix_duck("pa"),
         "facet_on_results": R.facet_on_results_duck("query"),
+        "fts_boosted_or": R.bm25_boosted_or_duck({"query": 2.0, "merge": 0.5}, k=10),
+        "fts_constant_score": R.constant_score_duck("window", 1.0),
         "dedup_exact": dedup.dedup_exact_duck(),
         "dedup_ngram_jaccard": dedup.dedup_jaccard_duck(0.4),
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),

@@ -614,3 +614,98 @@ SELECT d.lang, count(*)::BIGINT AS cnt
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def bm25_boosted_or_spark(spark, sf_dir, boosts: dict, k: int = 10) -> DataFrame:
+    """BoostQuery over an OR of terms: each clause's score is scaled by its
+    boost before summation (BoostQuery.java — boost folds into the term
+    weight)."""
+    from pyspark.sql import Window
+
+    terms = sorted(boosts)
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    totals = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("sum_dl"),
+    )
+    toks = docs.select(
+        "doc_id", F.size("toks").cast("double").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    boost_col = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(float(boosts[t])))]
+    )[F.col("term")]
+    sc = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")).cast("double"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "s",
+            boost_col
+            * F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + K1 * ((1 - B) + B * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(F.sum("s").alias("score_raw"))
+        .orderBy(F.round(F.col("score_raw"), 6).desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round(F.col("score_raw"), 4).alias("score"))
+    )
+
+
+def bm25_boosted_or_duck(boosts: dict, k: int = 10) -> str:
+    terms = sorted(boosts)
+    te = duck_tokens_expr()
+    boost_case = " ".join(
+        f"WHEN '{t}' THEN {float(boosts[t])}" for t in terms
+    )
+    return f"""
+WITH tot AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(len({te}))::DOUBLE AS sum_dl FROM documents
+),
+tok AS (SELECT doc_id, unnest({te}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({_sql_list(terms)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len({te})::DOUBLE AS dl FROM documents),
+sc AS (
+  SELECT tf.doc_id,
+         (CASE tf.term {boost_case} END)
+           * ln(1.0 + (tot.n_docs - dfr.df + 0.5)/(dfr.df + 0.5))
+           * tf.tf / (tf.tf + {K1}*((1-{B}) + {B}*dl.dl/(tot.sum_dl/tot.n_docs))) AS s
+  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+)
+SELECT doc_id, round(sum(s), 4) AS score FROM sc GROUP BY 1
+ORDER BY round(sum(s), 6) DESC, doc_id LIMIT {k}
+""".strip()
+
+
+def constant_score_spark(spark, sf_dir, term: str, score: float = 1.0) -> DataFrame:
+    """ConstantScoreQuery: every matching doc scores exactly `score`
+    (ConstantScoreQuery.java)."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    return (
+        docs.where(F.array_contains("toks", term))
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.lit(float(score)).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def constant_score_duck(term: str, score: float = 1.0) -> str:
+    te = duck_tokens_expr()
+    return (
+        f"SELECT doc_id::BIGINT AS doc_id, {float(score)} AS score FROM documents "
+        f"WHERE list_contains({te}, '{term}') ORDER BY doc_id"
+    )
