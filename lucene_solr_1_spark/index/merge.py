@@ -92,25 +92,50 @@ def find_merges(manifest: dict, target_segments: int = SEGS_PER_TIER) -> list[li
     return groups
 
 
-def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict) -> pd.DataFrame:
+def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
+                      docmaps: dict | None = None) -> pd.DataFrame:
     """Merge the posting rows of one term across segments: decode → rebase →
     concat (inputs already docID-sorted per segment; offsets are ordered) →
-    re-encode + rebuild block metadata."""
+    re-encode + rebuild block metadata.
+
+    With `docmaps` (reclaim mode), each segment's map array sends old local
+    docIDs to compacted merged docIDs (-1 = tombstoned): deleted postings
+    and their position runs are dropped here, reclaiming the space —
+    SegmentMerger's liveDocs-aware merge. Position runs are self-contained
+    delta streams (first delta of a run is absolute), so masking whole runs
+    out of the flat stream is safe."""
     pdf = pdf.sort_values("segment_id", key=lambda s: s.map(seg_order))
     docs_parts, freqs_parts, pos_parts, norm_parts = [], [], [], []
     for r in pdf.itertuples(index=False):
-        off = seg_offset[r.segment_id]
-        d = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets))) + off
+        d_local = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets)))
         f = decode_all(bytes(r.freqs_enc), np.asarray(r.freqs_offsets))
         p = decode_all(bytes(r.pos_enc), np.asarray(r.pos_offsets))
+        n = np.frombuffer(bytes(r.norms_enc), dtype=np.uint8)
+        if docmaps is None:
+            d = d_local + seg_offset[r.segment_id]
+        else:
+            m = docmaps[r.segment_id]
+            newd = m[d_local]
+            keep = newd >= 0
+            d = newd[keep]
+            p = p[np.repeat(keep, f)]
+            f = f[keep]
+            n = n[keep]
         docs_parts.append(d)
         freqs_parts.append(f)
         pos_parts.append(p)
-        norm_parts.append(np.frombuffer(bytes(r.norms_enc), dtype=np.uint8))
+        norm_parts.append(n)
     docs = np.concatenate(docs_parts)
     freqs = np.concatenate(freqs_parts)
     pos_flat = np.concatenate(pos_parts)
     norms = np.concatenate(norm_parts)
+    if len(docs) == 0:
+        # every posting of this term was tombstoned — emit a doc_freq-0 row
+        # (filtered out before the segment write)
+        return pd.DataFrame(
+            [(pdf.iloc[0]["term"], 0, 0, b"", [], b"", [], b"", [], b"", [], [], [])],
+            columns=POSTINGS_COLS,
+        )
 
     docs_enc, docs_off = encode_doc_deltas(docs)
     freqs_enc, freqs_off = encode_blocks(freqs)
@@ -142,17 +167,46 @@ def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict) -> p
     )
 
 
-def merge_once(spark: SparkSession, index_dir: str, group: list[str]) -> dict:
-    """Merge one group of segments into a new segment; commit new manifest."""
+def merge_once(
+    spark: SparkSession,
+    index_dir: str,
+    group: list[str],
+    reclaim_deletes: bool = False,
+) -> dict:
+    """Merge one group of segments into a new segment; commit new manifest.
+
+    `reclaim_deletes=True` physically drops tombstoned docs during the
+    merge and compacts docIDs (Lucene's behavior — deleted docs disappear
+    when their segment is merged, and the group's tombstones with them).
+    Default False keeps docIDs byte-stable (merge-invariance contract)."""
     t0 = time.monotonic()
     manifest = mf.read_manifest(index_dir)
     by_id = {s["segment_id"]: s for s in manifest["segments"]}
     group_segs = sorted((by_id[g] for g in group), key=lambda s: s["partition_id"])
     seg_order = {s["segment_id"]: i for i, s in enumerate(group_segs)}
     offsets, base = {}, 0
-    for s in group_segs:
-        offsets[s["segment_id"]] = base
-        base += s["doc_count"]
+    docmaps: dict | None = None
+    if reclaim_deletes:
+        from .deletes import read_tombstones
+
+        tombs = read_tombstones(index_dir, manifest)
+        docmaps = {}
+        for s in group_segs:
+            n = s["doc_count"]
+            m = np.full(n, -1, dtype=np.int64)
+            live_mask = np.ones(n, dtype=bool)
+            dels = tombs.get(s["segment_id"])
+            if dels is not None and len(dels):
+                live_mask[dels] = False
+            live_idx = np.flatnonzero(live_mask)
+            m[live_idx] = base + np.arange(len(live_idx), dtype=np.int64)
+            docmaps[s["segment_id"]] = m
+            offsets[s["segment_id"]] = base  # informational; maps carry it
+            base += len(live_idx)
+    else:
+        for s in group_segs:
+            offsets[s["segment_id"]] = base
+            base += s["doc_count"]
 
     fingerprint = hashlib.sha256(
         "|".join(s["input_fingerprint"] for s in group_segs).encode()
@@ -169,9 +223,13 @@ def merge_once(spark: SparkSession, index_dir: str, group: list[str]) -> dict:
     merged = (
         postings.groupBy("term")
         .applyInPandas(
-            partial(_merge_term_group, seg_order=seg_order, seg_offset=offsets),
+            partial(
+                _merge_term_group, seg_order=seg_order, seg_offset=offsets,
+                docmaps=docmaps,
+            ),
             schema=POSTINGS_DDL,
         )
+        .where(F.col("doc_freq") > 0)
         .withColumn("segment_id", F.lit(new_sid))
     )
     # distributed executor-side write, range-partitioned + sorted by term so
@@ -186,24 +244,50 @@ def merge_once(spark: SparkSession, index_dir: str, group: list[str]) -> dict:
         os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _NORMS_FILE)
         for s in group_segs
     ]
-    off_expr = F.create_map(
-        *[x for sid, off in offsets.items() for x in (F.lit(sid), F.lit(off))]
-    )
+    raw_norms = spark.read.parquet(*npaths)
+    if docmaps is None:
+        off_expr = F.create_map(
+            *[x for sid, off in offsets.items() for x in (F.lit(sid), F.lit(off))]
+        )
+        norms = raw_norms.withColumn(
+            "doc_id", F.col("doc_id") + off_expr[F.col("segment_id")]
+        )
+        sum_ttf = int(sum(s["sum_ttf"] for s in group_segs))
+    else:
+        maps = docmaps
+
+        def _remap_norms(batches):
+            for npdf in batches:
+                npdf = npdf.reset_index(drop=True)
+                newd = np.empty(len(npdf), dtype=np.int64)
+                for sid, g in npdf.groupby("segment_id", sort=False):
+                    newd[g.index.to_numpy()] = maps[sid][g["doc_id"].to_numpy()]
+                npdf["doc_id"] = newd
+                yield npdf[npdf["doc_id"] >= 0]
+
+        norms = raw_norms.mapInPandas(_remap_norms, schema=raw_norms.schema)
     norms = (
-        spark.read.parquet(*npaths)
-        .withColumn("doc_id", F.col("doc_id") + off_expr[F.col("segment_id")])
-        .withColumn("segment_id", F.lit(new_sid))
+        norms.withColumn("segment_id", F.lit(new_sid))
         # salted row-level repartition: uniform spread regardless of input skew
         .repartition(n_out, F.hash("repo", "path", "commit"))
     )
     norms.write.mode("overwrite").parquet(os.path.join(seg_dir, _NORMS_FILE))
+    if docmaps is not None:
+        # stats over the LIVE set only (reclaim updates docCount/sumTTF,
+        # like Lucene after a merge drops deletions)
+        sum_ttf = int(
+            spark.read.parquet(os.path.join(seg_dir, _NORMS_FILE))
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+            or 0
+        )
 
     meta = {
         "segment_id": new_sid,
         "partition_id": group_segs[0]["partition_id"],
         "input_fingerprint": fingerprint,
         "doc_count": int(base),
-        "sum_ttf": int(sum(s["sum_ttf"] for s in group_segs)),
+        "sum_ttf": sum_ttf,
         "distinct_terms": int(distinct_terms),
         "total_postings": int(sum(s["total_postings"] for s in group_segs)),
         "build_wall_s": time.monotonic() - t0,
@@ -216,13 +300,19 @@ def merge_once(spark: SparkSession, index_dir: str, group: list[str]) -> dict:
     live = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
     live.append({k: v for k, v in meta.items()})
     extra = {"merge": new_sid}
-    extra.update(_remap_tombstones(index_dir, manifest, offsets, new_sid))
+    extra.update(
+        _remap_tombstones(
+            index_dir, manifest, offsets, new_sid, drop_group=docmaps is not None
+        )
+    )
     return mf.commit_manifest(index_dir, live, extra=extra)
 
 
-def _remap_tombstones(index_dir, manifest, offsets: dict, new_sid: str) -> dict:
+def _remap_tombstones(index_dir, manifest, offsets: dict, new_sid: str,
+                      drop_group: bool = False) -> dict:
     """Carry live-docs tombstones through a merge: rows for merged segments
-    are remapped to (new_sid, doc_id + offset); everything is consolidated
+    are remapped to (new_sid, doc_id + offset) — or DROPPED entirely when
+    the merge reclaimed them (drop_group) — and everything is consolidated
     into one new tombstone file (deletes.py two-phase publish)."""
     files = manifest.get("tombstone_files", [])
     if not files:
@@ -237,10 +327,13 @@ def _remap_tombstones(index_dir, manifest, offsets: dict, new_sid: str) -> dict:
     ]
     pdf = pd.concat(frames, ignore_index=True)
     in_group = pdf["segment_id"].isin(offsets)
-    remapped = pdf[in_group].copy()
-    if len(remapped):
-        remapped["doc_id"] = remapped["doc_id"] + remapped["segment_id"].map(offsets)
-        remapped["segment_id"] = new_sid
+    if drop_group:
+        remapped = pdf.iloc[0:0]
+    else:
+        remapped = pdf[in_group].copy()
+        if len(remapped):
+            remapped["doc_id"] = remapped["doc_id"] + remapped["segment_id"].map(offsets)
+            remapped["segment_id"] = new_sid
     out = pd.concat([pdf[~in_group], remapped], ignore_index=True)
     os.makedirs(os.path.join(index_dir, "deletes"), exist_ok=True)
     rel = os.path.join("deletes", f"del-{uuid.uuid4().hex}.parquet")
@@ -249,13 +342,21 @@ def _remap_tombstones(index_dir, manifest, offsets: dict, new_sid: str) -> dict:
     return {"tombstone_files": [rel]}
 
 
-def merge_down(spark: SparkSession, index_dir: str, target_segments: int = SEGS_PER_TIER) -> dict:
+def merge_down(
+    spark: SparkSession,
+    index_dir: str,
+    target_segments: int = SEGS_PER_TIER,
+    reclaim_deletes: bool = False,
+) -> dict:
     """Run merges until ≤ target_segments remain (ConcurrentMergeScheduler
-    loop, sequential here)."""
+    loop, sequential here). `reclaim_deletes=True` drops tombstoned docs
+    and compacts docIDs as segments merge."""
     manifest = mf.read_manifest(index_dir)
     while True:
         groups = find_merges(manifest, target_segments)
         if not groups:
             return manifest
         for g in groups:
-            manifest = merge_once(spark, index_dir, g)
+            manifest = merge_once(
+                spark, index_dir, g, reclaim_deletes=reclaim_deletes
+            )

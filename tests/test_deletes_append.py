@@ -102,3 +102,33 @@ def test_append_then_delete_then_search(spark, tmp_path_factory):
     assert s.doc_count == 64
     assert len(s.search(Term("tail_marker"), k=5, with_stored=False)) == 0
     assert len(s.search(Term("return"), k=10, with_stored=False)) == 10
+
+
+def test_reclaim_deletes_at_merge(spark, tmp_path_factory):
+    """merge(reclaim_deletes=True) physically drops tombstoned docs:
+    doc_count shrinks, tombstones vanish, CheckIndex passes, and the
+    surviving ranking (by stored key) is unchanged."""
+    from lucene_solr_1_spark.index.check import check_index
+
+    d = str(tmp_path_factory.mktemp("idx_reclaim"))
+    pdf = make_corpus_pandas(200)
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=16)
+    dels.delete_by_term(spark, d, "tail_marker")
+    s0 = LuceneSparkSearcher(spark, d)
+    before = s0.search(Term("return"), k=30, with_stored=True)
+    keys_before = [f"{r.repo}|{r.path}|{r.commit}" for r in before.itertuples(index=False)]
+    live_before = dels.live_doc_count(d)
+    assert live_before < s0.doc_count
+
+    # merge fully so the tombstoned segment is guaranteed to participate
+    merge_down(spark, d, target_segments=1, reclaim_deletes=True)
+    s1 = LuceneSparkSearcher(spark, d)
+    # stats now reflect the live set only
+    assert s1.doc_count == live_before
+    assert sum(len(v) for v in s1.tombstones.values()) == 0
+    assert check_index(spark, d)["errors"] == []
+    # deleted doc gone; surviving ranking preserved by key
+    assert len(s1.search(Term("tail_marker"), k=5, with_stored=False)) == 0
+    after = s1.search(Term("return"), k=30, with_stored=True)
+    keys_after = [f"{r.repo}|{r.path}|{r.commit}" for r in after.itertuples(index=False)]
+    assert keys_before == keys_after
