@@ -179,8 +179,34 @@ def merge_once(
     merge and compacts docIDs (Lucene's behavior — deleted docs disappear
     when their segment is merged, and the group's tombstones with them).
     Default False keeps docIDs byte-stable (merge-invariance contract)."""
-    t0 = time.monotonic()
     manifest = mf.read_manifest(index_dir)
+    meta, offsets = _merge_group_job(
+        spark, index_dir, manifest, group, reclaim_deletes
+    )
+    live = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
+    live.append(dict(meta))
+    extra = {"merge": meta["segment_id"]}
+    extra.update(
+        _rewrite_tombstones(
+            index_dir, manifest,
+            [(offsets, meta["segment_id"], reclaim_deletes)],
+        )
+    )
+    return mf.commit_manifest(index_dir, live, extra=extra)
+
+
+def _merge_group_job(
+    spark: SparkSession,
+    index_dir: str,
+    manifest: dict,
+    group: list[str],
+    reclaim_deletes: bool = False,
+) -> tuple[dict, dict]:
+    """Run the Spark merge job for one group: write the merged segment's
+    files + meta.json marker, NO manifest commit. Returns (meta, offsets).
+    Groups are disjoint, so these jobs run safely in parallel
+    (ConcurrentMergeScheduler — see merge_down(concurrent=True))."""
+    t0 = time.monotonic()
     by_id = {s["segment_id"]: s for s in manifest["segments"]}
     group_segs = sorted((by_id[g] for g in group), key=lambda s: s["partition_id"])
     seg_order = {s["segment_id"]: i for i, s in enumerate(group_segs)}
@@ -297,23 +323,15 @@ def merge_once(
         "merged_from": [s["segment_id"] for s in group_segs],
     }
     mf.write_segment_meta(index_dir, new_sid, meta)
-    live = [s for s in manifest["segments"] if s["segment_id"] not in set(group)]
-    live.append({k: v for k, v in meta.items()})
-    extra = {"merge": new_sid}
-    extra.update(
-        _remap_tombstones(
-            index_dir, manifest, offsets, new_sid, drop_group=docmaps is not None
-        )
-    )
-    return mf.commit_manifest(index_dir, live, extra=extra)
+    return meta, offsets
 
 
-def _remap_tombstones(index_dir, manifest, offsets: dict, new_sid: str,
-                      drop_group: bool = False) -> dict:
-    """Carry live-docs tombstones through a merge: rows for merged segments
-    are remapped to (new_sid, doc_id + offset) — or DROPPED entirely when
-    the merge reclaimed them (drop_group) — and everything is consolidated
-    into one new tombstone file (deletes.py two-phase publish)."""
+def _rewrite_tombstones(index_dir, manifest, remaps: list) -> dict:
+    """Carry live-docs tombstones through one or more merges: for each
+    (offsets, new_sid, dropped) in `remaps`, rows of that group's segments
+    are remapped to (new_sid, doc_id + offset) — or DROPPED when the merge
+    reclaimed them — and everything is consolidated into one new tombstone
+    file (deletes.py two-phase publish)."""
     files = manifest.get("tombstone_files", [])
     if not files:
         return {}
@@ -326,15 +344,20 @@ def _remap_tombstones(index_dir, manifest, offsets: dict, new_sid: str,
         pq.read_table(os.path.join(index_dir, rel)).to_pandas() for rel in files
     ]
     pdf = pd.concat(frames, ignore_index=True)
-    in_group = pdf["segment_id"].isin(offsets)
-    if drop_group:
-        remapped = pdf.iloc[0:0]
-    else:
-        remapped = pdf[in_group].copy()
-        if len(remapped):
-            remapped["doc_id"] = remapped["doc_id"] + remapped["segment_id"].map(offsets)
-            remapped["segment_id"] = new_sid
-    out = pd.concat([pdf[~in_group], remapped], ignore_index=True)
+    parts = []
+    merged_sids: set = set()
+    for offsets, new_sid, dropped in remaps:
+        merged_sids |= set(offsets)
+        if dropped:
+            continue
+        grp = pdf[pdf["segment_id"].isin(offsets)].copy()
+        if len(grp):
+            grp["doc_id"] = grp["doc_id"] + grp["segment_id"].map(offsets)
+            grp["segment_id"] = new_sid
+            parts.append(grp)
+    out = pd.concat(
+        [pdf[~pdf["segment_id"].isin(merged_sids)], *parts], ignore_index=True
+    )
     os.makedirs(os.path.join(index_dir, "deletes"), exist_ok=True)
     rel = os.path.join("deletes", f"del-{uuid.uuid4().hex}.parquet")
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
@@ -347,16 +370,51 @@ def merge_down(
     index_dir: str,
     target_segments: int = SEGS_PER_TIER,
     reclaim_deletes: bool = False,
+    concurrent: bool = False,
+    max_concurrent: int = 4,
 ) -> dict:
-    """Run merges until ≤ target_segments remain (ConcurrentMergeScheduler
-    loop, sequential here). `reclaim_deletes=True` drops tombstoned docs
-    and compacts docIDs as segments merge."""
+    """Run merges until ≤ target_segments remain. `reclaim_deletes=True`
+    drops tombstoned docs and compacts docIDs as segments merge.
+
+    `concurrent=True` is the ConcurrentMergeScheduler analog: a round's
+    groups are DISJOINT, so their Spark merge jobs run on a driver thread
+    pool (Spark schedules the jobs fairly across executors); the round
+    then publishes ONE manifest generation covering all of them — commits
+    stay strictly serial, so two-phase atomicity is preserved."""
     manifest = mf.read_manifest(index_dir)
     while True:
         groups = find_merges(manifest, target_segments)
         if not groups:
             return manifest
-        for g in groups:
-            manifest = merge_once(
-                spark, index_dir, g, reclaim_deletes=reclaim_deletes
+        if concurrent and len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(max_concurrent, len(groups))
+            ) as ex:
+                results = list(
+                    ex.map(
+                        lambda g: _merge_group_job(
+                            spark, index_dir, manifest, g, reclaim_deletes
+                        ),
+                        groups,
+                    )
+                )
+            merged_ids = set().union(*(set(g) for g in groups))
+            live = [
+                s for s in manifest["segments"] if s["segment_id"] not in merged_ids
+            ]
+            live.extend(dict(meta) for meta, _ in results)
+            extra = {"merge": [meta["segment_id"] for meta, _ in results]}
+            extra.update(
+                _rewrite_tombstones(
+                    index_dir, manifest,
+                    [(off, meta["segment_id"], reclaim_deletes) for meta, off in results],
+                )
             )
+            manifest = mf.commit_manifest(index_dir, live, extra=extra)
+        else:
+            for g in groups:
+                manifest = merge_once(
+                    spark, index_dir, g, reclaim_deletes=reclaim_deletes
+                )

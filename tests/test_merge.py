@@ -78,3 +78,28 @@ def test_merge_global_df_consistent(spark, small_corpus_pdf, tmp_path_factory):
     s1 = LuceneSparkSearcher(spark, d)
     assert len(s1.manifest["segments"]) == 1
     assert s1._global_df({"return", "class", "id_0001"}) == df_before
+
+
+def test_concurrent_merge_matches_sequential(spark, tmp_path_factory):
+    """merge_down(concurrent=True) — the ConcurrentMergeScheduler analog —
+    produces the same live set, stats and rankings as sequential merging."""
+    from lucene_solr_1_spark.corpus import make_corpus_pandas
+    from lucene_solr_1_spark.index.check import check_index
+    from lucene_solr_1_spark.search.query import Term
+    from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+    pdf = make_corpus_pandas(300)
+    outs = []
+    for conc in (False, True):
+        d = str(tmp_path_factory.mktemp(f"idx_cm_{conc}"))
+        build_index(spark, spark.createDataFrame(pdf), d, num_segments=16)
+        m = merge_down(spark, d, target_segments=4, concurrent=conc)
+        assert len(m["segments"]) <= 4
+        assert check_index(spark, d)["errors"] == []
+        s = LuceneSparkSearcher(spark, d)
+        h = s.search(Term("return"), k=20, with_stored=False)
+        outs.append(
+            (m["doc_count"], m["sum_ttf"],
+             h["global_doc_id"].tolist(), h["score"].tolist())
+        )
+    assert outs[0] == outs[1]
