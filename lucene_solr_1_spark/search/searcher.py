@@ -118,6 +118,7 @@ class LuceneSparkSearcher:
         self.seg_doc_count = {
             s["segment_id"]: s["doc_count"] for s in self.manifest["segments"]
         }
+        self._df_cache: dict = {}
         from ..index.deletes import read_tombstones
 
         # tombstoned local docIDs per segment (live-docs analog) — tiny,
@@ -193,15 +194,23 @@ class LuceneSparkSearcher:
     # ---------------- stats + search --------------------------------------
 
     def _global_df(self, terms: set) -> dict:
-        if not terms:
-            return {}
-        rows = (
-            self._postings.where(F.col("term").isin(list(terms)))
-            .groupBy("term")
-            .agg(F.sum("doc_freq").alias("df"))
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        """Global docFreq per term (the createWeight stats barrier).
+        Cached across queries for the searcher's lifetime — the TermStates
+        / LRUQueryCache analog: repeated terms skip the aggregation job
+        entirely (the index is immutable under this manifest, so entries
+        never go stale)."""
+        missing = terms - self._df_cache.keys()
+        if missing:
+            rows = (
+                self._postings.where(F.col("term").isin(list(missing)))
+                .groupBy("term")
+                .agg(F.sum("doc_freq").alias("df"))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def search(
         self,

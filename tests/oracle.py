@@ -70,6 +70,24 @@ class OracleIndex:
                 cnt[d] = cnt.get(d, 0) + 1
         return {d: s for d, s in docs.items() if cnt[d] >= min_should_match}
 
+    def phrase_scores(self, terms: list) -> dict:
+        """Exact-phrase BM25: freq = count of positions where the terms
+        occur consecutively; weight = summed idf (PhraseQuery semantics)."""
+        w = sum(self.idf(t) for t in terms)
+        out = {}
+        for doc_id, pp in enumerate(self.positions):
+            pos_sets = [pp.get(t) for t in terms]
+            if any(p is None for p in pos_sets):
+                continue
+            first = set(pos_sets[0])
+            for i, p in enumerate(pos_sets[1:], start=1):
+                first &= {x - i for x in p}
+            f = len(first)
+            if f:
+                denom = f + 1.2 * (0.25 + 0.75 * self.dl[doc_id] / self.avgdl)
+                out[doc_id] = w * f / denom
+        return out
+
     def bool_and(self, terms) -> dict:
         per = [self.term_scores(t) for t in terms]
         if not per:

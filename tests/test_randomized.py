@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 
 from lucene_solr_1_spark.index.builder import build_index
-from lucene_solr_1_spark.search.query import Bool, Occur, Term
+from lucene_solr_1_spark.search.query import Bool, Occur, Phrase, Term
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
 
 from .oracle import OracleIndex
@@ -32,7 +32,7 @@ def _random_corpus(rng: np.random.Generator, n_docs: int) -> pd.DataFrame:
 
 
 def _random_query(rng: np.random.Generator):
-    kind = rng.integers(0, 4)
+    kind = rng.integers(0, 5)
     t = lambda: Term(str(rng.choice(VOCAB)))  # noqa: E731
     if kind == 0:
         return t()
@@ -42,6 +42,8 @@ def _random_query(rng: np.random.Generator):
         return Bool.of(
             (Occur.SHOULD, t()), (Occur.SHOULD, t()), (Occur.SHOULD, t())
         )
+    if kind == 3:
+        return Phrase((str(rng.choice(VOCAB)), str(rng.choice(VOCAB))))
     return Bool.of((Occur.MUST, t()), (Occur.SHOULD, t()), (Occur.MUST_NOT, t()))
 
 
@@ -61,6 +63,8 @@ def test_randomized_rank_identity(spark, tmp_path_factory, seed):
         # oracle evaluation of the same query shape
         if isinstance(q, Term):
             scores = oracle.term_scores(q.text)
+        elif isinstance(q, Phrase):
+            scores = oracle.phrase_scores(list(q.terms))
         else:
             musts = [c.query.text for c in q.clauses if c.occur == Occur.MUST]
             shoulds = [c.query.text for c in q.clauses if c.occur == Occur.SHOULD]
