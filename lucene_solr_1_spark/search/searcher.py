@@ -388,6 +388,46 @@ class LuceneSparkSearcher:
         hits.attrs["relation"] = "EQUAL_TO"
         return hits
 
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_doc_freq: int = 2,
+    ) -> pd.DataFrame:
+        """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java): analyze
+        the input, keep its `max_query_terms` highest tf·idf terms (terms
+        rarer than `min_doc_freq` dropped, MLT's noise guard), search them
+        as a boosted OR. Returns the usual hits frame."""
+        from ..kernels.analyzer import tokenize_one
+        from ..kernels import bm25
+        from .query import Boost, Clause
+
+        terms, _ = tokenize_one(text)
+        if not terms:
+            return self.search(MatchNone(), k=k)
+        tf: dict[str, int] = {}
+        for t in terms:
+            tf[t] = tf.get(t, 0) + 1
+        gdf = self._global_df(set(tf))
+        scored = [
+            (tf[t] * float(bm25.idf(gdf[t], max(self.doc_count, 1))), t)
+            for t in tf
+            if gdf.get(t, 0) >= min_doc_freq
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        top = scored[:max_query_terms]
+        if not top:
+            return self.search(MatchNone(), k=k)
+        # per-term boost = its tf in the source doc (MLT boost heuristic)
+        q = Bool(
+            tuple(
+                Clause(Occur.SHOULD, Boost(Term(t), float(tf[t])))
+                for _, t in top
+            )
+        )
+        return self.search(q, k=k)
+
     # ---------------- explain (Explanation parity) ------------------------
 
     def explain(self, q: Query, global_doc_id: int) -> dict:

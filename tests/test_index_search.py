@@ -461,3 +461,16 @@ def test_zero_boost_query_keeps_matches(searcher):
     b = searcher.search(q, k=5, use_wand=False, with_stored=False)
     assert len(a) == len(b) == 1
     assert float(a["score"].iloc[0]) == 0.0
+
+
+def test_more_like_this_finds_source_doc(searcher, tiny_corpus_pdf):
+    """MLT on a document's own text ranks that document first
+    (MoreLikeThis.java self-similarity sanity)."""
+    src = tiny_corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    probe = src.iloc[10]  # a regular (non-edge-case) generated file
+    hits = searcher.more_like_this(probe["content"], k=5)
+    assert len(hits) > 0
+    top = hits.iloc[0]
+    assert (top.repo, top.path, top.commit) == (
+        probe["repo"], probe["path"], probe["commit"]
+    )
