@@ -25,7 +25,7 @@ from ..kernels import bm25
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
     Bool, Boost, ConstantScore, DisjunctionMax, MatchAll, MatchNone, Occur,
-    Phrase, Query, Synonym, Term,
+    Phrase, Query, SpanNear, Synonym, Term,
 )
 
 F32 = np.float32
@@ -62,6 +62,14 @@ def compile_plan(q: Query, global_df: dict, doc_count: int, boost: float = 1.0) 
         idfs = [bm25.idf(global_df[t], doc_count) for t in present]
         w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
         return {"type": "phrase", "terms": list(q.terms), "weight": w, "slop": q.slop}
+    if isinstance(q, SpanNear):
+        present = [t for t in q.terms if global_df.get(t)]
+        idfs = [bm25.idf(global_df[t], doc_count) for t in present]
+        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
+        return {
+            "type": "spannear", "terms": list(q.terms), "weight": w,
+            "slop": q.slop, "in_order": q.in_order,
+        }
     if isinstance(q, Bool):
         return {
             "type": "bool",
@@ -171,6 +179,8 @@ def eval_node(node: dict, seg: SegmentData, cache: np.ndarray):
         return docs, s.astype(np.float64)
     if t == "phrase":
         return _eval_phrase(node, seg, cache)
+    if t == "spannear":
+        return _eval_spannear(node, seg, cache)
     if t == "bool":
         return _eval_bool(node, seg, cache)
     if t == "dismax":
@@ -294,6 +304,69 @@ def _eval_phrase(node, seg, cache):
         if freq > 0:
             out_docs.append(doc)
             out_freqs.append(freq)
+    if not out_docs:
+        return _EMPTY_I, _EMPTY_F
+    docs = np.asarray(out_docs, dtype=np.int64)
+    freqs = np.asarray(out_freqs, dtype=np.float64)
+    d0, _f0, n0 = seg.postings(terms[0])
+    norms = n0[np.searchsorted(d0, docs)]
+    s = bm25.score(freqs, norms, node["weight"], cache)
+    return docs, s.astype(np.float64)
+
+
+def _eval_spannear(node, seg, cache):
+    """SpanNearQuery analog (search/spans/SpanNearQuery.java): one
+    occurrence per term with total gap (max-min)-(n-1) <= slop; in_order
+    additionally requires strictly increasing positions in clause order.
+    Freq = greedy non-overlapping window count; scored like Phrase."""
+    terms = node["terms"]
+    slop = int(node["slop"])
+    in_order = bool(node["in_order"])
+    post = [seg.positions(t) for t in terms]
+    if any(p is None for p in post):
+        return _EMPTY_I, _EMPTY_F
+    cand = post[0][0]
+    for d, *_ in post[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if len(cand) == 0:
+        return _EMPTY_I, _EMPTY_F
+    n_terms = len(terms)
+    out_docs, out_freqs = [], []
+    for doc in cand:
+        pos_lists = []
+        for docs_i, freqs_i, starts_i, pos_i in post:
+            j = int(np.searchsorted(docs_i, doc))
+            lo, hi = int(starts_i[j]), int(starts_i[j]) + int(freqs_i[j])
+            pos_lists.append(pos_i[lo:hi])
+        freq = 0
+        idx = [0] * n_terms
+        while all(idx[i] < len(pos_lists[i]) for i in range(n_terms)):
+            if in_order:
+                # enforce clause order: each term strictly after the previous
+                ok = True
+                for i in range(1, n_terms):
+                    while (
+                        idx[i] < len(pos_lists[i])
+                        and pos_lists[i][idx[i]] <= pos_lists[i - 1][idx[i - 1]]
+                    ):
+                        idx[i] += 1
+                    if idx[i] >= len(pos_lists[i]):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            vals = [int(pos_lists[i][idx[i]]) for i in range(n_terms)]
+            gap = (max(vals) - min(vals)) - (n_terms - 1)
+            if gap <= slop:
+                freq += 1
+                for i in range(n_terms):
+                    idx[i] += 1
+            else:
+                lo_i = min(range(n_terms), key=lambda i: vals[i])
+                idx[lo_i] += 1
+        if freq:
+            out_docs.append(doc)
+            out_freqs.append(float(freq))
     if not out_docs:
         return _EMPTY_I, _EMPTY_F
     docs = np.asarray(out_docs, dtype=np.int64)

@@ -44,6 +44,17 @@ class Phrase(Query):
 
 
 @dataclass(frozen=True)
+class SpanNear(Query):
+    """Proximity query: all terms within `slop` total gap positions,
+    optionally in clause order (search/spans SpanNearQuery analog; our
+    match = one occurrence per term with (max-min)-(n-1) <= slop, freq =
+    greedy non-overlapping window count, scored like Phrase)."""
+    terms: tuple
+    slop: int = 0
+    in_order: bool = False
+
+
+@dataclass(frozen=True)
 class Boost(Query):
     query: Query
     boost: float = 1.0
@@ -190,7 +201,7 @@ def query_terms(q: Query) -> set:
     """All posting-list terms the query touches (after expansion)."""
     if isinstance(q, Term):
         return {q.text}
-    if isinstance(q, (Synonym, Phrase)):
+    if isinstance(q, (Synonym, Phrase, SpanNear)):
         return set(q.terms)
     if isinstance(q, (Boost, ConstantScore)):
         return query_terms(q.query)

@@ -474,3 +474,33 @@ def test_more_like_this_finds_source_doc(searcher, tiny_corpus_pdf):
     assert (top.repo, top.path, top.commit) == (
         probe["repo"], probe["path"], probe["commit"]
     )
+
+
+def test_spannear_golden(spark, tmp_path_factory):
+    """SpanNear ordered/unordered golden cases on a hand-built corpus."""
+    from lucene_solr_1_spark.search.query import SpanNear
+
+    pdf = pd.DataFrame(
+        [
+            ("r", "a", "c1", "x", "alpha beta gamma"),
+            ("r", "b", "c2", "x", "gamma beta alpha"),
+            ("r", "c", "c3", "x", "alpha filler filler filler gamma"),
+        ],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    d = str(tmp_path_factory.mktemp("idx_span"))
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=1)
+    s = LuceneSparkSearcher(spark, d)
+
+    # ordered, gap <= 1: doc a (alpha..gamma gap 1); doc b is reversed; doc c gap 3
+    hits = s.search(SpanNear(("alpha", "gamma"), slop=1, in_order=True), k=5)
+    assert sorted(h.path for h in hits.itertuples(index=False)) == ["a"]
+    # unordered picks up the reversed doc too
+    hits = s.search(SpanNear(("alpha", "gamma"), slop=1, in_order=False), k=5)
+    assert sorted(h.path for h in hits.itertuples(index=False)) == ["a", "b"]
+    # wider slop reaches doc c
+    hits = s.search(SpanNear(("alpha", "gamma"), slop=3, in_order=True), k=5)
+    assert sorted(h.path for h in hits.itertuples(index=False)) == ["a", "c"]
+    # zero-slop ordered == exact adjacency
+    hits = s.search(SpanNear(("alpha", "beta"), slop=0, in_order=True), k=5)
+    assert sorted(h.path for h in hits.itertuples(index=False)) == ["a"]
