@@ -32,6 +32,29 @@ F32 = np.float32
 _EMPTY_I = np.empty(0, dtype=np.int64)
 _EMPTY_F = np.empty(0, dtype=np.float64)
 
+# Sentinel term unioned into the kernel input so that segments holding NONE
+# of the query's terms still dispatch a kernel (required whenever the plan
+# can match docs without postings, e.g. a Bool containing MatchAll:
+# '*:* -foo' must return docs from segments that contain no 'foo' at all).
+SENTINEL_TERM = "\x00seg"
+
+
+def _is_sentinel(term) -> bool:
+    t = term[-1] if isinstance(term, tuple) else term
+    return isinstance(t, str) and t.startswith("\x00")
+
+
+def plan_node_types(plan: dict) -> set:
+    """All node types appearing anywhere in a compiled plan."""
+    out = {plan["type"]}
+    for cl in plan.get("clauses", ()):
+        out |= plan_node_types(cl["node"])
+    for sub in plan.get("nodes", ()):
+        out |= plan_node_types(sub)
+    if "node" in plan:
+        out |= plan_node_types(plan["node"])
+    return out
+
 
 # --------------------------------------------------------------------------
 # plan compilation (driver side): Query tree + GLOBAL stats → picklable plan
@@ -192,8 +215,13 @@ def eval_node(node: dict, seg: SegmentData, cache: np.ndarray):
         # constant-score union of EVERY posting row shipped to this kernel
         # (multi-term query CONSTANT_SCORE_REWRITE: the Spark-side predicate
         # on `term` already selected the expansion; MultiTermQuery.java
-        # CONSTANT_SCORE_REWRITE semantics — score = boost, no per-term BM25)
-        parts = [seg.postings(term)[0] for term in seg.rows]
+        # CONSTANT_SCORE_REWRITE semantics — score = boost, no per-term BM25).
+        # Sentinel rows (segment-dispatch placeholders) are skipped.
+        parts = [
+            seg.postings(term)[0]
+            for term in seg.rows
+            if not _is_sentinel(term)
+        ]
         parts = [d for d in parts if len(d)]
         if not parts:
             return _EMPTY_I, _EMPTY_F

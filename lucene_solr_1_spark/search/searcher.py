@@ -126,6 +126,27 @@ class LuceneSparkSearcher:
         self.tombstones = read_tombstones(index_dir, self.manifest)
         self._postings = spark.read.parquet(*postings_paths(index_dir, self.manifest))
         self._norms = spark.read.parquet(*norms_paths(index_dir, self.manifest))
+        self._sentinels = None
+
+    def _sentinel_rows(self):
+        """One zero-posting row per live segment, unioned into the kernel
+        input whenever the compiled plan can match docs WITHOUT postings
+        (MatchAll inside a Bool): groupBy(segment_id) otherwise dispatches
+        kernels only for segments holding the query's terms, silently
+        dropping every all-match doc in term-free segments."""
+        if self._sentinels is None:
+            from ..index.schemas import POSTINGS_DDL
+
+            rows = [
+                (sid, K.SENTINEL_TERM, 0, 0,
+                 bytearray(), [], bytearray(), [], bytearray(), [],
+                 bytearray(), [], [], [])
+                for sid in self.doc_base
+            ]
+            self._sentinels = self.spark.createDataFrame(
+                rows, schema="segment_id string, " + POSTINGS_DDL
+            )
+        return self._sentinels
 
     # ---------------- multi-term expansion (§2.5 PrefixQuery etc.) --------
 
@@ -246,6 +267,9 @@ class LuceneSparkSearcher:
             terms = query_terms(q)
             plan = K.compile_plan(q, self._global_df(terms), max(self.doc_count, 1))
             post = self._postings.where(F.col("term").isin(list(terms))) if terms else self._postings.limit(0)
+        if "matchall" in K.plan_node_types(plan):
+            # the plan matches docs without postings: dispatch EVERY segment
+            post = post.unionByName(self._sentinel_rows())
         # scoring input = ONLY the pruned posting rows (norm bytes ride in
         # each row — no norms-table join/shuffle; see schemas.py norms_enc)
         hits = (
@@ -326,6 +350,8 @@ class LuceneSparkSearcher:
                 columns=["query", "rank", "score", "global_doc_id", "segment_id", "doc_id"]
             )
         post = self._postings.where(F.col("term").isin(list(all_terms)))
+        if any("matchall" in K.plan_node_types(p) for p in compiled.values()):
+            post = post.unionByName(self._sentinel_rows())
         hits = (
             post.groupBy("segment_id")
             .applyInPandas(
@@ -356,14 +382,26 @@ class LuceneSparkSearcher:
     def _match_all(self, k: int, after, with_stored: bool) -> pd.DataFrame:
         """MatchAllDocsQuery: constant score 1.0 over the docmap — a
         TakeOrdered over the norms table (no posting work at all). Ties
-        are all-equal, so ranking = global docID asc (HitQueue tie-break)."""
+        are all-equal, so ranking = global docID asc (HitQueue tie-break).
+
+        `after` semantics match apply_after (float32-compared): every hit
+        scores exactly 1.0, so an after-score > 1.0 keeps all docs,
+        == 1.0 pages by global docID, and < 1.0 yields nothing (under
+        (score desc, docID asc) order nothing sorts after a lower score)."""
+        n_deleted = sum(len(v) for v in self.tombstones.values())
+        if after is not None and np.float32(after[0]) < np.float32(1.0):
+            hits = pd.DataFrame(
+                columns=["rank", "segment_id", "doc_id", "score", "global_doc_id"]
+            )
+            hits.attrs["total_hits"] = self.doc_count - n_deleted
+            hits.attrs["relation"] = "EQUAL_TO"
+            return hits
         base_expr = F.create_map(
             *[x for sid, b in self.doc_base.items() for x in (F.lit(sid), F.lit(b))]
         )
         df = self._norms.select("segment_id", "doc_id").withColumn(
             "global_doc_id", base_expr[F.col("segment_id")] + F.col("doc_id")
         )
-        n_deleted = sum(len(v) for v in self.tombstones.values())
         if n_deleted:
             del_pdf = pd.concat(
                 [
@@ -376,10 +414,10 @@ class LuceneSparkSearcher:
                 on=["segment_id", "doc_id"],
                 how="left_anti",
             )
-        if after is not None:
+        if after is not None and np.float32(after[0]) == np.float32(1.0):
             df = df.where(F.col("global_doc_id") > int(after[1]))
         hits = df.orderBy("global_doc_id").limit(k).toPandas()
-        hits.insert(0, "score", np.float32(1.0))
+        hits.insert(2, "score", np.float32(1.0))
         hits.insert(0, "rank", np.arange(len(hits)))
         if with_stored and len(hits):
             stored = self._fetch_stored(hits)
