@@ -5,12 +5,15 @@ documents table with the engine (segments + FOR blocks + impacts) and runs
 a block-max-WAND BM25 query.
 
 queries()/oracle_sql() — one entry per implemented operator family from
-SURVEY.md §2 plus the training-data pipeline operators. SQL-expressible
-operators are implemented on the Catalyst path (double precision — exactly
-the formula the DuckDB oracle runs); the kernel-path (float32 bit-exact,
-compressed postings, WAND) entries have no SQL twin and get the rows-only
-check — their rank-identity is asserted against a brute-force oracle in
-tests/ instead.
+SURVEY.md §2 plus the training-data pipeline operators. Relational
+operators run on the Catalyst path (double precision — exactly the
+formula the DuckDB oracle runs). Kernel-path entries (compressed index,
+float32 BM25, block-max WAND, multi-field + doc-values filters) are
+hash-checked against sql/kernel_oracle.py, a DuckDB twin of the QUANTIZED
+pipeline that reproduces the float32 op order bit-exactly. The only
+rows-only entry is ann_ivf_topk (pruned-probe ANN is approximate by
+design; its recall floor is pytest-asserted and its index completeness is
+hash-checked by ann_ivf_allprobe_exact).
 """
 
 from __future__ import annotations
@@ -22,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_solr_1_spark.index.builder import build_index
 from lucene_solr_1_spark.pipeline import dedup, multimodal, similarity, textstats
-from lucene_solr_1_spark.search.query import Bool, Occur, Term
+from lucene_solr_1_spark.search.query import Bool, NumericRange, Occur, Term
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+from lucene_solr_1_spark.sql import kernel_oracle as KO
 from lucene_solr_1_spark.sql import relational as R
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -111,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = dedup.dedup_exact_spark
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.dedup_jaccard_spark(s, d, 0.4)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_bands_spark(s, d)
+    q["dedup_minhash_verified"] = lambda s, d: dedup.minhash_verified_spark(s, d, 0.4)
     q["dedup_simhash"] = lambda s, d: dedup.simhash_spark(s, d)
     q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk_spark(s, d, 0, 20)
     q["token_count"] = textstats.token_count_spark
@@ -127,10 +132,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_windowed_counts"] = _windowed
 
     # --- kernel path: compressed index + float32 BM25 + block-max WAND ---
-    # (not SQL-expressible 1:1 — float32/norm-byte quantization; rows-only
-    # driver check, rank-identity oracle lives in tests/test_index_search.py)
+    # Oracle-hashed via sql/kernel_oracle.py: DuckDB reproduces the
+    # QUANTIZED pipeline (SmallFloat length table + float32 op order)
+    # bit-exactly, so these hash-compare doc_id + rank + exact score.
     q["fts_kernel_term_wand"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Term("query"), k=10
+    )
+    # multi-field engine: field-qualified keyword term, metadata FILTER and
+    # numeric doc-values FILTER combined with scored BM25 (round-2 ops)
+    q["fts_field_term"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("en", field="lang"), k=10
+    )
+    q["fts_bm25_metadata_filter"] = lambda s, d: _kernel_hits_df(
+        s,
+        _get_index(s, d),
+        Bool.of(
+            (Occur.MUST, Term("query")),
+            (Occur.FILTER, Term("en", field="lang")),
+        ),
+        k=10,
+    )
+    q["fts_bm25_numeric_filter"] = lambda s, d: _kernel_hits_df(
+        s,
+        _get_index(s, d),
+        Bool.of(
+            (Occur.MUST, Term("query")),
+            (Occur.FILTER, NumericRange("dl", 30, 60)),
+        ),
+        k=10,
     )
     q["fts_kernel_bool"] = lambda s, d: _kernel_hits_df(
         s,
@@ -156,6 +185,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_kernel_parsed_query"] = _parsed
     q["fts_kernel_phrase"] = _kernel_phrase
+
+    # IVF index completeness: probing ALL cells must reproduce brute-force
+    # cosine top-k EXACTLY (every vector in exactly one cell — catches
+    # lost/duplicated assignments); hash-checked vs the brute-force oracle.
+    # ann_ivf_topk (above) is the pruned-probe path: approximate by design,
+    # rows-only here, recall-floor asserted in tests/test_pipeline.py.
+    q["ann_ivf_allprobe_exact"] = lambda s, d: similarity.ivf_topk_spark(
+        s, d, 0, 20, n_cells=16, n_probe=16
+    )
     return q
 
 
@@ -188,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.dedup_exact_duck(),
         "dedup_ngram_jaccard": dedup.dedup_jaccard_duck(0.4),
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),
+        "dedup_minhash_verified": dedup.minhash_verified_duck(0.4),
         "dedup_simhash": dedup.simhash_duck(),
         "embedding_cosine_topk": similarity.cosine_topk_duck(0, 20),
         "token_count": textstats.token_count_duck(),
@@ -198,4 +237,21 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_counts": __import__(
             "lucene_solr_1_spark.streaming.analytics", fromlist=["x"]
         ).windowed_counts_duck(),
+        "ann_ivf_allprobe_exact": similarity.cosine_topk_duck(0, 20),
+        # kernel-path twins: float32 bit-exact quantized pipeline
+        "fts_kernel_term_wand": KO.kernel_bool_duck(should=("query",), k=10),
+        "fts_kernel_bool": KO.kernel_bool_duck(
+            must=("query",), should=("merge",), must_not=("window",), k=10
+        ),
+        "fts_kernel_phrase": KO.kernel_phrase_duck("fast", "sort", k=10),
+        "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
+            "data", ("query", "merge"), k=10
+        ),
+        "fts_field_term": KO.kernel_keyword_term_duck("lang", "en", k=10),
+        "fts_bm25_metadata_filter": KO.kernel_bool_duck(
+            must=("query",), k=10, filter_sql="doc.lang = 'en'"
+        ),
+        "fts_bm25_numeric_filter": KO.kernel_bool_duck(
+            must=("query",), k=10, filter_sql="dl.dl BETWEEN 30 AND 60"
+        ),
     }

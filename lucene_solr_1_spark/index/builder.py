@@ -71,6 +71,10 @@ def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitio
 
     t0 = time.monotonic()
     postings, norms, stats = build_segment_frames(pdf, cfg)
+    if isinstance(stats.get("field_stats"), dict):
+        import json
+
+        stats["field_stats"] = json.dumps(stats["field_stats"], sort_keys=True)
     seg_dir = mf.segment_dir(index_dir, segment_id)
     os.makedirs(seg_dir, exist_ok=True)
     _write_parquet(postings, os.path.join(seg_dir, _POSTINGS_FILE), segment_id)

@@ -19,7 +19,8 @@ from . import manifest as mf
 from .builder import norms_paths, postings_paths
 
 _ROW_DDL = (
-    "segment_id string, term string, err string, ttf bigint, max_doc bigint"
+    "segment_id string, field string, term string, err string, "
+    "ttf bigint, max_doc bigint"
 )
 
 
@@ -63,13 +64,17 @@ def _check_rows(batches):
             out.append(
                 (
                     r.segment_id,
+                    r.field,
                     r.term,
                     "; ".join(errs),
                     int(freqs.sum()),
                     int(docs[-1]) if len(docs) else -1,
                 )
             )
-        yield pd.DataFrame(out, columns=["segment_id", "term", "err", "ttf", "max_doc"])
+        yield pd.DataFrame(
+            out,
+            columns=["segment_id", "field", "term", "err", "ttf", "max_doc"],
+        )
 
 
 def check_index(spark: SparkSession, index_dir: str) -> dict:
@@ -78,8 +83,11 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         return {"errors": ["no committed manifest"], "segments": 0}
     post = spark.read.parquet(*postings_paths(index_dir, manifest))
     checked = post.mapInPandas(_check_rows, schema=_ROW_DDL)
+    # postings <-> norms ttf cross-check applies to the analyzed content
+    # field; keyword fields have the separate one-term-per-doc invariant
     agg = (
-        checked.groupBy("segment_id")
+        checked.where(F.col("field") == "content")
+        .groupBy("segment_id")
         .agg(
             F.count("*").alias("terms"),
             F.sum("ttf").alias("sum_ttf"),
@@ -91,6 +99,18 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         )
         .toPandas()
         .set_index("segment_id")
+    )
+    kwagg = (
+        checked.where(F.col("field") != "content")
+        .groupBy("segment_id", "field")
+        .agg(
+            F.sum("ttf").alias("ttf"),
+            F.sum(F.when(F.col("err") != "", 1).otherwise(0)).alias("bad_rows"),
+            F.max(F.when(F.col("err") != "", F.concat_ws("/", "term", "err"))).alias(
+                "first_err"
+            ),
+        )
+        .toPandas()
     )
     norms = spark.read.parquet(*norms_paths(index_dir, manifest))
     nagg = (
@@ -130,6 +150,16 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
                 errors.append(f"{sid}: posting docID {a['max_doc']} out of range")
         elif s["sum_ttf"]:
             errors.append(f"{sid}: no posting rows but manifest sum_ttf {s['sum_ttf']}")
+        # keyword fields: exactly one atomic term posting per doc
+        for kr in kwagg[kwagg["segment_id"] == sid].itertuples(index=False):
+            if int(kr.bad_rows) > 0:
+                errors.append(
+                    f"{sid}: {kr.bad_rows} bad {kr.field} posting rows ({kr.first_err})"
+                )
+            if int(kr.ttf) != s["doc_count"]:
+                errors.append(
+                    f"{sid}: keyword field {kr.field} ttf {kr.ttf} != doc_count {s['doc_count']}"
+                )
     total_ttf = int(agg["sum_ttf"].sum()) if len(agg) else 0
     if total_ttf != manifest["sum_ttf"]:
         errors.append(f"global sum_ttf {total_ttf} != manifest {manifest['sum_ttf']}")

@@ -66,8 +66,10 @@ def _publish(index_dir: str, manifest: dict, pairs: pd.DataFrame, reason: str) -
     )
 
 
-def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> dict:
-    """IndexWriter.deleteDocuments(Term): tombstone every doc whose content
+def delete_by_term(
+    spark: SparkSession, index_dir: str, term: str, field: str = "content"
+) -> dict:
+    """IndexWriter.deleteDocuments(Term): tombstone every doc whose `field`
     contains `term`. Distributed: the term's posting rows (one per segment,
     pruned by parquet predicate pushdown) are decoded in an Arrow UDF."""
     manifest = mf.read_manifest(index_dir)
@@ -84,7 +86,7 @@ def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> dict:
                 yield pd.DataFrame({"segment_id": r.segment_id, "doc_id": docs})
 
     pairs = (
-        post.where(F.col("term") == term)
+        post.where((F.col("field") == field) & (F.col("term") == term))
         .mapInPandas(_decode, schema="segment_id string, doc_id bigint")
         .toPandas()
     )

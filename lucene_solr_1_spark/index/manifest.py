@@ -47,6 +47,24 @@ def read_manifest(index_dir: str) -> dict | None:
         return json.load(f)
 
 
+def _sum_field_stats(segs: list[dict]) -> dict:
+    """Aggregate per-segment field_stats (JSON string or dict) into global
+    per-field CollectionStatistics: {field: {sum_ttf, doc_count}}."""
+    out: dict = {}
+    for s in segs:
+        fs = s.get("field_stats")
+        if fs is None:
+            # pre-multi-field segment: content stats only
+            fs = {"content": {"sum_ttf": s["sum_ttf"], "doc_count": s["doc_count"]}}
+        elif isinstance(fs, str):
+            fs = json.loads(fs)
+        for field, st in fs.items():
+            agg = out.setdefault(field, {"sum_ttf": 0, "doc_count": 0})
+            agg["sum_ttf"] += int(st["sum_ttf"])
+            agg["doc_count"] += int(st["doc_count"])
+    return out
+
+
 def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = None) -> dict:
     """Atomically publish a new generation listing `segments` as live."""
     os.makedirs(index_dir, exist_ok=True)
@@ -63,6 +81,7 @@ def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = N
         "committed_at": time.time(),
         "doc_count": base,
         "sum_ttf": sum(s["sum_ttf"] for s in segs),
+        "field_stats": _sum_field_stats(segs),
         "segments": segs,
         **(extra or {}),
     }

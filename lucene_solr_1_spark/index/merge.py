@@ -92,11 +92,28 @@ def find_merges(manifest: dict, target_segments: int = SEGS_PER_TIER) -> list[li
     return groups
 
 
-def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
-                      docmaps: dict | None = None) -> pd.DataFrame:
-    """Merge the posting rows of one term across segments: decode → rebase →
-    concat (inputs already docID-sorted per segment; offsets are ordered) →
-    re-encode + rebuild block metadata.
+def _merge_bucket(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
+                  docmaps: dict | None = None) -> pd.DataFrame:
+    """Merge ONE HASH BUCKET of (field, term) groups — the kernel input is
+    a bucket (hash(field,term) % P), not a single term, so the per-group
+    Arrow/pandas round-trip cost is amortized over many terms: one output
+    DataFrame per bucket instead of one per term (the round-1 verdict's
+    'one 1-row DataFrame per term' interpreter tax)."""
+    rows = [
+        _merge_term_rows(g, seg_order, seg_offset, docmaps)
+        for _, g in pdf.groupby(["field", "term"], sort=False)
+    ]
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in POSTINGS_COLS})
+    return pd.DataFrame(rows, columns=POSTINGS_COLS)
+
+
+def _merge_term_rows(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
+                     docmaps: dict | None = None) -> tuple:
+    """Merge the posting rows of one (field, term) across segments: decode →
+    rebase → concat (inputs already docID-sorted per segment; offsets are
+    ordered) → re-encode + rebuild block metadata. Returns ONE tuple in
+    POSTINGS_COLS order.
 
     With `docmaps` (reclaim mode), each segment's map array sends old local
     docIDs to compacted merged docIDs (-1 = tombstoned): deleted postings
@@ -105,6 +122,7 @@ def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
     delta streams (first delta of a run is absolute), so masking whole runs
     out of the flat stream is safe."""
     pdf = pdf.sort_values("segment_id", key=lambda s: s.map(seg_order))
+    field = pdf.iloc[0]["field"]
     docs_parts, freqs_parts, pos_parts, norm_parts = [], [], [], []
     for r in pdf.itertuples(index=False):
         d_local = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets)))
@@ -132,10 +150,8 @@ def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
     if len(docs) == 0:
         # every posting of this term was tombstoned — emit a doc_freq-0 row
         # (filtered out before the segment write)
-        return pd.DataFrame(
-            [(pdf.iloc[0]["term"], 0, 0, b"", [], b"", [], b"", [], b"", [], [], [])],
-            columns=POSTINGS_COLS,
-        )
+        return (field, pdf.iloc[0]["term"], 0, 0,
+                b"", [], b"", [], b"", [], b"", [], [], [])
 
     docs_enc, docs_off = encode_doc_deltas(docs)
     freqs_enc, freqs_off = encode_blocks(freqs)
@@ -150,20 +166,16 @@ def _merge_term_group(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
     # built ones (no conservative widening)
     blk_minn = np.minimum.reduceat(norms.astype(np.int64), blk_idx)
     row = pdf.iloc[0]
-    return pd.DataFrame(
-        [
-            (
-                row["term"],
-                int(len(docs)),
-                int(freqs.sum()),
-                docs_enc, docs_off.tolist(),
-                freqs_enc, freqs_off.tolist(),
-                pos_enc, pos_off.tolist(),
-                norms.tobytes(),
-                blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
-            )
-        ],
-        columns=POSTINGS_COLS,
+    return (
+        field,
+        row["term"],
+        int(len(docs)),
+        int(freqs.sum()),
+        docs_enc, docs_off.tolist(),
+        freqs_enc, freqs_off.tolist(),
+        pos_enc, pos_off.tolist(),
+        norms.tobytes(),
+        blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
     )
 
 
@@ -246,11 +258,19 @@ def _merge_group_job(
         for s in group_segs
     ]
     postings = spark.read.parquet(*paths)
+    # bucketed merge: groupBy a HASH of (field, term) — every term's rows
+    # land in one bucket, one kernel call merges the whole bucket, so the
+    # per-group Arrow/pandas overhead is amortized over ~thousands of terms
+    # (complete-term-group guarantee comes from the hash, like a shuffle)
+    n_out = max(2, min(len(group), 8))
+    n_buckets = n_out * 32
     merged = (
-        postings.groupBy("term")
+        postings.groupBy(
+            F.pmod(F.hash("field", "term"), F.lit(n_buckets)).alias("_bucket")
+        )
         .applyInPandas(
             partial(
-                _merge_term_group, seg_order=seg_order, seg_offset=offsets,
+                _merge_bucket, seg_order=seg_order, seg_offset=offsets,
                 docmaps=docmaps,
             ),
             schema=POSTINGS_DDL,
@@ -260,8 +280,9 @@ def _merge_group_job(
     )
     # distributed executor-side write, range-partitioned + sorted by term so
     # parquet row-group min/max stats prune term lookups (the .tip analog)
-    n_out = max(2, min(len(group), 8))
-    merged.repartitionByRange(n_out, "term").sortWithinPartitions("term").write.mode(
+    merged.repartitionByRange(n_out, "field", "term").sortWithinPartitions(
+        "field", "term"
+    ).write.mode(
         "overwrite"
     ).parquet(os.path.join(seg_dir, _POSTINGS_FILE))
     distinct_terms = spark.read.parquet(os.path.join(seg_dir, _POSTINGS_FILE)).count()
@@ -308,12 +329,21 @@ def _merge_group_job(
             or 0
         )
 
+    import json as _json
+
+    from .segment import CONTENT_FIELD, KEYWORD_FIELDS
+
+    field_stats = {CONTENT_FIELD: {"sum_ttf": int(sum_ttf), "doc_count": int(base)}}
+    for kw in KEYWORD_FIELDS:
+        # keyword fields: one atomic term per live doc, dl 1
+        field_stats[kw] = {"sum_ttf": int(base), "doc_count": int(base)}
     meta = {
         "segment_id": new_sid,
         "partition_id": group_segs[0]["partition_id"],
         "input_fingerprint": fingerprint,
         "doc_count": int(base),
         "sum_ttf": sum_ttf,
+        "field_stats": _json.dumps(field_stats, sort_keys=True),
         "distinct_terms": int(distinct_terms),
         "total_postings": int(sum(s["total_postings"] for s in group_segs)),
         "build_wall_s": time.monotonic() - t0,

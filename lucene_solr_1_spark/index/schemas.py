@@ -8,6 +8,7 @@ predicate pushdown on `term` replaces Lucene's FST/.tip seek
 """
 
 POSTINGS_DDL = (
+    "field string, "
     "term string, "
     "doc_freq bigint, "
     "ttf bigint, "
@@ -33,13 +34,21 @@ POSTINGS_DDL = (
 # Norms table doubles as the docmap / stored-fields pointer: per-segment
 # dense docIDs plus the row keys for retrieval (Lucene .nvd + .fdt analog).
 NORMS_DDL = (
-    "doc_id bigint, norm bigint, dl bigint, "
-    "repo string, path string, commit string, lang string, content_sha string"
+    "doc_id bigint, norm bigint, dl bigint, n_chars bigint, "
+    "repo string, path string, commit string, lang string, content_sha string, "
+    "content string"
 )
+# dl / n_chars are numeric doc-values (NumericDocValuesField analog) usable
+# as kernel-path range filters; `content` is the stored document
+# (Lucene50StoredFieldsFormat .fdt analog) so kernel-path hits can return /
+# highlight text without a side join against the external corpus table.
 
 MANIFEST_ROW_DDL = (
     "segment_id string, partition_id int, input_fingerprint string, "
     "doc_count bigint, sum_ttf bigint, distinct_terms bigint, "
     "total_postings bigint, build_wall_s double, "
-    "min_key string, max_key string, reused boolean"
+    "min_key string, max_key string, reused boolean, field_stats string"
 )
+# field_stats: JSON {field: {"sum_ttf": int, "doc_count": int}} — per-field
+# statistics (FieldInfos / CollectionStatistics analog) so each field gets
+# its own avgdl + norm cache. `sum_ttf` (bare) remains the content field's.

@@ -6,6 +6,13 @@ index/DocumentsWriterPerThread.java, index/TermsHashPerField.java:147-185,
 index/FreqProxTermsWriter.java:69-103, Lucene50PostingsWriter.java:207-380).
 The inversion is a vectorized sort + run-length pass instead of a per-doc
 hash insert; encoding produces our own FOR-block format (kernels/forcodec).
+
+Multi-field data model (document/Field.java, index/FieldInfos.java): the
+`content` field is analyzed (TextField analog — positions + freqs + norms);
+the metadata columns (repo, path, commit, lang) are indexed as atomic
+single-term-per-doc keyword fields (StringField analog — not analyzed,
+freq 1, dl 1), so field-qualified queries (`lang:python`) and metadata
+FILTER clauses run on the same postings kernel as scored text queries.
 """
 
 from __future__ import annotations
@@ -22,8 +29,13 @@ from ..kernels.smallfloat import int_to_byte4
 
 DOC_KEY = ["repo", "path", "commit"]
 
+# StringField-analog keyword fields indexed alongside `content`
+# (document/Field.java Store.YES + StringField; index/FieldInfos.java).
+KEYWORD_FIELDS = ("repo", "path", "commit", "lang")
+CONTENT_FIELD = "content"
+
 POSTINGS_COLS = [
-    "term", "doc_freq", "ttf",
+    "field", "term", "doc_freq", "ttf",
     "docs_enc", "docs_offsets", "freqs_enc", "freqs_offsets",
     "pos_enc", "pos_offsets", "norms_enc",
     "block_last_doc", "block_max_freq", "block_min_norm",
@@ -36,48 +48,24 @@ def content_sha(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(lambda t: hashlib.sha256(t.encode("utf-8")).hexdigest())
 
 
-def build_segment_frames(
-    pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD
-) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
-    """Invert one partition of corpus rows into (postings, norms) frames.
+def _invert_rows(
+    field: str,
+    terms: np.ndarray,
+    doc_ids: np.ndarray,
+    positions: np.ndarray,
+    norms_by_doc: np.ndarray,
+) -> list[tuple]:
+    """Invert one field's flattened token stream into posting rows.
 
-    Rows are sorted by (repo, path, commit) so per-segment docIDs are
-    deterministic for any partitioning (SURVEY.md §7 'hard parts' (5)).
-    """
-    t0 = time.monotonic()
-    pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
-    n_docs = len(pdf)
-    terms, doc_ids, positions, doc_len = flatten_tokens(pdf["content"], cfg)
-    norms = int_to_byte4(doc_len)
-
-    norms_pdf = pd.DataFrame(
-        {
-            "doc_id": np.arange(n_docs, dtype=np.int64),
-            "norm": norms.astype(np.int64),
-            "dl": doc_len,
-            "repo": pdf["repo"].to_numpy(),
-            "path": pdf["path"].to_numpy(),
-            "commit": pdf["commit"].to_numpy(),
-            "lang": pdf["lang"].to_numpy(),
-            "content_sha": content_sha(pdf["content"]).to_numpy(),
-        }
-    )
-
-    stats = {
-        "doc_count": int(n_docs),
-        "sum_ttf": int(doc_len.sum()),
-        "min_key": "|".join(pdf.iloc[0][DOC_KEY]) if n_docs else "",
-        "max_key": "|".join(pdf.iloc[-1][DOC_KEY]) if n_docs else "",
-    }
-
+    Input: parallel arrays (term, doc, position) + per-doc norm bytes.
+    Output: one tuple per distinct term in POSTINGS_COLS order — sorted
+    terms (UTF-8 order via pd.factorize(sort=True), the BytesRef term
+    order), delta-encoded doc/pos streams, per-block skip + impact
+    metadata (CompetitiveImpactAccumulator simplified to one competitive
+    pair (max_freq, min_norm) per block — a valid, slightly looser
+    upper bound for block-max WAND)."""
     if len(terms) == 0:
-        empty = pd.DataFrame({c: pd.Series(dtype=object) for c in POSTINGS_COLS})
-        stats.update(distinct_terms=0, total_postings=0, build_wall_s=time.monotonic() - t0)
-        return empty, norms_pdf, stats
-
-    # --- inversion: factorize to sorted term codes, then integer lexsort ---
-    # pandas sorted-unique order on str == unicode codepoint order == UTF-8
-    # byte order (Lucene BytesRef term order).
+        return []
     codes, uniq_terms = pd.factorize(pd.Series(terms), sort=True)
     order = np.lexsort((positions, doc_ids, codes))
     c, d, p = codes[order], doc_ids[order], positions[order]
@@ -104,8 +92,6 @@ def build_segment_frames(
     )
     term_end = np.concatenate((term_start[1:], [len(pair_term)]))
 
-    norms_by_doc = norms.astype(np.int64)
-
     rows = []
     for ts, te in zip(term_start, term_end):
         docs = pair_doc[ts:te]
@@ -117,9 +103,6 @@ def build_segment_frames(
         pos_enc, pos_off = encode_blocks(pos_delta[occ_lo:occ_hi])
         # norm byte per posting doc (schemas.py norms_enc rationale)
         doc_norms = norms_by_doc[docs]
-        # per-block skip + impact metadata (CompetitiveImpactAccumulator
-        # simplified to one competitive pair (max_freq, min_norm) per block —
-        # a valid, slightly looser upper bound for block-max WAND)
         n_pairs = len(docs)
         blk_idx = np.arange(0, n_pairs, BLOCK_SIZE)
         blk_last = docs[np.minimum(blk_idx + BLOCK_SIZE - 1, n_pairs - 1)]
@@ -127,6 +110,7 @@ def build_segment_frames(
         blk_minn = np.minimum.reduceat(doc_norms, blk_idx)
         rows.append(
             (
+                field,
                 uniq_terms[pair_term[ts]],
                 int(te - ts),
                 int(freqs.sum()),
@@ -137,12 +121,83 @@ def build_segment_frames(
                 blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
             )
         )
+    return rows
+
+
+def build_segment_frames(
+    pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD
+) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
+    """Invert one partition of corpus rows into (postings, norms) frames.
+
+    Rows are sorted by (repo, path, commit) so per-segment docIDs are
+    deterministic for any partitioning (SURVEY.md §7 'hard parts' (5)).
+    """
+    t0 = time.monotonic()
+    pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
+    n_docs = len(pdf)
+    terms, doc_ids, positions, doc_len = flatten_tokens(pdf["content"], cfg)
+    norms = int_to_byte4(doc_len)
+    content_s = pdf["content"].fillna("")
+
+    norms_pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "norm": norms.astype(np.int64),
+            "dl": doc_len,
+            "n_chars": content_s.str.len().to_numpy(dtype=np.int64)
+            if n_docs
+            else np.empty(0, dtype=np.int64),
+            "repo": pdf["repo"].to_numpy(),
+            "path": pdf["path"].to_numpy(),
+            "commit": pdf["commit"].to_numpy(),
+            "lang": pdf["lang"].to_numpy(),
+            "content_sha": content_sha(pdf["content"]).to_numpy(),
+            "content": content_s.to_numpy(),
+        }
+    )
+
+    field_stats = {
+        CONTENT_FIELD: {"sum_ttf": int(doc_len.sum()), "doc_count": int(n_docs)},
+    }
+    stats = {
+        "doc_count": int(n_docs),
+        "sum_ttf": int(doc_len.sum()),
+        "min_key": "|".join(pdf.iloc[0][DOC_KEY]) if n_docs else "",
+        "max_key": "|".join(pdf.iloc[-1][DOC_KEY]) if n_docs else "",
+    }
+
+    rows = _invert_rows(CONTENT_FIELD, terms, doc_ids, positions,
+                        norms.astype(np.int64))
+    content_postings = len(rows)
+
+    # keyword fields: one atomic term per doc, freq 1, position 0, dl 1
+    # (StringField: indexed, not analyzed, no norms → norm byte for dl=1)
+    if n_docs:
+        kw_doc_ids = np.arange(n_docs, dtype=np.int64)
+        kw_pos = np.zeros(n_docs, dtype=np.int64)
+        kw_norms = np.full(n_docs, int(int_to_byte4(np.asarray([1]))[0]),
+                           dtype=np.int64)
+        for kw in KEYWORD_FIELDS:
+            vals = pdf[kw].fillna("").to_numpy(dtype=object)
+            rows.extend(_invert_rows(kw, vals, kw_doc_ids, kw_pos, kw_norms))
+            field_stats[kw] = {"sum_ttf": int(n_docs), "doc_count": int(n_docs)}
+
+    if not rows:
+        empty = pd.DataFrame({c: pd.Series(dtype=object) for c in POSTINGS_COLS})
+        stats.update(
+            distinct_terms=0, total_postings=0,
+            build_wall_s=time.monotonic() - t0, field_stats=field_stats,
+        )
+        return empty, norms_pdf, stats
 
     postings_pdf = pd.DataFrame(rows, columns=POSTINGS_COLS)
     stats.update(
-        distinct_terms=int(len(term_start)),
-        total_postings=int(len(pair_term)),
+        distinct_terms=int(content_postings),
+        total_postings=int(
+            postings_pdf.loc[postings_pdf["field"] == CONTENT_FIELD, "doc_freq"].sum()
+        ),
         build_wall_s=time.monotonic() - t0,
+        field_stats=field_stats,
     )
     return postings_pdf, norms_pdf, stats
 

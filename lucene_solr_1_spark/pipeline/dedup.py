@@ -2,12 +2,20 @@
 
 Portable hashing: h(s) = first 15 hex chars of md5(s) parsed as int64
 (same value in Spark via conv() and DuckDB via '0x' cast), so signatures
-agree bit-for-bit across engines.
+agree bit-for-bit across engines. MinHash uses ONE base hash per shingle
+plus N_HASHES affine permutations h_i(x) = (a_i*x + b_i) mod p (the
+standard universal-hash family) — md5 runs once per shingle, not once per
+(shingle, hash), so widening the signature to 128 hashes costs integer
+ops, not 128 digest passes.
 
 Scale notes: exact dedup and MinHash banding are groupBy/join on hash
-keys — uniform by construction, no skew. The pairwise-Jaccard join is
-candidate-limited via the shingle join (never a cross join); at 100 TB the
-MinHash-band candidates feed the Jaccard verifier rather than all pairs.
+keys — uniform by construction, no skew. The pairwise-Jaccard self-join
+drops shingles with document frequency above MAX_SHINGLE_DF before
+joining: a boilerplate shingle shared by 10^6 docs ("all rights
+reserved") would otherwise create a quadratic join bucket while carrying
+no discriminative signal. The banding→verify composition
+(minhash_verified_*) is the 100 TB path: exact Jaccard is computed ONLY
+on band-candidate pairs, never all pairs.
 """
 
 from __future__ import annotations
@@ -16,8 +24,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sql.relational import duck_tokens_expr, load_documents, spark_tokens_expr
 
-N_HASHES = 8
-BAND_SIZE = 2  # 4 bands of 2 — LSH banding
+# --- sketch parameters (shared by Spark operators and DuckDB twins) ---------
+N_HASHES = 128
+BAND_SIZE = 8            # 16 bands of 8 — LSH banding (s-curve @ j~0.7)
+N_BANDS = N_HASHES // BAND_SIZE
+MINHASH_PRIME = (1 << 31) - 1
+N_SIMHASH_BITS = 60      # base hash is 60 bits (15 hex chars of md5)
+MAX_SHINGLE_DF = 100     # df-cap: hotter shingles are non-discriminative
+
+
+def _affine(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for permutation i — plain LCG arithmetic,
+    no RNG state, identical in both engines' generated SQL. a odd and
+    < 2^30 so a*h + b stays under 2^61 (no BIGINT overflow in DuckDB)."""
+    a = ((1103515245 * (i + 1) + 12345) % (1 << 30)) | 1
+    b = (69069 * (i + 7) + 362437) % (1 << 30)
+    return a, b
 
 
 def _spark_h(col_expr: str, seed: str) -> str:
@@ -96,11 +118,32 @@ sh AS (
 )
 """.strip()
 
+# df-capped shingles: used by the pairwise-Jaccard join (skew guard).
+_DUCK_SHINGLES_CAPPED = f"""
+{_DUCK_SHINGLES},
+shc AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shc USING (shingle))
+""".strip()
+
 
 # --- n-gram Jaccard near-dup --------------------------------------------------
 
 def dedup_jaccard_spark(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
-    sh = _shingles_spark(spark, sf_dir)
+    """Pairwise Jaccard over df-capped shingles. Dropping shingles with
+    df > MAX_SHINGLE_DF bounds every join bucket at MAX_SHINGLE_DF² pairs
+    — without the cap one boilerplate shingle makes the hottest bucket
+    quadratic in corpus size. Jaccard is computed over the capped shingle
+    space on BOTH sides of the ratio (a true Jaccard of filtered sets)."""
+    sh0 = _shingles_spark(spark, sf_dir)
+    rare = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("sdf"))
+        .where(F.col("sdf") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -126,11 +169,11 @@ def dedup_jaccard_spark(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
 
 def dedup_jaccard_duck(threshold: float = 0.4) -> str:
     return f"""
-WITH {_DUCK_SHINGLES},
-sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY 1),
+WITH {_DUCK_SHINGLES_CAPPED},
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM shf GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
@@ -146,29 +189,37 @@ ORDER BY 1, 2
 # --- MinHash + LSH banding ----------------------------------------------------
 
 def minhash_bands_spark(spark, sf_dir) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band of their MinHash
-    signature (shingle → minhash → band → bucket-join).
+    """Candidate near-dup pairs: docs sharing any LSH band of their
+    128-hash MinHash signature (shingle → base hash → 128 affine
+    permutations → 16 band keys → bucket-join).
 
-    Physical shape: the whole signature is computed in ONE narrow
-    projection (array_min over transform — per-row, no explode/shuffle);
-    bands explode to 4 rows/doc; pairs come from collect_list per bucket —
-    a single shuffle on the band key, never a self-join that would
-    recompute the signature DAG per side. Bucket sizes are bounded by the
-    banding construction, so the in-bucket pair expansion cannot blow up."""
-    def _min_h(s: int) -> str:
-        return f"cast(array_min(transform(sh, x -> {_spark_h('x', f's{s}')})) as string)"
+    Physical shape: the whole signature derives from ONE base-hash array
+    per row (md5 once per shingle; permutations are integer ops inside
+    whole-stage codegen); bands explode to N_BANDS rows/doc; pairs come
+    from collect_list per bucket — a single shuffle on the band key,
+    never a self-join that would recompute the signature DAG per side."""
+    def _min_h(i: int) -> str:
+        a, b = _affine(i)
+        return (
+            f"cast(array_min(transform(hs, h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L)) as string)"
+        )
 
     band_keys = ", ".join(
         "concat_ws(':', "
-        + ", ".join(_min_h(s) for s in range(b0, b0 + BAND_SIZE))
+        + ", ".join(_min_h(i) for i in range(b0, b0 + BAND_SIZE))
         + ")"
         for b0 in range(0, N_HASHES, BAND_SIZE)
     )
-    # one lambda binding: shingles (and so the tokenizer regexp) evaluate
-    # once per row; all N_HASHES minhashes + band keys derive from `sh`
+    # nested lambda bindings: shingles evaluate once per row, then the
+    # base-hash array `hs` evaluates once; all N_HASHES minhashes + band
+    # keys derive from `hs` (base hash folded to < 2^30 so the affine
+    # multiply cannot overflow BIGINT)
     bands_expr = (
         f"transform(array({_shingle_expr()}), sh -> "
-        f"CASE WHEN size(sh) > 0 THEN array({band_keys}) ELSE array() END)[0]"
+        f"CASE WHEN size(sh) > 0 THEN "
+        f"transform(array(transform(sh, x -> {_spark_h('x', 'mh')} % 1073741824L)), "
+        f"hs -> array({band_keys}))[0] "
+        f"ELSE array() END)[0]"
     )
     bands = load_documents(spark, sf_dir).select(
         "doc_id", F.posexplode(F.expr(bands_expr)).alias("band", "key")
@@ -188,32 +239,105 @@ def minhash_bands_spark(spark, sf_dir) -> DataFrame:
     )
 
 
-def minhash_bands_duck() -> str:
+_DUCK_MINHASH_BANDS = None
+
+
+def _duck_minhash_bands_cte() -> str:
+    """sig/bands CTEs shared by the banding and banding→verify twins."""
+    base = f"{_duck_h('shingle', 'mh')} % 1073741824"
     mins = ", ".join(
-        f"min({_duck_h('shingle', f's{s}')}) AS m{s}" for s in range(N_HASHES)
+        f"min(({_affine(i)[0]} * h + {_affine(i)[1]}) % {MINHASH_PRIME}) AS m{i}"
+        for i in range(N_HASHES)
     )
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b0 // BAND_SIZE} AS band, "
-        f"m{b0}::VARCHAR || ':' || m{b0 + 1}::VARCHAR AS key FROM sig"
+        "SELECT doc_id, "
+        + f"{b0 // BAND_SIZE} AS band, "
+        + " || ':' || ".join(f"m{i}::VARCHAR" for i in range(b0, b0 + BAND_SIZE))
+        + " AS key FROM sig"
         for b0 in range(0, N_HASHES, BAND_SIZE)
     )
     return f"""
+hashed AS (SELECT doc_id, {base} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY 1),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+""".strip()
+
+
+def minhash_bands_duck() -> str:
+    return f"""
 WITH {_DUCK_SHINGLES},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY 1),
-bands AS ({band_selects})
-SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+{_duck_minhash_bands_cte()}
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b FROM cand ORDER BY 1, 2
+""".strip()
+
+
+# --- MinHash candidates → exact Jaccard verify (the 100 TB composition) ------
+
+def minhash_verified_spark(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
+    """Banding candidates verified with exact Jaccard — the at-scale
+    dedup shape: the quadratic verify runs ONLY on pairs that share a
+    band (≈ near-dups), never on the full cross product or a raw
+    shingle self-join."""
+    cand = minhash_bands_spark(spark, sf_dir).select("doc_a", "doc_b")
+    sh = _shingles_spark(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").cast("bigint"),
+            F.col("doc_b").cast("bigint"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def minhash_verified_duck(threshold: float = 0.4) -> str:
+    return f"""
+WITH {_DUCK_SHINGLES},
+{_duck_minhash_bands_cte()},
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::DOUBLE AS cnt
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(cnt / (sa.n + sb.n - cnt), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cnt / (sa.n + sb.n - cnt) >= {threshold}
 ORDER BY 1, 2
 """.strip()
 
 
 # --- SimHash -------------------------------------------------------------------
 
-N_SIMHASH_BITS = 16
-
-
 def simhash_spark(spark, sf_dir) -> DataFrame:
+    """60-bit SimHash (full width of the 15-hex-char base hash): per-bit
+    vote sums over the doc's distinct terms, vectorized shift/mask aggs
+    inside whole-stage codegen. 16 bits was a toy width — at 10^9 docs
+    everything collides; 60 bits keeps random collisions ~0."""
     docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
     toks = docs.select("doc_id", F.explode("toks").alias("term")).distinct()
     toks = toks.withColumn("h", F.expr(_spark_h("term", "sim")))
@@ -226,7 +350,9 @@ def simhash_spark(spark, sf_dir) -> DataFrame:
     agg = toks.groupBy("doc_id").agg(*bit_sum)
     expr = None
     for b in range(N_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, 2**b).otherwise(0)
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         expr = term if expr is None else expr + term
     return agg.select(
         F.col("doc_id").cast("bigint"), expr.cast("bigint").alias("simhash")

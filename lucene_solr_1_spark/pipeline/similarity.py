@@ -66,7 +66,14 @@ ORDER BY round(cos, 6) DESC, vec_id LIMIT {k}
 """.strip()
 
 
-# --- IVF ANN (scale path; verified against brute force in pytest) -----------
+# --- IVF ANN: a REAL persisted index (build once, probe many) ---------------
+#
+# build_ann_index trains coarse centroids on a deterministic SAMPLE (not a
+# limit() prefix), assigns every vector to its nearest cell in ONE pass,
+# and persists the assignments PARTITIONED BY cell — so a probe reads only
+# n_probe/n_cells of the files (parquet partition pruning = the inverted
+# file). Queries reuse the published centroids; nothing is recomputed per
+# query. This is the faiss-IVF shape expressed as Spark partitioning.
 
 def _centroids(vecs: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarray:
     """Deterministic Lloyd k-means: init = evenly-strided rows."""
@@ -84,21 +91,34 @@ def _centroids(vecs: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarray:
     return cents
 
 
-def ivf_topk_spark(
+def build_ann_index(
     spark: SparkSession,
     sf_dir: str,
-    query_vec_id: int = 0,
-    k: int = 20,
-    n_cells: int = 8,
-    n_probe: int = 3,
-) -> DataFrame:
-    """ANN: assign vectors to coarse cells, scan only the n_probe cells
-    nearest the query. Centroids are trained on a bounded sample collected
-    to the driver (at 100 TB: sample fraction, not full collect); the cell
-    scan is a Catalyst filter + the same vectorized cosine."""
+    out_dir: str,
+    n_cells: int = 16,
+    sample_cap: int = 8192,
+    seed: int = 42,
+) -> dict:
+    """One-time IVF index build.
+
+    1. centroids from a seeded .sample() (uniform over the table — at
+       100 TB a fraction-sample, never a limit() prefix, which is both
+       non-random and a single-partition read);
+    2. one distributed pass assigns every vector to argmax-cosine cell
+       (Arrow-batched pandas UDF);
+    3. assignments written partitionBy(cell) — the inverted file: each
+       cell is its own directory, so probes are partition-pruned scans.
+
+    Returns {"centroids": ..., "n_vecs": ..., "n_cells": ...} and writes
+    centroids.npy + cells/ under out_dir."""
+    import os
+
     e = load_embeddings(spark, sf_dir)
+    n_vecs = e.count()
+    frac = min(1.0, float(sample_cap) / max(n_vecs, 1))
     sample = np.array(
-        e.select("embedding").limit(4096).toPandas()["embedding"].tolist(),
+        e.select("embedding").sample(fraction=frac, seed=seed)
+        .limit(sample_cap).toPandas()["embedding"].tolist(),
         dtype=np.float64,
     )
     cents = _centroids(sample, n_cells)
@@ -115,18 +135,49 @@ def ivf_topk_spark(
         )
         return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
-    assigned = e.withColumn("cell", cell_of("embedding"))
-    qrow = e.where(F.col("vec_id") == query_vec_id).toPandas()
-    qv = np.array(qrow["embedding"].iloc[0], dtype=np.float64)
+    os.makedirs(out_dir, exist_ok=True)
+    cells_dir = os.path.join(out_dir, "cells")
+    (
+        e.withColumn("cell", cell_of("embedding"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(cells_dir)
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    return {"n_vecs": int(n_vecs), "n_cells": int(n_cells), "cells_dir": cells_dir}
+
+
+def ann_probe_topk(
+    spark: SparkSession,
+    ann_dir: str,
+    query_vec: np.ndarray,
+    k: int = 20,
+    n_probe: int = 6,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Probe a built IVF index: rank cells by centroid cosine (driver-side,
+    centroids are tiny), scan ONLY the probed cell partitions (pushed-down
+    `cell IN (...)` prunes directories), brute-force cosine within."""
+    import os
+
+    cents = np.load(os.path.join(ann_dir, "centroids.npy"))
+    qv = np.asarray(query_vec, dtype=np.float64)
     qsims = (cents @ qv) / (
         np.linalg.norm(cents, axis=1) * np.linalg.norm(qv) + 1e-12
     )
-    probe = np.argsort(-qsims)[:n_probe].tolist()
-    cand = assigned.where(F.col("cell").isin(probe)).alias("b")
-    q = e.where(F.col("vec_id") == query_vec_id).alias("a")
+    probe = [int(c) for c in np.argsort(-qsims)[:n_probe]]
+    cand = (
+        spark.read.parquet(os.path.join(ann_dir, "cells"))
+        .where(F.col("cell").isin(probe))
+        .alias("b")
+    )
+    if exclude_vec_id is not None:
+        cand = cand.where(F.col("b.vec_id") != int(exclude_vec_id))
+    q = spark.createDataFrame(
+        pd.DataFrame({"embedding": [qv.tolist()]})
+    ).alias("a")
     return (
         cand.join(F.broadcast(q))
-        .where(F.col("b.vec_id") != query_vec_id)
         .withColumn(
             "cos",
             F.expr(_DOT)
@@ -138,4 +189,37 @@ def ivf_topk_spark(
             F.col("b.vec_id").cast("bigint").alias("vec_id"),
             F.round("cos", 4).alias("cos"),
         )
+    )
+
+
+_ANN_CACHE: dict = {}
+
+
+def get_ann_index(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> str:
+    """Build-once cache of the IVF index per (sf_dir, n_cells)."""
+    import tempfile
+
+    key = (sf_dir, n_cells)
+    if key not in _ANN_CACHE:
+        d = tempfile.mkdtemp(prefix="sgann_")
+        build_ann_index(spark, sf_dir, d, n_cells=n_cells)
+        _ANN_CACHE[key] = d
+    return _ANN_CACHE[key]
+
+
+def ivf_topk_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k for a stored vector: probe the persisted index."""
+    ann_dir = get_ann_index(spark, sf_dir, n_cells=n_cells)
+    e = load_embeddings(spark, sf_dir)
+    qrow = e.where(F.col("vec_id") == query_vec_id).toPandas()
+    qv = np.array(qrow["embedding"].iloc[0], dtype=np.float64)
+    return ann_probe_topk(
+        spark, ann_dir, qv, k=k, n_probe=n_probe, exclude_vec_id=query_vec_id
     )

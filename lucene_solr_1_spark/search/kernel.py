@@ -24,8 +24,8 @@ import numpy as np
 from ..kernels import bm25
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
-    Bool, Boost, ConstantScore, DisjunctionMax, MatchAll, MatchNone, Occur,
-    Phrase, Query, SpanNear, Synonym, Term,
+    Bool, Boost, ConstantScore, DisjunctionMax, MatchAll, MatchNone,
+    NumericRange, Occur, Phrase, Query, SpanNear, Synonym, Term,
 )
 
 F32 = np.float32
@@ -62,7 +62,24 @@ def plan_node_types(plan: dict) -> set:
 # IndexSearcher.createWeight; global-stats barrier SURVEY.md §3.2 step 3)
 # --------------------------------------------------------------------------
 
-def compile_plan(q: Query, global_df: dict, doc_count: int, boost: float = 1.0) -> dict:
+def _df_of(global_df: dict, field: str, term: str) -> int:
+    """docFreq lookup: keys are (field, term); bare-string keys are accepted
+    as the default content field (test/oracle convenience)."""
+    v = global_df.get((field, term))
+    if v is None and field == "content":
+        v = global_df.get(term)
+    return int(v or 0)
+
+
+def _dc_of(doc_count, field: str) -> int:
+    """Per-field docCount (CollectionStatistics.docCount); a plain int
+    applies to every field."""
+    if isinstance(doc_count, dict):
+        return int(doc_count.get(field) or max(doc_count.values(), default=1))
+    return int(doc_count)
+
+
+def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> dict:
     if isinstance(q, Boost):
         return compile_plan(q.query, global_df, doc_count, boost * q.boost)
     if isinstance(q, ConstantScore):
@@ -72,27 +89,28 @@ def compile_plan(q: Query, global_df: dict, doc_count: int, boost: float = 1.0) 
             "score": F32(boost * q.score),
         }
     if isinstance(q, Term):
-        df = global_df.get(q.text, 0)
-        idf = bm25.idf(df, doc_count) if df > 0 else F32(0.0)
-        return {"type": "term", "term": q.text, "weight": bm25.term_weight(idf, boost)}
-    if isinstance(q, Synonym):
-        present = [t for t in q.terms if global_df.get(t)]
-        idfs = [bm25.idf(global_df[t], doc_count) for t in present]
-        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
-        return {"type": "synonym", "terms": list(q.terms), "weight": w}
-    if isinstance(q, Phrase):
-        present = [t for t in q.terms if global_df.get(t)]
-        idfs = [bm25.idf(global_df[t], doc_count) for t in present]
-        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
-        return {"type": "phrase", "terms": list(q.terms), "weight": w, "slop": q.slop}
-    if isinstance(q, SpanNear):
-        present = [t for t in q.terms if global_df.get(t)]
-        idfs = [bm25.idf(global_df[t], doc_count) for t in present]
-        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
+        df = _df_of(global_df, q.field, q.text)
+        dc = _dc_of(doc_count, q.field)
+        idf = bm25.idf(df, dc) if df > 0 else F32(0.0)
         return {
-            "type": "spannear", "terms": list(q.terms), "weight": w,
-            "slop": q.slop, "in_order": q.in_order,
+            "type": "term", "field": q.field, "term": q.text,
+            "weight": bm25.term_weight(idf, boost),
         }
+    if isinstance(q, (Synonym, Phrase, SpanNear)):
+        dc = _dc_of(doc_count, q.field)
+        dfs = [_df_of(global_df, q.field, t) for t in q.terms]
+        idfs = [bm25.idf(df, dc) for df in dfs if df > 0]
+        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
+        node = {
+            "field": q.field, "terms": list(q.terms), "weight": w,
+        }
+        if isinstance(q, Synonym):
+            node["type"] = "synonym"
+        elif isinstance(q, Phrase):
+            node.update(type="phrase", slop=q.slop)
+        else:
+            node.update(type="spannear", slop=q.slop, in_order=q.in_order)
+        return node
     if isinstance(q, Bool):
         return {
             "type": "bool",
@@ -112,7 +130,17 @@ def compile_plan(q: Query, global_df: dict, doc_count: int, boost: float = 1.0) 
         return {"type": "matchall", "score": F32(boost)}
     if isinstance(q, MatchNone):
         return {"type": "matchnone"}
+    if isinstance(q, NumericRange):
+        return {
+            "type": "docidset",
+            "set_id": numeric_set_id(q),
+            "score": F32(boost),
+        }
     raise TypeError(f"cannot compile {q!r} — expand multi-term queries first")
+
+
+def numeric_set_id(q: NumericRange) -> str:
+    return f"{q.field}:{q.lower}:{q.upper}"
 
 
 # --------------------------------------------------------------------------
@@ -122,20 +150,35 @@ def compile_plan(q: Query, global_df: dict, doc_count: int, boost: float = 1.0) 
 class SegmentData:
     """Decoded-on-demand view of one segment's postings for the query terms.
 
-    Norm bytes ride inside each posting row (norms_enc, schemas.py), so
-    scoring needs no side lookup into a norms table — the kernel's input
-    is exactly the pruned posting rows."""
+    Rows are keyed by (field, term) — the multi-field posting key
+    (index/FieldInfos.java: every term belongs to a named field). Norm
+    bytes ride inside each posting row (norms_enc, schemas.py), so scoring
+    needs no side lookup into a norms table — the kernel's input is
+    exactly the pruned posting rows. `allowed` optionally holds a sorted
+    local-docID array from a doc-values FILTER (NumericRange)."""
 
-    def __init__(self, postings_pdf, n_docs: int):
-        self.rows = {r.term: r for r in postings_pdf.itertuples(index=False)}
+    def __init__(self, postings_pdf, n_docs: int, allowed=None):
+        if "field" in postings_pdf.columns:
+            self.rows = {
+                (r.field, r.term): r for r in postings_pdf.itertuples(index=False)
+            }
+        else:  # pre-multi-field frame (tests/back-compat): content only
+            self.rows = {
+                ("content", r.term): r
+                for r in postings_pdf.itertuples(index=False)
+            }
         self.n_docs = n_docs
+        self.allowed = allowed
         self._decoded: dict = {}
 
-    def postings(self, term: str):
-        """(docs, freqs, norms) fully decoded, or empties."""
-        if term in self._decoded:
-            return self._decoded[term]
-        r = self.rows.get(term)
+    def postings(self, key):
+        """(docs, freqs, norms) fully decoded, or empties. `key` is a
+        (field, term) tuple; a bare term string means the content field."""
+        if isinstance(key, str):
+            key = ("content", key)
+        if key in self._decoded:
+            return self._decoded[key]
+        r = self.rows.get(key)
         if r is None:
             out = (_EMPTY_I, _EMPTY_I, _EMPTY_I)
         else:
@@ -143,15 +186,17 @@ class SegmentData:
             freqs = decode_all(bytes(r.freqs_enc), np.asarray(r.freqs_offsets))
             norms = np.frombuffer(bytes(r.norms_enc), dtype=np.uint8).astype(np.int64)
             out = (docs, freqs, norms)
-        self._decoded[term] = out
+        self._decoded[key] = out
         return out
 
-    def positions(self, term: str):
+    def positions(self, key):
         """list-like: flat position array + per-posting offsets (by freqs)."""
-        r = self.rows.get(term)
+        if isinstance(key, str):
+            key = ("content", key)
+        r = self.rows.get(key)
         if r is None:
             return None
-        docs, freqs, _norms = self.postings(term)
+        docs, freqs, _norms = self.postings(key)
         pos_deltas = decode_all(bytes(r.pos_enc), np.asarray(r.pos_offsets))
         # positions are delta-coded per (term, doc) run; run starts are
         # absolute — rebuild via segmented cumsum
@@ -176,17 +221,30 @@ def _segmented_cumsum(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
 # exhaustive evaluation: node → (docs sorted asc, scores float64)
 # --------------------------------------------------------------------------
 
-def eval_node(node: dict, seg: SegmentData, cache: np.ndarray):
+def _cache_for(caches, field: str) -> np.ndarray:
+    """Per-field norm cache (each field has its own avgdl). A plain
+    ndarray applies to every field (single-field tests/back-compat)."""
+    if isinstance(caches, dict):
+        c = caches.get(field)
+        return c if c is not None else caches["content"]
+    return caches
+
+
+def _node_key(node: dict, term: str):
+    return (node.get("field", "content"), term)
+
+
+def eval_node(node: dict, seg: SegmentData, cache):
     t = node["type"]
     if t == "term":
-        docs, freqs, norms = seg.postings(node["term"])
+        docs, freqs, norms = seg.postings(_node_key(node, node["term"]))
         if len(docs) == 0:
             return _EMPTY_I, _EMPTY_F
-        s = bm25.score(freqs, norms, node["weight"], cache)
+        s = bm25.score(freqs, norms, node["weight"], _cache_for(cache, node.get("field", "content")))
         return docs, s.astype(np.float64)
     if t == "synonym":
         # freqs summed across member terms, scored once (SynonymQuery.java)
-        parts = [seg.postings(term) for term in node["terms"]]
+        parts = [seg.postings(_node_key(node, term)) for term in node["terms"]]
         parts = [(d, f, n) for d, f, n in parts if len(d)]
         if not parts:
             return _EMPTY_I, _EMPTY_F
@@ -198,7 +256,7 @@ def eval_node(node: dict, seg: SegmentData, cache: np.ndarray):
         np.add.at(freqs, inv, allfreqs)
         norms = np.zeros(len(docs), dtype=np.int64)
         norms[inv] = allnorms  # same doc ⇒ same norm byte
-        s = bm25.score(freqs, norms, node["weight"], cache)
+        s = bm25.score(freqs, norms, node["weight"], _cache_for(cache, node.get("field", "content")))
         return docs, s.astype(np.float64)
     if t == "phrase":
         return _eval_phrase(node, seg, cache)
@@ -211,6 +269,17 @@ def eval_node(node: dict, seg: SegmentData, cache: np.ndarray):
     if t == "const":
         docs, _ = eval_node(node["node"], seg, cache)
         return docs, np.full(len(docs), float(node["score"]), dtype=np.float64)
+    if t == "docidset":
+        # pre-resolved doc-values match set (NumericRange): sorted local
+        # docIDs delivered via cogrouped norms rows (SegmentData.allowed,
+        # keyed by set_id — one set per distinct range in the query).
+        # Constant-score, like PointRangeQuery's ConstantScoreWeight.
+        allowed = seg.allowed
+        if isinstance(allowed, dict):
+            allowed = allowed.get(node.get("set_id"))
+        if allowed is None or len(allowed) == 0:
+            return _EMPTY_I, _EMPTY_F
+        return allowed, np.full(len(allowed), float(node["score"]), dtype=np.float64)
     if t == "anyterm":
         # constant-score union of EVERY posting row shipped to this kernel
         # (multi-term query CONSTANT_SCORE_REWRITE: the Spark-side predicate
@@ -299,11 +368,26 @@ def _eval_dismax(node, seg, cache):
     return docs, mx + tie * (sm - mx)
 
 
+def _run_take(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat indices for variable-length runs: concat of
+    [starts[i], starts[i]+lengths[i]) — pure NumPy, no Python loop."""
+    total = int(lengths.sum())
+    if total == 0:
+        return _EMPTY_I
+    firsts = np.cumsum(lengths) - lengths
+    within = np.arange(total, dtype=np.int64) - np.repeat(firsts, lengths)
+    return np.repeat(starts, lengths) + within
+
+
+_POS_SHIFT = np.int64(1) << np.int64(32)
+
+
 def _eval_phrase(node, seg, cache):
     terms = node["terms"]
+    field = node.get("field", "content")
     if not terms:
         return _EMPTY_I, _EMPTY_F
-    post = [seg.positions(t) for t in terms]
+    post = [seg.positions((field, t)) for t in terms]
     if any(p is None for p in post):
         return _EMPTY_I, _EMPTY_F
     slop = int(node.get("slop", 0))
@@ -313,32 +397,42 @@ def _eval_phrase(node, seg, cache):
         cand = cand[np.isin(cand, d, assume_unique=True)]
     if len(cand) == 0:
         return _EMPTY_I, _EMPTY_F
-    out_docs, out_freqs = [], []
-    for doc in cand:
-        term_pos = []
+    if slop == 0:
+        # vectorized ExactPhraseMatcher over ALL candidates at once: pack
+        # (doc, position - i) into one int64 key per occurrence and
+        # intersect the key sets across terms — no per-doc Python loop
+        # (the 10^5-candidate hot-phrase case stays NumPy-bound).
+        n_t = np.int64(len(terms))  # uniform shift keeps adjusted pos >= 0
+        keys = None
         for i, (docs_i, freqs_i, starts_i, pos_i) in enumerate(post):
-            j = int(np.searchsorted(docs_i, doc))
-            lo, hi = int(starts_i[j]), int(starts_i[j]) + int(freqs_i[j])
-            term_pos.append(pos_i[lo:hi] - i)  # offset-adjusted positions
-        if slop == 0:
-            first = term_pos[0]
-            for p in term_pos[1:]:
-                first = first[np.isin(first, p, assume_unique=True)]
-                if len(first) == 0:
-                    break
-            freq = float(len(first))
-        else:
+            idx = np.searchsorted(docs_i, cand)
+            flat = _run_take(starts_i[idx], freqs_i[idx])
+            rep_doc = np.repeat(cand, freqs_i[idx])
+            k = rep_doc * _POS_SHIFT + (pos_i[flat] - np.int64(i) + n_t)
+            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            if len(keys) == 0:
+                return _EMPTY_I, _EMPTY_F
+        docs, counts = np.unique(keys // _POS_SHIFT, return_counts=True)
+        freqs = counts.astype(np.float64)
+    else:
+        out_docs, out_freqs = [], []
+        for doc in cand:
+            term_pos = []
+            for i, (docs_i, freqs_i, starts_i, pos_i) in enumerate(post):
+                j = int(np.searchsorted(docs_i, doc))
+                lo, hi = int(starts_i[j]), int(starts_i[j]) + int(freqs_i[j])
+                term_pos.append(pos_i[lo:hi] - i)  # offset-adjusted positions
             freq = _sloppy_freq(term_pos, slop)
-        if freq > 0:
-            out_docs.append(doc)
-            out_freqs.append(freq)
-    if not out_docs:
-        return _EMPTY_I, _EMPTY_F
-    docs = np.asarray(out_docs, dtype=np.int64)
-    freqs = np.asarray(out_freqs, dtype=np.float64)
-    d0, _f0, n0 = seg.postings(terms[0])
+            if freq > 0:
+                out_docs.append(doc)
+                out_freqs.append(freq)
+        if not out_docs:
+            return _EMPTY_I, _EMPTY_F
+        docs = np.asarray(out_docs, dtype=np.int64)
+        freqs = np.asarray(out_freqs, dtype=np.float64)
+    d0, _f0, n0 = seg.postings((field, terms[0]))
     norms = n0[np.searchsorted(d0, docs)]
-    s = bm25.score(freqs, norms, node["weight"], cache)
+    s = bm25.score(freqs, norms, node["weight"], _cache_for(cache, field))
     return docs, s.astype(np.float64)
 
 
@@ -348,9 +442,10 @@ def _eval_spannear(node, seg, cache):
     additionally requires strictly increasing positions in clause order.
     Freq = greedy non-overlapping window count; scored like Phrase."""
     terms = node["terms"]
+    field = node.get("field", "content")
     slop = int(node["slop"])
     in_order = bool(node["in_order"])
-    post = [seg.positions(t) for t in terms]
+    post = [seg.positions((field, t)) for t in terms]
     if any(p is None for p in post):
         return _EMPTY_I, _EMPTY_F
     cand = post[0][0]
@@ -399,9 +494,9 @@ def _eval_spannear(node, seg, cache):
         return _EMPTY_I, _EMPTY_F
     docs = np.asarray(out_docs, dtype=np.int64)
     freqs = np.asarray(out_freqs, dtype=np.float64)
-    d0, _f0, n0 = seg.postings(terms[0])
+    d0, _f0, n0 = seg.postings((field, terms[0]))
     norms = n0[np.searchsorted(d0, docs)]
-    s = bm25.score(freqs, norms, node["weight"], cache)
+    s = bm25.score(freqs, norms, node["weight"], _cache_for(cache, field))
     return docs, s.astype(np.float64)
 
 
@@ -510,15 +605,15 @@ def wand_applicable(plan: dict) -> bool:
 
 
 def _wand_terms(plan: dict):
-    """[(term, weight, required, scoring)] — required: conjunction member
-    (MUST/FILTER); scoring: contributes to the sum (not FILTER)."""
+    """[((field, term), weight, required, scoring)] — required: conjunction
+    member (MUST/FILTER); scoring: contributes to the sum (not FILTER)."""
     if plan["type"] == "term":
-        return [(plan["term"], plan["weight"], False, True)]
+        return [(_node_key(plan, plan["term"]), plan["weight"], False, True)]
     if plan["type"] == "synonym":
         return None  # synonym needs freq-merge; fall back
     return [
         (
-            cl["node"]["term"],
+            _node_key(cl["node"], cl["node"]["term"]),
             cl["node"]["weight"],
             cl["occur"] in ("MUST", "FILTER"),
             cl["occur"] != "FILTER",
@@ -547,8 +642,8 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     n_win = max(1, -(-seg.n_docs // window))
     win_ub = np.zeros(n_win, dtype=np.float64)
     term_info = []
-    for term, weight, required, scoring in tw:
-        r = seg.rows.get(term)
+    for key, weight, required, scoring in tw:
+        r = seg.rows.get(key)
         if r is None:
             if required:
                 # a MUST term absent from the segment ⇒ nothing matches
@@ -557,26 +652,34 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         blk_last = np.asarray(r.block_last_doc, dtype=np.int64)
         blk_maxf = np.asarray(r.block_max_freq, dtype=np.int64)
         blk_minn = np.asarray(r.block_min_norm, dtype=np.int64)
-        ub = bm25.score(blk_maxf, blk_minn, weight, cache).astype(np.float64)
+        ub = bm25.score(blk_maxf, blk_minn, weight,
+                        _cache_for(cache, key[0])).astype(np.float64)
         # block b covers (blk_last[b-1], blk_last[b]] → window range
         blk_first = np.concatenate(([0], blk_last[:-1] + 1))
         w_lo = blk_first // window
         w_hi = blk_last // window
-        # per-term per-window max block UB, then summed across terms
+        # per-term per-window max block UB, then summed across terms —
+        # vectorized scatter-max over window endpoints + (rare) interiors:
+        # a hot term's ~78k blocks/segment must not become a Python loop
         tmax = np.zeros(n_win, dtype=np.float64)
         covered = np.zeros(n_win, dtype=bool)
-        for b in range(len(blk_last)):
-            lo, hi = w_lo[b], w_hi[b] + 1
-            seg_slice = tmax[lo:hi]
-            np.maximum(seg_slice, ub[b], out=seg_slice)
-            covered[lo:hi] = True
+        np.maximum.at(tmax, w_lo, ub)
+        np.maximum.at(tmax, w_hi, ub)
+        covered[w_lo] = True
+        covered[w_hi] = True
+        span = w_hi - w_lo - 1  # interior windows of blocks spanning >= 3
+        m = span > 0
+        if m.any():
+            interior = _run_take((w_lo + 1)[m], span[m])
+            np.maximum.at(tmax, interior, np.repeat(ub[m], span[m]))
+            covered[interior] = True
         if scoring:
             win_ub += tmax
         if required:
             # conjunction member: windows with no block of this term can
             # never match (BlockMaxConjunctionScorer lead-iterator skip)
             win_ub[~covered] = 0.0
-        term_info.append((term, weight, required, scoring, r))
+        term_info.append((key, weight, required, scoring, r))
     if not term_info:
         return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
 
@@ -599,8 +702,8 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         # gather (doc, score) within this window across terms
         req_parts, opt_parts = [], []
         window_dead = False
-        for term, weight, required, scoring, r in term_info:
-            docs, freqs, norms = seg.postings(term)
+        for key, weight, required, scoring, r in term_info:
+            docs, freqs, norms = seg.postings(key)
             a = np.searchsorted(docs, lo_doc)
             b = np.searchsorted(docs, hi_doc)
             if a == b:
@@ -610,7 +713,8 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
                 continue
             dd = docs[a:b]
             if scoring:
-                s = bm25.score(freqs[a:b], norms[a:b], weight, cache).astype(
+                s = bm25.score(freqs[a:b], norms[a:b], weight,
+                               _cache_for(cache, key[0])).astype(
                     np.float64
                 )
             else:

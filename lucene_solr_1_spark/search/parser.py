@@ -7,8 +7,15 @@ getBooleanQuery at QueryParserBase.java:466-830). Term/phrase text runs
 through the SAME analyzer as indexing (util/QueryBuilder.java), so query
 tokens match index tokens exactly.
 
-Supported syntax (single-field engine — field prefixes like `body:` are
-accepted and ignored since our corpus indexes one content field):
+Field-qualified queries (QueryParserBase.java:466 getFieldQuery; tests:
+queryparser/.../classic/TestQueryParser.java, TestMultiFieldQueryParser.java):
+`field:` is its own lexer token, so `lang:python`, `lang:[aa TO bb]`,
+`path:/re/` and `repo:(a OR b)` all resolve against the named field.
+Keyword fields (repo/path/commit/lang — StringField analog) are NOT
+analyzed: the query text is matched verbatim, like a per-field
+KeywordAnalyzer (PerFieldAnalyzerWrapper).
+
+Supported syntax:
 
   hello world            OR of terms (default operator OR)
   a AND b / a && b       both required
@@ -22,17 +29,22 @@ accepted and ignored since our corpus indexes one content field):
   [a TO b] / {a TO b}    term range (inclusive / exclusive)
   term^2.5 / (...)^2     boost
   ( ... )                grouping
+  field:term / field:"p" / field:[a TO b] / field:(...)   field queries
+  field:*                docs with the field (all docs here)
   *:*                    match all
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import replace as _dc_replace
 
+from ..index.segment import KEYWORD_FIELDS
 from ..kernels.analyzer import AnalyzerConfig, STANDARD, tokenize_one
 from .query import (
-    Bool, Boost, Clause, Fuzzy, MatchAll, MatchNone, Occur, Phrase, Prefix,
-    Query, Regexp, Term, TermRange, Wildcard, rewrite,
+    Bool, Boost, Clause, ConstantScore, DEFAULT_FIELD, DisjunctionMax, Fuzzy,
+    MatchAll, MatchNone, Occur, Phrase, Prefix, Query, Regexp, Term,
+    TermRange, Wildcard, rewrite,
 )
 
 
@@ -54,6 +66,10 @@ _TOKEN_SPEC = [
     ("RANGE", r"[\[{][^\]}]*[\]}]"),
     ("CARAT", r"\^(?P<boostval>\d+(?:\.\d+)?)"),
     ("TILDE", r"~(?P<tildeval>\d+(?:\.\d+)?)?"),
+    # `field:` is its own token (before TERM) so field-prefixed range /
+    # regex / group syntax lexes correctly: 'lang:[aa TO bb]' is
+    # FIELD('lang:') RANGE('[aa TO bb]'), not three TERMs.
+    ("FIELD", r"[A-Za-z_][\w.]*:"),
     ("TERM", r"[^\s()\"^~]+"),
 ]
 _LEXER = re.compile("|".join(f"(?P<{n}>{p})" for n, p in _TOKEN_SPEC))
@@ -77,11 +93,34 @@ def _lex(text: str) -> list[tuple[str, str]]:
     return out
 
 
+def _with_field(q: Query, field: str) -> Query:
+    """Push a field onto every default-field leaf of a subtree — the
+    `field:(a OR b)` group semantics (QueryParserBase field inheritance)."""
+    if isinstance(q, (Term, Phrase, Prefix, Wildcard, Regexp, Fuzzy, TermRange)):
+        return _dc_replace(q, field=field) if q.field == DEFAULT_FIELD else q
+    if isinstance(q, Bool):
+        return Bool(
+            tuple(Clause(c.occur, _with_field(c.query, field)) for c in q.clauses),
+            q.min_should_match,
+        )
+    if isinstance(q, Boost):
+        return Boost(_with_field(q.query, field), q.boost)
+    if isinstance(q, ConstantScore):
+        return ConstantScore(_with_field(q.query, field), q.score)
+    if isinstance(q, DisjunctionMax):
+        return DisjunctionMax(
+            tuple(_with_field(s, field) for s in q.queries), q.tie_breaker
+        )
+    return q
+
+
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], cfg: AnalyzerConfig):
+    def __init__(self, tokens: list[tuple[str, str]], cfg: AnalyzerConfig,
+                 keyword_fields: tuple = KEYWORD_FIELDS):
         self.toks = tokens
         self.i = 0
         self.cfg = cfg
+        self.keyword_fields = frozenset(keyword_fields)
 
     def peek(self) -> str | None:
         return self.toks[self.i][0] if self.i < len(self.toks) else None
@@ -127,38 +166,49 @@ class _Parser:
             return clauses[0].query
         return Bool(tuple(clauses))
 
-    def parse_clause(self) -> Query | None:
+    def parse_clause(self, field: str | None = None) -> Query | None:
         kind, text = self.next()
+        if kind == "FIELD":
+            if field is not None:
+                raise ParseError(f"nested field prefix at {text!r}")
+            if self.peek() is None:
+                raise ParseError("dangling field prefix")
+            return self.parse_clause(field=text[:-1])
+        eff_field = field or DEFAULT_FIELD
         if kind == "LPAREN":
             q = self.parse_query()
             if self.peek() != "RPAREN":
                 raise ParseError("unbalanced parenthesis")
             self.next()
+            if field is not None:
+                q = _with_field(q, field)
             return self._suffix(q, allow_fuzzy=False)
         if kind == "PHRASE":
             body = re.sub(r"\\(.)", r"\1", text[1:-1])
-            terms, _ = tokenize_one(body, self.cfg)
+            if eff_field in self.keyword_fields:
+                terms = [body]  # keyword fields match verbatim
+            else:
+                terms, _ = tokenize_one(body, self.cfg)
             if not terms:
                 return None
             slop = 0
             if self.peek() == "TILDE":
                 _, tv = self.next()
                 slop = int(float(tv[1:])) if len(tv) > 1 else 0
-            q: Query = Phrase(tuple(terms), slop=slop) if len(terms) > 1 else Term(terms[0])
+            q: Query = (
+                Phrase(tuple(terms), slop=slop, field=eff_field)
+                if len(terms) > 1
+                else Term(terms[0], field=eff_field)
+            )
             return self._suffix(q, allow_fuzzy=False)
         if kind == "REGEX":
-            return self._suffix(Regexp(re.sub(r"\\(.)", r"\1", text[1:-1])), False)
+            return self._suffix(
+                Regexp(re.sub(r"\\(.)", r"\1", text[1:-1]), field=eff_field), False
+            )
         if kind == "RANGE":
-            return self._suffix(self._range(text), False)
+            return self._suffix(self._range(text, eff_field), False)
         if kind == "TERM":
-            # bare field prefix (`body:`) before a phrase/range/regex/group —
-            # single-field engine: consume the prefix, parse what follows
-            if (
-                re.match(r"^[A-Za-z_][\w.]*:$", text)
-                and self.peek() in ("PHRASE", "RANGE", "REGEX", "LPAREN")
-            ):
-                return self.parse_clause()
-            return self._suffix(self._term(text), allow_fuzzy=True)
+            return self._suffix(self._term(text, field), allow_fuzzy=True)
         raise ParseError(f"unexpected token {kind} {text!r}")
 
     def _suffix(self, q: Query, allow_fuzzy: bool) -> Query:
@@ -168,54 +218,62 @@ class _Parser:
             if kind == "TILDE" and allow_fuzzy and isinstance(q, Term):
                 _, tv = self.next()
                 max_e = int(float(tv[1:])) if len(tv) > 1 else 2
-                q = Fuzzy(q.text, max_edits=max_e)
+                q = Fuzzy(q.text, max_edits=max_e, field=q.field)
             elif kind == "CARAT":
                 _, bv = self.next()
                 q = Boost(q, float(bv[1:]))
             else:
                 return q
 
-    def _range(self, text: str) -> Query:
+    def _range(self, text: str, field: str) -> Query:
         inc_lo, inc_hi = text[0] == "[", text[-1] == "]"
         body = text[1:-1].strip()
         m = re.match(r"(\S+)\s+TO\s+(\S+)$", body)
         if not m:
             raise ParseError(f"bad range syntax: {text!r}")
-        lo = None if m.group(1) == "*" else self._norm(m.group(1))
-        hi = None if m.group(2) == "*" else self._norm(m.group(2))
-        return TermRange(lo, hi, include_lower=inc_lo, include_upper=inc_hi)
+        keyword = field in self.keyword_fields
+        lo = None if m.group(1) == "*" else self._norm(m.group(1), keyword)
+        hi = None if m.group(2) == "*" else self._norm(m.group(2), keyword)
+        return TermRange(
+            lo, hi, include_lower=inc_lo, include_upper=inc_hi, field=field
+        )
 
-    def _norm(self, raw: str) -> str:
+    def _norm(self, raw: str, keyword: bool = False) -> str:
+        if keyword:
+            return raw
         return raw.lower() if self.cfg.lowercase else raw
 
-    def _term(self, raw: str) -> Query | None:
-        if raw == "*:*":
+    def _term(self, raw: str, field: str | None) -> Query | None:
+        if raw == "*:*" and field is None:
             return MatchAll()
-        # strip a field: prefix (single-field engine)
-        m = re.match(r"^[A-Za-z_][\w.]*:(.*)$", raw)
-        if m:
-            raw = m.group(1)
-            if raw == "":
-                raise ParseError("empty field query")
-            if raw == "*":
-                return MatchAll()
+        eff_field = field or DEFAULT_FIELD
+        if raw == "*" and field is not None:
+            # field:* — FieldExistsQuery analog; every doc has every field
+            return MatchAll()
+        keyword = eff_field in self.keyword_fields
         if "*" in raw or "?" in raw:
-            pat = self._norm(raw)
+            pat = self._norm(raw, keyword)
             body = pat.rstrip("*")
             if "*" not in body and "?" not in body and pat.endswith("*") and body:
-                return Prefix(body)  # PrefixQuery fast path
-            return Wildcard(pat)
+                return Prefix(body, field=eff_field)  # PrefixQuery fast path
+            return Wildcard(pat, field=eff_field)
+        if keyword:
+            return Term(raw, field=eff_field)  # StringField: verbatim
         terms, _ = tokenize_one(raw, self.cfg)
         if not terms:
             return None
         if len(terms) == 1:
-            return Term(terms[0])
+            return Term(terms[0], field=eff_field)
         # analyzer split one syntactic token (e.g. "foo-bar") → OR of parts
-        return Bool.of(*((Occur.SHOULD, Term(t)) for t in terms))
+        return Bool.of(*((Occur.SHOULD, Term(t, field=eff_field)) for t in terms))
 
 
-def parse(text: str, cfg: AnalyzerConfig = STANDARD) -> Query:
+def parse(
+    text: str,
+    cfg: AnalyzerConfig = STANDARD,
+    keyword_fields: tuple = KEYWORD_FIELDS,
+) -> Query:
     """Parse query text → rewritten Query tree (searcher.expand() handles
     the multi-term expansion step)."""
-    q = _Parser(_lex(text), cfg).parse_query()
+    q = _Parser(_lex(text), cfg, keyword_fields).parse_query()
     return rewrite(q)

@@ -20,6 +20,11 @@ class Occur(Enum):
     FILTER = "FILTER"
 
 
+# Default search field (document/Field.java, index/FieldInfos.java: every
+# Lucene term lives in a named field; queries resolve `field:term`).
+DEFAULT_FIELD = "content"
+
+
 class Query:
     """Marker base class."""
 
@@ -27,6 +32,7 @@ class Query:
 @dataclass(frozen=True)
 class Term(Query):
     text: str
+    field: str = DEFAULT_FIELD
 
 
 @dataclass(frozen=True)
@@ -34,6 +40,7 @@ class Synonym(Query):
     """Multi-term scored as one: freqs summed, idfs summed
     (SynonymQuery.java:54,253-272)."""
     terms: tuple
+    field: str = DEFAULT_FIELD
 
 
 @dataclass(frozen=True)
@@ -41,6 +48,7 @@ class Phrase(Query):
     """Exact phrase (slop=0) — positional intersection (PhraseQuery.java)."""
     terms: tuple
     slop: int = 0
+    field: str = DEFAULT_FIELD
 
 
 @dataclass(frozen=True)
@@ -52,6 +60,7 @@ class SpanNear(Query):
     terms: tuple
     slop: int = 0
     in_order: bool = False
+    field: str = DEFAULT_FIELD
 
 
 @dataclass(frozen=True)
@@ -107,23 +116,27 @@ class DisjunctionMax(Query):
 @dataclass(frozen=True)
 class Prefix(Query):
     prefix: str
+    field: str = DEFAULT_FIELD
 
 
 @dataclass(frozen=True)
 class Wildcard(Query):
     """? = one char, * = any run (WildcardQuery.java)."""
     pattern: str
+    field: str = DEFAULT_FIELD
 
 
 @dataclass(frozen=True)
 class Regexp(Query):
     pattern: str
+    field: str = DEFAULT_FIELD
 
 
 @dataclass(frozen=True)
 class Fuzzy(Query):
     text: str
     max_edits: int = 2
+    field: str = DEFAULT_FIELD
 
 
 @dataclass(frozen=True)
@@ -132,6 +145,18 @@ class TermRange(Query):
     upper: str | None
     include_lower: bool = True
     include_upper: bool = True
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class NumericRange(Query):
+    """PointRangeQuery analog over a numeric doc-values column of the
+    docmap/norms table (search/PointRangeQuery.java:413,
+    document/IntPoint.java). Constant-score; usable standalone or as a
+    FILTER/MUST clause combined with scored text clauses."""
+    field: str  # numeric doc-values column: 'dl' or 'n_chars'
+    lower: int | None = None
+    upper: int | None = None
 
 
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount
@@ -197,18 +222,32 @@ def _rewrite_once(q: Query) -> Query:
     return Bool(tuple(clauses), min_should_match=msm)
 
 
+def numeric_ranges(q: Query) -> set:
+    """All NumericRange leaves in a query tree (resolved by the searcher
+    against the doc-values columns of the norms table before scoring)."""
+    if isinstance(q, NumericRange):
+        return {q}
+    if isinstance(q, (Boost, ConstantScore)):
+        return numeric_ranges(q.query)
+    if isinstance(q, Bool):
+        return set().union(*(numeric_ranges(c.query) for c in q.clauses)) if q.clauses else set()
+    if isinstance(q, DisjunctionMax):
+        return set().union(*(numeric_ranges(s) for s in q.queries)) if q.queries else set()
+    return set()
+
+
 def query_terms(q: Query) -> set:
-    """All posting-list terms the query touches (after expansion)."""
+    """All (field, term) posting keys the query touches (after expansion)."""
     if isinstance(q, Term):
-        return {q.text}
+        return {(q.field, q.text)}
     if isinstance(q, (Synonym, Phrase, SpanNear)):
-        return set(q.terms)
+        return {(q.field, t) for t in q.terms}
     if isinstance(q, (Boost, ConstantScore)):
         return query_terms(q.query)
     if isinstance(q, Bool):
         return set().union(*(query_terms(c.query) for c in q.clauses)) if q.clauses else set()
     if isinstance(q, DisjunctionMax):
         return set().union(*(query_terms(s) for s in q.queries)) if q.queries else set()
-    if isinstance(q, (MatchAll, MatchNone)):
+    if isinstance(q, (MatchAll, MatchNone, NumericRange)):
         return set()
     raise TypeError(f"unexpanded multi-term query: {q!r} — call expand() first")

@@ -33,8 +33,13 @@ from ..kernels import bm25
 from . import kernel as K
 from .query import (
     Bool, Clause, Fuzzy, MatchNone, Occur, Prefix, Query, Regexp, Synonym,
-    Term, TermRange, Wildcard, query_terms, rewrite, MAX_CLAUSE_COUNT,
+    Term, TermRange, Wildcard, numeric_ranges, query_terms, rewrite,
+    MAX_CLAUSE_COUNT,
 )
+
+# numeric doc-values columns of the norms table usable in NumericRange
+# (NumericDocValuesField / IntPoint analog)
+NUMERIC_DOCVALUES = ("dl", "n_chars")
 
 TOTAL_HITS_THRESHOLD = 1000
 
@@ -44,10 +49,17 @@ _HIT_SCHEMA = (
 
 
 def _kernel_udf(key, postings_pdf, plan, cache, k, use_wand,
-                after=None, doc_bases=None, tombstones=None, doc_counts=None):
+                after=None, doc_bases=None, tombstones=None, doc_counts=None,
+                allowed_pdf=None):
     segment_id = key[0]
     n_docs = (doc_counts or {}).get(segment_id, 0)
-    seg = K.SegmentData(postings_pdf, n_docs)
+    allowed = None
+    if allowed_pdf is not None and len(allowed_pdf):
+        allowed = {
+            set_id: np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
+            for set_id, g in allowed_pdf.groupby("set_id")
+        }
+    seg = K.SegmentData(postings_pdf, n_docs, allowed=allowed)
     base = (doc_bases or {}).get(segment_id, 0)
     deleted = (tombstones or {}).get(segment_id)
     if use_wand and K.wand_applicable(plan):
@@ -111,7 +123,24 @@ class LuceneSparkSearcher:
         self.doc_count = self.manifest["doc_count"]
         self.sum_ttf = self.manifest["sum_ttf"]
         self.avgdl = bm25.avg_field_length(self.sum_ttf, max(self.doc_count, 1))
-        self.cache = bm25.norm_cache(self.avgdl)
+        # per-field CollectionStatistics → per-field norm cache (each field
+        # has its own avgdl; FieldInfos / CollectionStatistics analog)
+        fs = self.manifest.get("field_stats") or {
+            "content": {"sum_ttf": self.sum_ttf, "doc_count": self.doc_count}
+        }
+        self.field_stats = fs
+        self.doc_counts = {
+            f: max(int(st["doc_count"]), 1) for f, st in fs.items()
+        }
+        self.caches = {
+            f: bm25.norm_cache(
+                bm25.avg_field_length(
+                    int(st["sum_ttf"]), max(int(st["doc_count"]), 1)
+                )
+            )
+            for f, st in fs.items()
+        }
+        self.cache = self.caches["content"]
         self.doc_base = {
             s["segment_id"]: s["doc_base"] for s in self.manifest["segments"]
         }
@@ -138,7 +167,7 @@ class LuceneSparkSearcher:
             from ..index.schemas import POSTINGS_DDL
 
             rows = [
-                (sid, K.SENTINEL_TERM, 0, 0,
+                (sid, "\x00", K.SENTINEL_TERM, 0, 0,
                  bytearray(), [], bytearray(), [], bytearray(), [],
                  bytearray(), [], [], [])
                 for sid in self.doc_base
@@ -150,31 +179,47 @@ class LuceneSparkSearcher:
 
     # ---------------- multi-term expansion (§2.5 PrefixQuery etc.) --------
 
+    def _terms_filter(self, pairs):
+        """Column predicate selecting the posting rows of a set of
+        (field, term) keys — one isin per field, OR-combined; Catalyst
+        pushes both columns to the parquet scan."""
+        by_field: dict[str, list] = {}
+        for f, t in pairs:
+            by_field.setdefault(f, []).append(t)
+        cond = None
+        for f in sorted(by_field):
+            c = (F.col("field") == f) & F.col("term").isin(by_field[f])
+            cond = c if cond is None else cond | c
+        return cond if cond is not None else F.lit(False)
+
     def _expand_terms(self, cond, cap: int = MAX_CLAUSE_COUNT) -> list[str]:
-        t = self._postings.groupBy("term").agg(F.sum("doc_freq").alias("df"))
+        t = self._postings.groupBy("field", "term").agg(
+            F.sum("doc_freq").alias("df")
+        )
         rows = t.where(cond).orderBy(F.desc("df"), F.asc("term")).limit(cap).collect()
         return [r["term"] for r in rows]
 
     def _mtq_cond(self, q: Query):
         """Column predicate over the term dictionary for a multi-term query
         — Catalyst pushes it to the postings parquet scan (the FST-seek
-        analog; .explain shows PushedFilters)."""
+        analog; .explain shows PushedFilters). Scoped to the query's field."""
         col = F.col("term")
+        in_field = F.col("field") == q.field
         if isinstance(q, Prefix):
-            return col.startswith(q.prefix)
+            return in_field & col.startswith(q.prefix)
         if isinstance(q, Wildcard):
             rx = "^" + re.escape(q.pattern).replace(r"\*", ".*").replace(r"\?", ".") + "$"
-            return col.rlike(rx)
+            return in_field & col.rlike(rx)
         if isinstance(q, Regexp):
-            return col.rlike("^" + q.pattern + "$")
+            return in_field & col.rlike("^" + q.pattern + "$")
         if isinstance(q, Fuzzy):
             # length pre-filter keeps the levenshtein scan cheap
             lo, hi = len(q.text) - q.max_edits, len(q.text) + q.max_edits
-            return (F.length(col).between(lo, hi)) & (
+            return in_field & (F.length(col).between(lo, hi)) & (
                 F.levenshtein(col, F.lit(q.text)) <= q.max_edits
             )
         if isinstance(q, TermRange):
-            cond = F.lit(True)
+            cond = in_field
             if q.lower is not None:
                 cond = cond & (col >= q.lower if q.include_lower else col > q.lower)
             if q.upper is not None:
@@ -209,29 +254,51 @@ class LuceneSparkSearcher:
         if not terms:
             return MatchNone()
         if len(terms) == 1:
-            return Term(terms[0])
-        return Bool.of(*((Occur.SHOULD, Term(t)) for t in terms))
+            return Term(terms[0], field=q.field)
+        return Bool.of(*((Occur.SHOULD, Term(t, field=q.field)) for t in terms))
+
+    def _numeric_allowed_df(self, nrs) -> DataFrame:
+        """(segment_id, doc_id, set_id) rows for every NumericRange in the
+        query — one filtered scan of the norms table per distinct range,
+        unioned (Catalyst merges them into one pass when possible)."""
+        out = None
+        for nr in sorted(nrs, key=K.numeric_set_id):
+            if nr.field not in NUMERIC_DOCVALUES:
+                raise ValueError(
+                    f"unknown numeric doc-values field {nr.field!r}; "
+                    f"available: {NUMERIC_DOCVALUES}"
+                )
+            cond = F.lit(True)
+            if nr.lower is not None:
+                cond = cond & (F.col(nr.field) >= int(nr.lower))
+            if nr.upper is not None:
+                cond = cond & (F.col(nr.field) <= int(nr.upper))
+            part = self._norms.where(cond).select(
+                "segment_id", "doc_id", F.lit(K.numeric_set_id(nr)).alias("set_id")
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     # ---------------- stats + search --------------------------------------
 
-    def _global_df(self, terms: set) -> dict:
-        """Global docFreq per term (the createWeight stats barrier).
-        Cached across queries for the searcher's lifetime — the TermStates
-        / LRUQueryCache analog: repeated terms skip the aggregation job
-        entirely (the index is immutable under this manifest, so entries
-        never go stale)."""
-        missing = terms - self._df_cache.keys()
+    def _global_df(self, pairs: set) -> dict:
+        """Global docFreq per (field, term) key (the createWeight stats
+        barrier). Cached across queries for the searcher's lifetime — the
+        TermStates / LRUQueryCache analog: repeated terms skip the
+        aggregation job entirely (the index is immutable under this
+        manifest, so entries never go stale)."""
+        missing = pairs - self._df_cache.keys()
         if missing:
             rows = (
-                self._postings.where(F.col("term").isin(list(missing)))
-                .groupBy("term")
+                self._postings.where(self._terms_filter(missing))
+                .groupBy("field", "term")
                 .agg(F.sum("doc_freq").alias("df"))
                 .collect()
             )
-            found = {r["term"]: int(r["df"]) for r in rows}
-            for t in missing:
-                self._df_cache[t] = found.get(t, 0)
-        return {t: self._df_cache[t] for t in terms}
+            found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            for key in missing:
+                self._df_cache[key] = found.get(key, 0)
+        return {key: self._df_cache[key] for key in pairs}
 
     def search(
         self,
@@ -265,25 +332,39 @@ class LuceneSparkSearcher:
                 out.attrs["relation"] = "EQUAL_TO"
                 return out
             terms = query_terms(q)
-            plan = K.compile_plan(q, self._global_df(terms), max(self.doc_count, 1))
-            post = self._postings.where(F.col("term").isin(list(terms))) if terms else self._postings.limit(0)
+            plan = K.compile_plan(q, self._global_df(terms), self.doc_counts)
+            post = self._postings.where(self._terms_filter(terms)) if terms else self._postings.limit(0)
         if "matchall" in K.plan_node_types(plan):
             # the plan matches docs without postings: dispatch EVERY segment
             post = post.unionByName(self._sentinel_rows())
-        # scoring input = ONLY the pruned posting rows (norm bytes ride in
-        # each row — no norms-table join/shuffle; see schemas.py norms_enc)
-        hits = (
-            post.groupBy("segment_id")
-            .applyInPandas(
-                partial(
-                    _kernel_udf, plan=plan, cache=self.cache, k=k,
-                    use_wand=use_wand, after=after, doc_bases=self.doc_base,
-                    tombstones=self.tombstones, doc_counts=self.seg_doc_count,
-                ),
-                schema=_HIT_SCHEMA,
-            )
-            .toPandas()
+        kernel = partial(
+            _kernel_udf, plan=plan, cache=self.caches, k=k,
+            use_wand=use_wand, after=after, doc_bases=self.doc_base,
+            tombstones=self.tombstones, doc_counts=self.seg_doc_count,
         )
+        nrs = numeric_ranges(q)
+        if nrs:
+            # doc-values FILTER resolution (PointRangeQuery analog): the
+            # norms/docmap table is range-filtered DISTRIBUTED (parquet
+            # row-group min/max pruning = the BKD-tree cut) and cogrouped
+            # with the posting rows per segment — no driver-side collect
+            # of the (potentially huge) match set.
+            allowed = self._numeric_allowed_df(nrs)
+            grouped = post.groupBy("segment_id").cogroup(
+                allowed.groupBy("segment_id")
+            )
+            hits = grouped.applyInPandas(
+                lambda key, l, r: kernel(key, l, allowed_pdf=r),
+                schema=_HIT_SCHEMA,
+            ).toPandas()
+        else:
+            # scoring input = ONLY the pruned posting rows (norm bytes ride
+            # in each row — no norms-table join/shuffle; schemas.py norms_enc)
+            hits = (
+                post.groupBy("segment_id")
+                .applyInPandas(kernel, schema=_HIT_SCHEMA)
+                .toPandas()
+            )
         # TopDocs.merge: score desc → global docID asc (leaf order, doc order)
         if len(hits):
             hits["global_doc_id"] = (
@@ -337,6 +418,11 @@ class LuceneSparkSearcher:
         prepared: dict[str, Query] = {}
         for name, q in queries.items():
             q = rewrite(self.expand(rewrite(q)))
+            if numeric_ranges(q):
+                raise ValueError(
+                    "search_many does not support NumericRange clauses; "
+                    "use search() per query"
+                )
             if isinstance(q, MatchNone):
                 empties.append(name)
                 continue
@@ -344,19 +430,19 @@ class LuceneSparkSearcher:
             all_terms |= query_terms(q)
         gdf = self._global_df(all_terms)
         for name, q in prepared.items():
-            compiled[name] = K.compile_plan(q, gdf, max(self.doc_count, 1))
+            compiled[name] = K.compile_plan(q, gdf, self.doc_counts)
         if not compiled:
             return pd.DataFrame(
                 columns=["query", "rank", "score", "global_doc_id", "segment_id", "doc_id"]
             )
-        post = self._postings.where(F.col("term").isin(list(all_terms)))
+        post = self._postings.where(self._terms_filter(all_terms))
         if any("matchall" in K.plan_node_types(p) for p in compiled.values()):
             post = post.unionByName(self._sentinel_rows())
         hits = (
             post.groupBy("segment_id")
             .applyInPandas(
                 partial(
-                    _kernel_many_udf, plans=compiled, cache=self.cache, k=k,
+                    _kernel_many_udf, plans=compiled, cache=self.caches, k=k,
                     use_wand=use_wand, tombstones=self.tombstones,
                     doc_counts=self.seg_doc_count,
                 ),
@@ -447,11 +533,11 @@ class LuceneSparkSearcher:
         tf: dict[str, int] = {}
         for t in terms:
             tf[t] = tf.get(t, 0) + 1
-        gdf = self._global_df(set(tf))
+        gdf = self._global_df({("content", t) for t in tf})
         scored = [
-            (tf[t] * float(bm25.idf(gdf[t], max(self.doc_count, 1))), t)
+            (tf[t] * float(bm25.idf(gdf[("content", t)], max(self.doc_count, 1))), t)
             for t in tf
-            if gdf.get(t, 0) >= min_doc_freq
+            if gdf.get(("content", t), 0) >= min_doc_freq
         ]
         scored.sort(key=lambda x: (-x[0], x[1]))
         top = scored[:max_query_terms]
@@ -483,13 +569,13 @@ class LuceneSparkSearcher:
                 sid, base = s, b
         local = global_doc_id - base
         terms = query_terms(q)
-        plan = K.compile_plan(q, self._global_df(terms), max(self.doc_count, 1))
+        plan = K.compile_plan(q, self._global_df(terms), self.doc_counts)
         post = (
             self._postings.where(
-                (F.col("segment_id") == sid) & F.col("term").isin(list(terms))
+                (F.col("segment_id") == sid) & self._terms_filter(terms)
             ).toPandas()
             if terms
-            else pd.DataFrame(columns=["term"])
+            else pd.DataFrame(columns=["field", "term"])
         )
         seg = K.SegmentData(post, self.seg_doc_count.get(sid, local + 1))
         return self._explain_node(plan, seg, local)
@@ -497,7 +583,7 @@ class LuceneSparkSearcher:
     def _explain_node(self, node: dict, seg, local: int) -> dict:
         from ..kernels.smallfloat import byte4_to_int
 
-        docs, scores = K.eval_node(node, seg, self.cache)
+        docs, scores = K.eval_node(node, seg, self.caches)
         i = np.searchsorted(docs, local)
         matched = i < len(docs) and docs[i] == local
         value = float(np.float32(scores[i])) if matched else 0.0
@@ -505,13 +591,14 @@ class LuceneSparkSearcher:
         if t == "term":
             if not matched:
                 return {"value": 0.0, "description": f"no match on term {node['term']!r}", "details": []}
-            d, f, n = seg.postings(node["term"])
+            fld = node.get("field", "content")
+            d, f, n = seg.postings((fld, node["term"]))
             j = np.searchsorted(d, local)
             freq = int(f[j])
             dl = int(byte4_to_int(np.asarray([int(n[j])]))[0])
             return {
                 "value": value,
-                "description": f"weight(content:{node['term']} in {local}) [BM25, k1=1.2, b=0.75]",
+                "description": f"weight({fld}:{node['term']} in {local}) [BM25, k1=1.2, b=0.75]",
                 "details": [
                     {"value": float(node["weight"]), "description": "boost * idf", "details": []},
                     {"value": freq, "description": "freq", "details": []},
@@ -544,7 +631,8 @@ class LuceneSparkSearcher:
         hit_df = self.spark.createDataFrame(pairs)
         out = (
             self._norms.join(F.broadcast(hit_df), on=["segment_id", "doc_id"])
-            .select("segment_id", "doc_id", "repo", "path", "commit", "lang", "dl")
+            .select("segment_id", "doc_id", "repo", "path", "commit", "lang",
+                    "dl", "n_chars", "content")
             .toPandas()
         )
         return out

@@ -1,0 +1,283 @@
+"""DuckDB twins of the KERNEL scoring pipeline — float32 bit-exact.
+
+The engine's kernel path scores with quantized norms and float32 op order
+(kernels/bm25.py, kernels/smallfloat.py; reference BM25Similarity.java:
+184-193 cache, 222-226 score; SmallFloat.java:147-169 byte encoding).
+These SQL generators reproduce that pipeline EXACTLY in DuckDB:
+
+- dl is quantized through the SmallFloat byte round-trip via a 256-row
+  length table (generated from the same LENGTH_TABLE constants — the
+  'twins generated from the same spec' invariant, CLAUDE.md);
+- every float32 operation is an explicit CAST(.. AS REAL) with the same
+  op order as the NumPy kernel; float literals are emitted in exponent
+  form so DuckDB parses them as DOUBLE (a bare '2.3456' lexes as DECIMAL
+  and round-trips to a DIFFERENT float32);
+- disjunction sums accumulate in DOUBLE and cast to REAL at the end
+  (DisjunctionSumScorer's double accumulator, kernel top_k float32 cast).
+
+Bit-exactness is pinned by tests/test_kernel_oracle.py: engine scores ==
+DuckDB scores EXACTLY (no tolerance), so the driver's value-hash gate can
+cover the inverted-index/WAND path, not just the relational twins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels.smallfloat import LENGTH_TABLE
+
+K1 = 1.2
+B = 0.75
+TOKEN_PATTERN = "[a-z0-9_]+"
+
+
+def _lit(x) -> str:
+    """Exact float64 literal DuckDB parses as DOUBLE (exponent form)."""
+    r = repr(float(x))
+    return r if ("e" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
+def _f32(expr: str) -> str:
+    return f"CAST({expr} AS REAL)"
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_list(terms) -> str:
+    return ", ".join(_sql_str(t) for t in terms)
+
+
+def length_table_values() -> str:
+    """256 rows (len_i BIGINT, len_f REAL-exact DOUBLE literal): the
+    SmallFloat decode table. decode(encode(x)) = max representable <= x,
+    so the quantized dl of a doc is arg_max(len_f, len_i) over len_i <= dl."""
+    ints = LENGTH_TABLE.astype(np.int64)
+    return ", ".join(
+        f"({int(ints[i])}, {_lit(LENGTH_TABLE[i])})" for i in range(256)
+    )
+
+
+def _prelude(all_terms) -> str:
+    """Shared CTEs: tokens, per-doc quantized-dl norm cache (float32),
+    per-term tf/df over the query terms."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    # cache[i] = f32(k1 * (f32(1-b) + f32(f32(b * len_f) / avgdl)))
+    # — same op order as bm25.norm_cache
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list(all_terms)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+""".strip()
+
+
+def _idf32(df_expr: str, n_expr: str) -> str:
+    """f32(ln(1 + (N - df + 0.5)/(df + 0.5))) — double log, cast float."""
+    return _f32(f"ln(1 + ({n_expr}::DOUBLE - {df_expr} + 0.5)/({df_expr} + 0.5))")
+
+
+def _weights_cte(boosts: dict) -> str:
+    """w(term): f32(f32(boost) * idf32) — bm25.term_weight op order."""
+    if boosts:
+        boost_case = (
+            "CASE dfr.term "
+            + " ".join(
+                f"WHEN {_sql_str(t)} THEN {_f32(_lit(b))}" for t, b in boosts.items()
+            )
+            + f" ELSE {_f32(_lit(1.0))} END"
+        )
+    else:
+        boost_case = _f32(_lit(1.0))
+    return f"""
+w AS (
+  SELECT dfr.term,
+         {_f32(f"{boost_case} * {_idf32('dfr.df', 'tot.n_docs')}")} AS w
+  FROM dfr CROSS JOIN tot
+)
+""".strip()
+
+
+_SCORE32 = (
+    # f32(w * f32(freq_d / (freq_d + norm_d))) — bm25.score op order:
+    # freq promoted int -> f32 -> double; cache f32 -> double; double
+    # divide; cast f32; multiply by f32 weight; f32 result.
+    "CAST(w.w * CAST(CAST(tf.tf AS REAL)::DOUBLE / "
+    "(CAST(tf.tf AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)"
+)
+
+
+def _scores_cte() -> str:
+    return f"""
+s AS (
+  SELECT tf.doc_id, tf.term, {_SCORE32} AS s
+  FROM tf JOIN w USING (term) JOIN cache c ON c.doc_id = tf.doc_id
+)
+""".strip()
+
+
+def _topk_select(k: int) -> str:
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, CAST(score32 AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY score32 DESC, doc_id ASC) - 1 AS BIGINT) AS rank
+FROM matched
+ORDER BY score32 DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def kernel_bool_duck(
+    must: tuple = (),
+    should: tuple = (),
+    must_not: tuple = (),
+    k: int = 10,
+    boosts: dict | None = None,
+    filter_sql: str | None = None,
+) -> str:
+    """Quantized-float32 BM25 Bool query twin (kernel _eval_bool shape:
+    MUST conjunction + SHOULD adds + MUST_NOT subtract; FILTER via
+    `filter_sql`, an SQL predicate over `documents` aliased `doc` —
+    matches constrain but never score, BooleanQuery FILTER semantics)."""
+    all_terms = sorted(set(must) | set(should) | set(must_not))
+    scoring = sorted(set(must) | set(should))
+    boosts = boosts or {}
+    conds = ["coalesce(n_not, 0) = 0"]
+    if must:
+        conds.append(f"n_must = {len(set(must))}")
+    else:
+        conds.append("n_should >= 1")
+    filt = ""
+    if filter_sql:
+        filt = (
+            f"AND doc_id IN (SELECT doc.doc_id FROM documents doc "
+            f"JOIN dl ON dl.doc_id = doc.doc_id WHERE {filter_sql})"
+        )
+    return f"""
+WITH {_prelude(all_terms)},
+{_weights_cte(boosts)},
+{_scores_cte()},
+agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN term IN ({_sql_list(scoring)}) THEN s::DOUBLE END) AS REAL) AS score32,
+         count(DISTINCT CASE WHEN term IN ({_sql_list(must) or "''"}) THEN term END) AS n_must,
+         count(DISTINCT CASE WHEN term IN ({_sql_list(should) or "''"}) THEN term END) AS n_should,
+         count(DISTINCT CASE WHEN term IN ({_sql_list(must_not) or "''"}) THEN term END) AS n_not
+  FROM s GROUP BY 1
+),
+matched AS (
+  SELECT doc_id, score32 FROM agg
+  WHERE {" AND ".join(conds)} {filt}
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_nested_and_or_duck(must_term: str, or_terms: tuple, k: int = 10) -> str:
+    """Twin of parse('a AND (b OR c)'): MUST term + MUST nested SHOULD-bool.
+    cand = docs(a) ∩ (docs(b) ∪ docs(c)); score = f32(s_a + s_b + s_c in
+    double) — kernel _eval_bool with a nested disjunction MUST clause."""
+    all_terms = sorted({must_term, *or_terms})
+    return f"""
+WITH {_prelude(all_terms)},
+{_weights_cte({})},
+{_scores_cte()},
+agg AS (
+  SELECT doc_id,
+         CAST(sum(s::DOUBLE) AS REAL) AS score32,
+         max(CASE WHEN term = {_sql_str(must_term)} THEN 1 ELSE 0 END) AS has_must,
+         max(CASE WHEN term IN ({_sql_list(or_terms)}) THEN 1 ELSE 0 END) AS has_or
+  FROM s GROUP BY 1
+),
+matched AS (
+  SELECT doc_id, score32 FROM agg WHERE has_must = 1 AND has_or = 1
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_phrase_duck(t1: str, t2: str, k: int = 10) -> str:
+    """Twin of the kernel exact-phrase scorer: freq = adjacent-position
+    count; weight = f32(sum of f32 idfs in double) (synonym_idf); scored
+    with the doc's quantized norm cache."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    return f"""
+WITH {_prelude(sorted({t1, t2}))},
+pw AS (
+  SELECT {_f32(f"CAST(1.0 AS REAL) * " + _f32(f"sum({_idf32('dfr.df', 'tot.n_docs')}::DOUBLE)"))} AS w
+  FROM dfr CROSS JOIN tot
+),
+pos AS (
+  SELECT doc_id, unnest({toks}) AS term, generate_subscripts({toks}, 1) AS p
+  FROM documents
+),
+pa AS (SELECT doc_id, p FROM pos WHERE term = {_sql_str(t1)}),
+pb AS (SELECT doc_id, p FROM pos WHERE term = {_sql_str(t2)}),
+pf AS (
+  SELECT pa.doc_id, count(*) AS freq
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.p = pa.p + 1
+  GROUP BY 1
+),
+matched AS (
+  SELECT pf.doc_id,
+         CAST(pw.w * CAST(CAST(pf.freq AS REAL)::DOUBLE /
+              (CAST(pf.freq AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL) AS score32
+  FROM pf JOIN cache c ON c.doc_id = pf.doc_id CROSS JOIN pw
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_keyword_term_duck(field: str, value: str, k: int = 10) -> str:
+    """Twin of a keyword-field TermQuery (StringField postings: tf=1,
+    dl=1, per-field avgdl = 1): score is one float32 constant per query,
+    computed with the same op order as the kernel."""
+    # cache entry for dl=1 with avgdl=f32(n/n)=1: LENGTH_TABLE[1] = 1.0
+    cache1 = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(_f32(f"{_f32(_lit(B))} * {_f32(_lit(1.0))}") + f" / {_f32(_lit(1.0))}")
+        )
+    )
+    score32 = (
+        f"CAST(w.w * CAST(CAST(1 AS REAL)::DOUBLE / "
+        f"(CAST(1 AS REAL)::DOUBLE + ({cache1})::DOUBLE) AS REAL) AS REAL)"
+    )
+    return f"""
+WITH tot AS (SELECT count(*) AS n_docs FROM documents),
+dfr AS (SELECT count(*) AS df FROM documents WHERE {field} = {_sql_str(value)}),
+w AS (
+  SELECT {_f32(f"{_f32(_lit(1.0))} * {_idf32('dfr.df', 'tot.n_docs')}")} AS w
+  FROM dfr CROSS JOIN tot
+),
+matched AS (
+  SELECT d.doc_id, {score32} AS score32
+  FROM documents d CROSS JOIN w WHERE d.{field} = {_sql_str(value)}
+)
+{_topk_select(k)}
+""".strip()

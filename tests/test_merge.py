@@ -73,11 +73,12 @@ def test_merge_global_df_consistent(spark, small_corpus_pdf, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_df"))
     build_index(spark, df, d, num_segments=8)
     s0 = LuceneSparkSearcher(spark, d)
-    df_before = s0._global_df({"return", "class", "id_0001"})
+    keys = {("content", t) for t in ("return", "class", "id_0001")}
+    df_before = s0._global_df(keys)
     merge_down(spark, d, target_segments=1)
     s1 = LuceneSparkSearcher(spark, d)
     assert len(s1.manifest["segments"]) == 1
-    assert s1._global_df({"return", "class", "id_0001"}) == df_before
+    assert s1._global_df(keys) == df_before
 
 
 def test_concurrent_merge_matches_sequential(spark, tmp_path_factory):

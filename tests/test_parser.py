@@ -96,9 +96,43 @@ def test_match_all():
     assert parse("*:*") == MatchAll()
 
 
-def test_field_prefix_ignored():
-    assert parse("body:hello") == Term("hello")
-    assert parse('body:"a b"') != MatchNone()  # phrase under field
+def test_field_resolution():
+    # getFieldQuery (QueryParserBase.java:466): field prefixes RESOLVE
+    # (cases modeled on TestQueryParser / TestMultiFieldQueryParser)
+    assert parse("body:hello") == Term("hello", field="body")
+    assert parse('body:"a b"') == Phrase(("a", "b"), field="body")
+    assert parse("content:hello") == Term("hello")
+
+
+def test_keyword_field_verbatim():
+    # keyword (StringField-analog) fields are NOT analyzed: values match
+    # verbatim, like a per-field KeywordAnalyzer
+    assert parse("lang:python") == Term("python", field="lang")
+    assert parse("repo:org/repo-3") != MatchNone()
+    assert parse('path:"src/d4/f_756.c"') == Term("src/d4/f_756.c", field="path")
+
+
+def test_field_range_and_regex():
+    # ADVICE r1: 'lang:[aa TO bb]' must lex FIELD + RANGE, not three TERMs
+    assert parse("lang:[aa TO bb]") == TermRange("aa", "bb", True, True, field="lang")
+    assert parse("body:[a TO b]") == TermRange("a", "b", True, True, field="body")
+    assert parse("body:/ab+c/") == Regexp("ab+c", field="body")
+
+
+def test_field_group_inheritance():
+    # field:(a OR b) pushes the field onto the group's leaves
+    assert parse("lang:(python OR java)") == Bool.of(
+        (S, Term("python", field="lang")), (S, Term("java", field="lang"))
+    )
+
+
+def test_field_star_matches_all():
+    assert parse("lang:*") == MatchAll()
+
+
+def test_field_prefix_and_boost():
+    assert parse("lang:py*") == Prefix("py", field="lang")
+    assert parse("body:hello^2") == Boost(Term("hello", field="body"), 2.0)
 
 
 def test_term_analysis_lowercases_and_splits():

@@ -21,6 +21,27 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.5
 
 
+def test_ivf_probe_prunes_files(spark):
+    """The persisted IVF index actually PRUNES: a pruned probe's scan reads
+    strictly fewer cell partitions than an all-probe scan (parquet
+    partition pruning on the `cell` directory column)."""
+    import os
+    from pyspark.sql import functions as F
+
+    ann_dir = similarity.get_ann_index(spark, SF, n_cells=8)
+    cells = spark.read.parquet(os.path.join(ann_dir, "cells"))
+    probed = cells.where(F.col("cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the cell predicate must reach the scan as a PARTITION filter
+    # (directory pruning), not a post-scan row filter
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the index is complete: cell partitions together hold every vector
+    n_all = cells.count()
+    n_base = similarity.load_embeddings(spark, SF).count()
+    assert n_all == n_base
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark):
     """LSH banding must surface every pair the exact Jaccard check accepts
     at a high threshold (the banding guarantee direction we rely on for
