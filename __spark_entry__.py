@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_solr_1_spark.index.builder import build_index
 from lucene_solr_1_spark.pipeline import dedup, multimodal, similarity, textstats
-from lucene_solr_1_spark.search.query import Bool, NumericRange, Occur, Term
+from lucene_solr_1_spark.search.query import Bool, Fuzzy, NumericRange, Occur, Term
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
 from lucene_solr_1_spark.sql import kernel_oracle as KO
 from lucene_solr_1_spark.sql import relational as R
@@ -138,6 +138,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_kernel_term_wand"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Term("query"), k=10
     )
+    q["fts_kernel_fuzzy"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Fuzzy("quary", max_edits=2), k=10
+    )
+
+    def _kernel_highlight(s, d, term="query", k=10, width=30):
+        """Kernel-path highlighting: snippets cut from the index's STORED
+        content column (norms table) — no join against the corpus table."""
+        searcher = _get_index(s, d)
+        hits = searcher.search(Term(term), k=k, with_stored=True)
+        pdf = hits[["path", "rank", "content"]].copy()
+        pdf["doc_id"] = pdf["path"].str.removeprefix("doc/").astype("int64")
+        pdf["rank"] = pdf["rank"].astype("int64")
+        df = s.createDataFrame(pdf[["doc_id", "rank", "content"]])
+        pos = F.instr(F.lower("content"), term.lower())
+        return df.select(
+            "doc_id", "rank",
+            F.substring(
+                "content", F.greatest(pos - width, F.lit(1)).cast("int"), 2 * width
+            ).alias("snippet"),
+        ).orderBy("rank")
+
+    q["fts_kernel_highlight"] = _kernel_highlight
     # multi-field engine: field-qualified keyword term, metadata FILTER and
     # numeric doc-values FILTER combined with scored BM25 (round-2 ops)
     q["fts_field_term"] = lambda s, d: _kernel_hits_df(
@@ -248,6 +270,8 @@ def oracle_sql() -> dict[str, str]:
             "data", ("query", "merge"), k=10
         ),
         "fts_field_term": KO.kernel_keyword_term_duck("lang", "en", k=10),
+        "fts_kernel_fuzzy": KO.kernel_fuzzy_duck("quary", 2, 10),
+        "fts_kernel_highlight": KO.kernel_highlight_duck("query", 10, 30),
         "fts_bm25_metadata_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="doc.lang = 'en'"
         ),

@@ -73,7 +73,9 @@ def _timed(fn) -> float:
 
 def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     from lucene_solr_1_spark.pipeline import dedup, similarity, textstats
-    from lucene_solr_1_spark.search.query import Bool, Occur, Prefix, Term
+    from lucene_solr_1_spark.search.query import (
+        Bool, NumericRange, Occur, Prefix, Term,
+    )
     from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
     from lucene_solr_1_spark.sql import relational as R
 
@@ -99,6 +101,17 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
                 (Occur.SHOULD, Term("void")),
             ),
             "prefix_expand": Prefix("id_1"),
+            # multi-field: scored content term constrained by a keyword
+            # FILTER clause (the 'lang:python AND tokenizer' query class)
+            "field_filter_search": Bool.of(
+                (Occur.MUST, Term("return")),
+                (Occur.FILTER, Term("python", field="lang")),
+            ),
+            # numeric doc-values FILTER (PointRangeQuery analog, cogroup)
+            "numeric_filter_search": Bool.of(
+                (Occur.MUST, Term("return")),
+                (Occur.FILTER, NumericRange("dl", 50, 200)),
+            ),
         }
         lat: list[float] = []
         for name, q in kernel_qs.items():
@@ -147,6 +160,14 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     )
     queries["ann_cosine_topk"] = _timed(
         lambda: similarity.cosine_topk_spark(spark, sf_dir, 0, 20).collect()
+    )
+    # IVF: one-time index build, then a pruned probe — the probe must beat
+    # the brute-force full scan (it reads n_probe/n_cells of the files)
+    queries["ann_ivf_index_build"] = _timed(
+        lambda: similarity.get_ann_index(spark, sf_dir, n_cells=16)
+    )
+    queries["ann_ivf_probe"] = _timed(
+        lambda: similarity.ivf_topk_spark(spark, sf_dir, 0, 20).collect()
     )
     queries["quality_score"] = _timed(
         lambda: textstats.quality_score_spark(spark, sf_dir).collect()

@@ -415,6 +415,14 @@ def _eval_phrase(node, seg, cache):
         docs, counts = np.unique(keys // _POS_SHIFT, return_counts=True)
         freqs = counts.astype(np.float64)
     else:
+        # slots sharing a term ("a b a"): their alignments must use
+        # DISTINCT token occurrences (SloppyPhraseMatcher repeat handling)
+        by_term: dict = {}
+        for i, t in enumerate(terms):
+            by_term.setdefault(t, []).append(i)
+        repeat_groups = tuple(
+            tuple(v) for v in by_term.values() if len(v) > 1
+        )
         out_docs, out_freqs = [], []
         for doc in cand:
             term_pos = []
@@ -422,7 +430,7 @@ def _eval_phrase(node, seg, cache):
                 j = int(np.searchsorted(docs_i, doc))
                 lo, hi = int(starts_i[j]), int(starts_i[j]) + int(freqs_i[j])
                 term_pos.append(pos_i[lo:hi] - i)  # offset-adjusted positions
-            freq = _sloppy_freq(term_pos, slop)
+            freq = _sloppy_freq(term_pos, slop, repeat_groups)
             if freq > 0:
                 out_docs.append(doc)
                 out_freqs.append(freq)
@@ -500,25 +508,45 @@ def _eval_spannear(node, seg, cache):
     return docs, s.astype(np.float64)
 
 
-def _sloppy_freq(term_pos: list, slop: int) -> float:
+def _sloppy_freq(term_pos: list, slop: int, repeat_groups: tuple = ()) -> float:
     """Sloppy phrase freq = Σ 1/(distance+1) over greedy minimal windows
     (model: search/SloppyPhraseMatcher.java + PhraseScorer sloppyFreq
     1/(slop-distance+1)-family; we use Lucene's 1/(1+matchLength) form).
 
-    An alignment picks one occurrence per term; its distance is
-    max(adjusted pos) - min(adjusted pos); valid when distance <= slop.
-    Windows are consumed left-to-right without reusing occurrences
-    (two-pointer over the merged position lists)."""
-    idx = [0] * len(term_pos)
+    CONTRACT (pinned by tests/test_sloppy_phrase.py's independent
+    reference implementation):
+    - an alignment picks one occurrence per phrase slot; its distance is
+      max(adjusted pos) - min(adjusted pos) with adjusted = raw - slot;
+      valid when distance <= slop;
+    - slots that repeat the same term must align to DISTINCT token
+      occurrences (SloppyPhraseMatcher.java repeat handling — "a b a"
+      cannot match a single 'a'); ties advance the LATER slot;
+    - windows are consumed greedily left-to-right without reusing
+      occurrences (two-pointer over the merged position lists)."""
+    n = len(term_pos)
+    idx = [0] * n
     total = 0.0
-    while all(idx[i] < len(term_pos[i]) for i in range(len(term_pos))):
-        vals = [term_pos[i][idx[i]] for i in range(len(term_pos))]
-        lo_i = min(range(len(vals)), key=lambda i: vals[i])
+    while all(idx[i] < len(term_pos[i]) for i in range(n)):
+        # repeats: same-term slots must sit on distinct raw positions, in
+        # slot order — advance the later slot past collisions
+        # (raw = adjusted + slot)
+        for group in repeat_groups:
+            for gi in range(1, len(group)):
+                a, b = group[gi - 1], group[gi]
+                while (
+                    idx[b] < len(term_pos[b])
+                    and term_pos[b][idx[b]] + b <= term_pos[a][idx[a]] + a
+                ):
+                    idx[b] += 1
+                if idx[b] >= len(term_pos[b]):
+                    return total
+        vals = [term_pos[i][idx[i]] for i in range(n)]
+        lo_i = min(range(n), key=lambda i: vals[i])
         dist = int(max(vals) - vals[lo_i])
         if dist <= slop:
             total += 1.0 / (1.0 + dist)
             # consume every occurrence in this window
-            for i in range(len(vals)):
+            for i in range(n):
                 idx[i] += 1
         else:
             idx[lo_i] += 1  # advance the lagging term

@@ -229,9 +229,45 @@ class LuceneSparkSearcher:
 
     _MTQ_TYPES = (Prefix, Wildcard, Regexp, Fuzzy, TermRange)
 
+    def _expand_fuzzy(self, q: Fuzzy, cap: int = MAX_CLAUSE_COUNT) -> list:
+        """[(term, edit_distance)] for a fuzzy query — distance computed in
+        the same dictionary scan that expands the term set."""
+        t = self._postings.groupBy("field", "term").agg(
+            F.sum("doc_freq").alias("df")
+        )
+        rows = (
+            t.where(self._mtq_cond(q))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q.text)))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(cap)
+            .collect()
+        )
+        return [(r["term"], int(r["dist"])) for r in rows]
+
     def expand(self, q: Query) -> Query:
         """Rewrite multi-term queries to term disjunctions (ScoringRewrite /
-        TopTermsRewrite: terms ranked by docFreq, capped at 1024)."""
+        TopTermsRewrite: terms ranked by docFreq, capped at 1024).
+
+        FuzzyQuery uses the scoring rewrite with per-term boost
+        1 - ed/min(|term|, |query|) (FuzzyTermsEnum.java:218-238
+        boostAtt.setBoost(similarity); FuzzyQuery's
+        TopTermsBlendedFreqScoringRewrite) — closer matches outrank
+        farther ones instead of pure docFreq ranking."""
+        if isinstance(q, Fuzzy):
+            from .query import Boost
+
+            pairs = self._expand_fuzzy(q)
+            if not pairs:
+                return MatchNone()
+            clauses = []
+            for t, d in pairs:
+                if d == 0:
+                    sub: Query = Term(t, field=q.field)
+                else:
+                    boost = 1.0 - d / min(len(t), len(q.text))
+                    sub = Boost(Term(t, field=q.field), boost)
+                clauses.append((Occur.SHOULD, sub))
+            return Bool.of(*clauses)
         if isinstance(q, self._MTQ_TYPES):
             terms = self._expand_terms(self._mtq_cond(q))
         elif isinstance(q, Bool):
@@ -315,11 +351,14 @@ class LuceneSparkSearcher:
 
         if isinstance(q, MatchAll):
             return self._match_all(k, after, with_stored)
-        if isinstance(q, self._MTQ_TYPES):
+        if isinstance(q, self._MTQ_TYPES) and not isinstance(q, Fuzzy):
             # top-level multi-term query: CONSTANT_SCORE_REWRITE fast path
             # (MultiTermQuery.java default) — the dictionary predicate goes
             # straight into the postings scan; no expansion round-trip, no
-            # per-term stats barrier
+            # per-term stats barrier. Fuzzy is EXCLUDED: FuzzyQuery's
+            # default rewrite is the top-terms SCORING rewrite with
+            # per-term distance boosts (FuzzyQuery.java), handled in
+            # expand().
             plan = {"type": "anyterm", "score": np.float32(1.0)}
             post = self._postings.where(self._mtq_cond(q))
         else:

@@ -59,9 +59,9 @@ def length_table_values() -> str:
     )
 
 
-def _prelude(all_terms) -> str:
-    """Shared CTEs: tokens, per-doc quantized-dl norm cache (float32),
-    per-term tf/df over the query terms."""
+def _base_ctes() -> str:
+    """Corpus-level CTEs: tokens, per-doc quantized-dl norm cache
+    (float32) — shared by every kernel twin."""
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
     # cache[i] = f32(k1 * (f32(1-b) + f32(f32(b * len_f) / avgdl)))
     # — same op order as bm25.norm_cache
@@ -89,7 +89,14 @@ dlq AS (
 ),
 cache AS (
   SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
-),
+)
+""".strip()
+
+
+def _prelude(all_terms) -> str:
+    """Base CTEs + per-term tf/df over the query terms."""
+    return f"""
+{_base_ctes()},
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok
   WHERE term IN ({_sql_list(all_terms)}) GROUP BY 1, 2
@@ -249,6 +256,59 @@ matched AS (
   FROM pf JOIN cache c ON c.doc_id = pf.doc_id CROSS JOIN pw
 )
 {_topk_select(k)}
+""".strip()
+
+
+def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10) -> str:
+    """Twin of the kernel fuzzy SCORING rewrite (FuzzyQuery top-terms
+    rewrite): dictionary terms within max_edits expand to a SHOULD
+    disjunction, each weighted f32(f32(boost) * idf32) with
+    boost = 1 - ed/min(|term|, |text|) (FuzzyTermsEnum.java:218-238)."""
+    lo, hi = len(text) - max_edits, len(text) + max_edits
+    qt = _sql_str(text)
+    boost32 = (
+        f"CASE WHEN ed = 0 THEN {_f32(_lit(1.0))} "
+        f"ELSE CAST(1.0 - ed::DOUBLE / least(length(term), {len(text)})::DOUBLE AS REAL) END"
+    )
+    return f"""
+WITH {_base_ctes()},
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+exp AS (
+  SELECT term, df, levenshtein(term, {qt}) AS ed FROM dict
+  WHERE length(term) BETWEEN {lo} AND {hi}
+    AND levenshtein(term, {qt}) <= {max_edits}
+),
+w AS (
+  SELECT exp.term,
+         {_f32(f"({boost32}) * {_idf32('exp.df', 'tot.n_docs')}")} AS w
+  FROM exp CROSS JOIN tot
+),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM tok t JOIN exp ON exp.term = t.term GROUP BY 1, 2
+),
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_highlight_duck(term: str, k: int = 10, width: int = 30) -> str:
+    """Twin of kernel-path highlighting: the engine's top-k for a term
+    query (quantized float32 ranking) joined with a snippet around the
+    first occurrence, cut from the STORED content column — proving
+    stored-fields retrieval works without the external corpus table."""
+    inner = kernel_bool_duck(should=(term,), k=k)
+    t = term.lower().replace("'", "''")
+    return f"""
+WITH topk AS ({inner})
+SELECT t.doc_id, t.rank,
+       substring(d.text, greatest(strpos(lower(d.text), '{t}') - {width}, 1),
+                 {2 * width}) AS snippet
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.rank
 """.strip()
 
 

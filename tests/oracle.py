@@ -16,6 +16,19 @@ from lucene_solr_1_spark.kernels.analyzer import AnalyzerConfig, STANDARD, token
 from lucene_solr_1_spark.kernels.smallfloat import byte4_to_int, int_to_byte4
 
 
+def levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance (oracle-side; engine uses F.levenshtein)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 class OracleIndex:
     def __init__(self, corpus_pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD):
         pdf = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
@@ -86,6 +99,22 @@ class OracleIndex:
             if f:
                 denom = f + 1.2 * (0.25 + 0.75 * self.dl[doc_id] / self.avgdl)
                 out[doc_id] = w * f / denom
+        return out
+
+    def fuzzy_scores(self, text: str, max_edits: int = 2) -> dict:
+        """FuzzyQuery scoring-rewrite oracle: every dictionary term within
+        max_edits contributes with boost 1 - ed/min(|term|, |text|)
+        (FuzzyTermsEnum.java:218-238), summed as a SHOULD disjunction."""
+        out: dict = {}
+        for term in self.df:
+            if abs(len(term) - len(text)) > max_edits:
+                continue
+            d = levenshtein(term, text)
+            if d > max_edits:
+                continue
+            boost = 1.0 if d == 0 else 1.0 - d / min(len(term), len(text))
+            for doc, s in self.term_scores(term, boost=boost).items():
+                out[doc] = out.get(doc, 0.0) + s
         return out
 
     def bool_and(self, terms) -> dict:

@@ -192,6 +192,22 @@ def test_fuzzy(searcher, oracle):
     }
 
 
+def test_fuzzy_scoring_rewrite(searcher, oracle):
+    """FuzzyQuery scoring rewrite: per-expanded-term boost 1 - ed/min-len
+    (FuzzyTermsEnum.java:218-238) — rank-identical to the brute-force
+    fuzzy oracle, closer matches outranking farther ones."""
+    for text, me in [("returm", 1), ("returm", 2), ("clasz", 2)]:
+        hits = searcher.search(Fuzzy(text, max_edits=me), k=10, with_stored=False)
+        want = oracle.top_k(oracle.fuzzy_scores(text, me), 10)
+        got = hits["global_doc_id"].tolist()
+        assert got == [d for d, _ in want], (text, me)
+        np.testing.assert_allclose(
+            hits["score"].to_numpy(np.float64),
+            [s for _, s in want],
+            rtol=3e-5,
+        )
+
+
 def _lev(a, b):
     if abs(len(a) - len(b)) > 2:
         return 99
