@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_term_in_set"] = lambda s, d: R.term_in_set_spark(s, d, ("en", "de"))
     q["fts_wildcard_expand"] = lambda s, d: R.wildcard_terms_spark(s, d, "s?rt*")
     q["fts_highlight"] = lambda s, d: R.highlight_spark(s, d, "query")
+    q["fts_highlight_positional"] = lambda s, d: R.highlight_positional_spark(
+        s, d, ("query", "merge"), window=10
+    )
     q["suggest_prefix"] = lambda s, d: R.suggest_prefix_spark(s, d, "pa")
     q["facet_on_results"] = lambda s, d: R.facet_on_results_spark(s, d, "query")
     q["fts_boosted_or"] = lambda s, d: R.bm25_boosted_or_spark(
@@ -241,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_term_in_set": R.term_in_set_duck(("en", "de")),
         "fts_wildcard_expand": R.wildcard_terms_duck("s?rt*"),
         "fts_highlight": R.highlight_duck("query"),
+        "fts_highlight_positional": R.highlight_positional_duck(("query", "merge"), 10),
         "suggest_prefix": R.suggest_prefix_duck("pa"),
         "facet_on_results": R.facet_on_results_duck("query"),
         "fts_boosted_or": R.bm25_boosted_or_duck({"query": 2.0, "merge": 0.5}, k=10),

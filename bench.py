@@ -85,7 +85,13 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     build_s, index_dir = _build(spark, n_files, num_segments=cpus)
     queries["index_build"] = build_s
     try:
-        searcher = LuceneSparkSearcher(spark, index_dir)
+        # hot-searcher posture (cache_postings): the latency numbers model
+        # a resident search service, matching how a Lucene process is
+        # benchmarked against an OS-page-cached index
+        searcher = LuceneSparkSearcher(spark, index_dir, cache_postings=True)
+        # the whole-result LRU cache would short-circuit the repeated
+        # latency loop — disable it so every timed run does real work
+        searcher.result_cache_size = 0
         # warm the JVM/Arrow path once; not counted
         searcher.search(Term("return"), k=10, with_stored=False)
 

@@ -25,7 +25,8 @@ from ..kernels import bm25
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
     Bool, Boost, ConstantScore, DisjunctionMax, MatchAll, MatchNone,
-    NumericRange, Occur, Phrase, Query, SpanNear, Synonym, Term,
+    NumericRange, Occur, Phrase, Query, SPAN_TYPES, SpanFirst, SpanNear,
+    SpanNot, SpanOr, SpanTerm, Synonym, Term, span_leaf_terms,
 )
 
 F32 = np.float32
@@ -96,7 +97,7 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> di
             "type": "term", "field": q.field, "term": q.text,
             "weight": bm25.term_weight(idf, boost),
         }
-    if isinstance(q, (Synonym, Phrase, SpanNear)):
+    if isinstance(q, (Synonym, Phrase)):
         dc = _dc_of(doc_count, q.field)
         dfs = [_df_of(global_df, q.field, t) for t in q.terms]
         idfs = [bm25.idf(df, dc) for df in dfs if df > 0]
@@ -106,11 +107,27 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> di
         }
         if isinstance(q, Synonym):
             node["type"] = "synonym"
-        elif isinstance(q, Phrase):
-            node.update(type="phrase", slop=q.slop)
         else:
-            node.update(type="spannear", slop=q.slop, in_order=q.in_order)
+            node.update(type="phrase", slop=q.slop)
         return node
+    if isinstance(q, SPAN_TYPES):
+        # span algebra (search/spans/): weight = summed idf over the leaf
+        # terms (same shape as Phrase/SpanNear scoring), spans evaluated
+        # compositionally per candidate doc in _eval_span
+        leaves = sorted(span_leaf_terms(q))
+        idfs = [
+            bm25.idf(df, _dc_of(doc_count, f))
+            for f, t in leaves
+            if (df := _df_of(global_df, f, t)) > 0
+        ]
+        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
+        return {
+            "type": "span",
+            "field": q.field,
+            "weight": w,
+            "leaves": leaves,
+            "span": _span_tree(q, q.field),
+        }
     if isinstance(q, Bool):
         return {
             "type": "bool",
@@ -141,6 +158,40 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> di
 
 def numeric_set_id(q: NumericRange) -> str:
     return f"{q.field}:{q.lower}:{q.upper}"
+
+
+def _span_tree(q, field: str) -> dict:
+    """Span query subtree → picklable dict (bare strings = term sugar in
+    the enclosing field)."""
+    if isinstance(q, str):
+        return {"kind": "term", "field": field, "term": q}
+    if isinstance(q, SpanTerm):
+        return {"kind": "term", "field": q.field, "term": q.text}
+    if isinstance(q, SpanOr):
+        return {
+            "kind": "or",
+            "children": [_span_tree(c, q.field) for c in q.clauses],
+        }
+    if isinstance(q, SpanNear):
+        return {
+            "kind": "near",
+            "children": [_span_tree(c, q.field) for c in q.terms],
+            "slop": int(q.slop),
+            "in_order": bool(q.in_order),
+        }
+    if isinstance(q, SpanNot):
+        return {
+            "kind": "not",
+            "include": _span_tree(q.include, q.field),
+            "exclude": _span_tree(q.exclude, q.field),
+        }
+    if isinstance(q, SpanFirst):
+        return {
+            "kind": "first",
+            "match": _span_tree(q.match, q.field),
+            "end": int(q.end),
+        }
+    raise TypeError(f"not a span query: {q!r}")
 
 
 # --------------------------------------------------------------------------
@@ -260,8 +311,8 @@ def eval_node(node: dict, seg: SegmentData, cache):
         return docs, s.astype(np.float64)
     if t == "phrase":
         return _eval_phrase(node, seg, cache)
-    if t == "spannear":
-        return _eval_spannear(node, seg, cache)
+    if t == "span":
+        return _eval_span(node, seg, cache)
     if t == "bool":
         return _eval_bool(node, seg, cache)
     if t == "dismax":
@@ -444,67 +495,146 @@ def _eval_phrase(node, seg, cache):
     return docs, s.astype(np.float64)
 
 
-def _eval_spannear(node, seg, cache):
-    """SpanNearQuery analog (search/spans/SpanNearQuery.java): one
-    occurrence per term with total gap (max-min)-(n-1) <= slop; in_order
-    additionally requires strictly increasing positions in clause order.
-    Freq = greedy non-overlapping window count; scored like Phrase."""
-    terms = node["terms"]
-    field = node.get("field", "content")
-    slop = int(node["slop"])
-    in_order = bool(node["in_order"])
-    post = [seg.positions((field, t)) for t in terms]
-    if any(p is None for p in post):
-        return _EMPTY_I, _EMPTY_F
-    cand = post[0][0]
-    for d, *_ in post[1:]:
-        cand = cand[np.isin(cand, d, assume_unique=True)]
+def _span_docs(span: dict, seg: SegmentData) -> np.ndarray:
+    """Candidate docs of a span subtree (sorted): union for OR, sorted
+    intersect for NEAR, include side for NOT, match side for FIRST."""
+    k = span["kind"]
+    if k == "term":
+        return seg.postings((span["field"], span["term"]))[0]
+    if k == "or":
+        parts = [_span_docs(c, seg) for c in span["children"]]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return _EMPTY_I
+        return np.unique(np.concatenate(parts))
+    if k == "near":
+        cand = None
+        for c in span["children"]:
+            d = _span_docs(c, seg)
+            cand = d if cand is None else cand[np.isin(cand, d, assume_unique=True)]
+            if len(cand) == 0:
+                return _EMPTY_I
+        return cand if cand is not None else _EMPTY_I
+    if k == "not":
+        return _span_docs(span["include"], seg)
+    if k == "first":
+        return _span_docs(span["match"], seg)
+    raise ValueError(f"unknown span kind {k}")
+
+
+def _doc_spans(span: dict, seg: SegmentData, doc: int) -> list:
+    """All spans (start, end) of a span subtree in one doc, sorted by
+    (start, end). NEAR emits its greedy non-overlapping matches (the
+    documented SpanNear contract); OR merges child streams; NOT drops
+    include-spans overlapping any exclude-span; FIRST keeps end <= n."""
+    k = span["kind"]
+    if k == "term":
+        p = seg.positions((span["field"], span["term"]))
+        if p is None:
+            return []
+        docs_i, freqs_i, starts_i, pos_i = p
+        j = int(np.searchsorted(docs_i, doc))
+        if j >= len(docs_i) or docs_i[j] != doc:
+            return []
+        lo, hi = int(starts_i[j]), int(starts_i[j]) + int(freqs_i[j])
+        return [(int(x), int(x) + 1) for x in pos_i[lo:hi]]
+    if k == "or":
+        out: list = []
+        for c in span["children"]:
+            out.extend(_doc_spans(c, seg, doc))
+        out.sort()
+        return out
+    if k == "near":
+        lists = [_doc_spans(c, seg, doc) for c in span["children"]]
+        if any(not l for l in lists):
+            return []
+        return _near_spans(lists, int(span["slop"]), bool(span["in_order"]))
+    if k == "not":
+        inc = _doc_spans(span["include"], seg, doc)
+        exc = _doc_spans(span["exclude"], seg, doc)
+        if not exc:
+            return inc
+        return [
+            (s, e) for s, e in inc
+            if not any(es < e and ee > s for es, ee in exc)
+        ]
+    if k == "first":
+        return [(s, e) for s, e in _doc_spans(span["match"], seg, doc)
+                if e <= span["end"]]
+    raise ValueError(f"unknown span kind {k}")
+
+
+def _near_spans(lists: list, slop: int, in_order: bool) -> list:
+    """Greedy NearSpans combination (NearSpansOrdered/Unordered analog):
+    one span per clause; width = (max_end - min_start) - Σ child lengths;
+    match when width <= slop. in_order additionally requires each child
+    span to start at or after the previous child's end (non-overlapping,
+    in clause order). Matches are consumed greedily without reuse."""
+    n = len(lists)
+    idx = [0] * n
+    out = []
+    while all(idx[i] < len(lists[i]) for i in range(n)):
+        if in_order:
+            ok = True
+            for i in range(1, n):
+                while (
+                    idx[i] < len(lists[i])
+                    and lists[i][idx[i]][0] < lists[i - 1][idx[i - 1]][1]
+                ):
+                    idx[i] += 1
+                if idx[i] >= len(lists[i]):
+                    ok = False
+                    break
+            if not ok:
+                break
+        cur = [lists[i][idx[i]] for i in range(n)]
+        min_s = min(c[0] for c in cur)
+        max_e = max(c[1] for c in cur)
+        width = (max_e - min_s) - sum(c[1] - c[0] for c in cur)
+        if width <= slop:
+            out.append((min_s, max_e))
+            for i in range(n):
+                idx[i] += 1
+        else:
+            lo_i = min(range(n), key=lambda i: cur[i][0])
+            idx[lo_i] += 1
+    return out
+
+
+def _eval_span(node, seg, cache):
+    """Span-query scoring: freq = span count per doc, weight = summed leaf
+    idf, scored like Phrase (SpanWeight/SpanScorer shape)."""
+    span = node["span"]
+    cand = _span_docs(span, seg)
     if len(cand) == 0:
         return _EMPTY_I, _EMPTY_F
-    n_terms = len(terms)
     out_docs, out_freqs = [], []
     for doc in cand:
-        pos_lists = []
-        for docs_i, freqs_i, starts_i, pos_i in post:
-            j = int(np.searchsorted(docs_i, doc))
-            lo, hi = int(starts_i[j]), int(starts_i[j]) + int(freqs_i[j])
-            pos_lists.append(pos_i[lo:hi])
-        freq = 0
-        idx = [0] * n_terms
-        while all(idx[i] < len(pos_lists[i]) for i in range(n_terms)):
-            if in_order:
-                # enforce clause order: each term strictly after the previous
-                ok = True
-                for i in range(1, n_terms):
-                    while (
-                        idx[i] < len(pos_lists[i])
-                        and pos_lists[i][idx[i]] <= pos_lists[i - 1][idx[i - 1]]
-                    ):
-                        idx[i] += 1
-                    if idx[i] >= len(pos_lists[i]):
-                        ok = False
-                        break
-                if not ok:
-                    break
-            vals = [int(pos_lists[i][idx[i]]) for i in range(n_terms)]
-            gap = (max(vals) - min(vals)) - (n_terms - 1)
-            if gap <= slop:
-                freq += 1
-                for i in range(n_terms):
-                    idx[i] += 1
-            else:
-                lo_i = min(range(n_terms), key=lambda i: vals[i])
-                idx[lo_i] += 1
-        if freq:
+        spans = _doc_spans(span, seg, int(doc))
+        if spans:
             out_docs.append(doc)
-            out_freqs.append(float(freq))
+            out_freqs.append(float(len(spans)))
     if not out_docs:
         return _EMPTY_I, _EMPTY_F
     docs = np.asarray(out_docs, dtype=np.int64)
     freqs = np.asarray(out_freqs, dtype=np.float64)
-    d0, _f0, n0 = seg.postings((field, terms[0]))
-    norms = n0[np.searchsorted(d0, docs)]
-    s = bm25.score(freqs, norms, node["weight"], _cache_for(cache, field))
+    # norm byte per doc from whichever leaf posting holds the doc (every
+    # candidate contains >= 1 leaf; same doc => same norm byte per field)
+    norms = np.zeros(len(docs), dtype=np.int64)
+    filled = np.zeros(len(docs), dtype=bool)
+    for key in node["leaves"]:
+        if filled.all():
+            break
+        d, _f, n = seg.postings(tuple(key))
+        if len(d) == 0:
+            continue
+        idx = np.searchsorted(d, docs)
+        ok = (idx < len(d)) & (d[np.minimum(idx, len(d) - 1)] == docs)
+        take = ok & ~filled
+        norms[take] = n[idx[take]]
+        filled |= ok
+    s = bm25.score(freqs, norms, node["weight"],
+                   _cache_for(cache, node.get("field", "content")))
     return docs, s.astype(np.float64)
 
 

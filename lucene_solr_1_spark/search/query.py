@@ -53,13 +53,49 @@ class Phrase(Query):
 
 @dataclass(frozen=True)
 class SpanNear(Query):
-    """Proximity query: all terms within `slop` total gap positions,
-    optionally in clause order (search/spans SpanNearQuery analog; our
-    match = one occurrence per term with (max-min)-(n-1) <= slop, freq =
-    greedy non-overlapping window count, scored like Phrase)."""
+    """Proximity query (search/spans/SpanNearQuery.java analog): all
+    clauses within `slop` total gap positions, optionally in clause
+    order. `terms` entries may be plain strings (term sugar) or nested
+    span queries (SpanTerm/SpanOr/SpanNot/SpanFirst/SpanNear) — the
+    compositional span algebra. Match = one span per clause with
+    (max_end - min_start) - Σ span_len <= slop; freq = greedy
+    non-overlapping window count, scored like Phrase."""
     terms: tuple
     slop: int = 0
     in_order: bool = False
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanTerm(Query):
+    """Span leaf: one term, spans = [(p, p+1)] per occurrence
+    (search/spans/SpanTermQuery.java)."""
+    text: str
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanOr(Query):
+    """Union of sub-span streams (search/spans/SpanOrQuery.java)."""
+    clauses: tuple  # span queries (or bare term strings)
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanNot(Query):
+    """Spans of `include` that do NOT overlap any span of `exclude`
+    (search/spans/SpanNotQuery.java)."""
+    include: Query
+    exclude: Query
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanFirst(Query):
+    """Spans of `match` ending at position <= `end`
+    (search/spans/SpanFirstQuery.java)."""
+    match: Query
+    end: int
     field: str = DEFAULT_FIELD
 
 
@@ -236,12 +272,35 @@ def numeric_ranges(q: Query) -> set:
     return set()
 
 
+SPAN_TYPES = (SpanTerm, SpanOr, SpanNot, SpanFirst, SpanNear)
+
+
+def span_leaf_terms(q, field: str = DEFAULT_FIELD) -> set:
+    """All (field, term) leaves of a span subtree (bare strings are term
+    sugar in the enclosing query's field)."""
+    if isinstance(q, str):
+        return {(field, q)}
+    if isinstance(q, SpanTerm):
+        return {(q.field, q.text)}
+    if isinstance(q, SpanOr):
+        return set().union(*(span_leaf_terms(c, q.field) for c in q.clauses)) if q.clauses else set()
+    if isinstance(q, SpanNear):
+        return set().union(*(span_leaf_terms(c, q.field) for c in q.terms)) if q.terms else set()
+    if isinstance(q, SpanNot):
+        return span_leaf_terms(q.include, q.field) | span_leaf_terms(q.exclude, q.field)
+    if isinstance(q, SpanFirst):
+        return span_leaf_terms(q.match, q.field)
+    raise TypeError(f"not a span query: {q!r}")
+
+
 def query_terms(q: Query) -> set:
     """All (field, term) posting keys the query touches (after expansion)."""
     if isinstance(q, Term):
         return {(q.field, q.text)}
-    if isinstance(q, (Synonym, Phrase, SpanNear)):
+    if isinstance(q, (Synonym, Phrase)):
         return {(q.field, t) for t in q.terms}
+    if isinstance(q, SPAN_TYPES):
+        return span_leaf_terms(q)
     if isinstance(q, (Boost, ConstantScore)):
         return query_terms(q.query)
     if isinstance(q, Bool):

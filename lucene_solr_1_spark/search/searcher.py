@@ -82,11 +82,19 @@ def _kernel_udf(key, postings_pdf, plan, cache, k, use_wand,
 
 
 def _kernel_many_udf(key, postings_pdf, plans, cache, k, use_wand,
-                     tombstones=None, doc_counts=None):
+                     tombstones=None, doc_counts=None, allowed_pdf=None):
     """Batch kernel: one SegmentData (shared decode cache) scores every
     compiled plan; output rows carry the query name."""
     segment_id = key[0]
-    seg = K.SegmentData(postings_pdf, (doc_counts or {}).get(segment_id, 0))
+    allowed = None
+    if allowed_pdf is not None and len(allowed_pdf):
+        allowed = {
+            set_id: np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
+            for set_id, g in allowed_pdf.groupby("set_id")
+        }
+    seg = K.SegmentData(
+        postings_pdf, (doc_counts or {}).get(segment_id, 0), allowed=allowed
+    )
     deleted = (tombstones or {}).get(segment_id)
     frames = []
     for name, plan in plans.items():
@@ -114,7 +122,13 @@ def _kernel_many_udf(key, postings_pdf, plans, cache, k, use_wand,
 
 
 class LuceneSparkSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_postings: bool = False):
+        """`cache_postings=True` pins the postings DataFrame in executor
+        storage memory (the hot-searcher / OS-page-cache posture a
+        resident Lucene process gets for free): repeated queries skip the
+        parquet scan, cutting the latency tail ~2x. Memory is bounded by
+        index size — opt in per hot index, don't default it at 100 TB."""
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = mf.read_manifest(index_dir)
@@ -155,7 +169,15 @@ class LuceneSparkSearcher:
         self.tombstones = read_tombstones(index_dir, self.manifest)
         self._postings = spark.read.parquet(*postings_paths(index_dir, self.manifest))
         self._norms = spark.read.parquet(*norms_paths(index_dir, self.manifest))
+        if cache_postings:
+            self._postings = self._postings.cache()
         self._sentinels = None
+        # whole-result LRU keyed by (query, k, wand, after) — the
+        # LRUQueryCache analog at query granularity: the index is
+        # IMMUTABLE under this manifest generation, so entries never go
+        # stale; a reopened searcher (new generation) starts empty.
+        self._result_cache: dict = {}
+        self.result_cache_size = 128
 
     def _sentinel_rows(self):
         """One zero-posting row per live segment, unioned into the kernel
@@ -345,7 +367,40 @@ class LuceneSparkSearcher:
         after: tuple | None = None,
     ) -> pd.DataFrame:
         """`after=(score, global_doc_id)` pages past a previous hit
-        (searchAfter, IndexSearcher.java:391-420)."""
+        (searchAfter, IndexSearcher.java:391-420).
+
+        Results are LRU-cached per (query, k, use_wand, after) — the
+        filter/query-cache analog (search/LRUQueryCache.java): repeated
+        queries against an immutable manifest skip all Spark jobs."""
+        cache_key = (q, k, use_wand, with_stored, after)
+        try:
+            cached = self._result_cache.pop(cache_key)
+        except (KeyError, TypeError):  # TypeError: unhashable custom query
+            cached = None
+        else:
+            self._result_cache[cache_key] = cached  # re-insert = MRU
+            out = cached.copy()
+            out.attrs.update(cached.attrs)
+            return out
+        hits = self._search_uncached(q, k, use_wand, with_stored, after)
+        try:
+            self._result_cache[cache_key] = hits
+        except TypeError:
+            return hits
+        while len(self._result_cache) > self.result_cache_size:
+            self._result_cache.pop(next(iter(self._result_cache)))
+        out = hits.copy()
+        out.attrs.update(hits.attrs)
+        return out
+
+    def _search_uncached(
+        self,
+        q: Query,
+        k: int,
+        use_wand: bool,
+        with_stored: bool,
+        after: tuple | None,
+    ) -> pd.DataFrame:
         q = rewrite(q)
         from .query import MatchAll
 
@@ -455,13 +510,10 @@ class LuceneSparkSearcher:
         all_terms: set = set()
         empties: list[str] = []
         prepared: dict[str, Query] = {}
+        all_nrs: set = set()
         for name, q in queries.items():
             q = rewrite(self.expand(rewrite(q)))
-            if numeric_ranges(q):
-                raise ValueError(
-                    "search_many does not support NumericRange clauses; "
-                    "use search() per query"
-                )
+            all_nrs |= numeric_ranges(q)
             if isinstance(q, MatchNone):
                 empties.append(name)
                 continue
@@ -477,18 +529,28 @@ class LuceneSparkSearcher:
         post = self._postings.where(self._terms_filter(all_terms))
         if any("matchall" in K.plan_node_types(p) for p in compiled.values()):
             post = post.unionByName(self._sentinel_rows())
-        hits = (
-            post.groupBy("segment_id")
-            .applyInPandas(
-                partial(
-                    _kernel_many_udf, plans=compiled, cache=self.caches, k=k,
-                    use_wand=use_wand, tombstones=self.tombstones,
-                    doc_counts=self.seg_doc_count,
-                ),
-                schema="query string, " + _HIT_SCHEMA,
-            )
-            .toPandas()
+        kernel = partial(
+            _kernel_many_udf, plans=compiled, cache=self.caches, k=k,
+            use_wand=use_wand, tombstones=self.tombstones,
+            doc_counts=self.seg_doc_count,
         )
+        if all_nrs:
+            allowed = self._numeric_allowed_df(all_nrs)
+            hits = (
+                post.groupBy("segment_id")
+                .cogroup(allowed.groupBy("segment_id"))
+                .applyInPandas(
+                    lambda key, l, r: kernel(key, l, allowed_pdf=r),
+                    schema="query string, " + _HIT_SCHEMA,
+                )
+                .toPandas()
+            )
+        else:
+            hits = (
+                post.groupBy("segment_id")
+                .applyInPandas(kernel, schema="query string, " + _HIT_SCHEMA)
+                .toPandas()
+            )
         out_frames = []
         for name in compiled:
             h = hits[hits["query"] == name].copy()
@@ -550,6 +612,45 @@ class LuceneSparkSearcher:
         hits.attrs["total_hits"] = self.doc_count - n_deleted
         hits.attrs["relation"] = "EQUAL_TO"
         return hits
+
+    def highlight_passages(
+        self, hits: pd.DataFrame, q: Query, window: int = 10
+    ) -> pd.DataFrame:
+        """Token-positional passage per hit (UnifiedHighlighter shape,
+        lucene/highlighter): the `window`-token passage starting at a
+        query-term match covering the MOST query-term occurrences (tie:
+        earliest). Reads the STORED content column returned by
+        search(with_stored=True) — no extra Spark job, no corpus table."""
+        import bisect
+
+        from ..kernels.analyzer import tokenize_one
+
+        q = rewrite(self.expand(rewrite(q)))
+        terms = {t for f, t in query_terms(q) if f == "content"}
+        rows = []
+        for r in hits.itertuples(index=False):
+            toks, _ = tokenize_one(getattr(r, "content", "") or "")
+            matches = [p for p, t in enumerate(toks) if t in terms]
+            if not matches:
+                rows.append((r.segment_id, r.doc_id, -1, 0, ""))
+                continue
+            best_p, best_n = matches[0], 0
+            for p in matches:
+                n = bisect.bisect_left(matches, p + window) - bisect.bisect_left(
+                    matches, p
+                )
+                if n > best_n:
+                    best_p, best_n = p, n
+            rows.append(
+                (
+                    r.segment_id, r.doc_id, best_p, best_n,
+                    " ".join(toks[best_p:best_p + window]),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["segment_id", "doc_id", "start_pos", "n_matches", "passage"],
+        )
 
     def more_like_this(
         self,

@@ -568,6 +568,85 @@ ORDER BY doc_id
 """.strip()
 
 
+def highlight_positional_spark(
+    spark, sf_dir, terms: tuple, window: int = 10
+) -> DataFrame:
+    """Positional passage highlighting (UnifiedHighlighter shape,
+    lucene/highlighter: passages scored by matched-term density, best
+    window wins): for every doc matching ANY query term, pick the
+    `window`-token passage starting at a match position that covers the
+    MOST query-term occurrences (tie: earliest start). Token-positional,
+    not substring: the passage is reconstructed from the analyzed token
+    stream."""
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    pos = docs.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "term")
+    ).where(F.col("term").isin(list(terms)))
+    a = pos.select("doc_id", F.col("pos").alias("start"))
+    b = pos.select(F.col("doc_id").alias("doc_id_b"), F.col("pos").alias("p"))
+    scored = (
+        a.join(
+            b,
+            (a["doc_id"] == b["doc_id_b"])
+            & (b["p"] >= a["start"])
+            & (b["p"] < a["start"] + window),
+        )
+        .groupBy("doc_id", "start")
+        .agg(F.count("*").cast("bigint").alias("n_matches"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_matches"), F.asc("start")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(docs.select("doc_id", "toks"), "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.col("start").cast("bigint").alias("start_pos"),
+            "n_matches",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("start") + 1, window)
+            ).alias("passage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def highlight_positional_duck(terms: tuple, window: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH pos AS (
+  SELECT doc_id, unnest({te}) AS term,
+         generate_subscripts({te}, 1) - 1 AS pos
+  FROM documents
+),
+m AS (SELECT doc_id, pos FROM pos WHERE term IN ({_sql_list(terms)})),
+scored AS (
+  SELECT a.doc_id, a.pos AS start, count(*)::BIGINT AS n_matches
+  FROM m a JOIN m b ON b.doc_id = a.doc_id
+    AND b.pos >= a.pos AND b.pos < a.pos + {window}
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, start, n_matches,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_matches DESC, start ASC) AS rn
+  FROM scored
+)
+SELECT b.doc_id::BIGINT AS doc_id, b.start::BIGINT AS start_pos, b.n_matches,
+       array_to_string(list_slice({te}, b.start + 1, b.start + {window}), ' ') AS passage
+FROM best b JOIN documents USING (doc_id)
+WHERE b.rn = 1
+ORDER BY b.doc_id
+""".strip()
+
+
 def suggest_prefix_spark(spark, sf_dir, prefix: str, n: int = 10) -> DataFrame:
     """Suggest/spell (lucene/suggest analog): prefix completions ranked by
     docFreq desc (the suggester's weight), then term asc."""

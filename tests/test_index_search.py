@@ -192,6 +192,38 @@ def test_fuzzy(searcher, oracle):
     }
 
 
+def test_query_result_cache(searcher):
+    """LRU query cache (LRUQueryCache analog at query granularity):
+    a repeated identical search runs ZERO uncached work; returned frames
+    are copies, so caller mutation cannot poison the cache."""
+    calls = []
+    orig = searcher._search_uncached
+
+    def counting(*a):
+        calls.append(1)
+        return orig(*a)
+
+    searcher._search_uncached = counting
+    try:
+        searcher._result_cache.clear()
+        a = searcher.search(Term("return"), k=5)
+        b = searcher.search(Term("return"), k=5)
+        assert len(calls) == 1
+        pd.testing.assert_frame_equal(a, b)
+        assert b.attrs["total_hits"] == a.attrs["total_hits"]
+        assert b.attrs["relation"] == a.attrs["relation"]
+        b.loc[:, "score"] = 0.0
+        c = searcher.search(Term("return"), k=5)
+        assert len(calls) == 1
+        assert (c["score"].to_numpy() > 0).all()
+        # different k = different entry
+        searcher.search(Term("return"), k=7)
+        assert len(calls) == 2
+    finally:
+        searcher._search_uncached = orig
+        searcher._result_cache.clear()
+
+
 def test_fuzzy_scoring_rewrite(searcher, oracle):
     """FuzzyQuery scoring rewrite: per-expanded-term boost 1 - ed/min-len
     (FuzzyTermsEnum.java:218-238) — rank-identical to the brute-force

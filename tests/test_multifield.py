@@ -170,9 +170,50 @@ def test_numeric_must_not_with_matchall(searcher, oracle):
     assert hits["global_doc_id"].tolist() == want
 
 
+def test_search_many_with_numeric_filter(searcher):
+    """Batch path supports NumericRange clauses: one job, per-query results
+    identical to sequential search()."""
+    q1 = Bool.of(
+        (Occur.MUST, Term("return")),
+        (Occur.FILTER, NumericRange("dl", 50, 200)),
+    )
+    q2 = Term("class")
+    batch = searcher.search_many({"a": q1, "b": q2}, k=10)
+    for name, q in [("a", q1), ("b", q2)]:
+        solo = searcher.search(q, k=10, with_stored=False)
+        sub = batch[batch["query"] == name]
+        assert sub["global_doc_id"].tolist() == solo["global_doc_id"].tolist()
+        np.testing.assert_array_equal(
+            sub["score"].to_numpy(), solo["score"].to_numpy()
+        )
+
+
 def test_numeric_unknown_field_raises(searcher):
     with pytest.raises(ValueError):
         searcher.search(NumericRange("nope", 0, 1), k=5)
+
+
+def test_highlight_passages_best_window(searcher, oracle):
+    """highlight_passages returns the densest query-term window, verified
+    brute-force against the tokenized stored content."""
+    from lucene_solr_1_spark.kernels.analyzer import tokenize_one
+
+    q = Bool.of((Occur.SHOULD, Term("return")), (Occur.SHOULD, Term("class")))
+    hits = searcher.search(q, k=5, with_stored=True)
+    passages = searcher.highlight_passages(hits, q, window=8)
+    assert len(passages) == len(hits)
+    for hit, p in zip(hits.itertuples(index=False), passages.itertuples(index=False)):
+        toks, _ = tokenize_one(hit.content)
+        terms = {"return", "class"}
+        best = max(
+            (sum(1 for t in toks[s:s + 8] if t in terms), -s)
+            for s, t in enumerate(toks)
+            if t in terms
+        )
+        assert p.n_matches == best[0]
+        assert p.start_pos == -best[1]
+        assert p.passage == " ".join(toks[p.start_pos:p.start_pos + 8])
+        assert any(t in terms for t in p.passage.split())
 
 
 def test_stored_fields_include_content(searcher, oracle):

@@ -1,0 +1,165 @@
+"""Span-family tests (search/spans/ analog): SpanTerm / SpanOr / SpanNot /
+SpanFirst / SpanNear composition, validated against an INDEPENDENT
+reference evaluator over raw token lists (positions from tokenize_one,
+no index structures). Scores use the pinned float32 bm25 primitives so
+ranking ties resolve identically to the engine."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_1_spark.index.builder import build_index
+from lucene_solr_1_spark.kernels.analyzer import tokenize_one
+from lucene_solr_1_spark.search.query import (
+    SpanFirst, SpanNear, SpanNot, SpanOr, SpanTerm,
+)
+from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+from .oracle import OracleIndex
+
+VOCAB = ["red", "green", "blue", "black", "white"]
+
+
+def _corpus(n_docs: int = 40, n_tokens: int = 30) -> pd.DataFrame:
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(n_docs):
+        toks = rng.choice(VOCAB, size=n_tokens, p=[0.3, 0.25, 0.2, 0.15, 0.1])
+        rows.append((f"r/{i % 4}", f"p/{i:04d}", f"c{i:06x}", "en", " ".join(toks)))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+@pytest.fixture(scope="module")
+def span_setup(spark, tmp_path_factory):
+    pdf = _corpus()
+    d = str(tmp_path_factory.mktemp("idx_spans"))
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=3)
+    return LuceneSparkSearcher(spark, d), OracleIndex(pdf)
+
+
+# ---- independent reference evaluator over raw tokens ----------------------
+
+def ref_spans(q, tokens):
+    """Span list (start, end) of a span query in one doc — mirrors the
+    DOCUMENTED contract but reads raw token positions directly."""
+    if isinstance(q, str):
+        return [(p, p + 1) for p, t in enumerate(tokens) if t == q]
+    if isinstance(q, SpanTerm):
+        return [(p, p + 1) for p, t in enumerate(tokens) if t == q.text]
+    if isinstance(q, SpanOr):
+        out = []
+        for c in q.clauses:
+            out.extend(ref_spans(c, tokens))
+        return sorted(out)
+    if isinstance(q, SpanNot):
+        inc = ref_spans(q.include, tokens)
+        exc = ref_spans(q.exclude, tokens)
+        return [
+            (s, e) for s, e in inc
+            if not any(es < e and ee > s for es, ee in exc)
+        ]
+    if isinstance(q, SpanFirst):
+        return [(s, e) for s, e in ref_spans(q.match, tokens) if e <= q.end]
+    if isinstance(q, SpanNear):
+        lists = [ref_spans(c, tokens) for c in q.terms]
+        if any(not l for l in lists):
+            return []
+        n = len(lists)
+        idx = [0] * n
+        out = []
+        while all(idx[i] < len(lists[i]) for i in range(n)):
+            if q.in_order:
+                dead = False
+                for i in range(1, n):
+                    while (
+                        idx[i] < len(lists[i])
+                        and lists[i][idx[i]][0] < lists[i - 1][idx[i - 1]][1]
+                    ):
+                        idx[i] += 1
+                    if idx[i] >= len(lists[i]):
+                        dead = True
+                        break
+                if dead:
+                    break
+            cur = [lists[i][idx[i]] for i in range(n)]
+            min_s = min(c[0] for c in cur)
+            max_e = max(c[1] for c in cur)
+            if (max_e - min_s) - sum(c[1] - c[0] for c in cur) <= q.slop:
+                out.append((min_s, max_e))
+                idx = [x + 1 for x in idx]
+            else:
+                idx[min(range(n), key=lambda i: cur[i][0])] += 1
+        return out
+    raise TypeError(q)
+
+
+def _leaf_terms(q):
+    if isinstance(q, str):
+        return [q]
+    if isinstance(q, SpanTerm):
+        return [q.text]
+    if isinstance(q, SpanOr):
+        return [t for c in q.clauses for t in _leaf_terms(c)]
+    if isinstance(q, SpanNear):
+        return [t for c in q.terms for t in _leaf_terms(c)]
+    if isinstance(q, SpanNot):
+        return _leaf_terms(q.include) + _leaf_terms(q.exclude)
+    if isinstance(q, SpanFirst):
+        return _leaf_terms(q.match)
+    raise TypeError(q)
+
+
+def _expected(oracle: OracleIndex, q) -> dict:
+    from lucene_solr_1_spark.kernels import bm25
+    from lucene_solr_1_spark.kernels.smallfloat import int_to_byte4
+
+    n = oracle.n_docs
+    cache = bm25.norm_cache(bm25.avg_field_length(oracle.sum_ttf, n))
+    leaves = sorted(set(_leaf_terms(q)))
+    idfs = [bm25.idf(oracle.df[t], n) for t in leaves if oracle.df.get(t)]
+    w = bm25.term_weight(bm25.synonym_idf(idfs)) if idfs else np.float32(0.0)
+    out = {}
+    for doc_id, text in enumerate(oracle.pdf["content"]):
+        toks, _ = tokenize_one(text)
+        freq = len(ref_spans(q, toks))
+        if freq > 0:
+            nb = int_to_byte4(np.asarray([len(toks)]))
+            out[doc_id] = float(
+                bm25.score(np.asarray([freq], dtype=np.float64), nb, w, cache)[0]
+            )
+    return out
+
+
+QUERIES = [
+    SpanOr(("red", "blue")),
+    SpanNot(SpanTerm("red"), SpanNear(("green", "blue"), slop=1)),
+    SpanFirst(SpanTerm("green"), 5),
+    SpanNear((SpanOr(("red", "green")), "blue"), slop=2),
+    SpanNear((SpanOr(("red", "green")), "blue"), slop=1, in_order=True),
+    SpanNear((SpanNear(("red", "green"), slop=0, in_order=True), "blue"), slop=3),
+    SpanNot(SpanNear(("red", "blue"), slop=2), SpanTerm("green")),
+    SpanFirst(SpanNear(("red", "green"), slop=2), 10),
+]
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=[repr(q)[:60] for q in QUERIES])
+def test_span_query_matches_reference(span_setup, q):
+    searcher, oracle = span_setup
+    want = oracle.top_k(_expected(oracle, q), 50)
+    hits = searcher.search(q, k=50, with_stored=False)
+    got = list(zip(hits["global_doc_id"].tolist(), hits["score"].tolist()))
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    np.testing.assert_array_equal(
+        np.asarray([s for _, s in got], dtype=np.float32),
+        np.asarray([s for _, s in want], dtype=np.float32),
+    )
+
+
+def test_span_leaf_sugar_equivalence(span_setup):
+    """Bare-string clauses are SpanTerm sugar."""
+    searcher, _ = span_setup
+    a = searcher.search(SpanNear(("red", "blue"), slop=2), k=20, with_stored=False)
+    b = searcher.search(
+        SpanNear((SpanTerm("red"), SpanTerm("blue")), slop=2), k=20, with_stored=False
+    )
+    pd.testing.assert_frame_equal(a, b)
