@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, {"query": 2.0, "merge": 0.5}, k=10
     )
     q["fts_constant_score"] = lambda s, d: R.constant_score_spark(s, d, "window", 1.0)
+    q["fts_join_query"] = lambda s, d: R.join_query_spark(s, d, "dup")
 
     # --- training-data pipeline (oracle-checked) ---
     q["dedup_exact"] = dedup.dedup_exact_spark
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_on_results": R.facet_on_results_duck("query"),
         "fts_boosted_or": R.bm25_boosted_or_duck({"query": 2.0, "merge": 0.5}, k=10),
         "fts_constant_score": R.constant_score_duck("window", 1.0),
+        "fts_join_query": R.join_query_duck("dup"),
         "dedup_exact": dedup.dedup_exact_duck(),
         "dedup_ngram_jaccard": dedup.dedup_jaccard_duck(0.4),
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),

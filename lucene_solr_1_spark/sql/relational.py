@@ -695,6 +695,37 @@ GROUP BY 1 ORDER BY 1
 """.strip()
 
 
+def join_query_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Query-time join (lucene/join JoinUtil.createJoinQuery analog,
+    fromField = toField = `source`): match every doc whose `source` value
+    appears among the docs matching the inner term query. The "from"
+    side's join keys are a tiny distinct set → broadcast join; at 100 TB
+    the big side is never shuffled."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    from_keys = (
+        docs.where(F.array_contains("toks", term))
+        .select("source")
+        .distinct()
+    )
+    return (
+        docs.join(F.broadcast(from_keys), "source")
+        .select(F.col("doc_id").cast("bigint"), "source")
+        .orderBy("doc_id")
+    )
+
+
+def join_query_duck(term: str) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH from_keys AS (
+  SELECT DISTINCT source FROM documents WHERE list_contains({te}, '{term}')
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.source
+FROM documents d JOIN from_keys USING (source)
+ORDER BY d.doc_id
+""".strip()
+
+
 def bm25_boosted_or_spark(spark, sf_dir, boosts: dict, k: int = 10) -> DataFrame:
     """BoostQuery over an OR of terms: each clause's score is scaled by its
     boost before summation (BoostQuery.java — boost folds into the term
