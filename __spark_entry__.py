@@ -135,6 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_windowed_counts"] = _windowed
 
+    def _sessions(s, d):
+        from lucene_solr_1_spark.streaming import sessions as SS
+
+        return SS.sessionize_spark(s, d)
+
+    q["events_sessionization"] = _sessions
+
     # --- kernel path: compressed index + float32 BM25 + block-max WAND ---
     # Oracle-hashed via sql/kernel_oracle.py: DuckDB reproduces the
     # QUANTIZED pipeline (SmallFloat length table + float32 op order)
@@ -265,6 +272,9 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_counts": __import__(
             "lucene_solr_1_spark.streaming.analytics", fromlist=["x"]
         ).windowed_counts_duck(),
+        "events_sessionization": __import__(
+            "lucene_solr_1_spark.streaming.sessions", fromlist=["x"]
+        ).sessionize_duck(),
         "ann_ivf_allprobe_exact": similarity.cosine_topk_duck(0, 20),
         # kernel-path twins: float32 bit-exact quantized pipeline
         "fts_kernel_term_wand": KO.kernel_bool_duck(should=("query",), k=10),

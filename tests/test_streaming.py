@@ -46,6 +46,51 @@ def test_streaming_ingest_incremental(spark, tmp_path_factory):
         assert s2.doc_base.get(sid) == base
 
 
+def test_sessionization_stream_matches_batch(spark, tmp_path_factory):
+    """Built-in session_window streaming == batch on finalized sessions,
+    AND the custom applyInPandasWithState state machine emits exactly
+    batch sessions (each user's tail session may stay open in state)."""
+    import pandas as pd
+    from lucene_solr_1_spark.streaming import sessions as S
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path_factory.mktemp("se_src"))
+    spark.read.parquet(f"{sf}/events.parquet").coalesce(2).write.mode(
+        "append"
+    ).parquet(src)
+    batch = S.sessionize_spark(spark, sf).toPandas()
+    assert len(batch) > 0
+
+    def _check(start_fn, tag):
+        ckpt = str(tmp_path_factory.mktemp(f"se_ckpt_{tag}"))
+        out = str(tmp_path_factory.mktemp(f"se_out_{tag}"))
+        q = start_fn(spark, src, ckpt, out)
+        q.awaitTermination(240)
+        got = (
+            spark.read.parquet(out)
+            .toPandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) > 0, tag
+        merged = batch.merge(
+            got, on=["user_id", "session_start"], suffixes=("_b", "_s")
+        )
+        # every emitted session exists in batch with identical aggregates
+        assert len(merged) == len(got), tag
+        assert (merged["n_events_b"] == merged["n_events_s"]).all(), tag
+        assert (
+            abs(merged["sum_value_b"] - merged["sum_value_s"]) < 1e-9
+        ).all(), tag
+        assert (merged["session_end_b"] == merged["session_end_s"]).all(), tag
+        # coverage: at most one open (unemitted) session per user
+        n_users = batch["user_id"].nunique()
+        assert len(got) >= len(batch) - n_users, tag
+
+    _check(S.sessionize_stream, "builtin")
+    _check(S.sessionize_stateful_stream, "stateful")
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path_factory):
     """Streaming watermarked window agg == batch twin on the same events.
     (Append mode emits only watermark-finalized windows; with availableNow
