@@ -315,6 +315,17 @@ class LuceneSparkSearcher:
             return Term(terms[0], field=q.field)
         return Bool.of(*((Occur.SHOULD, Term(t, field=q.field)) for t in terms))
 
+    def _prune_positions(self, post: DataFrame, *plans) -> DataFrame:
+        """Drop the position-stream columns from the kernel input when no
+        plan needs positions — the .doc-vs-.pos file distinction
+        (Lucene50PostingsFormat): term/bool/WAND queries never read the
+        prox stream, and it is the LARGEST posting column, so parquet
+        column pruning cuts the scan accordingly."""
+        if any({"phrase", "span"} & K.plan_node_types(p) for p in plans):
+            return post
+        keep = [c for c in post.columns if c not in ("pos_enc", "pos_offsets")]
+        return post.select(*keep)
+
     def _numeric_allowed_df(self, nrs) -> DataFrame:
         """(segment_id, doc_id, set_id) rows for every NumericRange in the
         query — one filtered scan of the norms table per distinct range,
@@ -431,6 +442,7 @@ class LuceneSparkSearcher:
         if "matchall" in K.plan_node_types(plan):
             # the plan matches docs without postings: dispatch EVERY segment
             post = post.unionByName(self._sentinel_rows())
+        post = self._prune_positions(post, plan)
         kernel = partial(
             _kernel_udf, plan=plan, cache=self.caches, k=k,
             use_wand=use_wand, after=after, doc_bases=self.doc_base,
@@ -529,6 +541,7 @@ class LuceneSparkSearcher:
         post = self._postings.where(self._terms_filter(all_terms))
         if any("matchall" in K.plan_node_types(p) for p in compiled.values()):
             post = post.unionByName(self._sentinel_rows())
+        post = self._prune_positions(post, *compiled.values())
         kernel = partial(
             _kernel_many_udf, plans=compiled, cache=self.caches, k=k,
             use_wand=use_wand, tombstones=self.tombstones,
