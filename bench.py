@@ -74,7 +74,7 @@ def _timed(fn) -> float:
 def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     from lucene_solr_1_spark.pipeline import dedup, similarity, textstats
     from lucene_solr_1_spark.search.query import (
-        Bool, NumericRange, Occur, Prefix, Term,
+        Bool, NumericRange, Occur, Phrase, Prefix, SpanNear, Term,
     )
     from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
     from lucene_solr_1_spark.sql import relational as R
@@ -118,6 +118,11 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
                 (Occur.MUST, Term("return")),
                 (Occur.FILTER, NumericRange("dl", 50, 200)),
             ),
+            # hot exact phrase: both terms near-ubiquitous → the candidate
+            # set is ~the whole corpus; exercises the VECTORIZED phrase
+            # matcher (packed-key intersection, no per-doc Python loop)
+            "phrase_hot_search": Phrase(("return", "int")),
+            "spannear_search": SpanNear(("public", "static"), slop=3),
         }
         lat: list[float] = []
         for name, q in kernel_qs.items():
@@ -130,7 +135,8 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
         # percentile pool stays comparable round-over-round
         lat_pool = {
             k: v for k, v in kernel_qs.items()
-            if k not in ("field_filter_search", "numeric_filter_search")
+            if k not in ("field_filter_search", "numeric_filter_search",
+                         "phrase_hot_search", "spannear_search")
         }
         for _ in range(4):
             for q in lat_pool.values():

