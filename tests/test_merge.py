@@ -6,7 +6,7 @@ import numpy as np
 from lucene_solr_1_spark.index import manifest as mf
 from lucene_solr_1_spark.index.builder import build_index
 from lucene_solr_1_spark.index.merge import find_merges, merge_down, merge_once
-from lucene_solr_1_spark.search.query import Bool, Occur, Phrase, Term
+from lucene_solr_1_spark.search.query import Bool, Occur, Phrase, SpanNear, Term
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
 
 
@@ -41,6 +41,12 @@ def test_merge_preserves_results(spark, small_corpus_pdf, tmp_path_factory):
         Bool.of((Occur.MUST, Term("return")), (Occur.SHOULD, Term("class")),
                 (Occur.MUST_NOT, Term("id_0003"))),
         Phrase(("beta", "gamma")),
+        # multi-field + positional invariants through the bucketed merge:
+        # keyword postings and re-encoded position streams must survive
+        Term("python", field="lang"),
+        Bool.of((Occur.MUST, Term("return")),
+                (Occur.FILTER, Term("java", field="lang"))),
+        SpanNear(("public", "static"), slop=3),
     ]
     before = [s0.search(q, k=20, with_stored=False) for q in queries]
 
