@@ -14,6 +14,13 @@ _EN_STOP = (
 _STOP_SQL = ", ".join(f"'{w}'" for w in _EN_STOP)
 
 
+# BPE-style pre-tokenization units (GPT-2 pattern simplified to drop the
+# lookahead neither Java regex nor RE2 needs here): optional leading
+# space + a letter run / digit run / punctuation run. Unit count is the
+# standard cheap LLM-token-budget estimator.
+_BPE_UNIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     return docs.select(
@@ -22,6 +29,9 @@ def token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
         .cast("bigint")
         .alias("n_ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{_BPE_UNIT_PATTERN}', 0)")
+        ).cast("bigint").alias("n_bpe_units"),
     ).orderBy("doc_id")
 
 
@@ -29,7 +39,8 @@ def token_count_duck() -> str:
     return f"""
 SELECT doc_id::BIGINT AS doc_id,
        len({duck_tokens_expr()})::BIGINT AS n_tokens,
-       len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens
+       len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_UNIT_PATTERN}'))::BIGINT AS n_bpe_units
 FROM documents ORDER BY 1
 """.strip()
 

@@ -596,11 +596,21 @@ class LuceneSparkSearcher:
             hits.attrs["total_hits"] = self.doc_count - n_deleted
             hits.attrs["relation"] = "EQUAL_TO"
             return hits
-        base_expr = F.create_map(
-            *[x for sid, b in self.doc_base.items() for x in (F.lit(sid), F.lit(b))]
+        # doc_base as a broadcast-joined frame, not a literal map: a
+        # 100k-segment index would blow up a create_map expression tree
+        bases = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "segment_id": list(self.doc_base),
+                    "_doc_base": list(self.doc_base.values()),
+                }
+            )
         )
-        df = self._norms.select("segment_id", "doc_id").withColumn(
-            "global_doc_id", base_expr[F.col("segment_id")] + F.col("doc_id")
+        df = (
+            self._norms.select("segment_id", "doc_id")
+            .join(F.broadcast(bases), "segment_id")
+            .withColumn("global_doc_id", F.col("_doc_base") + F.col("doc_id"))
+            .drop("_doc_base")
         )
         if n_deleted:
             del_pdf = pd.concat(
