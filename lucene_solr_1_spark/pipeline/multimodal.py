@@ -74,6 +74,63 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize hook — requires an image library not present here."""
+    raise NotImplementedError(
+        "image resize requires PIL/libvips — not available in this "
+        "environment; pipeline uses fake_resize for plumbing tests"
+    )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: width*height bytes derived from the
+    payload digest (cycled) — same output shape a real resize-to-raw
+    would produce, so downstream batch plumbing is exercised for real."""
+    h = hashlib.sha256(payload + bytes([width & 0xFF, height & 0xFF])).digest()
+    n = width * height
+    reps = -(-n // len(h))
+    return (h * reps)[:n]
+
+
+def frame_sample(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic frame sampler stand-in (video decode stub): cuts the
+    payload into n_frames evenly-spaced windows — the per-frame fan-out
+    shape a real ffmpeg sampler produces."""
+    if not payload:
+        return []
+    size = max(1, len(payload) // max(n_frames, 1))
+    return [payload[i * size:(i + 1) * size] or payload[-size:] for i in range(n_frames)]
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary, frame_bytes bigint"
+
+
+def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling fan-out as Arrow-batched mapInPandas: each media row
+    explodes to n_frames (doc_id, frame_idx, frame) rows — the 100 TB
+    shape for per-frame feature extraction (frames repartition freely
+    downstream; no per-row Python at the Spark level)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_frame = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(frame_sample(bytes(p), n_frames)):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_frame.append(fr)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "frame": out_frame,
+                    "frame_bytes": [len(f) for f in out_frame],
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def multimodal_features_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable projection of the feature table (byte length + sha —
     values DuckDB can recompute from the text)."""

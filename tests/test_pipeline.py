@@ -42,6 +42,35 @@ def test_ivf_probe_prunes_files(spark):
     assert n_all == n_base
 
 
+def test_multimodal_frame_sampling_plumbing(spark):
+    """Frame-sample fan-out: every media row explodes to exactly n_frames
+    deterministic frames; resize stand-in returns the requested shape."""
+    from lucene_solr_1_spark.pipeline import multimodal as M
+
+    payloads = M.binary_payloads(spark, SF)
+    n_docs = payloads.count()
+    frames = M.sample_frames(payloads, n_frames=4)
+    pdf = frames.toPandas()
+    assert len(pdf) == n_docs * 4
+    assert set(pdf["frame_idx"]) == {0, 1, 2, 3}
+    assert (pdf["frame_bytes"] > 0).all()
+    # determinism: second run bit-identical
+    pdf2 = M.sample_frames(payloads, n_frames=4).toPandas()
+    a = pdf.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    b = pdf2.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    assert (a["frame"].map(bytes) == b["frame"].map(bytes)).all()
+    # resize stand-in: exact target size, deterministic
+    payload = "媒体bytes".encode("utf-8")
+    out = M.fake_resize(payload, 16, 9)
+    assert len(out) == 16 * 9 and out == M.fake_resize(payload, 16, 9)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        M.resize_image(b"x", 2, 2)
+    with _pytest.raises(NotImplementedError):
+        M.decode_image(b"x")
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark):
     """LSH banding must surface every pair the exact Jaccard check accepts
     at a high threshold (the banding guarantee direction we rely on for
