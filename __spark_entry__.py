@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_verified"] = lambda s, d: dedup.minhash_verified_spark(s, d, 0.4)
     q["dedup_simhash"] = lambda s, d: dedup.simhash_spark(s, d)
     q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk_spark(s, d, 0, 20)
+    q["embedding_cosine_topk_batch"] = lambda s, d: similarity.cosine_topk_many_spark(
+        s, d, (0, 7, 42), 10
+    )
     q["token_count"] = textstats.token_count_spark
     q["lang_id"] = textstats.lang_id_spark
     q["quality_score"] = textstats.quality_score_spark
@@ -264,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_verified": dedup.minhash_verified_duck(0.4),
         "dedup_simhash": dedup.simhash_duck(),
         "embedding_cosine_topk": similarity.cosine_topk_duck(0, 20),
+        "embedding_cosine_topk_batch": similarity.cosine_topk_many_duck((0, 7, 42), 10),
         "token_count": textstats.token_count_duck(),
         "lang_id": textstats.lang_id_duck(),
         "quality_score": textstats.quality_score_duck(),

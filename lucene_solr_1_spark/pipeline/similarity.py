@@ -66,6 +66,77 @@ ORDER BY round(cos, 6) DESC, vec_id LIMIT {k}
 """.strip()
 
 
+def cosine_topk_many_spark(
+    spark: SparkSession, sf_dir: str, query_vec_ids: tuple, k: int = 10
+) -> DataFrame:
+    """Batch similarity search: top-k for MANY stored query vectors in ONE
+    pass over the embeddings table — the query matrix broadcasts (tiny),
+    the big side streams once regardless of query count (the query-fan-in
+    shape; per-query jobs would rescan the table per query)."""
+    from pyspark.sql import Window
+
+    e = load_embeddings(spark, sf_dir)
+    q = (
+        e.where(F.col("vec_id").isin(list(query_vec_ids)))
+        .select(
+            F.col("vec_id").alias("query_vec_id"),
+            F.col("embedding").alias("qemb"),
+        )
+        .alias("a")
+    )
+    dot = (
+        "aggregate(zip_with(cast(a.qemb as array<double>), "
+        "cast(b.embedding as array<double>), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    qnorm = "sqrt(aggregate(transform(cast(a.qemb as array<double>), x -> x * x), 0D, (acc, v) -> acc + v))"
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("vec_id")
+    )
+    return (
+        e.alias("b")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("b.vec_id") != F.col("query_vec_id"))
+        .withColumn(
+            "cos",
+            F.expr(dot) / (F.expr(qnorm) * F.expr(_NORM.format(c="b"))),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_vec_id",
+            F.col("b.vec_id").cast("bigint").alias("vec_id"),
+            F.round("cos", 4).alias("cos"),
+        )
+        .orderBy("query_vec_id", F.round(F.col("cos"), 6).desc(), "vec_id")
+    )
+
+
+def cosine_topk_many_duck(query_vec_ids: tuple, k: int = 10) -> str:
+    ids = ", ".join(str(int(i)) for i in query_vec_ids)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+sc AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY round(cos, 6) DESC, vec_id) AS rn
+  FROM sc
+)
+SELECT query_vec_id, vec_id::BIGINT AS vec_id, round(cos, 4) AS cos
+FROM r WHERE rn <= {k}
+ORDER BY query_vec_id, round(cos, 6) DESC, vec_id
+""".strip()
+
+
 # --- IVF ANN: a REAL persisted index (build once, probe many) ---------------
 #
 # build_ann_index trains coarse centroids on a deterministic SAMPLE (not a

@@ -140,6 +140,41 @@ PHRASES = [
 ]
 
 
+def test_sloppy_freq_hypothesis_fuzz():
+    """Kernel _sloppy_freq == reference matcher on random token streams
+    (pure NumPy vs pure-Python reference, no Spark — hundreds of cases)."""
+    from hypothesis import given, settings, strategies as st
+
+    from lucene_solr_1_spark.search.kernel import _sloppy_freq
+
+    vocab = ["a", "b", "c"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        toks=st.lists(st.sampled_from(vocab), min_size=1, max_size=40),
+        phrase=st.lists(st.sampled_from(vocab), min_size=2, max_size=3),
+        slop=st.integers(min_value=1, max_value=4),
+    )
+    def check(toks, phrase, slop):
+        ref = ref_sloppy_freq(toks, phrase, slop)
+        term_pos = [
+            np.array([p - i for p, t in enumerate(toks) if t == phrase[i]],
+                     dtype=np.int64)
+            for i in range(len(phrase))
+        ]
+        if any(len(p) == 0 for p in term_pos):
+            kern = 0.0
+        else:
+            groups = {}
+            for i, t in enumerate(phrase):
+                groups.setdefault(t, []).append(i)
+            rg = tuple(tuple(g) for g in groups.values() if len(g) > 1)
+            kern = _sloppy_freq(term_pos, slop, rg)
+        assert abs(ref - kern) < 1e-9, (toks, phrase, slop, ref, kern)
+
+    check()
+
+
 @pytest.mark.parametrize("phrase,slop", PHRASES)
 def test_sloppy_phrase_matches_reference(sp_setup, phrase, slop):
     searcher, oracle, pdf = sp_setup
