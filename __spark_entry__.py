@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["fts_constant_score"] = lambda s, d: R.constant_score_spark(s, d, "window", 1.0)
     q["fts_join_query"] = lambda s, d: R.join_query_spark(s, d, "dup")
+    q["fts_block_join_parents"] = lambda s, d: R.block_join_parents_spark(
+        s, d, "query", k=10
+    )
 
     # --- training-data pipeline (oracle-checked) ---
     q["dedup_exact"] = dedup.dedup_exact_spark
@@ -261,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_boosted_or": R.bm25_boosted_or_duck({"query": 2.0, "merge": 0.5}, k=10),
         "fts_constant_score": R.constant_score_duck("window", 1.0),
         "fts_join_query": R.join_query_duck("dup"),
+        "fts_block_join_parents": R.block_join_parents_duck("query", 10),
         "dedup_exact": dedup.dedup_exact_duck(),
         "dedup_ngram_jaccard": dedup.dedup_jaccard_duck(0.4),
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),

@@ -161,6 +161,22 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
         batch_s = time.monotonic() - t0
         queries["batch_64_queries"] = batch_s
         latency["batch_qps"] = round(len(batch) / batch_s, 1)
+        # concurrent independent queries on a thread pool (SearcherService:
+        # per-query latencies, dispatch overlapped by the Spark scheduler)
+        from lucene_solr_1_spark.search.service import SearcherService
+
+        svc = SearcherService.__new__(SearcherService)
+        from concurrent.futures import ThreadPoolExecutor
+
+        svc.searcher = searcher
+        svc._pool = ThreadPoolExecutor(max_workers=8)
+        conc_qs = {f"c{i}": Term(f"id_{i * 53 % 5000:04d}") for i in range(16)}
+        t0 = time.monotonic()
+        svc.search_all(conc_qs, k=10, with_stored=False)
+        conc_s = time.monotonic() - t0
+        svc.close()
+        queries["concurrent_16_queries"] = conc_s
+        latency["concurrent_qps"] = round(len(conc_qs) / conc_s, 1)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 

@@ -1,0 +1,63 @@
+"""Concurrent searcher service — the resident-search-process posture.
+
+A Lucene/Solr deployment holds one IndexSearcher and serves many queries
+concurrently on a thread pool (IndexSearcher leaf slices,
+SolrIndexSearcher request threads). Spark's analog: ONE long-lived
+SparkSession + searcher, with a driver-side thread pool submitting
+independent search jobs — the Spark scheduler interleaves their stages
+across executor slots, overlapping each query's dispatch latency with
+another's compute. Combine with `cache_postings=True` (postings pinned
+in executor storage) for the hot-index posture.
+
+Three throughput levers, coarsest to finest:
+- `search_many`: N queries fused into ONE job (shared scan + decode) —
+  highest throughput, one latency for the whole batch;
+- `SearcherService.search_all`: N independent jobs on a thread pool —
+  per-query latencies, dispatch overlapped;
+- plain `search()`: one query, one job.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+
+from .searcher import LuceneSparkSearcher
+
+
+class SearcherService:
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        max_concurrent: int = 8,
+        cache_postings: bool = True,
+    ):
+        self.searcher = LuceneSparkSearcher(
+            spark, index_dir, cache_postings=cache_postings
+        )
+        self._pool = ThreadPoolExecutor(max_workers=max_concurrent)
+
+    def submit(self, q, k: int = 10, **kw):
+        """Async single query → Future[pd.DataFrame]."""
+        return self._pool.submit(self.searcher.search, q, k, **kw)
+
+    def search_all(self, queries: dict, k: int = 10, **kw) -> dict:
+        """Run independent queries concurrently; returns {name: hits}.
+        Results identical to sequential search() per query (the searcher's
+        driver-side caches are GIL-safe; Spark job submission is
+        thread-safe)."""
+        futures = {
+            name: self.submit(q, k, **kw) for name, q in queries.items()
+        }
+        return {name: f.result() for name, f in futures.items()}
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self) -> "SearcherService":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -726,6 +726,43 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def block_join_parents_spark(
+    spark, sf_dir, term: str, k: int = 10, score_mode: str = "max"
+) -> DataFrame:
+    """Parent/child block join (lucene/join ToParentBlockJoinQuery analog,
+    ScoreMode.Max/Total): children = documents, parents = their `source`
+    blocks; a child-level BM25 query rolls up to parents scored by the
+    max (or sum) of matching-child scores. One aggregation over the
+    scored child set — parents ranked without ever materializing a
+    parent×child product."""
+    scored = bm25_bool_spark(spark, sf_dir, should=(term,), k=None)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    agg = F.max("score") if score_mode == "max" else F.sum("score")
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.round(agg, 4).alias("parent_score"),
+            F.count("*").cast("bigint").alias("n_matching_children"),
+        )
+        .orderBy(F.desc("parent_score"), F.asc("source"))
+        .limit(k)
+    )
+
+
+def block_join_parents_duck(term: str, k: int = 10, score_mode: str = "max") -> str:
+    inner = bm25_bool_duck(should=(term,), k=None)
+    agg = "max(s.score)" if score_mode == "max" else "sum(s.score)"
+    return f"""
+WITH scored AS ({inner})
+SELECT d.source, round({agg}, 4) AS parent_score,
+       count(*)::BIGINT AS n_matching_children
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY parent_score DESC, d.source ASC LIMIT {k}
+""".strip()
+
+
 def bm25_boosted_or_spark(spark, sf_dir, boosts: dict, k: int = 10) -> DataFrame:
     """BoostQuery over an OR of terms: each clause's score is scaled by its
     boost before summation (BoostQuery.java — boost folds into the term

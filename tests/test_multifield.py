@@ -170,6 +170,35 @@ def test_numeric_must_not_with_matchall(searcher, oracle):
     assert hits["global_doc_id"].tolist() == want
 
 
+def test_searcher_service_concurrent_identical(spark, searcher):
+    """SearcherService: concurrent independent queries return results
+    identical to sequential search() (thread-safe driver caches + Spark
+    job submission)."""
+    from lucene_solr_1_spark.search.service import SearcherService
+
+    svc = SearcherService.__new__(SearcherService)
+    from concurrent.futures import ThreadPoolExecutor
+
+    svc.searcher = searcher
+    svc._pool = ThreadPoolExecutor(max_workers=4)
+    try:
+        qs = {
+            "a": Term("return"),
+            "b": Term("class"),
+            "c": Bool.of((Occur.MUST, Term("return")), (Occur.SHOULD, Term("public"))),
+            "d": Term("python", field="lang"),
+        }
+        conc = svc.search_all(qs, k=10, with_stored=False)
+        for n, q in qs.items():
+            seq = searcher.search(q, k=10, with_stored=False)
+            assert conc[n]["global_doc_id"].tolist() == seq["global_doc_id"].tolist()
+            np.testing.assert_array_equal(
+                conc[n]["score"].to_numpy(), seq["score"].to_numpy()
+            )
+    finally:
+        svc.close()
+
+
 def test_search_many_with_numeric_filter(searcher):
     """Batch path supports NumericRange clauses: one job, per-query results
     identical to sequential search()."""
