@@ -43,9 +43,13 @@ from ..index.segment import KEYWORD_FIELDS
 from ..kernels.analyzer import AnalyzerConfig, STANDARD, tokenize_one
 from .query import (
     Bool, Boost, Clause, ConstantScore, DEFAULT_FIELD, DisjunctionMax, Fuzzy,
-    MatchAll, MatchNone, Occur, Phrase, Prefix, Query, Regexp, Term,
-    TermRange, Wildcard, rewrite,
+    MatchAll, MatchNone, NumericRange, Occur, Phrase, Prefix, Query, Regexp,
+    Term, TermRange, Wildcard, rewrite,
 )
+
+# numeric doc-values fields: `dl:[30 TO 60]` parses to a NumericRange
+# (PointRangeQuery analog) instead of a lexicographic TermRange
+NUMERIC_FIELDS = ("dl", "n_chars")
 
 
 class ParseError(ValueError):
@@ -231,6 +235,17 @@ class _Parser:
         m = re.match(r"(\S+)\s+TO\s+(\S+)$", body)
         if not m:
             raise ParseError(f"bad range syntax: {text!r}")
+        if field in NUMERIC_FIELDS:
+            # getRangeQuery on a points field (QueryParserBase +
+            # IntPoint.newRangeQuery): numeric doc-values range; exclusive
+            # brackets tighten the integer bound by one
+            lo = None if m.group(1) == "*" else int(m.group(1))
+            hi = None if m.group(2) == "*" else int(m.group(2))
+            if lo is not None and not inc_lo:
+                lo += 1
+            if hi is not None and not inc_hi:
+                hi -= 1
+            return NumericRange(field, lo, hi)
         keyword = field in self.keyword_fields
         lo = None if m.group(1) == "*" else self._norm(m.group(1), keyword)
         hi = None if m.group(2) == "*" else self._norm(m.group(2), keyword)

@@ -217,6 +217,28 @@ def test_search_many_with_numeric_filter(searcher):
         )
 
 
+def test_parsed_numeric_range_end_to_end(searcher, oracle):
+    """parse('return AND dl:[50 TO 200]') runs the cogrouped doc-values
+    filter; as a MUST clause the constant-score range adds 1.0."""
+    q = parse("return AND dl:[50 TO 200]")
+    hits = searcher.search(q, k=10, with_stored=False)
+    in_range = set(np.flatnonzero(
+        (oracle.exact_dl >= 50) & (oracle.exact_dl <= 200)
+    ).tolist())
+    want = {
+        d: s + 1.0
+        for d, s in oracle.term_scores("return").items()
+        if d in in_range
+    }
+    # the +1.0 shift compresses float32 resolution: near-ties collapse to
+    # equal f32 scores and break by docID — rank the expectation in f32
+    top = sorted(want.items(), key=lambda kv: (-np.float32(kv[1]), kv[0]))[:10]
+    assert hits["global_doc_id"].tolist() == [d for d, _ in top]
+    np.testing.assert_allclose(
+        hits["score"].to_numpy(np.float64), [s for _, s in top], rtol=2e-5
+    )
+
+
 def test_numeric_unknown_field_raises(searcher):
     with pytest.raises(ValueError):
         searcher.search(NumericRange("nope", 0, 1), k=5)

@@ -130,6 +130,16 @@ def test_field_star_matches_all():
     assert parse("lang:*") == MatchAll()
 
 
+def test_numeric_field_range():
+    from lucene_solr_1_spark.search.query import NumericRange
+
+    assert parse("dl:[30 TO 60]") == NumericRange("dl", 30, 60)
+    assert parse("dl:{30 TO 60}") == NumericRange("dl", 31, 59)
+    assert parse("n_chars:[* TO 500]") == NumericRange("n_chars", None, 500)
+    q = parse("hello AND dl:[10 TO 20]")
+    assert q == Bool.of((M, Term("hello")), (M, NumericRange("dl", 10, 20)))
+
+
 def test_field_prefix_and_boost():
     assert parse("lang:py*") == Prefix("py", field="lang")
     assert parse("body:hello^2") == Boost(Term("hello", field="body"), 2.0)
