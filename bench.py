@@ -165,11 +165,7 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
         # per-query latencies, dispatch overlapped by the Spark scheduler)
         from lucene_solr_1_spark.search.service import SearcherService
 
-        svc = SearcherService.__new__(SearcherService)
-        from concurrent.futures import ThreadPoolExecutor
-
-        svc.searcher = searcher
-        svc._pool = ThreadPoolExecutor(max_workers=8)
+        svc = SearcherService(searcher=searcher, max_concurrent=8)
         conc_qs = {f"c{i}": Term(f"id_{i * 53 % 5000:04d}") for i in range(16)}
         t0 = time.monotonic()
         svc.search_all(conc_qs, k=10, with_stored=False)

@@ -285,7 +285,13 @@ def _merge_group_job(
     ).write.mode(
         "overwrite"
     ).parquet(os.path.join(seg_dir, _POSTINGS_FILE))
-    distinct_terms = spark.read.parquet(os.path.join(seg_dir, _POSTINGS_FILE)).count()
+    # content-field rows only — same meaning as build_segment_frames'
+    # distinct_terms (keyword-field rows would inflate it by ~2x doc_count)
+    distinct_terms = (
+        spark.read.parquet(os.path.join(seg_dir, _POSTINGS_FILE))
+        .where(F.col("field") == "content")
+        .count()
+    )
 
     npaths = [
         os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _NORMS_FILE)

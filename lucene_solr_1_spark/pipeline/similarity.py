@@ -185,6 +185,7 @@ def build_ann_index(
     import os
 
     e = load_embeddings(spark, sf_dir)
+    # parquet count() is answered from row-group metadata (no data scan)
     n_vecs = e.count()
     frac = min(1.0, float(sample_cap) / max(n_vecs, 1))
     sample = np.array(

@@ -29,8 +29,15 @@ def token_count_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
         .cast("bigint")
         .alias("n_ws_tokens"),
+        # Spark SQL string literals unescape backslashes: '\s' becomes 's',
+        # silently changing the char class — double them for the literal
+        # (DuckDB literals keep the single backslash)
         F.size(
-            F.expr(f"regexp_extract_all(text, '{_BPE_UNIT_PATTERN}', 0)")
+            F.expr(
+                "regexp_extract_all(text, '"
+                + _BPE_UNIT_PATTERN.replace("\\", "\\\\")
+                + "', 0)"
+            )
         ).cast("bigint").alias("n_bpe_units"),
     ).orderBy("doc_id")
 

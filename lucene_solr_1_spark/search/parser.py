@@ -43,13 +43,13 @@ from ..index.segment import KEYWORD_FIELDS
 from ..kernels.analyzer import AnalyzerConfig, STANDARD, tokenize_one
 from .query import (
     Bool, Boost, Clause, ConstantScore, DEFAULT_FIELD, DisjunctionMax, Fuzzy,
-    MatchAll, MatchNone, NumericRange, Occur, Phrase, Prefix, Query, Regexp,
-    Term, TermRange, Wildcard, rewrite,
+    MatchAll, MatchNone, NUMERIC_DOCVALUES, NumericRange, Occur, Phrase,
+    Prefix, Query, Regexp, Term, TermRange, Wildcard, rewrite,
 )
 
-# numeric doc-values fields: `dl:[30 TO 60]` parses to a NumericRange
+# numeric doc-values fields parse `dl:[30 TO 60]` to a NumericRange
 # (PointRangeQuery analog) instead of a lexicographic TermRange
-NUMERIC_FIELDS = ("dl", "n_chars")
+NUMERIC_FIELDS = NUMERIC_DOCVALUES
 
 
 class ParseError(ValueError):

@@ -24,6 +24,11 @@ class Occur(Enum):
 # Lucene term lives in a named field; queries resolve `field:term`).
 DEFAULT_FIELD = "content"
 
+# Numeric doc-values columns of the norms table usable in NumericRange
+# (NumericDocValuesField / IntPoint analog) — the ONE canonical list
+# shared by the parser (range syntax) and the searcher (validation).
+NUMERIC_DOCVALUES = ("dl", "n_chars")
+
 
 class Query:
     """Marker base class."""

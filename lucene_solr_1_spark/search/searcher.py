@@ -32,14 +32,10 @@ from ..index.builder import norms_paths, postings_paths
 from ..kernels import bm25
 from . import kernel as K
 from .query import (
-    Bool, Clause, Fuzzy, MatchNone, Occur, Prefix, Query, Regexp, Synonym,
-    Term, TermRange, Wildcard, numeric_ranges, query_terms, rewrite,
-    MAX_CLAUSE_COUNT,
+    Bool, Clause, Fuzzy, MatchNone, NUMERIC_DOCVALUES, Occur, Prefix, Query,
+    Regexp, Synonym, Term, TermRange, Wildcard, numeric_ranges, query_terms,
+    rewrite, MAX_CLAUSE_COUNT,
 )
-
-# numeric doc-values columns of the norms table usable in NumericRange
-# (NumericDocValuesField / IntPoint analog)
-NUMERIC_DOCVALUES = ("dl", "n_chars")
 
 TOTAL_HITS_THRESHOLD = 1000
 
@@ -48,18 +44,22 @@ _HIT_SCHEMA = (
 )
 
 
+def _allowed_from_pdf(allowed_pdf):
+    """{set_id: sorted unique local docIDs} from cogrouped norms rows."""
+    if allowed_pdf is None or not len(allowed_pdf):
+        return None
+    return {
+        set_id: np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
+        for set_id, g in allowed_pdf.groupby("set_id")
+    }
+
+
 def _kernel_udf(key, postings_pdf, plan, cache, k, use_wand,
                 after=None, doc_bases=None, tombstones=None, doc_counts=None,
                 allowed_pdf=None):
     segment_id = key[0]
     n_docs = (doc_counts or {}).get(segment_id, 0)
-    allowed = None
-    if allowed_pdf is not None and len(allowed_pdf):
-        allowed = {
-            set_id: np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
-            for set_id, g in allowed_pdf.groupby("set_id")
-        }
-    seg = K.SegmentData(postings_pdf, n_docs, allowed=allowed)
+    seg = K.SegmentData(postings_pdf, n_docs, allowed=_allowed_from_pdf(allowed_pdf))
     base = (doc_bases or {}).get(segment_id, 0)
     deleted = (tombstones or {}).get(segment_id)
     if use_wand and K.wand_applicable(plan):
@@ -86,14 +86,9 @@ def _kernel_many_udf(key, postings_pdf, plans, cache, k, use_wand,
     """Batch kernel: one SegmentData (shared decode cache) scores every
     compiled plan; output rows carry the query name."""
     segment_id = key[0]
-    allowed = None
-    if allowed_pdf is not None and len(allowed_pdf):
-        allowed = {
-            set_id: np.sort(np.unique(g["doc_id"].to_numpy(np.int64)))
-            for set_id, g in allowed_pdf.groupby("set_id")
-        }
     seg = K.SegmentData(
-        postings_pdf, (doc_counts or {}).get(segment_id, 0), allowed=allowed
+        postings_pdf, (doc_counts or {}).get(segment_id, 0),
+        allowed=_allowed_from_pdf(allowed_pdf),
     )
     deleted = (tombstones or {}).get(segment_id)
     frames = []
@@ -168,6 +163,11 @@ class LuceneSparkSearcher:
         # shipped to the scoring kernels alongside the query plan
         self.tombstones = read_tombstones(index_dir, self.manifest)
         self._postings = spark.read.parquet(*postings_paths(index_dir, self.manifest))
+        if "field" not in self._postings.columns:
+            raise ValueError(
+                f"{index_dir} was built before multi-field support "
+                "(postings lack the 'field' column) — rebuild the index"
+            )
         self._norms = spark.read.parquet(*norms_paths(index_dir, self.manifest))
         if cache_postings:
             self._postings = self._postings.cache()
@@ -178,6 +178,9 @@ class LuceneSparkSearcher:
         # stale; a reopened searcher (new generation) starts empty.
         self._result_cache: dict = {}
         self.result_cache_size = 128
+        import threading
+
+        self._cache_lock = threading.Lock()
 
     def _sentinel_rows(self):
         """One zero-posting row per live segment, unioned into the kernel
@@ -253,7 +256,9 @@ class LuceneSparkSearcher:
 
     def _expand_fuzzy(self, q: Fuzzy, cap: int = MAX_CLAUSE_COUNT) -> list:
         """[(term, edit_distance)] for a fuzzy query — distance computed in
-        the same dictionary scan that expands the term set."""
+        the same dictionary scan that expands the term set; the per-term
+        global docFreq from that scan primes the stats cache so compile
+        does not re-aggregate the same terms in a second job."""
         t = self._postings.groupBy("field", "term").agg(
             F.sum("doc_freq").alias("df")
         )
@@ -264,6 +269,8 @@ class LuceneSparkSearcher:
             .limit(cap)
             .collect()
         )
+        for r in rows:
+            self._df_cache[(q.field, r["term"])] = int(r["df"])
         return [(r["term"], int(r["dist"])) for r in rows]
 
     def expand(self, q: Query) -> Query:
@@ -384,22 +391,25 @@ class LuceneSparkSearcher:
         filter/query-cache analog (search/LRUQueryCache.java): repeated
         queries against an immutable manifest skip all Spark jobs."""
         cache_key = (q, k, use_wand, with_stored, after)
-        try:
-            cached = self._result_cache.pop(cache_key)
-        except (KeyError, TypeError):  # TypeError: unhashable custom query
-            cached = None
-        else:
-            self._result_cache[cache_key] = cached  # re-insert = MRU
+        with self._cache_lock:
+            try:
+                cached = self._result_cache.pop(cache_key)
+            except (KeyError, TypeError):  # TypeError: unhashable query
+                cached = None
+            else:
+                self._result_cache[cache_key] = cached  # re-insert = MRU
+        if cached is not None:
             out = cached.copy()
             out.attrs.update(cached.attrs)
             return out
         hits = self._search_uncached(q, k, use_wand, with_stored, after)
-        try:
-            self._result_cache[cache_key] = hits
-        except TypeError:
-            return hits
-        while len(self._result_cache) > self.result_cache_size:
-            self._result_cache.pop(next(iter(self._result_cache)))
+        with self._cache_lock:
+            try:
+                self._result_cache[cache_key] = hits
+            except TypeError:
+                return hits
+            while len(self._result_cache) > self.result_cache_size:
+                self._result_cache.pop(next(iter(self._result_cache)))
         out = hits.copy()
         out.attrs.update(hits.attrs)
         return out

@@ -29,14 +29,19 @@ from .searcher import LuceneSparkSearcher
 class SearcherService:
     def __init__(
         self,
-        spark,
-        index_dir: str,
+        spark=None,
+        index_dir: str | None = None,
         max_concurrent: int = 8,
         cache_postings: bool = True,
+        searcher: LuceneSparkSearcher | None = None,
     ):
-        self.searcher = LuceneSparkSearcher(
-            spark, index_dir, cache_postings=cache_postings
-        )
+        """Open an index (spark + index_dir) or wrap an existing
+        `searcher` — callers reusing a warm searcher pass it directly."""
+        if searcher is None:
+            searcher = LuceneSparkSearcher(
+                spark, index_dir, cache_postings=cache_postings
+            )
+        self.searcher = searcher
         self._pool = ThreadPoolExecutor(max_workers=max_concurrent)
 
     def submit(self, q, k: int = 10, **kw):

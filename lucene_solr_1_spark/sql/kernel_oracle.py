@@ -274,9 +274,13 @@ def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10) -> str:
 WITH {_base_ctes()},
 dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
 exp AS (
+  -- TopTermsRewrite cap: same 1024-by-docFreq ranking as the engine's
+  -- _expand_fuzzy (MAX_CLAUSE_COUNT), so oracle and engine agree even
+  -- when the dictionary holds >1024 terms within max_edits
   SELECT term, df, levenshtein(term, {qt}) AS ed FROM dict
   WHERE length(term) BETWEEN {lo} AND {hi}
     AND levenshtein(term, {qt}) <= {max_edits}
+  QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= 1024
 ),
 w AS (
   SELECT exp.term,

@@ -176,11 +176,7 @@ def test_searcher_service_concurrent_identical(spark, searcher):
     job submission)."""
     from lucene_solr_1_spark.search.service import SearcherService
 
-    svc = SearcherService.__new__(SearcherService)
-    from concurrent.futures import ThreadPoolExecutor
-
-    svc.searcher = searcher
-    svc._pool = ThreadPoolExecutor(max_workers=4)
+    svc = SearcherService(searcher=searcher, max_concurrent=4)
     try:
         qs = {
             "a": Term("return"),
