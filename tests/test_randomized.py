@@ -47,6 +47,105 @@ def _random_query(rng: np.random.Generator):
     return Bool.of((Occur.MUST, t()), (Occur.SHOULD, t()), (Occur.MUST_NOT, t()))
 
 
+def _random_corpus_ml(rng: np.random.Generator, n_docs: int) -> pd.DataFrame:
+    """Multi-lang corpus for field/numeric/span fuzzing."""
+    langs = ["python", "java", "scala"]
+    rows = []
+    for i in range(n_docs):
+        n = int(rng.integers(0, 40))
+        content = " ".join(rng.choice(VOCAB, size=n)) if n else ""
+        rows.append(
+            (f"r/{i % 3}", f"p/{i}", f"c{i:04d}", str(rng.choice(langs)), content)
+        )
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def _random_query_r2(rng: np.random.Generator):
+    """Round-2 query shapes: field filters, numeric ranges, fuzzy,
+    sloppy phrase, span proximity, parsed text."""
+    from lucene_solr_1_spark.search.parser import parse
+    from lucene_solr_1_spark.search.query import (
+        Fuzzy, NumericRange, SpanNear, SpanOr,
+    )
+
+    t = lambda: Term(str(rng.choice(VOCAB)))  # noqa: E731
+    kind = rng.integers(0, 8)
+    if kind == 0:
+        return Bool.of(
+            (Occur.MUST, t()),
+            (Occur.FILTER, Term(str(rng.choice(["python", "java", "scala"])), field="lang")),
+        )
+    if kind == 1:
+        lo = int(rng.integers(0, 20))
+        return Bool.of(
+            (Occur.MUST, t()),
+            (Occur.FILTER, NumericRange("dl", lo, lo + int(rng.integers(5, 30)))),
+        )
+    if kind == 2:
+        return Fuzzy(str(rng.choice(VOCAB)), max_edits=int(rng.integers(1, 3)))
+    if kind == 3:
+        return Phrase(
+            (str(rng.choice(VOCAB)), str(rng.choice(VOCAB))),
+            slop=int(rng.integers(0, 4)),
+        )
+    if kind == 4:
+        return SpanNear(
+            (str(rng.choice(VOCAB)), str(rng.choice(VOCAB))),
+            slop=int(rng.integers(0, 5)),
+            in_order=bool(rng.integers(0, 2)),
+        )
+    if kind == 5:
+        return SpanNear(
+            (SpanOr((str(rng.choice(VOCAB)), str(rng.choice(VOCAB)))),
+             str(rng.choice(VOCAB))),
+            slop=int(rng.integers(1, 5)),
+        )
+    if kind == 6:
+        a, b = rng.choice(VOCAB), rng.choice(VOCAB)
+        return parse(f"{a} AND ({b} OR lang:java)")
+    return Bool.of(
+        (Occur.SHOULD, t()), (Occur.SHOULD, t()),
+        (Occur.MUST_NOT, Term(str(rng.choice(["python", "java"])), field="lang")),
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 97])
+def test_randomized_r2_invariances(spark, tmp_path_factory, seed):
+    """Round-2 query shapes under two universal invariants: WAND ==
+    exhaustive, and results independent of segment count (1 vs n) —
+    covers multi-field merge, cogrouped numeric filters, span matching
+    and fuzzy rewrite without per-shape oracle code."""
+    rng = np.random.default_rng(seed)
+    pdf = _random_corpus_ml(rng, int(rng.integers(30, 90)))
+    d1 = str(tmp_path_factory.mktemp(f"r2a{seed}"))
+    dn = str(tmp_path_factory.mktemp(f"r2b{seed}"))
+    build_index(spark, spark.createDataFrame(pdf), d1, num_segments=1)
+    build_index(
+        spark, spark.createDataFrame(pdf), dn,
+        num_segments=int(rng.integers(2, 6)),
+    )
+    s1 = LuceneSparkSearcher(spark, d1)
+    sn = LuceneSparkSearcher(spark, dn)
+    for _ in range(8):
+        q = _random_query_r2(rng)
+        k = int(rng.integers(1, 15))
+        a = sn.search(q, k=k, use_wand=True, with_stored=False)
+        b = sn.search(q, k=k, use_wand=False, with_stored=False)
+        np.testing.assert_array_equal(
+            a["global_doc_id"].to_numpy(), b["global_doc_id"].to_numpy(), err_msg=repr(q)
+        )
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(), b["score"].to_numpy(), err_msg=repr(q)
+        )
+        c = s1.search(q, k=k, use_wand=True, with_stored=False)
+        np.testing.assert_array_equal(
+            a["global_doc_id"].to_numpy(), c["global_doc_id"].to_numpy(), err_msg=repr(q)
+        )
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(), c["score"].to_numpy(), err_msg=repr(q)
+        )
+
+
 @pytest.mark.parametrize("seed", [7, 23, 1009])
 def test_randomized_rank_identity(spark, tmp_path_factory, seed):
     rng = np.random.default_rng(seed)
