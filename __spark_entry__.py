@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_cosine_topk_batch"] = lambda s, d: similarity.cosine_topk_many_spark(
         s, d, (0, 7, 42), 10
     )
+    q["dedup_embedding_cosine"] = lambda s, d: similarity.embedding_neardup_spark(
+        s, d, 0.45
+    )
     q["token_count"] = textstats.token_count_spark
     q["lang_id"] = textstats.lang_id_spark
     q["quality_score"] = textstats.quality_score_spark
@@ -272,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_duck(),
         "embedding_cosine_topk": similarity.cosine_topk_duck(0, 20),
         "embedding_cosine_topk_batch": similarity.cosine_topk_many_duck((0, 7, 42), 10),
+        "dedup_embedding_cosine": similarity.embedding_neardup_duck(0.45),
         "token_count": textstats.token_count_duck(),
         "lang_id": textstats.lang_id_duck(),
         "quality_score": textstats.quality_score_duck(),

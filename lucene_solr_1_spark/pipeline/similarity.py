@@ -66,6 +66,115 @@ ORDER BY round(cos, 6) DESC, vec_id LIMIT {k}
 """.strip()
 
 
+def embedding_neardup_spark(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS (exact): all (a, b) with
+    cosine >= threshold. Norms precompute once; the pair join is the
+    correctness baseline — at 10^9 vectors use embedding_neardup_lsh
+    (sign-LSH candidates → this exact verify on candidates only)."""
+    e = load_embeddings(spark, sf_dir)
+    n_expr = "sqrt(aggregate(transform(cast(embedding as array<double>), x -> x * x), 0D, (acc, v) -> acc + v))"
+    en = e.select("vec_id", "embedding", F.expr(n_expr).alias("nrm"))
+    a = en.alias("a")
+    b = en.alias("b")
+    dot = (
+        "aggregate(zip_with(cast(a.embedding as array<double>), "
+        "cast(b.embedding as array<double>), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")))
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").cast("bigint").alias("vec_a"),
+            F.col("b.vec_id").cast("bigint").alias("vec_b"),
+            F.round("cos", 4).alias("cos"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_neardup_duck(threshold: float = 0.45) -> str:
+    return f"""
+WITH en AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+FROM en a JOIN en b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+ORDER BY 1, 2
+""".strip()
+
+
+def embedding_neardup_lsh(
+    spark: SparkSession,
+    emb_df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    band_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH (random hyperplanes)
+    bands the vectors — near-identical vectors agree on almost every
+    sign bit, so they share a band w.h.p. — then EXACT cosine verifies
+    candidates only. One shuffle on band keys + a candidate-bounded
+    join; never the all-pairs product. Deterministic planes (seeded)."""
+    rng = np.random.default_rng(seed)
+    dim = len(emb_df.select("embedding").first()["embedding"])
+    planes = rng.standard_normal((n_planes, dim))
+    bc = spark.sparkContext.broadcast(planes)
+    n_bands = n_planes // band_bits
+
+    @F.pandas_udf("array<string>")
+    def band_keys(emb: pd.Series) -> pd.Series:
+        m = np.array(emb.tolist(), dtype=np.float64)
+        bits = (m @ bc.value.T) >= 0  # (n, n_planes) sign bits
+        out = []
+        for row in bits:
+            keys = []
+            for bnd in range(n_bands):
+                sl = row[bnd * band_bits:(bnd + 1) * band_bits]
+                keys.append(f"{bnd}:" + "".join("1" if x else "0" for x in sl))
+            out.append(keys)
+        return pd.Series(out)
+
+    banded = emb_df.select(
+        "vec_id", "embedding", F.explode(band_keys("embedding")).alias("bk")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), (F.col("a.bk") == F.col("b.bk"))
+              & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("a.embedding").alias("ea"),
+            F.col("b.vec_id").alias("vec_b"), F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = (
+        "aggregate(zip_with(cast(ea as array<double>), cast(eb as array<double>), "
+        "(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    nrm = "sqrt(aggregate(transform(cast({c} as array<double>), x -> x * x), 0D, (acc, v) -> acc + v))"
+    return (
+        cand.withColumn(
+            "cos",
+            F.expr(dot) / (F.expr(nrm.format(c="ea")) * F.expr(nrm.format(c="eb"))),
+        )
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("vec_a").cast("bigint"),
+            F.col("vec_b").cast("bigint"),
+            F.round("cos", 4).alias("cos"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def cosine_topk_many_spark(
     spark: SparkSession, sf_dir: str, query_vec_ids: tuple, k: int = 10
 ) -> DataFrame:

@@ -42,6 +42,39 @@ def test_ivf_probe_prunes_files(spark):
     assert n_all == n_base
 
 
+def test_embedding_neardup_lsh_finds_planted_pairs(spark):
+    """Sign-LSH near-dup (scale path) on PLANTED near-duplicates: every
+    perturbed copy pairs with its source at threshold 0.9, no false
+    positives below threshold survive the exact verify, and the verified
+    output equals the brute-force pair set."""
+    import numpy as np
+    import pandas as pd
+    from lucene_solr_1_spark.pipeline import similarity as S
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 32))
+    planted = base[:8] + 0.05 * rng.standard_normal((8, 32))  # cos ~0.998
+    vecs = np.vstack([base, planted])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    emb_df = spark.createDataFrame(pdf)
+    got = S.embedding_neardup_lsh(spark, emb_df, threshold=0.9).toPandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    # brute-force truth
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    C = nv @ nv.T
+    want_pairs = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if C[i, j] >= 0.9
+    }
+    assert {(i, 40 + i) for i in range(8)} <= want_pairs  # sanity: planted
+    assert got_pairs == want_pairs
+    assert (got["cos"] >= 0.9).all()
+
+
 def test_multimodal_frame_sampling_plumbing(spark):
     """Frame-sample fan-out: every media row explodes to exactly n_frames
     deterministic frames; resize stand-in returns the requested shape."""
