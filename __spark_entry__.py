@@ -131,6 +131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_cosine"] = lambda s, d: similarity.embedding_neardup_spark(
         s, d, 0.45
     )
+    # scale path (sign-LSH bands -> exact verify on candidates; no
+    # all-pairs join in the plan) — the production near-dup operator.
+    # dedup_embedding_cosine above stays as the exact small-SF baseline.
+    q["dedup_embedding_lsh_verified"] = (
+        lambda s, d: similarity.dedup_embedding_lsh_verified_spark(s, d, 0.9)
+    )
     q["token_count"] = textstats.token_count_spark
     q["lang_id"] = textstats.lang_id_spark
     q["quality_score"] = textstats.quality_score_spark
@@ -276,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": similarity.cosine_topk_duck(0, 20),
         "embedding_cosine_topk_batch": similarity.cosine_topk_many_duck((0, 7, 42), 10),
         "dedup_embedding_cosine": similarity.embedding_neardup_duck(0.45),
+        "dedup_embedding_lsh_verified": similarity.dedup_embedding_lsh_verified_duck(0.9),
         "token_count": textstats.token_count_duck(),
         "lang_id": textstats.lang_id_duck(),
         "quality_score": textstats.quality_score_duck(),

@@ -117,30 +117,37 @@ def embedding_neardup_lsh(
     n_planes: int = 64,
     band_bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-LSH (random hyperplanes)
     bands the vectors — near-identical vectors agree on almost every
     sign bit, so they share a band w.h.p. — then EXACT cosine verifies
     candidates only. One shuffle on band keys + a candidate-bounded
-    join; never the all-pairs product. Deterministic planes (seeded)."""
+    join; never the all-pairs product. Deterministic planes (seeded).
+
+    Band keys are integers `band * 2^band_bits + packed_bits` computed
+    with one matmul + one reshape-dot per Arrow batch (no per-row Python);
+    the DuckDB twin (dedup_embedding_lsh_verified_duck) replays the SAME
+    seeded planes, so the candidate set — hence the verified output — is
+    engine-independent and value-hash checkable."""
     rng = np.random.default_rng(seed)
-    dim = len(emb_df.select("embedding").first()["embedding"])
+    if dim is None:
+        dim = len(emb_df.select("embedding").first()["embedding"])
     planes = rng.standard_normal((n_planes, dim))
     bc = spark.sparkContext.broadcast(planes)
     n_bands = n_planes // band_bits
+    # key = band << band_bits | bits, MSB-first within the band (matches
+    # the oracle's 1 << (band_bits-1 - pid % band_bits) weights)
+    weights = (1 << np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+    band_base = (np.arange(n_bands, dtype=np.int64) << band_bits)
 
-    @F.pandas_udf("array<string>")
+    @F.pandas_udf("array<bigint>")
     def band_keys(emb: pd.Series) -> pd.Series:
         m = np.array(emb.tolist(), dtype=np.float64)
-        bits = (m @ bc.value.T) >= 0  # (n, n_planes) sign bits
-        out = []
-        for row in bits:
-            keys = []
-            for bnd in range(n_bands):
-                sl = row[bnd * band_bits:(bnd + 1) * band_bits]
-                keys.append(f"{bnd}:" + "".join("1" if x else "0" for x in sl))
-            out.append(keys)
-        return pd.Series(out)
+        bits = ((m @ bc.value.T) >= 0).astype(np.int64)  # (n, n_planes)
+        vals = bits.reshape(len(m), n_bands, band_bits) @ weights  # (n, n_bands)
+        keys = vals + band_base
+        return pd.Series(list(keys))
 
     banded = emb_df.select(
         "vec_id", "embedding", F.explode(band_keys("embedding")).alias("bk")
@@ -173,6 +180,113 @@ def embedding_neardup_lsh(
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+_TWIN_OFFSET = 1_000_000
+
+
+def augmented_embeddings_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table UNION a deterministic near-dup twin per vector
+    (vec_id + 1e6, first coordinate sign-flipped — cos = 1 - 2*v0^2/|v|^2,
+    ~0.97 at dim 64). Sign negation is exact in float32, so Spark and
+    DuckDB derive bit-identical twins; this is the standard planted-pair
+    evaluation for near-dup detection (the raw table's max pairwise cosine
+    is ~0.51, below any real near-dup threshold)."""
+    e = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    twin = e.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.expr(
+            "concat(array(-embedding[0]), slice(embedding, 2, size(embedding)))"
+        ).alias("embedding"),
+    )
+    return e.unionByName(twin)
+
+
+def dedup_embedding_lsh_verified_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    band_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """THE scale-path embedding near-dup driver entry: sign-LSH banding →
+    exact cosine verify on band candidates only (like
+    minhash_verified_spark for MinHash). The plan never contains an
+    all-pairs/cartesian product — the join is an equi-join on the band
+    key (pinned by tests/test_pipeline.py::test_neardup_lsh_plan_no_cartesian).
+    Reference parity target: near-duplicate detection as in
+    DuplicateFilter/deduplication workflows; at 10^9 vectors the band join
+    touches only colliding buckets (~n_bands rows/vector)."""
+    aug = augmented_embeddings_spark(spark, sf_dir)
+    return embedding_neardup_lsh(
+        spark, aug, threshold=threshold, n_planes=n_planes,
+        band_bits=band_bits, seed=seed, dim=64,
+    )
+
+
+def dedup_embedding_lsh_verified_duck(
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    band_bits: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of dedup_embedding_lsh_verified_spark. Replays the SAME
+    seeded hyperplanes (np.default_rng(seed).standard_normal — emitted as
+    DOUBLE literals in exponent form, cf. sql/kernel_oracle.py's length
+    table) so the banded candidate set matches the Spark side exactly;
+    then the identical exact-cosine verify."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(
+            pid, ", ".join(f"{x:.17e}" for x in planes[pid])
+        )
+        for pid in range(n_planes)
+    )
+    bb = band_bits
+    return f"""
+WITH planes(pid, pv) AS (
+  VALUES
+{rows}
+),
+aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_TWIN_OFFSET},
+         list_concat([-embedding[1]], embedding[2:]) AS embedding
+  FROM embeddings
+),
+bits AS (
+  SELECT a.vec_id, p.pid,
+         CASE WHEN list_dot_product(a.embedding::DOUBLE[], p.pv) >= 0
+              THEN 1 ELSE 0 END AS b
+  FROM aug a CROSS JOIN planes p
+),
+keys AS (
+  SELECT vec_id,
+         ((pid // {bb}) << {bb})
+           + SUM(b * (1 << ({bb} - 1 - (pid % {bb}))))::BIGINT AS bk
+  FROM bits GROUP BY vec_id, pid // {bb}
+),
+cand AS (
+  SELECT DISTINCT ka.vec_id AS vec_a, kb.vec_id AS vec_b
+  FROM keys ka JOIN keys kb ON ka.bk = kb.bk AND ka.vec_id < kb.vec_id
+),
+en AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM aug
+)
+SELECT c.vec_a::BIGINT AS vec_a, c.vec_b::BIGINT AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+FROM cand c
+JOIN en a ON a.vec_id = c.vec_a
+JOIN en b ON b.vec_id = c.vec_b
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+ORDER BY 1, 2
+""".strip()
 
 
 def cosine_topk_many_spark(
