@@ -74,7 +74,7 @@ def _timed(fn) -> float:
 def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     from lucene_solr_1_spark.pipeline import dedup, similarity, textstats
     from lucene_solr_1_spark.search.query import (
-        Bool, NumericRange, Occur, Phrase, Prefix, SpanNear, Term,
+        Bool, NumericRange, Occur, Phrase, Prefix, SpanNear, SpanOr, Term,
     )
     from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
     from lucene_solr_1_spark.sql import relational as R
@@ -123,6 +123,13 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
             # matcher (packed-key intersection, no per-doc Python loop)
             "phrase_hot_search": Phrase(("return", "int")),
             "spannear_search": SpanNear(("public", "static"), slop=3),
+            # r3 vectorization evidence: hot SLOPPY pair and a SpanOr-
+            # composed near — both ran per-candidate-doc Python before;
+            # target is within ~2x of phrase_hot_search (same candidates)
+            "sloppy_hot_search": Phrase(("return", "int"), slop=3),
+            "spanor_near_search": SpanNear(
+                (SpanOr(("public", "private")), "static"), slop=3
+            ),
         }
         lat: list[float] = []
         for name, q in kernel_qs.items():
@@ -136,7 +143,8 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
         lat_pool = {
             k: v for k, v in kernel_qs.items()
             if k not in ("field_filter_search", "numeric_filter_search",
-                         "phrase_hot_search", "spannear_search")
+                         "phrase_hot_search", "spannear_search",
+                         "sloppy_hot_search", "spanor_near_search")
         }
         for _ in range(4):
             for q in lat_pool.values():

@@ -175,6 +175,48 @@ def test_sloppy_freq_hypothesis_fuzz():
     check()
 
 
+def test_batched_sloppy_equals_scalar():
+    """_batched_sloppy (vectorized-across-docs engine path) must be
+    step-identical to the scalar contract reference _sloppy_freq on
+    random multi-doc posting sets — pins the r3 vectorization."""
+    from lucene_solr_1_spark.search.kernel import _batched_sloppy, _sloppy_freq
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n_docs = int(rng.integers(1, 25))
+        n_slots = int(rng.integers(2, 4))
+        # repeat groups: sometimes slots share a term
+        terms = rng.choice(["a", "b"], size=n_slots)
+        groups = {}
+        for i, t in enumerate(terms):
+            groups.setdefault(str(t), []).append(i)
+        rg = tuple(tuple(g) for g in groups.values() if len(g) > 1)
+        slop = int(rng.integers(0, 5))
+        cand = np.arange(n_docs, dtype=np.int64)
+        post = []
+        per_doc = []  # per slot: list of per-doc raw position arrays
+        for i in range(n_slots):
+            doc_pos = [
+                np.unique(rng.integers(0, 30, size=rng.integers(1, 6)))
+                for _ in range(n_docs)
+            ]
+            per_doc.append(doc_pos)
+            freqs = np.array([len(p) for p in doc_pos], dtype=np.int64)
+            starts = np.cumsum(freqs) - freqs
+            pos = np.concatenate(doc_pos).astype(np.int64)
+            post.append((cand, freqs, starts, pos))
+        got = _batched_sloppy(post, cand, slop, rg)
+        want = np.array(
+            [
+                _sloppy_freq(
+                    [per_doc[i][d] - i for i in range(n_slots)], slop, rg
+                )
+                for d in range(n_docs)
+            ]
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
 @pytest.mark.parametrize("phrase,slop", PHRASES)
 def test_sloppy_phrase_matches_reference(sp_setup, phrase, slop):
     searcher, oracle, pdf = sp_setup

@@ -155,6 +155,83 @@ def test_span_query_matches_reference(span_setup, q):
     )
 
 
+def test_batched_stream_equals_scalar():
+    """_seg_span_stream (vectorized-across-docs engine path) emits exactly
+    the per-doc span lists of the scalar contract reference _doc_spans,
+    in the same per-doc order, on randomized corpora and random span
+    trees — pins the r3 span vectorization."""
+    from lucene_solr_1_spark.search.kernel import _doc_spans, _seg_span_stream
+
+    class StubSeg:
+        """Minimal positions() provider over raw token lists."""
+
+        def __init__(self, docs_tokens: dict):
+            self._p = {}
+            terms = {t for toks in docs_tokens.values() for t in toks}
+            for t in terms:
+                docs, freqs, starts, pos = [], [], [], []
+                for d in sorted(docs_tokens):
+                    pp = [i for i, x in enumerate(docs_tokens[d]) if x == t]
+                    if pp:
+                        docs.append(d)
+                        freqs.append(len(pp))
+                        starts.append(len(pos))
+                        pos.extend(pp)
+                self._p[("content", t)] = (
+                    np.array(docs, dtype=np.int64),
+                    np.array(freqs, dtype=np.int64),
+                    np.array(starts, dtype=np.int64),
+                    np.array(pos, dtype=np.int64),
+                )
+
+        def positions(self, key):
+            return self._p.get(key)
+
+    rng = np.random.default_rng(5)
+    vocab = ["a", "b", "c"]
+
+    def rand_span(depth=0):
+        kinds = ["term", "or", "near", "not", "first"] if depth < 2 else ["term"]
+        k = rng.choice(kinds)
+        if k == "term":
+            return {"kind": "term", "field": "content",
+                    "term": str(rng.choice(vocab))}
+        if k == "or":
+            return {"kind": "or",
+                    "children": [rand_span(depth + 1)
+                                 for _ in range(rng.integers(2, 4))]}
+        if k == "near":
+            return {"kind": "near",
+                    "children": [rand_span(depth + 1)
+                                 for _ in range(rng.integers(2, 4))],
+                    "slop": int(rng.integers(0, 4)),
+                    "in_order": bool(rng.integers(0, 2))}
+        if k == "not":
+            return {"kind": "not", "include": rand_span(depth + 1),
+                    "exclude": rand_span(depth + 1)}
+        return {"kind": "first", "match": rand_span(depth + 1),
+                "end": int(rng.integers(1, 15))}
+
+    for trial in range(80):
+        n_docs = int(rng.integers(1, 15))
+        docs_tokens = {
+            d: [str(t) for t in rng.choice(vocab, size=rng.integers(1, 25))]
+            for d in range(n_docs)
+        }
+        seg = StubSeg(docs_tokens)
+        span = rand_span()
+        cand = np.arange(n_docs, dtype=np.int64)
+        di, s, e = _seg_span_stream(span, seg, cand)
+        got = {d: [] for d in range(n_docs)}
+        for i in range(len(di)):
+            got[int(cand[di[i]])].append((int(s[i]), int(e[i])))
+        for d in range(n_docs):
+            want = _doc_spans(span, seg, d)
+            assert got[d] == [(int(a), int(b)) for a, b in want], (
+                trial, span, d, got[d], want
+            )
+
+
 def test_span_leaf_sugar_equivalence(span_setup):
     """Bare-string clauses are SpanTerm sugar."""
     searcher, _ = span_setup
