@@ -53,6 +53,24 @@ def _get_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[sf_dir])
 
 
+def _get_stem_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the full EnglishAnalyzer chain (possessive +
+    stop + Porter stem, EnglishAnalyzer.java:107-117); the searcher
+    re-analyzes query terms with the same chain via the manifest's
+    persisted analyzer name."""
+    from lucene_solr_1_spark.kernels.analyzer import ENGLISH_STEM
+
+    key = ("stem", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_stem_")
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            cfg=ENGLISH_STEM,
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _kernel_hits_df(spark, searcher, q, k=10) -> DataFrame:
     hits = searcher.search(q, k=k)
     if len(hits) == 0:
@@ -220,6 +238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=10,
     )
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk_spark(s, d, 0, 20)
+    # EnglishAnalyzer chain: the query 'merges' must hit docs containing
+    # merge/merges/merging (PorterStemFilter recall) — index AND query
+    # terms stem through the same persisted analyzer
+    q["fts_stemmed_term"] = lambda s, d: _kernel_hits_df(
+        s, _get_stem_index(s, d), Term("merges"), k=10
+    )
 
     def _parsed(s, d):
         from lucene_solr_1_spark.search.parser import parse
@@ -306,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_field_term": KO.kernel_keyword_term_duck("lang", "en", k=10),
         "fts_kernel_fuzzy": KO.kernel_fuzzy_duck("quary", 2, 10),
+        "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
         "fts_kernel_highlight": KO.kernel_highlight_duck("query", 10, 30),
         "fts_bm25_metadata_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="doc.lang = 'en'"

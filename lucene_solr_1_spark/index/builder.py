@@ -147,8 +147,12 @@ def build_index(
         ),
         schema=MANIFEST_ROW_DDL,
     ).collect()
+    from ..kernels.analyzer import analyzer_name
+
     segments = [r.asDict() for r in rows]
-    extra = {"num_segments": num_segments}
+    # persist the analyzer by name: the searcher re-analyzes query terms
+    # with the chain the index was built with (IndexWriterConfig analog)
+    extra = {"num_segments": num_segments, "analyzer": analyzer_name(cfg)}
     prior = mf.read_manifest(index_dir)
     if prior and prior.get("tombstone_files"):
         extra["tombstone_files"] = prior["tombstone_files"]
@@ -160,19 +164,27 @@ def add_documents(
     corpus_df: DataFrame,
     index_dir: str,
     num_segments: int = 4,
-    cfg: AnalyzerConfig = STANDARD,
+    cfg: AnalyzerConfig | None = None,
 ) -> dict:
     """Incremental indexing — the NRT refresh analog (SURVEY.md §1.5:
     DirectoryReader.openIfChanged / SearcherManager). New documents become
     NEW segment partitions appended to the manifest; existing segments,
     their docIDs and tombstones are untouched, so open searchers stay
     valid and a re-opened searcher sees old + new atomically.
+
+    `cfg=None` (default) analyzes with the INDEX's persisted analyzer —
+    appending with a different chain than the existing segments would
+    silently split the term space (an IndexWriter has ONE analyzer).
     """
     from functools import partial
 
+    from ..kernels.analyzer import ANALYZERS
+
     manifest = mf.read_manifest(index_dir)
     if manifest is None:
-        return build_index(spark, corpus_df, index_dir, num_segments, cfg)
+        return build_index(spark, corpus_df, index_dir, num_segments, cfg or STANDARD)
+    if cfg is None:
+        cfg = ANALYZERS.get(manifest.get("analyzer", "standard"), STANDARD)
     pid_offset = max(s["partition_id"] for s in manifest["segments"]) + 1
     df = corpus_df.select(
         "repo", "path", "commit", "lang", "content"
@@ -189,6 +201,8 @@ def add_documents(
     ).collect()
     segments = [dict(s) for s in manifest["segments"]] + [r.asDict() for r in rows]
     extra = {"num_segments": len(segments)}
+    if manifest.get("analyzer"):
+        extra["analyzer"] = manifest["analyzer"]
     if manifest.get("tombstone_files"):
         extra["tombstone_files"] = manifest["tombstone_files"]
     return mf.commit_manifest(index_dir, segments, extra=extra)

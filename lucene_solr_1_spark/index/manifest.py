@@ -68,6 +68,13 @@ def _sum_field_stats(segs: list[dict]) -> dict:
 def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = None) -> dict:
     """Atomically publish a new generation listing `segments` as live."""
     os.makedirs(index_dir, exist_ok=True)
+    # sticky index-level settings survive every re-commit (merge, delete,
+    # append): the analyzer is a property of the INDEX, like
+    # IndexWriterConfig's analyzer — readers must always see it
+    if not extra or "analyzer" not in extra:
+        prior = read_manifest(index_dir)
+        if prior and prior.get("analyzer"):
+            extra = {**(extra or {}), "analyzer": prior["analyzer"]}
     gen = latest_generation(index_dir) + 1
     # global docID bases: segments ordered by partition_id (LeafReaderContext
     # docBase analog)

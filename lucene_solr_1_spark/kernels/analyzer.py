@@ -29,6 +29,8 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
+from .porter import porter_stem, stem_array, strip_possessive
+
 # EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (EnglishAnalyzer.java:43-55)
 ENGLISH_STOP_WORDS = frozenset(
     """a an and are as at be but by for if in into is it no not of on or
@@ -48,22 +50,52 @@ _SQL_TOKEN_RE = re.compile(SQL_TOKEN_PATTERN)
 
 @dataclass(frozen=True)
 class AnalyzerConfig:
-    """StandardAnalyzer-equivalent pipeline configuration."""
+    """StandardAnalyzer-equivalent pipeline configuration.
+
+    With possessive/stem enabled the chain order mirrors
+    EnglishAnalyzer.java:107-117: tokenize -> EnglishPossessiveFilter ->
+    lowercase -> StopFilter -> PorterStemFilter (we lowercase the source
+    before tokenizing, which commutes with the possessive strip since
+    both apostrophe+s cases are handled)."""
 
     stop_words: frozenset = frozenset()  # reference default: EMPTY set
     max_token_length: int = MAX_TOKEN_LENGTH
     lowercase: bool = True
+    possessive: bool = False  # EnglishPossessiveFilter.java
+    stem: bool = False  # PorterStemFilter.java
 
     def with_english_stop(self) -> "AnalyzerConfig":
         return AnalyzerConfig(
             stop_words=ENGLISH_STOP_WORDS,
             max_token_length=self.max_token_length,
             lowercase=self.lowercase,
+            possessive=self.possessive,
+            stem=self.stem,
         )
 
 
 STANDARD = AnalyzerConfig()
 ENGLISH = AnalyzerConfig(stop_words=ENGLISH_STOP_WORDS)
+# full EnglishAnalyzer chain (EnglishAnalyzer.java:107-117)
+ENGLISH_STEM = AnalyzerConfig(
+    stop_words=ENGLISH_STOP_WORDS, possessive=True, stem=True
+)
+
+# named registry: the manifest persists the analyzer by name so the
+# searcher analyzes query terms with the INDEX's chain (a stemmed index
+# must stem query terms too, or `merges` misses `merge`)
+ANALYZERS: dict = {
+    "standard": STANDARD,
+    "english": ENGLISH,
+    "english_stem": ENGLISH_STEM,
+}
+
+
+def analyzer_name(cfg: AnalyzerConfig) -> str:
+    for name, c in ANALYZERS.items():
+        if c == cfg:
+            return name
+    return "standard"  # unknown custom config: no query-side reshaping
 
 
 def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]:
@@ -81,8 +113,12 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
     for pos, tok in enumerate(raw):
         if len(tok) > cfg.max_token_length:
             continue  # dropped but position consumed (StandardTokenizer.java:154-164)
+        if cfg.possessive:
+            tok = strip_possessive(tok)
         if tok in cfg.stop_words:
             continue  # position consumed (FilteringTokenFilter)
+        if cfg.stem:
+            tok = porter_stem(tok)
         terms.append(tok)
         positions.append(pos)
     return terms, positions
@@ -99,9 +135,24 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     raw = src.str.findall(_TOKEN_RE)
     max_len = cfg.max_token_length
     stop = cfg.stop_words
+    if cfg.possessive or cfg.stem:
+        return raw.map(lambda toks: _filter_tokens(toks, cfg))
     return raw.map(
         lambda toks: [t for t in toks if len(t) <= max_len and t not in stop]
     )
+
+
+def _filter_tokens(toks: list, cfg: AnalyzerConfig) -> list:
+    out = []
+    for t in toks:
+        if len(t) > cfg.max_token_length:
+            continue
+        if cfg.possessive:
+            t = strip_possessive(t)
+        if t in cfg.stop_words:
+            continue
+        out.append(porter_stem(t) if cfg.stem else t)
+    return out
 
 
 def analyze_with_positions(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
@@ -139,8 +190,16 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
     pos = np.arange(total, dtype=np.int64) - np.repeat(offsets, raw_counts)
     term_s = pd.Series(terms, dtype=object)
     keep = (term_s.str.len() <= cfg.max_token_length).to_numpy()
+    if cfg.possessive:
+        # strip BEFORE the stop check (chain order: possessive -> stop)
+        term_s = term_s.str.replace(r"['’＇][sS]$", "", regex=True)
+        terms = term_s.to_numpy(dtype=object)
     if cfg.stop_words:
         keep &= ~term_s.isin(cfg.stop_words).to_numpy()
     terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+    if cfg.stem:
+        # per-UNIQUE-term stemming (Zipf: vocabulary << token stream),
+        # then a C-level map back over the token array
+        terms = stem_array(terms)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len

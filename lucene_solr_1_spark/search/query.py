@@ -203,6 +203,77 @@ class NumericRange(Query):
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount
 
 
+def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
+    """Re-analyze the TERM leaves of a query tree with the index's
+    analyzer chain — what Lucene's QueryParser does with the analyzer it
+    was constructed with. A stemmed index must stem query terms (`merges`
+    -> `merg`) or recall silently collapses. Keyword fields stay verbatim
+    (per-field KeywordAnalyzer); multi-term queries (Prefix/Wildcard/
+    Regexp/Fuzzy/TermRange) are NOT analyzed, matching QueryParser's
+    raw-term handling of MTQs. Stop words are left as-is — like a direct
+    TermQuery for a stopped term, they simply match nothing."""
+    from ..kernels.porter import porter_stem, strip_possessive
+
+    def one(text: str) -> str:
+        t = strip_possessive(text) if cfg.possessive else text
+        if cfg.lowercase:
+            t = t.lower()
+        if cfg.stem and t not in cfg.stop_words:
+            t = porter_stem(t)
+        return t
+
+    def walk(node, field=DEFAULT_FIELD):
+        if isinstance(node, str):  # span term sugar
+            return one(node) if field not in keyword_fields else node
+        if isinstance(node, Term):
+            if node.field in keyword_fields:
+                return node
+            return Term(one(node.text), field=node.field)
+        if isinstance(node, SpanTerm):
+            if node.field in keyword_fields:
+                return node
+            return SpanTerm(one(node.text), field=node.field)
+        if isinstance(node, (Synonym, Phrase)):
+            if node.field in keyword_fields:
+                return node
+            terms = tuple(one(t) for t in node.terms)
+            if isinstance(node, Synonym):
+                return Synonym(terms, field=node.field)
+            return Phrase(terms, slop=node.slop, field=node.field)
+        if isinstance(node, SpanOr):
+            return SpanOr(
+                tuple(walk(c, node.field) for c in node.clauses), field=node.field
+            )
+        if isinstance(node, SpanNear):
+            return SpanNear(
+                tuple(walk(c, node.field) for c in node.terms),
+                slop=node.slop, in_order=node.in_order, field=node.field,
+            )
+        if isinstance(node, SpanNot):
+            return SpanNot(
+                walk(node.include, node.field), walk(node.exclude, node.field),
+                field=node.field,
+            )
+        if isinstance(node, SpanFirst):
+            return SpanFirst(walk(node.match, node.field), node.end, field=node.field)
+        if isinstance(node, Boost):
+            return Boost(walk(node.query), node.boost)
+        if isinstance(node, ConstantScore):
+            return ConstantScore(walk(node.query), node.score)
+        if isinstance(node, Bool):
+            return Bool(
+                tuple(Clause(c.occur, walk(c.query)) for c in node.clauses),
+                node.min_should_match,
+            )
+        if isinstance(node, DisjunctionMax):
+            return DisjunctionMax(
+                tuple(walk(s) for s in node.queries), node.tie_breaker
+            )
+        return node  # MTQs, MatchAll/None, NumericRange: untouched
+
+    return walk(q)
+
+
 def rewrite(q: Query) -> Query:
     """Fixpoint simplification (BooleanQuery.java:211-290 subset):
     1-clause positive Bool → clause; empty Bool → MatchNone; pure-negative

@@ -181,6 +181,24 @@ class LuceneSparkSearcher:
         import threading
 
         self._cache_lock = threading.Lock()
+        # the analyzer the index was BUILT with (manifest-persisted name):
+        # query terms are re-analyzed with the same chain so a stemmed
+        # index stems query terms too (QueryParser-with-analyzer parity).
+        from ..kernels.analyzer import ANALYZERS, STANDARD
+
+        self.analyzer_cfg = ANALYZERS.get(
+            self.manifest.get("analyzer", "standard"), STANDARD
+        )
+
+    def _analyze_query(self, q: Query) -> Query:
+        cfg = self.analyzer_cfg
+        if not (cfg.stem or cfg.possessive):
+            # standard/english indexes: today's raw-term behavior, exactly
+            return q
+        from ..index.segment import KEYWORD_FIELDS
+        from .query import analyze_query_terms
+
+        return analyze_query_terms(q, cfg, frozenset(KEYWORD_FIELDS))
 
     def _sentinel_rows(self):
         """One zero-posting row per live segment, unioned into the kernel
@@ -422,7 +440,7 @@ class LuceneSparkSearcher:
         with_stored: bool,
         after: tuple | None,
     ) -> pd.DataFrame:
-        q = rewrite(q)
+        q = rewrite(self._analyze_query(q))
         from .query import MatchAll
 
         if isinstance(q, MatchAll):
@@ -534,7 +552,7 @@ class LuceneSparkSearcher:
         prepared: dict[str, Query] = {}
         all_nrs: set = set()
         for name, q in queries.items():
-            q = rewrite(self.expand(rewrite(q)))
+            q = rewrite(self.expand(rewrite(self._analyze_query(q))))
             all_nrs |= numeric_ranges(q)
             if isinstance(q, MatchNone):
                 empties.append(name)
@@ -732,7 +750,7 @@ class LuceneSparkSearcher:
         Explanation tree (BM25Similarity.explain, BM25Similarity.java:
         222-226 formula terms). The reference's similarity property tests
         assert explanation value == scorer score; tests do the same here."""
-        q = rewrite(self.expand(rewrite(q)))
+        q = rewrite(self.expand(rewrite(self._analyze_query(q))))
         if isinstance(q, MatchNone):
             return {"value": 0.0, "description": "MatchNone", "details": []}
         # locate the owning segment

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 K1 = 1.2
 B = 0.75
-TOKEN_PATTERN = "[a-z0-9_]+"
+from ..kernels.analyzer import SQL_TOKEN_PATTERN as TOKEN_PATTERN  # one shared spec
 
 
 def spark_tokens_expr(text_col: str = "text") -> str:

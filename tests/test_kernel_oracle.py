@@ -21,7 +21,29 @@ KERNEL_ENTRIES = [
     "fts_field_term",
     "fts_bm25_metadata_filter",
     "fts_bm25_numeric_filter",
+    "fts_stemmed_term",
 ]
+
+
+def test_sql_pattern_matches_engine_tokens():
+    """ADVICE r2: the SQL oracle tokenizes with SQL_TOKEN_PATTERN
+    ([a-z0-9_]+), an ASCII approximation of the engine's _TOKEN_RE
+    (\\w+ with interior '/.). The twins are exact only while the corpus
+    has no token where the two differ — assert that compatibility over
+    EVERY shipped documents table so a future corpus change fails loudly
+    here instead of silently desyncing dl/df."""
+    import duckdb as _dd
+
+    from lucene_solr_1_spark.kernels.analyzer import _SQL_TOKEN_RE, _TOKEN_RE
+
+    con = _dd.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        texts = con.execute(
+            f"SELECT text FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        ).fetchall()
+        for (t,) in texts:
+            low = t.lower()
+            assert _TOKEN_RE.findall(low) == _SQL_TOKEN_RE.findall(low)
 
 
 @pytest.fixture(scope="module")
