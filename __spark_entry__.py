@@ -32,6 +32,10 @@ from lucene_solr_1_spark.sql import relational as R
 
 _INDEX_CACHE: dict[str, str] = {}
 
+# page-1-last sort key of fts_sort_by_field at the driver's correctness
+# SF (0.01): searchAfter pages strictly past this (lang, n_chars, doc_id)
+_SORT_AFTER = ("de", 389, 58)
+
 
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the documents table onto the engine's corpus schema
@@ -117,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["term_dict_stats"] = lambda s, d: R.term_stats_spark(s, d, top_n=25)
     q["facet_counts"] = lambda s, d: R.facet_counts_spark(s, d)
     q["grouping_top1_per_source"] = lambda s, d: R.grouping_top1_spark(s, d, "query")
+    # two-pass grouping (GroupingSearch): top-N groups by best score,
+    # top-k docs within each, plus per-group totals
+    q["grouping_topn"] = lambda s, d: R.grouping_topn_spark(s, d, "query", 5, 3)
     q["fts_sort_by_field"] = lambda s, d: R.sort_by_field_spark(s, d, "data", 15)
     q["fts_numeric_range"] = lambda s, d: R.numeric_range_spark(s, d, 200, 400)
     q["fts_term_in_set"] = lambda s, d: R.term_in_set_spark(s, d, ("en", "de"))
@@ -126,6 +133,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, ("query", "merge"), window=10
     )
     q["suggest_prefix"] = lambda s, d: R.suggest_prefix_spark(s, d, "pa")
+    # DirectSpellChecker did-you-mean + weighted analyzed completion
+    q["suggest_spell"] = lambda s, d: R.suggest_spell_spark(s, d, "quary", 2, 5)
+    q["suggest_completion"] = lambda s, d: R.suggest_completion_spark(s, d, "Pa", 10)
+    # field-sorted searchAfter: page 2 of fts_sort_by_field (after = page
+    # 1's last (lang, n_chars, doc_id) sort key at sf0.01)
+    q["fts_sort_by_field_after"] = lambda s, d: R.sort_by_field_after_spark(
+        s, d, "data", 15, after=_SORT_AFTER
+    )
     q["facet_on_results"] = lambda s, d: R.facet_on_results_spark(s, d, "query")
     q["fts_boosted_or"] = lambda s, d: R.bm25_boosted_or_spark(
         s, d, {"query": 2.0, "merge": 0.5}, k=10
@@ -245,6 +260,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _get_stem_index(s, d), Term("merges"), k=10
     )
 
+    # FunctionScoreQuery: BM25 term score shaped by a numeric doc-value
+    # (dl) — the recency/stars/quality boosting pattern
+    def _func_score(s, d):
+        from lucene_solr_1_spark.search.query import FunctionScore
+
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            FunctionScore(Term("query"), "dl", "multiply", 0.01), k=10,
+        )
+
+    q["fts_function_score"] = _func_score
+
     def _parsed(s, d):
         from lucene_solr_1_spark.search.parser import parse
 
@@ -286,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "term_dict_stats": R.term_stats_duck(top_n=25),
         "facet_counts": R.facet_counts_duck(),
         "grouping_top1_per_source": R.grouping_top1_duck("query"),
+        "grouping_topn": R.grouping_topn_duck("query", 5, 3),
         "fts_sort_by_field": R.sort_by_field_duck("data", 15),
         "fts_numeric_range": R.numeric_range_duck(200, 400),
         "fts_term_in_set": R.term_in_set_duck(("en", "de")),
@@ -293,6 +321,11 @@ def oracle_sql() -> dict[str, str]:
         "fts_highlight": R.highlight_duck("query"),
         "fts_highlight_positional": R.highlight_positional_duck(("query", "merge"), 10),
         "suggest_prefix": R.suggest_prefix_duck("pa"),
+        "suggest_spell": R.suggest_spell_duck("quary", 2, 5),
+        "suggest_completion": R.suggest_completion_duck("Pa", 10),
+        "fts_sort_by_field_after": R.sort_by_field_after_duck(
+            "data", 15, after=_SORT_AFTER
+        ),
         "facet_on_results": R.facet_on_results_duck("query"),
         "fts_boosted_or": R.bm25_boosted_or_duck({"query": 2.0, "merge": 0.5}, k=10),
         "fts_constant_score": R.constant_score_duck("window", 1.0),
@@ -331,6 +364,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_field_term": KO.kernel_keyword_term_duck("lang", "en", k=10),
         "fts_kernel_fuzzy": KO.kernel_fuzzy_duck("quary", 2, 10),
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
+        "fts_function_score": KO.kernel_function_score_duck(
+            "query", "dl", "multiply", 0.01, k=10
+        ),
         "fts_kernel_highlight": KO.kernel_highlight_duck("query", 10, 30),
         "fts_bm25_metadata_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="doc.lang = 'en'"

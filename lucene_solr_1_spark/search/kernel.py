@@ -24,9 +24,9 @@ import numpy as np
 from ..kernels import bm25
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
-    Bool, Boost, ConstantScore, DisjunctionMax, MatchAll, MatchNone,
-    NumericRange, Occur, Phrase, Query, SPAN_TYPES, SpanFirst, SpanNear,
-    SpanNot, SpanOr, SpanTerm, Synonym, Term, span_leaf_terms,
+    Bool, Boost, ConstantScore, DisjunctionMax, FunctionScore, MatchAll,
+    MatchNone, NumericRange, Occur, Phrase, Query, SPAN_TYPES, SpanFirst,
+    SpanNear, SpanNot, SpanOr, SpanTerm, Synonym, Term, span_leaf_terms,
 )
 
 F32 = np.float32
@@ -152,6 +152,14 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> di
             "type": "docidset",
             "set_id": numeric_set_id(q),
             "score": F32(boost),
+        }
+    if isinstance(q, FunctionScore):
+        return {
+            "type": "func",
+            "node": compile_plan(q.query, global_df, doc_count, boost),
+            "mode": q.mode,
+            "weight": float(q.weight),
+            "set_id": f"values:{q.field}",
         }
     raise TypeError(f"cannot compile {q!r} — expand multi-term queries first")
 
@@ -347,6 +355,26 @@ def eval_node(node: dict, seg: SegmentData, cache):
             return _EMPTY_I, _EMPTY_F
         docs = np.unique(np.concatenate(parts))
         return docs, np.full(len(docs), float(node["score"]), dtype=np.float64)
+    if t == "func":
+        # FunctionScoreQuery: matching docs = inner's; score reshaped by a
+        # numeric doc-value delivered via the cogrouped norms channel
+        # (SegmentData.allowed["values:<field>"] = (sorted docs, values)).
+        # Final rounding through float32 mirrors Lucene's float score and
+        # is replayed bit-exactly by kernel_oracle.kernel_function_score_duck.
+        docs, scores = eval_node(node["node"], seg, cache)
+        if len(docs) == 0:
+            return _EMPTY_I, _EMPTY_F
+        vs = seg.allowed.get(node["set_id"]) if isinstance(seg.allowed, dict) else None
+        if vs is None:
+            raise ValueError(
+                f"function-score values {node['set_id']!r} not shipped to kernel"
+            )
+        vdocs, vvals = vs
+        idx = np.searchsorted(vdocs, docs)
+        v = vvals[np.minimum(idx, len(vvals) - 1)]
+        boost = np.float64(node["weight"]) * v
+        out = scores * boost if node["mode"] == "multiply" else scores + boost
+        return docs, out.astype(F32).astype(np.float64)
     if t == "matchall":
         docs = np.arange(seg.n_docs, dtype=np.int64)
         return docs, np.full(seg.n_docs, float(node["score"]), dtype=np.float64)

@@ -37,7 +37,6 @@ Supported syntax:
 from __future__ import annotations
 
 import re
-from dataclasses import replace as _dc_replace
 
 from ..index.segment import KEYWORD_FIELDS
 from ..kernels.analyzer import AnalyzerConfig, STANDARD, tokenize_one
@@ -97,27 +96,6 @@ def _lex(text: str) -> list[tuple[str, str]]:
     return out
 
 
-def _with_field(q: Query, field: str) -> Query:
-    """Push a field onto every default-field leaf of a subtree — the
-    `field:(a OR b)` group semantics (QueryParserBase field inheritance)."""
-    if isinstance(q, (Term, Phrase, Prefix, Wildcard, Regexp, Fuzzy, TermRange)):
-        return _dc_replace(q, field=field) if q.field == DEFAULT_FIELD else q
-    if isinstance(q, Bool):
-        return Bool(
-            tuple(Clause(c.occur, _with_field(c.query, field)) for c in q.clauses),
-            q.min_should_match,
-        )
-    if isinstance(q, Boost):
-        return Boost(_with_field(q.query, field), q.boost)
-    if isinstance(q, ConstantScore):
-        return ConstantScore(_with_field(q.query, field), q.score)
-    if isinstance(q, DisjunctionMax):
-        return DisjunctionMax(
-            tuple(_with_field(s, field) for s in q.queries), q.tie_breaker
-        )
-    return q
-
-
 class _Parser:
     def __init__(self, tokens: list[tuple[str, str]], cfg: AnalyzerConfig,
                  keyword_fields: tuple = KEYWORD_FIELDS):
@@ -136,7 +114,12 @@ class _Parser:
 
     # ---- grammar: Query := ( Conjunction? Modifier? Clause )* -------------
 
-    def parse_query(self) -> Query:
+    def parse_query(self, field: str | None = None) -> Query:
+        """`field` threads a pending field prefix into every clause of a
+        group — `repo:(MyRepo OR other)` must give each grouped term the
+        SAME treatment as direct `repo:MyRepo` (keyword fields verbatim,
+        analyzed fields tokenized; ADVICE r2 medium fix: relabeling after
+        a default-field parse silently lowercased keyword values)."""
         clauses: list[Clause] = []
         pending_and = False
         while self.peek() not in (None, "RPAREN"):
@@ -161,7 +144,7 @@ class _Parser:
             elif kind == "PLUS":
                 self.next()
                 occur = Occur.MUST
-            q = self.parse_clause()
+            q = self.parse_clause(field=field)
             if q is not None:
                 clauses.append(Clause(occur, q))
         if not clauses:
@@ -180,12 +163,12 @@ class _Parser:
             return self.parse_clause(field=text[:-1])
         eff_field = field or DEFAULT_FIELD
         if kind == "LPAREN":
-            q = self.parse_query()
+            # the pending field THREADS into the group so every leaf is
+            # built with the target field's keyword/analyzed rule
+            q = self.parse_query(field=field)
             if self.peek() != "RPAREN":
                 raise ParseError("unbalanced parenthesis")
             self.next()
-            if field is not None:
-                q = _with_field(q, field)
             return self._suffix(q, allow_fuzzy=False)
         if kind == "PHRASE":
             body = re.sub(r"\\(.)", r"\1", text[1:-1])

@@ -117,6 +117,21 @@ class ConstantScore(Query):
 
 
 @dataclass(frozen=True)
+class FunctionScore(Query):
+    """FunctionScoreQuery analog (queries/function/FunctionScoreQuery.java:45,
+    DoubleValuesSource.fromField): shape the inner query's score with a
+    numeric doc-values column v (dl / n_chars — recency/stars/quality
+    style boosting). multiply: score = f32(inner * (weight * v));
+    sum: score = f32(inner + weight * v). Matching docs = inner's docs;
+    values ride the same cogrouped norms channel as NumericRange."""
+
+    query: Query
+    field: str  # numeric doc-values column: 'dl' or 'n_chars'
+    mode: str = "multiply"  # or "sum"
+    weight: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAll(Query):
     pass
 
@@ -260,6 +275,8 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             return Boost(walk(node.query), node.boost)
         if isinstance(node, ConstantScore):
             return ConstantScore(walk(node.query), node.score)
+        if isinstance(node, FunctionScore):
+            return FunctionScore(walk(node.query), node.field, node.mode, node.weight)
         if isinstance(node, Bool):
             return Bool(
                 tuple(Clause(c.occur, walk(c.query)) for c in node.clauses),
@@ -301,6 +318,11 @@ def _rewrite_once(q: Query) -> Query:
         if len(qs) == 1:
             return qs[0]
         return DisjunctionMax(qs, q.tie_breaker)
+    if isinstance(q, FunctionScore):
+        inner = rewrite(q.query)
+        if isinstance(inner, MatchNone):
+            return inner
+        return FunctionScore(inner, q.field, q.mode, q.weight)
     if not isinstance(q, Bool):
         return q
     clauses = []
@@ -339,7 +361,7 @@ def numeric_ranges(q: Query) -> set:
     against the doc-values columns of the norms table before scoring)."""
     if isinstance(q, NumericRange):
         return {q}
-    if isinstance(q, (Boost, ConstantScore)):
+    if isinstance(q, (Boost, ConstantScore, FunctionScore)):
         return numeric_ranges(q.query)
     if isinstance(q, Bool):
         return set().union(*(numeric_ranges(c.query) for c in q.clauses)) if q.clauses else set()
@@ -349,6 +371,20 @@ def numeric_ranges(q: Query) -> set:
 
 
 SPAN_TYPES = (SpanTerm, SpanOr, SpanNot, SpanFirst, SpanNear)
+
+
+def value_source_fields(q: Query) -> set:
+    """Doc-values fields needed as SCORE INPUTS (FunctionScore leaves) —
+    resolved by the searcher via the cogrouped norms channel."""
+    if isinstance(q, FunctionScore):
+        return {q.field} | value_source_fields(q.query)
+    if isinstance(q, (Boost, ConstantScore)):
+        return value_source_fields(q.query)
+    if isinstance(q, Bool):
+        return set().union(*(value_source_fields(c.query) for c in q.clauses)) if q.clauses else set()
+    if isinstance(q, DisjunctionMax):
+        return set().union(*(value_source_fields(s) for s in q.queries)) if q.queries else set()
+    return set()
 
 
 def span_leaf_terms(q, field: str = DEFAULT_FIELD) -> set:
@@ -377,7 +413,7 @@ def query_terms(q: Query) -> set:
         return {(q.field, t) for t in q.terms}
     if isinstance(q, SPAN_TYPES):
         return span_leaf_terms(q)
-    if isinstance(q, (Boost, ConstantScore)):
+    if isinstance(q, (Boost, ConstantScore, FunctionScore)):
         return query_terms(q.query)
     if isinstance(q, Bool):
         return set().union(*(query_terms(c.query) for c in q.clauses)) if q.clauses else set()

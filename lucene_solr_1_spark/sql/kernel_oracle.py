@@ -280,13 +280,16 @@ def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10) -> str:
 WITH {_base_ctes()},
 dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
 exp AS (
-  -- TopTermsRewrite cap: same 1024-by-docFreq ranking as the engine's
-  -- _expand_fuzzy (MAX_CLAUSE_COUNT), so oracle and engine agree even
-  -- when the dictionary holds >1024 terms within max_edits
+  -- TopTermsRewrite cap (TopTermsRewrite.java:106): the 1024 survivors
+  -- are the top by BOOST (1 - ed/min-len) then term, matching the
+  -- engine's _expand_fuzzy — close-but-rare beats popular-but-far
   SELECT term, df, levenshtein(term, {qt}) AS ed FROM dict
   WHERE length(term) BETWEEN {lo} AND {hi}
     AND levenshtein(term, {qt}) <= {max_edits}
-  QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= 1024
+  QUALIFY row_number() OVER (
+    ORDER BY 1.0 - levenshtein(term, {qt})::DOUBLE
+                 / least(length(term), {len(text)}) DESC, term ASC
+  ) <= 1024
 ),
 w AS (
   SELECT exp.term,
@@ -424,6 +427,35 @@ WITH {_stemmed_prelude((stemmed,), ENGLISH_STOP_WORDS)},
 {_scores_cte()},
 matched AS (
   SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_function_score_duck(
+    term: str, field: str = "dl", mode: str = "multiply",
+    weight: float = 1.0, k: int = 10,
+) -> str:
+    """Twin of FunctionScore(Term(term), field, mode, weight): inner
+    quantized-float32 BM25 term score reshaped by the RAW doc-values
+    column (dl = post-filter token count, exactly the oracle's dl CTE),
+    final cast to REAL — same op order as kernel.eval_node 'func'."""
+    op = "*" if mode == "multiply" else "+"
+    dv_cte = (
+        "dv AS (SELECT doc_id, dl FROM dl)"
+        if field == "dl"
+        else "dv AS (SELECT doc_id, length(text) AS n_chars FROM documents)"
+    )
+    return f"""
+WITH {_prelude((term,))},
+{_weights_cte({})},
+{_scores_cte()},
+{dv_cte},
+agg AS (SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS s32 FROM s GROUP BY 1),
+matched AS (
+  SELECT a.doc_id,
+         CAST(a.s32::DOUBLE {op} ({_lit(weight)} * d.{field}::DOUBLE) AS REAL) AS score32
+  FROM agg a JOIN dv d USING (doc_id)
 )
 {_topk_select(k)}
 """.strip()

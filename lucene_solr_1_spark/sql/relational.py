@@ -458,6 +458,71 @@ SELECT source, doc_id, score FROM j WHERE rn = 1 ORDER BY source
 """.strip()
 
 
+def grouping_topn_spark(
+    spark, sf_dir, term: str, n_groups: int = 5, k_per_group: int = 3
+) -> DataFrame:
+    """TWO-PASS grouping (grouping/GroupingSearch.java:43,
+    FirstPassGroupingCollector -> SecondPassGroupingCollector): pass 1
+    selects the top-N groups by their BEST doc score; pass 2 returns the
+    top-k docs per selected group plus the group's total hit count.
+
+    Scale shape: group selection is orderBy().limit(N) — Catalyst plans a
+    TakeOrderedAndProject (per-partition top-N then driver merge, no
+    global sort) — and the tiny selected-group frame broadcasts back onto
+    the scored docs; the per-group top-k window partitions by group key."""
+    from pyspark.sql import Window
+
+    scored = bm25_bool_spark(spark, sf_dir, should=(term,), k=None)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    gstats = j.groupBy("source").agg(
+        F.max("score").alias("g_best"),
+        F.count("*").cast("bigint").alias("group_total"),
+    )
+    top_groups = gstats.orderBy(F.desc("g_best"), F.asc("source")).limit(n_groups)
+    gw = Window.orderBy(F.desc("g_best"), F.asc("source"))
+    top_groups = top_groups.withColumn(
+        "group_rank", F.row_number().over(gw).cast("bigint")
+    )
+    dw = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        j.join(F.broadcast(top_groups.drop("g_best")), "source")
+        .withColumn("doc_rank", F.row_number().over(dw).cast("bigint"))
+        .where(F.col("doc_rank") <= k_per_group)
+        .select("source", "group_rank", "group_total", "doc_id", "score", "doc_rank")
+        .orderBy("group_rank", "doc_rank")
+    )
+
+
+def grouping_topn_duck(term: str, n_groups: int = 5, k_per_group: int = 3) -> str:
+    inner = bm25_bool_duck(should=(term,), k=None)
+    return f"""
+WITH scored AS ({inner}),
+j AS (
+  SELECT d.source, s.doc_id, s.score FROM scored s JOIN documents d USING (doc_id)
+),
+g AS (
+  SELECT source, max(score) AS g_best, count(*)::BIGINT AS group_total
+  FROM j GROUP BY 1
+),
+topg AS (
+  SELECT source, group_total,
+         row_number() OVER (ORDER BY g_best DESC, source)::BIGINT AS group_rank
+  FROM g
+  QUALIFY row_number() OVER (ORDER BY g_best DESC, source) <= {n_groups}
+),
+ranked AS (
+  SELECT j.source, t.group_rank, t.group_total, j.doc_id, j.score,
+         row_number() OVER (PARTITION BY j.source
+                            ORDER BY j.score DESC, j.doc_id)::BIGINT AS doc_rank
+  FROM j JOIN topg t USING (source)
+)
+SELECT source, group_rank, group_total, doc_id, score, doc_rank
+FROM ranked WHERE doc_rank <= {k_per_group}
+ORDER BY group_rank, doc_rank
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # TopFieldCollector (sort by arbitrary fields) / PointRangeQuery /
 # TermInSetQuery / wildcard / highlighting / suggest — SURVEY.md §2.5-2.8
@@ -668,6 +733,147 @@ WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents)
 SELECT term, count(DISTINCT doc_id)::BIGINT AS weight FROM tok
 WHERE term LIKE '{prefix}%' GROUP BY 1
 ORDER BY weight DESC, term ASC LIMIT {n}
+""".strip()
+
+
+def suggest_spell_spark(
+    spark, sf_dir, text: str, max_edits: int = 2, num_sug: int = 5,
+    accuracy: float = 0.5,
+) -> DataFrame:
+    """Did-you-mean (suggest/spell/DirectSpellChecker.java suggestSimilar,
+    SUGGEST_WHEN_NOT_IN_INDEX mode): candidates from the LIVE term
+    dictionary within max_edits of the query, sharing the first character
+    (minPrefix=1), scored 1 - ed/min(|term|, |query|) and floored at
+    `accuracy` (default 0.5 per SpellChecker.DEFAULT_ACCURACY); ranked
+    score desc, docFreq desc, term asc. If the query term itself is in
+    the index, no suggestions (the suggest-when-not-in-index contract) —
+    expressed declaratively via a broadcast qdf frame so the whole thing
+    is ONE distributed plan. Deviation: plain Levenshtein (Spark/DuckDB
+    built-in) instead of LuceneLevenshteinDistance's transposition-aware
+    variant."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    d = tok.groupBy("term").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    qdf = d.where(F.col("term") == text).agg(
+        F.coalesce(F.sum("df"), F.lit(0)).alias("qdf")
+    )
+    lo, hi = len(text) - max_edits, len(text) + max_edits
+    return (
+        d.where(
+            F.length("term").between(lo, hi)
+            & (F.substring("term", 1, 1) == text[0])
+            & (F.col("term") != text)
+        )
+        .withColumn("ed", F.levenshtein(F.col("term"), F.lit(text)))
+        .where(F.col("ed") <= max_edits)
+        .withColumn(
+            "score",
+            F.round(
+                1.0 - F.col("ed") / F.least(F.length("term"), F.lit(len(text))),
+                4,
+            ),
+        )
+        .where(F.col("score") >= accuracy)
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("qdf") == 0)
+        .select("term", "df", "score")
+        .orderBy(F.desc("score"), F.desc("df"), F.asc("term"))
+        .limit(num_sug)
+    )
+
+
+def suggest_spell_duck(
+    text: str, max_edits: int = 2, num_sug: int = 5, accuracy: float = 0.5
+) -> str:
+    te = duck_tokens_expr()
+    lo, hi = len(text) - max_edits, len(text) + max_edits
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+q AS (SELECT coalesce(sum(df), 0) AS qdf FROM d WHERE term = '{text}'),
+cand AS (
+  SELECT term, df, levenshtein(term, '{text}') AS ed FROM d
+  WHERE length(term) BETWEEN {lo} AND {hi}
+    AND substring(term, 1, 1) = '{text[0]}' AND term <> '{text}'
+)
+SELECT term, df,
+       round(1.0 - ed::DOUBLE / least(length(term), {len(text)}), 4) AS score
+FROM cand CROSS JOIN q
+WHERE ed <= {max_edits}
+  AND round(1.0 - ed::DOUBLE / least(length(term), {len(text)}), 4) >= {accuracy}
+  AND q.qdf = 0
+ORDER BY score DESC, df DESC, term ASC LIMIT {num_sug}
+""".strip()
+
+
+def suggest_completion_spark(spark, sf_dir, prefix: str, n: int = 10) -> DataFrame:
+    """Weighted analyzed completion (suggest/analyzing/AnalyzingSuggester
+    .java:121 analog): the input is analyzed (lowercased) like the
+    dictionary, and completions rank by WEIGHT — here total term
+    frequency, the corpus-popularity weight — not docFreq."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    toks = docs.select(F.explode("toks").alias("term"))
+    return (
+        toks.where(F.col("term").startswith(prefix.lower()))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def suggest_completion_duck(prefix: str, n: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (SELECT unnest({te}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS weight FROM tok
+WHERE term LIKE '{prefix.lower()}%' GROUP BY 1
+ORDER BY weight DESC, term ASC LIMIT {n}
+""".strip()
+
+
+def sort_by_field_after_spark(
+    spark, sf_dir, term: str, k: int = 15, after: tuple | None = None
+) -> DataFrame:
+    """searchAfter for FIELD-sorted results (TopFieldCollector paging,
+    search/FieldComparator after-bottom checks): `after` is the last
+    hit's full sort key (lang, n_chars, doc_id); the page predicate is
+    the strict tuple-order comparison under (lang asc, n_chars desc,
+    doc_id asc) — same tie-break chain as the first page, so pages
+    partition the result set exactly."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    out = docs.where(F.array_contains("toks", term))
+    if after is not None:
+        a_lang, a_nc, a_doc = after
+        out = out.where(
+            (F.col("lang") > a_lang)
+            | ((F.col("lang") == a_lang) & (F.col("n_chars") < int(a_nc)))
+            | (
+                (F.col("lang") == a_lang)
+                & (F.col("n_chars") == int(a_nc))
+                & (F.col("doc_id") > int(a_doc))
+            )
+        )
+    return (
+        out.orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+        .limit(k)
+        .select(F.col("doc_id").cast("bigint"), "lang", F.col("n_chars").cast("bigint"))
+    )
+
+
+def sort_by_field_after_duck(term: str, k: int = 15, after: tuple | None = None) -> str:
+    te = duck_tokens_expr()
+    where = f"list_contains({te}, '{term}')"
+    if after is not None:
+        a_lang, a_nc, a_doc = after
+        where += (
+            f" AND (lang > '{a_lang}' OR (lang = '{a_lang}' AND n_chars < {int(a_nc)})"
+            f" OR (lang = '{a_lang}' AND n_chars = {int(a_nc)} AND doc_id > {int(a_doc)}))"
+        )
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents WHERE {where}
+ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT {k}
 """.strip()
 
 

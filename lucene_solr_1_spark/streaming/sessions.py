@@ -112,7 +112,16 @@ def _sessionize_state_func(key, pdf_iter, state):
     """applyInPandasWithState kernel: one open session per user in state
     (start_us, last_us, n, sum_value as int64/float64); CLOSED sessions
     are emitted as soon as a later event proves the gap, or when the
-    event-time timeout (watermark past last+GAP) fires."""
+    event-time timeout (watermark past last+GAP) fires.
+
+    Late (within-watermark, out-of-order ACROSS micro-batches) events
+    MERGE into the open session when they fall within its gap-extended
+    span [start-GAP, last]: start/last track min/max, so a late event
+    never moves the session backwards (ADVICE r2 fix). A straggler older
+    than start-GAP emits immediately as its own single-event session —
+    the one divergence from the built-in session_window, which would
+    hold it to merge with even-later stragglers (documented trade-off:
+    constant state per key instead of a session list)."""
     gap_us = GAP_SECONDS * 1_000_000
     out = []
 
@@ -143,12 +152,20 @@ def _sessionize_state_func(key, pdf_iter, state):
                 start_us, last_us, n, sv = None, None, 0, 0.0
             for t, v in zip(ts_us, vals):
                 t = int(t)
-                if last_us is not None and t - last_us > gap_us:
+                if last_us is None:
+                    start_us, last_us, n, sv = t, t, 1, float(v)
+                    continue
+                if t > last_us + gap_us:
                     emit(start_us, last_us, n, sv)
-                    start_us, n, sv = None, 0, 0.0
-                if start_us is None:
-                    start_us = t
-                last_us = t
+                    start_us, last_us, n, sv = t, t, 1, float(v)
+                    continue
+                if t < start_us - gap_us:
+                    # straggler older than the open session's reach: its
+                    # own (already-gap-closed) session, emitted now
+                    emit(t, t, 1, float(v))
+                    continue
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
                 n += 1
                 sv += float(v)
             state.update((int(start_us), int(last_us), int(n), float(sv)))

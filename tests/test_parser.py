@@ -126,6 +126,27 @@ def test_field_group_inheritance():
     )
 
 
+def test_field_group_keyword_verbatim():
+    # ADVICE r2 medium: grouped keyword-field values get the SAME verbatim
+    # treatment as direct field:term — no lowercasing, no tokenization
+    assert parse("repo:(MyRepo OR other)") == Bool.of(
+        (S, Term("MyRepo", field="repo")), (S, Term("other", field="repo"))
+    )
+    assert parse("path:(src/a.py)") == Term("src/a.py", field="path")
+    assert parse("repo:(Org/Repo-3 AND NOT Other/X)") == Bool.of(
+        (M, Term("Org/Repo-3", field="repo")),
+        (N, Term("Other/X", field="repo")),
+    )
+    # grouped phrase under a keyword field is verbatim too
+    assert parse('path:("Src File.c" OR other)') == Bool.of(
+        (S, Term("Src File.c", field="path")), (S, Term("other", field="path"))
+    )
+    # analyzed default field inside an unprefixed group is unchanged
+    assert parse("(Foo OR Bar)") == Bool.of(
+        (S, Term("foo")), (S, Term("bar"))
+    )
+
+
 def test_field_star_matches_all():
     assert parse("lang:*") == MatchAll()
 

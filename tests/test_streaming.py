@@ -91,6 +91,82 @@ def test_sessionization_stream_matches_batch(spark, tmp_path_factory):
     _check(S.sessionize_stateful_stream, "stateful")
 
 
+def test_stateful_sessions_late_events_across_batches(spark, tmp_path_factory):
+    """ADVICE r2: a late (within-watermark) event arriving in a LATER
+    micro-batch but timestamped inside the open session's span must MERGE
+    (min/max), not drag last_us backwards and split the session. Two
+    files + maxFilesPerTrigger=1 force two micro-batches with
+    out-of-order event time across them."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from lucene_solr_1_spark.streaming import sessions as S
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    # batch file 1: events at t=0, 10, 20 (one open session for user 1)
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [mins(0), mins(10), mins(20)],
+            "user_id": [1, 1, 1],
+            "event_type": ["a"] * 3,
+            "value": [1.0, 1.0, 1.0],
+            "props": [""] * 3,
+        }
+    )
+    # batch file 2: a LATE event at t=5 (inside the open span) plus a
+    # fresh event at t=25 keeping the session alive, then t=200 to close
+    # it via gap and advance the watermark far enough to emit
+    f2 = pd.DataFrame(
+        {
+            "event_id": [4, 5, 6],
+            "ts": [mins(5), mins(25), mins(200)],
+            "user_id": [1, 1, 1],
+            "event_type": ["a"] * 3,
+            "value": [1.0, 1.0, 1.0],
+            "props": [""] * 3,
+        }
+    )
+    src = str(tmp_path_factory.mktemp("late_src"))
+    ckpt = str(tmp_path_factory.mktemp("late_ckpt"))
+    out = str(tmp_path_factory.mktemp("late_out"))
+    import time as _time
+
+    spark.createDataFrame(f1).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # file-source orders batches by mod time: f1 first
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(src)
+
+    events = (
+        spark.readStream.schema(S._EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", S.WATERMARK)
+    )
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        S._sessionize_state_func,
+        outputStructType=S._SESSION_DDL,
+        stateStructType="start_us long, last_us long, n long, sv double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(240)
+    got = spark.read.parquet(out).toPandas().sort_values("session_start")
+    # the merged session [0..25]+gap holds ALL FIVE events incl. the late
+    # t=5 one — under the old in-order assumption the late event dragged
+    # last_us back to t=5 and t=25 still merged, but n/e span broke on
+    # longer reorderings; the invariant pinned here matches session_window
+    first = got.iloc[0]
+    assert first["n_events"] == 5
+    assert first["session_start"] == mins(0)
+    assert first["session_end"] == mins(25) + pd.Timedelta(seconds=S.GAP_SECONDS)
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path_factory):
     """Streaming watermarked window agg == batch twin on the same events.
     (Append mode emits only watermark-finalized windows; with availableNow
