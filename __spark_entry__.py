@@ -150,6 +150,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_block_join_parents"] = lambda s, d: R.block_join_parents_spark(
         s, d, "query", k=10
     )
+    # r3 coverage widening: child direction of the block join, numeric
+    # range facets, hierarchical taxonomy facets
+    q["fts_block_join_children"] = lambda s, d: R.block_join_children_spark(
+        s, d, "query", 5
+    )
+    q["facet_ranges"] = lambda s, d: R.range_facets_spark(s, d, "query")
+    q["facet_taxonomy"] = lambda s, d: R.taxonomy_facets_spark(s, d, "query")
 
     # --- training-data pipeline (oracle-checked) ---
     q["dedup_exact"] = dedup.dedup_exact_spark
@@ -272,6 +279,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_function_score"] = _func_score
 
+    # MoreLikeThis: analyze a seed text, keep high-tf*idf terms with
+    # df >= 2 (the junk term drops out), search as a tf-boosted OR. The
+    # seed's terms are all common at every shipped SF, so the oracle is
+    # the equivalent boosted-bool kernel twin.
+    def _mlt(s, d):
+        searcher = _get_index(s, d)
+        hits = searcher.more_like_this(
+            "query merge merge zzzunknownzzz spark", k=10
+        )
+        pdf = hits[["path", "score", "rank"]].copy()
+        pdf["doc_id"] = pdf["path"].str.removeprefix("doc/").astype("int64")
+        pdf["score"] = pdf["score"].astype("float64")
+        pdf["rank"] = pdf["rank"].astype("int64")
+        return s.createDataFrame(pdf[["doc_id", "score", "rank"]])
+
+    q["fts_more_like_this"] = _mlt
+
     def _parsed(s, d):
         from lucene_solr_1_spark.search.parser import parse
 
@@ -331,6 +355,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_constant_score": R.constant_score_duck("window", 1.0),
         "fts_join_query": R.join_query_duck("dup"),
         "fts_block_join_parents": R.block_join_parents_duck("query", 10),
+        "fts_block_join_children": R.block_join_children_duck("query", 5),
+        "facet_ranges": R.range_facets_duck("query"),
+        "facet_taxonomy": R.taxonomy_facets_duck("query"),
         "dedup_exact": dedup.dedup_exact_duck(),
         "dedup_ngram_jaccard": dedup.dedup_jaccard_duck(0.4),
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),
@@ -366,6 +393,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
         "fts_function_score": KO.kernel_function_score_duck(
             "query", "dl", "multiply", 0.01, k=10
+        ),
+        "fts_more_like_this": KO.kernel_bool_duck(
+            should=("merge", "query", "spark"), boosts={"merge": 2.0}, k=10
         ),
         "fts_kernel_highlight": KO.kernel_highlight_duck("query", 10, 30),
         "fts_bm25_metadata_filter": KO.kernel_bool_duck(

@@ -969,6 +969,130 @@ ORDER BY parent_score DESC, d.source ASC LIMIT {k}
 """.strip()
 
 
+def block_join_children_spark(
+    spark, sf_dir, term: str, k_parents: int = 5
+) -> DataFrame:
+    """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java:43): the
+    child docs of MATCHING PARENTS, each carrying its parent's score —
+    the inverse direction of block_join_parents. Parents match via the
+    child-query rollup (ToParent), then the tiny top-k parent frame
+    broadcasts back onto the child table; at 100 TB the children are
+    never shuffled."""
+    parents = block_join_parents_spark(spark, sf_dir, term, k=k_parents)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    return (
+        docs.join(F.broadcast(parents.select("source", "parent_score")), "source")
+        .select(F.col("doc_id").cast("bigint"), "source", "parent_score")
+        .orderBy(F.desc("parent_score"), F.asc("source"), F.asc("doc_id"))
+    )
+
+
+def block_join_children_duck(term: str, k_parents: int = 5) -> str:
+    inner = block_join_parents_duck(term, k=k_parents)
+    return f"""
+WITH parents AS ({inner})
+SELECT d.doc_id::BIGINT AS doc_id, d.source, p.parent_score
+FROM documents d JOIN parents p USING (source)
+ORDER BY p.parent_score DESC, d.source ASC, d.doc_id ASC
+""".strip()
+
+
+# default numeric facet buckets over n_chars (label, lo inclusive, hi
+# exclusive; None = open) — one shared spec for Spark and the oracle
+RANGE_FACET_BUCKETS = (
+    ("0-200", 0, 200),
+    ("200-400", 200, 400),
+    ("400-800", 400, 800),
+    ("800+", 800, None),
+)
+
+
+def range_facets_spark(
+    spark, sf_dir, term: str, buckets: tuple = RANGE_FACET_BUCKETS
+) -> DataFrame:
+    """Numeric range facets over a query's RESULT SET
+    (facet/range/LongRangeFacetCounts.java: count matching docs per
+    configured range; ranges may overlap, each bucket counts
+    independently). One pass over the match set: the literal bucket
+    frame broadcasts, docs join on the containment predicate."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    matched = docs.where(F.array_contains("toks", term)).select("doc_id", "n_chars")
+    b = spark.createDataFrame(
+        [(i, lbl, lo, hi) for i, (lbl, lo, hi) in enumerate(buckets)],
+        "bucket_idx int, label string, lo bigint, hi bigint",
+    )
+    cond = (F.col("n_chars") >= F.col("lo")) & (
+        F.col("hi").isNull() | (F.col("n_chars") < F.col("hi"))
+    )
+    return (
+        matched.join(F.broadcast(b), cond)
+        .groupBy("bucket_idx", "label")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.col("bucket_idx").cast("bigint"), "label", "cnt")
+        .orderBy("bucket_idx")
+    )
+
+
+def range_facets_duck(term: str, buckets: tuple = RANGE_FACET_BUCKETS) -> str:
+    te = duck_tokens_expr()
+    rows = ", ".join(
+        f"({i}, '{lbl}', {lo}, {'NULL' if hi is None else hi})"
+        for i, (lbl, lo, hi) in enumerate(buckets)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, n_chars FROM documents WHERE list_contains({te}, '{term}')
+),
+b(bucket_idx, label, lo, hi) AS (VALUES {rows})
+SELECT b.bucket_idx::BIGINT AS bucket_idx, b.label, count(*)::BIGINT AS cnt
+FROM m JOIN b ON m.n_chars >= b.lo AND (b.hi IS NULL OR m.n_chars < b.hi)
+GROUP BY 1, 2 ORDER BY 1
+""".strip()
+
+
+def taxonomy_facets_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Hierarchical (taxonomy) facet counts over a query's result set
+    (facet/taxonomy/TaxonomyFacetCounts: every doc increments its facet
+    path AND all ancestor ordinals). Dimension = lang/source (a 2-level
+    path synthesized from the metadata columns): output has one row per
+    visited node at every depth, counts roll up the hierarchy. One
+    explode of the per-doc ancestor-path array then a groupBy — the
+    taxonomy ordinal array expressed as array/explode."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    matched = docs.where(F.array_contains("toks", term))
+    paths = matched.select(
+        F.explode(
+            F.array(
+                F.col("lang"),
+                F.concat_ws("/", F.col("lang"), F.col("source")),
+            )
+        ).alias("path")
+    )
+    return (
+        paths.withColumn(
+            "depth", (F.size(F.split(F.col("path"), "/"))).cast("bigint")
+        )
+        .groupBy("path", "depth")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy("depth", "path")
+    )
+
+
+def taxonomy_facets_duck(term: str) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH m AS (
+  SELECT lang, source FROM documents WHERE list_contains({te}, '{term}')
+),
+p AS (
+  SELECT unnest([lang, lang || '/' || source]) AS path FROM m
+)
+SELECT path, len(string_split(path, '/'))::BIGINT AS depth,
+       count(*)::BIGINT AS cnt
+FROM p GROUP BY 1, 2 ORDER BY depth, path
+""".strip()
+
+
 def bm25_boosted_or_spark(spark, sf_dir, boosts: dict, k: int = 10) -> DataFrame:
     """BoostQuery over an OR of terms: each clause's score is scaled by its
     boost before summation (BoostQuery.java — boost folds into the term
