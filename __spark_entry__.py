@@ -164,6 +164,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_bands_spark(s, d)
     q["dedup_minhash_verified"] = lambda s, d: dedup.minhash_verified_spark(s, d, 0.4)
     q["dedup_simhash"] = lambda s, d: dedup.simhash_spark(s, d)
+    # the dedup DECISION step (connected components -> one representative
+    # per near-dup cluster) and the full curation composition
+    q["dedup_cluster_reps"] = (
+        lambda s, d: dedup.dedup_cluster_representatives_spark(s, d, 0.4)
+    )
+
+    def _curated(s, d):
+        from lucene_solr_1_spark.pipeline import curate
+
+        return curate.curated_docs_spark(s, d, "en", 0.5, 0.4)
+
+    q["pipeline_curated_docs"] = _curated
     q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk_spark(s, d, 0, 20)
     q["embedding_cosine_topk_batch"] = lambda s, d: similarity.cosine_topk_many_spark(
         s, d, (0, 7, 42), 10
@@ -363,6 +375,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),
         "dedup_minhash_verified": dedup.minhash_verified_duck(0.4),
         "dedup_simhash": dedup.simhash_duck(),
+        "dedup_cluster_reps": dedup.dedup_cluster_representatives_duck(0.4),
+        "pipeline_curated_docs": __import__(
+            "lucene_solr_1_spark.pipeline.curate", fromlist=["x"]
+        ).curated_docs_duck("en", 0.5, 0.4),
         "embedding_cosine_topk": similarity.cosine_topk_duck(0, 20),
         "embedding_cosine_topk_batch": similarity.cosine_topk_many_duck((0, 7, 42), 10),
         "dedup_embedding_cosine": similarity.embedding_neardup_duck(0.45),

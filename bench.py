@@ -249,6 +249,20 @@ def _scaling_child(corpus_dir: str, cpus: int, partitions: int) -> None:
     )
     # warm the python workers so process spawn isn't in the measurement
     spark.range(0, cpus, 1, cpus).mapInPandas(lambda it: it, "id long").count()
+    # warm whole-stage codegen/JIT with a tiny SAME-SHAPE build (parquet
+    # scan -> mapInPandas -> collect): the ~10 s first-plan compile cost
+    # is per-JVM fixed overhead, not throughput — a steady-state
+    # files/sec measurement (the north-rule metric) must exclude it,
+    # exactly as a real long-running cluster amortizes it to zero
+    from lucene_solr_1_spark.corpus import corpus_spark_df
+
+    warm_dir = tempfile.mkdtemp(prefix="sgbench_warm_")
+    corpus_spark_df(spark, 256, partitions=4).write.parquet(warm_dir + "/corpus")
+    build_index(
+        spark, spark.read.parquet(warm_dir + "/corpus"), warm_dir + "/idx",
+        num_segments=4, pre_partitioned=True,
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
     corpus = spark.read.parquet(corpus_dir)
     index_dir = tempfile.mkdtemp(prefix="sgbench_idx_")
     t0 = time.monotonic()
@@ -265,21 +279,22 @@ def run_scaling(n_files: int, partitions: int = 512) -> dict:
     so each "cluster" is a fresh local[N] Spark process pinned with
     `taskset` to exactly N cores (pinning matters: an unpinned local[4]
     JVM steals idle cores for scan/Arrow work and fakes a too-fast small
-    cluster). N=4 vs 4N=16 by default — on this 32-core host the 8-vs-32
-    pair is additionally throttled by CPU turbo scaling, which a real
-    multi-node cluster would not see. Efficiency = (t_N / t_4N) / 4."""
+    cluster). Efficiency = (t_N / t_4N) / 4.
+
+    BOTH prescribed pairs are measured and reported (r2 VERDICT #6):
+    the BASELINE 8 -> 32 pair (headline `scaling_efficiency`) and the
+    2 -> 8 pair. Caveat recorded with the numbers: on this single
+    32-core host the 32-core config shares every core with the OS and
+    any neighbor load and loses per-core turbo headroom — effects a real
+    multi-node 4N-executor cluster does not have, so 8 -> 32 here is a
+    LOWER BOUND on true cluster scaling."""
     import subprocess
 
     from lucene_solr_1_spark.corpus import corpus_spark_df
 
-    # Default pair N=2 -> 4N=8: on this shared host, pinned sets beyond
-    # ~8 cores additionally collide with HOST-level neighbor contention
-    # (both configs slow down, the larger one disproportionately) — an
-    # artifact a real multi-node cluster does not have, same reason the
-    # 8->32 pair was already rejected in round 1. Measured datapoints:
-    # 2->8 = 1.006 under load; 4->16 = 0.93 quiet host / 0.71 under load.
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-    n_large = 4 * n_small
+    pairs_env = os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "8:32,2:8")
+    pairs = [tuple(int(x) for x in p.split(":")) for p in pairs_env.split(",")]
+    sizes = sorted({c for p in pairs for c in p})
     corpus_dir = tempfile.mkdtemp(prefix="sgbench_corpus_") + "/corpus"
     spark = _spark(32)
     corpus_spark_df(spark, n_files, n_repos=N_REPOS, partitions=partitions).write.parquet(
@@ -290,7 +305,7 @@ def run_scaling(n_files: int, partitions: int = 512) -> dict:
     have_taskset = shutil.which("taskset") is not None
     out: dict = {}
     try:
-        for cpus in (n_small, n_large):
+        for cpus in sizes:
             # best-of-2 fresh processes per cluster size: single-box turbo /
             # thermal state makes individual runs swing ±30%; the best run
             # is the steady-state capability of that "cluster"
@@ -312,10 +327,19 @@ def run_scaling(n_files: int, partitions: int = 512) -> dict:
             }
     finally:
         shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
-    t_n = out[f"local[{n_small}]"]["build_sec"]
-    t_4n = out[f"local[{n_large}]"]["build_sec"]
-    out["scaling_efficiency"] = round((t_n / t_4n) / 4.0, 3)
-    out["pair"] = f"local[{n_small}] -> local[{n_large}]"
+    out["pairs"] = {}
+    for n_small, n_large in pairs:
+        t_n = out[f"local[{n_small}]"]["build_sec"]
+        t_4n = out[f"local[{n_large}]"]["build_sec"]
+        out["pairs"][f"local[{n_small}]->local[{n_large}]"] = round(
+            (t_n / t_4n) / (n_large / n_small), 3
+        )
+    # headline = the first configured pair (default: the prescribed 8->32)
+    first = pairs[0]
+    out["pair"] = f"local[{first[0]}] -> local[{first[1]}]"
+    out["scaling_efficiency"] = out["pairs"][
+        f"local[{first[0]}]->local[{first[1]}]"
+    ]
     out["pinned"] = have_taskset
     out["corpus_files"] = n_files
     out["partitions"] = partitions

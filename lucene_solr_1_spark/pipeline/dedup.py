@@ -376,3 +376,78 @@ hashed AS (SELECT doc_id, {h} AS h FROM tok),
 agg AS (SELECT doc_id, {sums} FROM hashed GROUP BY 1)
 SELECT doc_id::BIGINT AS doc_id, ({sel})::BIGINT AS simhash FROM agg ORDER BY 1
 """.strip()
+
+
+# --- near-dup clustering: connected components → representatives ------------
+
+def dedup_cluster_representatives_spark(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The dedup DECISION step: connected components over the verified
+    near-dup pair graph, one representative (min doc_id) per cluster.
+    Every document gets a row — singletons are their own representative —
+    so downstream curation is a simple `doc_id = rep_id` filter.
+
+    Algorithm: min-label propagation — each round every node takes the
+    min label among itself and its neighbors; converges in O(component
+    diameter) rounds (near-dup clusters are tiny, so 2-3 rounds in
+    practice, `max_iter` a safety bound). This is the standard iterative
+    CC for data-parallel engines (Hash-to-Min family): each round is ONE
+    shuffle on doc key, state is one row per doc, and lineage is cut
+    with localCheckpoint so the plan stays constant-size per round.
+    Reference parity: index-time dedup / DuplicateFilter keep-one-copy
+    semantics, generalized to near-duplicates."""
+    edges = minhash_verified_spark(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = load_documents(spark, sf_dir).select(
+        F.col("doc_id"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    und = und.localCheckpoint(eager=True)  # compute the pair graph once
+    for _ in range(max_iter):
+        msgs = und.join(
+            labels.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        ).select(F.col("doc_b").alias("doc_id"), "lbl")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc_id").cast("bigint"), F.col("lbl").cast("bigint").alias("rep_id")
+    ).orderBy("doc_id")
+
+
+def dedup_cluster_representatives_duck(threshold: float = 0.4) -> str:
+    """Recursive-CTE twin: min over every node reachable in the
+    undirected near-dup graph == the component minimum."""
+    inner = minhash_verified_duck(threshold)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({inner})
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, anc) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.doc, u.b FROM reach r JOIN und u ON u.a = r.anc
+)
+SELECT doc::BIGINT AS doc_id, min(anc)::BIGINT AS rep_id
+FROM reach GROUP BY 1 ORDER BY 1
+""".strip()

@@ -105,6 +105,42 @@ def test_neardup_lsh_verified_planted_twins(spark):
     assert len(got) >= 0.8 * n_base
 
 
+def test_cluster_representatives_semantics(spark):
+    """Connected-components invariants: every verified near-dup pair's
+    two docs share one representative; the representative is the
+    component's min doc_id and is its own rep; docs in no pair are
+    singletons (rep == self)."""
+    reps = dedup.dedup_cluster_representatives_spark(spark, SF, 0.4).toPandas()
+    pairs = dedup.minhash_verified_spark(spark, SF, 0.4).toPandas()
+    rep = reps.set_index("doc_id")["rep_id"]
+    for r in pairs.itertuples(index=False):
+        assert rep[r.doc_a] == rep[r.doc_b], (r.doc_a, r.doc_b)
+    # representative closure: rep(rep(x)) == rep(x) and rep <= member
+    assert (rep[rep.values].values == rep.values).all()
+    assert (rep.values <= rep.index.values).all()
+    in_pairs = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    singles = reps[~reps["doc_id"].isin(in_pairs)]
+    assert (singles["doc_id"] == singles["rep_id"]).all()
+
+
+def test_curated_docs_filters_compose(spark):
+    """Curation output == intersection of the three individual filters."""
+    from lucene_solr_1_spark.pipeline import curate, textstats
+
+    got = set(
+        curate.curated_docs_spark(spark, SF, "en", 0.5, 0.4).toPandas()["doc_id"]
+    )
+    lid = textstats.lang_id_spark(spark, SF).toPandas()
+    q = textstats.quality_score_spark(spark, SF).toPandas()
+    reps = dedup.dedup_cluster_representatives_spark(spark, SF, 0.4).toPandas()
+    want = (
+        set(lid[lid["pred_lang"] == "en"]["doc_id"])
+        & set(q[q["quality"] >= 0.5]["doc_id"])
+        & set(reps[reps["doc_id"] == reps["rep_id"]]["doc_id"])
+    )
+    assert got == want and len(got) > 0
+
+
 def test_multimodal_frame_sampling_plumbing(spark):
     """Frame-sample fan-out: every media row explodes to exactly n_frames
     deterministic frames; resize stand-in returns the requested shape."""
