@@ -52,7 +52,11 @@ def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _get_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     if sf_dir not in _INDEX_CACHE:
         d = tempfile.mkdtemp(prefix="sgidx_")
-        build_index(spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4)
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            store_offsets=True,  # offsets IndexOption: exercised by
+            # fts_kernel_highlight_offsets; all other entries ignore it
+        )
         _INDEX_CACHE[sf_dir] = d
     return LuceneSparkSearcher(spark, _INDEX_CACHE[sf_dir])
 
@@ -238,6 +242,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("rank")
 
     q["fts_kernel_highlight"] = _kernel_highlight
+
+    def _kernel_highlight_offsets(s, d, term="query", k=10, width=30):
+        """Offsets-path highlighting: snippets cut via INDEXED token
+        character spans (store_offsets build) — no re-tokenization; must
+        hash-match the same DuckDB twin as the substring highlighter."""
+        searcher = _get_index(s, d)
+        hits = searcher.highlight_offsets(Term(term), k=k, width=width)
+        pdf = hits[["path", "rank", "snippet"]].copy()
+        pdf["doc_id"] = pdf["path"].str.removeprefix("doc/").astype("int64")
+        pdf["rank"] = pdf["rank"].astype("int64")
+        return s.createDataFrame(pdf[["doc_id", "rank", "snippet"]])
+
+    q["fts_kernel_highlight_offsets"] = _kernel_highlight_offsets
     # multi-field engine: field-qualified keyword term, metadata FILTER and
     # numeric doc-values FILTER combined with scored BM25 (round-2 ops)
     q["fts_field_term"] = lambda s, d: _kernel_hits_df(
@@ -414,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
             should=("merge", "query", "spark"), boosts={"merge": 2.0}, k=10
         ),
         "fts_kernel_highlight": KO.kernel_highlight_duck("query", 10, 30),
+        "fts_kernel_highlight_offsets": KO.kernel_highlight_duck("query", 10, 30),
         "fts_bm25_metadata_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="doc.lang = 'en'"
         ),

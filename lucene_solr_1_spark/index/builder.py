@@ -47,7 +47,7 @@ def _write_parquet(pdf: pd.DataFrame, path: str, segment_id: str) -> None:
 
 
 def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitions,
-                     pid_offset: int = 0):
+                     pid_offset: int = 0, store_offsets: bool = False):
     ctx = TaskContext.get()
     pid = (ctx.partitionId() if ctx else 0) + pid_offset
     if fail_partitions and pid in fail_partitions:
@@ -70,7 +70,7 @@ def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitio
         return
 
     t0 = time.monotonic()
-    postings, norms, stats = build_segment_frames(pdf, cfg)
+    postings, norms, stats = build_segment_frames(pdf, cfg, store_offsets)
     if isinstance(stats.get("field_stats"), dict):
         import json
 
@@ -115,8 +115,14 @@ def build_index(
     cfg: AnalyzerConfig = STANDARD,
     fail_partitions: set[int] | None = None,
     pre_partitioned: bool = False,
+    store_offsets: bool = False,
 ) -> dict:
     """Build (or resume) an index over `corpus_df`; returns the manifest.
+
+    `store_offsets=True` stores per-doc token character spans in the
+    docmap (IndexOptions ..._AND_OFFSETS analog) — opt-in: highlighting
+    without re-tokenization for highlight-every-hit workloads, at ~1.4x
+    tokenization cost + 8 B/token of storage.
 
     `pre_partitioned=True` skips the repartition shuffle and builds one
     segment per EXISTING input partition — the zero-shuffle ingest path for
@@ -144,6 +150,7 @@ def build_index(
             index_dir=index_dir,
             cfg=cfg,
             fail_partitions=fail_partitions or set(),
+            store_offsets=store_offsets,
         ),
         schema=MANIFEST_ROW_DDL,
     ).collect()
@@ -153,6 +160,8 @@ def build_index(
     # persist the analyzer by name: the searcher re-analyzes query terms
     # with the chain the index was built with (IndexWriterConfig analog)
     extra = {"num_segments": num_segments, "analyzer": analyzer_name(cfg)}
+    if store_offsets:
+        extra["offsets"] = True
     prior = mf.read_manifest(index_dir)
     if prior and prior.get("tombstone_files"):
         extra["tombstone_files"] = prior["tombstone_files"]
@@ -196,6 +205,7 @@ def add_documents(
             cfg=cfg,
             fail_partitions=set(),
             pid_offset=pid_offset,
+            store_offsets=bool(manifest.get("offsets")),
         ),
         schema=MANIFEST_ROW_DDL,
     ).collect()

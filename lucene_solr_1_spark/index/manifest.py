@@ -69,12 +69,19 @@ def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = N
     """Atomically publish a new generation listing `segments` as live."""
     os.makedirs(index_dir, exist_ok=True)
     # sticky index-level settings survive every re-commit (merge, delete,
-    # append): the analyzer is a property of the INDEX, like
-    # IndexWriterConfig's analyzer — readers must always see it
-    if not extra or "analyzer" not in extra:
+    # append): the analyzer and the offsets IndexOption are properties of
+    # the INDEX, like IndexWriterConfig — readers must always see them
+    sticky = ("analyzer", "offsets")
+    if not extra or any(k not in (extra or {}) for k in sticky):
         prior = read_manifest(index_dir)
-        if prior and prior.get("analyzer"):
-            extra = {**(extra or {}), "analyzer": prior["analyzer"]}
+        if prior:
+            carry = {
+                k: prior[k]
+                for k in sticky
+                if prior.get(k) is not None and k not in (extra or {})
+            }
+            if carry:
+                extra = {**(extra or {}), **carry}
     gen = latest_generation(index_dir) + 1
     # global docID bases: segments ordered by partition_id (LeafReaderContext
     # docBase analog)

@@ -23,7 +23,7 @@ import time
 import numpy as np
 import pandas as pd
 
-from ..kernels.analyzer import AnalyzerConfig, STANDARD, flatten_tokens
+from ..kernels.analyzer import AnalyzerConfig, STANDARD, _TOKEN_RE, flatten_tokens
 from ..kernels.forcodec import BLOCK_SIZE, encode_blocks, encode_doc_deltas
 from ..kernels.smallfloat import int_to_byte4
 
@@ -168,13 +168,38 @@ def _invert_rows(
     return rows
 
 
+def _token_span_columns(content_s: pd.Series) -> tuple[list, list]:
+    """Per-doc character spans of every RAW token (pre-filter, aligned
+    with postings positions), as little-endian int32 byte blobs — the
+    offsets payload (Lucene IndexOptions ..._AND_OFFSETS analog; stored
+    per DOC in the docmap instead of per posting in a .pay stream, the
+    columnar equivalent). Spans are computed on the ORIGINAL stored
+    content (\\w matches both cases, so boundaries equal the lowered
+    text's for any case-preserving script) — offsets index straight into
+    the stored `content` column."""
+    starts_col, ends_col = [], []
+    for text in content_s:
+        spans = [m.span() for m in _TOKEN_RE.finditer(text)]
+        a = np.asarray(spans, dtype=np.int32).reshape(-1, 2)
+        starts_col.append(a[:, 0].tobytes())
+        ends_col.append(a[:, 1].tobytes())
+    return starts_col, ends_col
+
+
 def build_segment_frames(
-    pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD
+    pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD,
+    store_offsets: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
     """Invert one partition of corpus rows into (postings, norms) frames.
 
     Rows are sorted by (repo, path, commit) so per-segment docIDs are
     deterministic for any partitioning (SURVEY.md §7 'hard parts' (5)).
+
+    `store_offsets=True` additionally stores per-doc token character
+    spans (off_starts/off_ends docmap columns) so highlighting can cut
+    snippets WITHOUT re-tokenizing stored content — opt-in, like the
+    reference's offsets IndexOption (costs ~1.4x tokenization time and
+    8 bytes/token of storage).
     """
     t0 = time.monotonic()
     pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
@@ -199,6 +224,10 @@ def build_segment_frames(
             "content": content_s.to_numpy(),
         }
     )
+    if store_offsets:
+        off_starts, off_ends = _token_span_columns(content_s)
+        norms_pdf["off_starts"] = off_starts
+        norms_pdf["off_ends"] = off_ends
 
     field_stats = {
         CONTENT_FIELD: {"sum_ttf": int(doc_len.sum()), "doc_count": int(n_docs)},

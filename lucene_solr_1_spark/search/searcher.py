@@ -783,6 +783,84 @@ class LuceneSparkSearcher:
         )
         return self.search(q, k=k)
 
+    def highlight_offsets(
+        self, q: Query, k: int = 10, width: int = 30
+    ) -> pd.DataFrame:
+        """Offsets-based highlighting: snippets cut via the INDEXED token
+        character spans (off_starts/off_ends docmap columns written by
+        `build_index(store_offsets=True)`) — NO re-tokenization of stored
+        content. This is the reference's postings-offsets highlighting
+        (IndexOptions ..._AND_OFFSETS, the .pay stream) expressed as a
+        per-doc span array in the docmap: postings positions index
+        straight into it. Snippet convention matches the substring
+        highlighter (window of 2*width from max(start+1-width, 1))."""
+        if not self.manifest.get("offsets"):
+            raise ValueError(
+                "index was built without store_offsets=True — offsets "
+                "highlighting needs the offsets IndexOption"
+            )
+        hits = self.search(q, k=k, with_stored=False)
+        if not len(hits):
+            return hits.assign(match_start=pd.Series(dtype="int64"),
+                               snippet=pd.Series(dtype="object"))
+        aq = rewrite(self.expand(rewrite(self._analyze_query(q))))
+        terms = sorted(query_terms(aq))
+        segs = sorted(set(hits["segment_id"]))
+        post = self._postings.where(
+            F.col("segment_id").isin(segs) & self._terms_filter(set(terms))
+        ).toPandas()
+        seg_data = {
+            sid: K.SegmentData(
+                g.drop(columns=["segment_id"]), self.seg_doc_count.get(sid, 0)
+            )
+            for sid, g in post.groupby("segment_id")
+        }
+        stored = (
+            self._norms.join(
+                F.broadcast(
+                    self.spark.createDataFrame(hits[["segment_id", "doc_id"]])
+                ),
+                on=["segment_id", "doc_id"],
+            )
+            .select("segment_id", "doc_id", "path", "content",
+                    "off_starts", "off_ends")
+            .toPandas()
+            .set_index(["segment_id", "doc_id"])
+        )
+        starts_out, snips = [], []
+        for r in hits.itertuples(index=False):
+            seg = seg_data.get(r.segment_id)
+            first_pos = None
+            if seg is not None:
+                for key in terms:
+                    p = seg.positions(key)
+                    if p is None:
+                        continue
+                    docs_i, freqs_i, starts_i, pos_i = p
+                    j = int(np.searchsorted(docs_i, r.doc_id))
+                    if j < len(docs_i) and docs_i[j] == r.doc_id and freqs_i[j]:
+                        cand = int(pos_i[int(starts_i[j])])
+                        if first_pos is None or cand < first_pos:
+                            first_pos = cand
+            row = stored.loc[(r.segment_id, r.doc_id)]
+            if first_pos is None:
+                starts_out.append(-1)
+                snips.append("")
+                continue
+            offs = np.frombuffer(row["off_starts"], dtype=np.int32)
+            start = int(offs[first_pos])
+            s0 = max(start + 1 - width, 1) - 1  # 1-indexed window convention
+            snips.append(row["content"][s0:s0 + 2 * width])
+            starts_out.append(start)
+        out = hits.copy()
+        out["path"] = [
+            stored.loc[(r.segment_id, r.doc_id)]["path"]
+            for r in hits.itertuples(index=False)
+        ]
+        out["match_start"] = np.asarray(starts_out, dtype=np.int64)
+        out["snippet"] = snips
+        return out
+
     # ---------------- explain (Explanation parity) ------------------------
 
     def explain(self, q: Query, global_doc_id: int) -> dict:
