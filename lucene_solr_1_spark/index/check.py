@@ -126,6 +126,43 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
     )
 
     errors: list[str] = []
+    if manifest.get("offsets"):
+        # offsets IndexOption: every doc must carry span arrays with
+        # start/end parity, non-negative monotone starts, end > start,
+        # and at least dl entries (spans cover RAW tokens, dl counts the
+        # post-filter subset) — all validated distributed
+        if "off_starts" not in norms.columns:
+            errors.append("manifest says offsets=true but docmap lacks span columns")
+        else:
+            def _check_offsets(batches):
+                for pdf in batches:
+                    rows = []
+                    for r in pdf.itertuples(index=False):
+                        errs = []
+                        st = np.frombuffer(r.off_starts or b"", dtype=np.int32)
+                        en = np.frombuffer(r.off_ends or b"", dtype=np.int32)
+                        if len(st) != len(en):
+                            errs.append("span start/end length mismatch")
+                        elif len(st):
+                            if (en <= st).any() or (st < 0).any():
+                                errs.append("invalid span")
+                            if (np.diff(st) <= 0).any():
+                                errs.append("spans not ascending")
+                        if len(st) < r.dl:
+                            errs.append(f"{len(st)} spans < dl {r.dl}")
+                        rows.append((r.segment_id, int(r.doc_id), "; ".join(errs)))
+                    yield pd.DataFrame(rows, columns=["segment_id", "doc_id", "err"])
+
+            bad = (
+                norms.select("segment_id", "doc_id", "dl", "off_starts", "off_ends")
+                .mapInPandas(_check_offsets,
+                             schema="segment_id string, doc_id bigint, err string")
+                .where(F.col("err") != "")
+                .limit(5)
+                .toPandas()
+            )
+            for r in bad.itertuples(index=False):
+                errors.append(f"{r.segment_id}/doc {r.doc_id}: offsets {r.err}")
     for s in manifest["segments"]:
         sid = s["segment_id"]
         n = nagg.loc[sid] if sid in nagg.index else None

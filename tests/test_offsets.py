@@ -77,6 +77,27 @@ def test_offsets_survive_merge_and_append(spark, tmp_path):
     assert by_path.loc["p/0", "match_start"] == 0
 
 
+def test_check_index_validates_offsets(spark, tmp_path):
+    """CheckIndex covers the offsets option: a sound offsets index
+    reports no errors; corrupting a span blob is detected."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import glob
+    from lucene_solr_1_spark.index.check import check_index
+
+    d = str(tmp_path / "offidx4")
+    build_index(spark, spark.createDataFrame(_corpus()), d, num_segments=1,
+                store_offsets=True)
+    assert check_index(spark, d)["errors"] == []
+    # corrupt: truncate one doc's off_starts to odd parity vs off_ends
+    f = glob.glob(f"{d}/segments/*/norms.parquet")[0]
+    t = pq.read_table(f).to_pandas()
+    t.loc[0, "off_starts"] = t.loc[0, "off_starts"][:-4]
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    rep = check_index(spark, d)
+    assert any("offsets" in e for e in rep["errors"])
+
+
 def test_offsets_requires_option(spark, tmp_path):
     d = str(tmp_path / "offidx3")
     build_index(spark, spark.createDataFrame(_corpus()), d, num_segments=1)
