@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash_spark(s, d)
     # the dedup DECISION step (connected components -> one representative
     # per near-dup cluster) and the full curation composition
+    q["dedup_simhash_neardup"] = lambda s, d: dedup.simhash_neardup_spark(s, d, 3)
+    q["fts_count"] = lambda s, d: R.count_query_spark(
+        s, d, must=("query",), should=("merge", "spark")
+    )
     q["dedup_cluster_reps"] = (
         lambda s, d: dedup.dedup_cluster_representatives_spark(s, d, 0.4)
     )
@@ -392,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),
         "dedup_minhash_verified": dedup.minhash_verified_duck(0.4),
         "dedup_simhash": dedup.simhash_duck(),
+        "dedup_simhash_neardup": dedup.simhash_neardup_duck(3),
+        "fts_count": R.count_query_duck(must=("query",), should=("merge", "spark")),
         "dedup_cluster_reps": dedup.dedup_cluster_representatives_duck(0.4),
         "pipeline_curated_docs": __import__(
             "lucene_solr_1_spark.pipeline.curate", fromlist=["x"]

@@ -131,6 +131,21 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
                 (SpanOr(("public", "private")), "static"), slop=3
             ),
         }
+        # BASELINE prescribes latency at k = 10 AND 100: k only changes
+        # the per-segment heap size + driver merge width, not the scan
+        queries["wand_term_hot_k100"] = _timed(
+            lambda: searcher.search(Term("return"), k=100, with_stored=False)
+        )
+        queries["wand_bool_or_k100"] = _timed(
+            lambda: searcher.search(
+                Bool.of(
+                    (Occur.SHOULD, Term("public")),
+                    (Occur.SHOULD, Term("static")),
+                    (Occur.SHOULD, Term("void")),
+                ),
+                k=100, with_stored=False,
+            )
+        )
         lat: list[float] = []
         for name, q in kernel_qs.items():
             queries[name] = _timed(

@@ -451,3 +451,77 @@ reach(doc, anc) AS (
 SELECT doc::BIGINT AS doc_id, min(anc)::BIGINT AS rep_id
 FROM reach GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+# --- SimHash near-dup pairs: banded hamming search ---------------------------
+
+N_SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15  # 4 x 15 = the full 60-bit signature
+
+
+def simhash_neardup_spark(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS at scale (the classic web-dedup
+    composition): band the 60-bit signature into 4 x 15-bit pieces —
+    by pigeonhole, any pair within hamming distance 3 agrees on at least
+    one band — join on band equality (one shuffle on band keys, never
+    all-pairs), then verify bit_count(xor) <= max_hamming exactly.
+    Recall is EXACT for max_hamming <= N_SIMHASH_BANDS - 1.
+
+    Scale note: bucket population ~ n_docs / 2^band_bits, so 15-bit
+    bands are calibrated for ~10^7-10^8 docs; at 10^9+ widen the
+    fingerprint (e.g. 128-bit base hash -> 4 x 32-bit bands) so band
+    keys stay selective — the pigeonhole guarantee needs bands =
+    max_hamming + 1 regardless of key width."""
+    sh = simhash_spark(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_exprs = [
+        (
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(mask)
+            + F.lit(b << SIMHASH_BAND_BITS)
+        ).cast("bigint")
+        for b in range(N_SIMHASH_BANDS)
+    ]
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*band_exprs)).alias("bk")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_neardup_duck(max_hamming: int = 3) -> str:
+    inner = simhash_duck()
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = ", ".join(
+        f"((simhash >> {b * SIMHASH_BAND_BITS}) & {mask}) + {b << SIMHASH_BAND_BITS}"
+        for b in range(N_SIMHASH_BANDS)
+    )
+    return f"""
+WITH sh AS ({inner}),
+banded AS (
+  SELECT doc_id, simhash, unnest([{bands}]) AS bk FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, hamming
+FROM cand WHERE hamming <= {max_hamming}
+ORDER BY 1, 2
+""".strip()

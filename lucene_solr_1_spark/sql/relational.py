@@ -969,6 +969,40 @@ ORDER BY parent_score DESC, d.source ASC LIMIT {k}
 """.strip()
 
 
+def count_query_spark(
+    spark, sf_dir, must: tuple = (), should: tuple = ()
+) -> DataFrame:
+    """IndexSearcher.count / TotalHitCountCollector analog: the match
+    count of a boolean query with NO scoring and NO ranking — Catalyst
+    plans a partial_count + final count, never materializing the match
+    set; the per-doc work is a pushdown-friendly array_contains chain."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    cond = None
+    for t in must:
+        c = F.array_contains("toks", t)
+        cond = c if cond is None else cond & c
+    if should:
+        sc = None
+        for t in should:
+            c = F.array_contains("toks", t)
+            sc = c if sc is None else sc | c
+        cond = sc if cond is None else cond & sc
+    return docs.where(cond if cond is not None else F.lit(True)).agg(
+        F.count("*").cast("bigint").alias("total_hits")
+    )
+
+
+def count_query_duck(must: tuple = (), should: tuple = ()) -> str:
+    te = duck_tokens_expr()
+    conds = [f"list_contains({te}, '{t}')" for t in must]
+    if should:
+        conds.append(
+            "(" + " OR ".join(f"list_contains({te}, '{t}')" for t in should) + ")"
+        )
+    where = " AND ".join(conds) if conds else "TRUE"
+    return f"SELECT count(*)::BIGINT AS total_hits FROM documents WHERE {where}"
+
+
 def block_join_children_spark(
     spark, sf_dir, term: str, k_parents: int = 5
 ) -> DataFrame:
