@@ -184,6 +184,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.curated_docs_spark(s, d, "en", 0.5, 0.4)
 
     q["pipeline_curated_docs"] = _curated
+
+    def _quota(s, d):
+        from lucene_solr_1_spark.pipeline import curate
+
+        return curate.quota_split_spark(s, d, 10, 20)
+
+    q["pipeline_quota_split"] = _quota
     q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk_spark(s, d, 0, 20)
     q["embedding_cosine_topk_batch"] = lambda s, d: similarity.cosine_topk_many_spark(
         s, d, (0, 7, 42), 10
@@ -402,6 +409,9 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curated_docs": __import__(
             "lucene_solr_1_spark.pipeline.curate", fromlist=["x"]
         ).curated_docs_duck("en", 0.5, 0.4),
+        "pipeline_quota_split": __import__(
+            "lucene_solr_1_spark.pipeline.curate", fromlist=["x"]
+        ).quota_split_duck(10, 20),
         "embedding_cosine_topk": similarity.cosine_topk_duck(0, 20),
         "embedding_cosine_topk_batch": similarity.cosine_topk_many_duck((0, 7, 42), 10),
         "dedup_embedding_cosine": similarity.embedding_neardup_duck(0.45),

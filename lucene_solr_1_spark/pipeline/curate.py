@@ -49,6 +49,63 @@ def curated_docs_spark(
     )
 
 
+def quota_split_spark(
+    spark, sf_dir, per_source_cap: int = 10, val_mod: int = 20
+) -> DataFrame:
+    """Data-mixing step of a training pipeline: cap documents PER SOURCE
+    (quality-ranked — domain quota sampling, prevents one crawl domain
+    from dominating the mix) and assign a DETERMINISTIC train/val split
+    by content hash (doc_id-stable, reshuffle-proof: the split survives
+    any repartition or re-run because it's a pure function of the row).
+
+    Scale shape: the quota is a per-source window rank (shuffle on
+    source; source cardinality is high and the cap bounds per-group
+    output) and the split is a hash expression inside codegen."""
+    from pyspark.sql import Window
+
+    from .dedup import _spark_h
+    from .textstats import quality_score_spark
+
+    q = quality_score_spark(spark, sf_dir).select("doc_id", "quality")
+    docs = load_documents(spark, sf_dir).select("doc_id", "source", "text")
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        docs.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= per_source_cap)
+        .withColumn(
+            "split",
+            F.when(
+                F.pmod(F.expr(_spark_h("text", "split")), F.lit(val_mod)) == 0,
+                "val",
+            ).otherwise("train"),
+        )
+        .select("doc_id", "source", "quality", "rk", "split")
+        .orderBy("doc_id")
+    )
+
+
+def quota_split_duck(per_source_cap: int = 10, val_mod: int = 20) -> str:
+    from .dedup import _duck_h
+    from .textstats import quality_score_duck
+
+    q = quality_score_duck()
+    h = _duck_h("d.text", "split")
+    return f"""
+WITH qual AS ({q}),
+ranked AS (
+  SELECT d.doc_id, d.source, qual.quality, ({h}) AS th,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY qual.quality DESC, d.doc_id)::BIGINT AS rk
+  FROM documents d JOIN qual ON qual.doc_id = d.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, source, quality, rk,
+       CASE WHEN th % {val_mod} = 0 THEN 'val' ELSE 'train' END AS split
+FROM ranked WHERE rk <= {per_source_cap}
+ORDER BY doc_id
+""".strip()
+
+
 def curated_docs_duck(
     lang: str = "en", min_quality: float = 0.5, dedup_threshold: float = 0.4
 ) -> str:

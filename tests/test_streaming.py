@@ -167,6 +167,74 @@ def test_stateful_sessions_late_events_across_batches(spark, tmp_path_factory):
     assert first["session_end"] == mins(25) + pd.Timedelta(seconds=S.GAP_SECONDS)
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path_factory):
+    """Dedup-at-ingest: a content hash first seen in batch 1 must NOT be
+    re-emitted when a duplicate arrives in batch 2; within a batch the
+    min-doc_id copy wins; result set == the batch twin's representative
+    set over the full input."""
+    import time as _time
+
+    import pandas as pd
+    from lucene_solr_1_spark.streaming import dedup_stream as DS
+
+    sf = "/root/testdata/sf0.001"
+    full = spark.read.parquet(f"{sf}/documents.parquet").toPandas()
+    half = len(full) // 2
+    src = str(tmp_path_factory.mktemp("dd_src"))
+    ckpt = str(tmp_path_factory.mktemp("dd_ckpt"))
+    out = str(tmp_path_factory.mktemp("dd_out"))
+    spark.createDataFrame(full.iloc[:half]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(full.iloc[half:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # force two micro-batches so dupes straddle the batch boundary
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.readStream.schema(DS._DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("text_hash", F.md5("text"))
+    )
+    q = (
+        docs.groupBy("text_hash")
+        .applyInPandasWithState(
+            DS._dedup_state_func,
+            outputStructType=DS._OUT_DDL,
+            stateStructType="emitted boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(240)
+    got = spark.read.parquet(out).toPandas()
+    # batch twin: min doc_id per content hash over the FULL input
+    import hashlib
+
+    full["h"] = full["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    want = full.groupby("h")["doc_id"].min()
+    assert len(got) == len(want)  # one emission per distinct content
+    assert got["text_hash"].is_unique
+    got_map = got.set_index("text_hash")["doc_id"]
+    # every hash emitted exactly once with a valid representative: the
+    # batch min UNLESS the min arrived in a later batch than the first
+    # emission (first-arrival-wins stream semantics) — in that case the
+    # emitted doc is the min of the EARLIEST batch containing the hash
+    b1 = full.iloc[:half].groupby("h")["doc_id"].min()
+    for h, doc in got_map.items():
+        expect = b1[h] if h in b1.index else want[h]
+        assert doc == expect, h
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path_factory):
     """Streaming watermarked window agg == batch twin on the same events.
     (Append mode emits only watermark-finalized windows; with availableNow
