@@ -196,6 +196,27 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
         svc.close()
         queries["concurrent_16_queries"] = conc_s
         latency["concurrent_qps"] = round(len(conc_qs) / conc_s, 1)
+        # single-node-throughput parity: driver-LOCAL evaluation (same
+        # kernels in-process, zero Spark jobs once the term cache is
+        # warm — the resident Lucene-process posture). Mixed shapes:
+        # terms, booleans, a phrase — all result-identical to search().
+        local_qs = [Term(f"id_{i * 31 % 5000:04d}") for i in range(46)]
+        local_qs += [
+            Term("return"),
+            Bool.of((Occur.MUST, Term("return")), (Occur.SHOULD, Term("class"))),
+            Bool.of((Occur.SHOULD, Term("public")), (Occur.SHOULD, Term("void"))),
+            Phrase(("return", "int")),
+        ]
+        for lq in local_qs:  # warm the per-term driver cache
+            searcher.search_local(lq, k=10)
+        t0 = time.monotonic()
+        reps = 4
+        for _ in range(reps):
+            for lq in local_qs:
+                searcher.search_local(lq, k=10)
+        local_s = time.monotonic() - t0
+        queries["local_mode_200_queries"] = local_s
+        latency["local_qps"] = round(reps * len(local_qs) / local_s, 1)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 

@@ -340,16 +340,16 @@ def eval_node(node: dict, seg: SegmentData, cache):
             return _EMPTY_I, _EMPTY_F
         return allowed, np.full(len(allowed), float(node["score"]), dtype=np.float64)
     if t == "anyterm":
-        # constant-score union of EVERY posting row shipped to this kernel
-        # (multi-term query CONSTANT_SCORE_REWRITE: the Spark-side predicate
-        # on `term` already selected the expansion; MultiTermQuery.java
-        # CONSTANT_SCORE_REWRITE semantics — score = boost, no per-term BM25).
-        # Sentinel rows (segment-dispatch placeholders) are skipped.
-        parts = [
-            seg.postings(term)[0]
-            for term in seg.rows
-            if not _is_sentinel(term)
-        ]
+        # constant-score union of the expansion's posting rows (multi-term
+        # query CONSTANT_SCORE_REWRITE: score = boost, no per-term BM25).
+        # Distributed path: the Spark-side predicate already selected the
+        # rows, so default = every row shipped here. Local path: the
+        # SegmentData holds the whole term CACHE, so the plan carries the
+        # explicit expansion under "keys". Sentinel rows are skipped.
+        term_keys = node.get("keys")
+        if term_keys is None:
+            term_keys = [term for term in seg.rows if not _is_sentinel(term)]
+        parts = [seg.postings(tuple(term))[0] for term in term_keys]
         parts = [d for d in parts if len(d)]
         if not parts:
             return _EMPTY_I, _EMPTY_F

@@ -537,7 +537,11 @@ class LuceneSparkSearcher:
                 .applyInPandas(kernel, schema=_HIT_SCHEMA)
                 .toPandas()
             )
-        # TopDocs.merge: score desc → global docID asc (leaf order, doc order)
+        return self._merge_hits(hits, k, with_stored)
+
+    def _merge_hits(self, hits: pd.DataFrame, k: int, with_stored: bool) -> pd.DataFrame:
+        """TopDocs.merge: score desc → global docID asc (leaf order, doc
+        order) — shared by the distributed and driver-local paths."""
         if len(hits):
             hits["global_doc_id"] = (
                 hits["segment_id"].map(self.doc_base) + hits["doc_id"]
@@ -646,6 +650,199 @@ class LuceneSparkSearcher:
             h.insert(1, "rank", np.arange(len(h)))
             out_frames.append(h.drop(columns=["total", "relation"], errors="ignore"))
         return pd.concat(out_frames, ignore_index=True)
+
+    def search_local(
+        self,
+        q: Query,
+        k: int = 10,
+        use_wand: bool = True,
+        with_stored: bool = False,
+        after: tuple | None = None,
+    ) -> pd.DataFrame:
+        """Driver-LOCAL evaluation: the exact same compiled plan and
+        segment kernels run in-process over posting rows fetched once and
+        cached per (field, term) — repeated queries over a hot term set
+        execute with ZERO Spark jobs at NumPy speed (ms-level), matching
+        a resident single-node Lucene process. Results are IDENTICAL to
+        search() (same kernels, same merge, same tie-breaks — pinned by
+        tests/test_local_mode.py).
+
+        This is the single-node-throughput parity mode for SMALL/HOT
+        indexes (the postings working set must fit driver memory); the
+        distributed search() path remains the 100 TB shape. Mirrors how
+        a Lucene shard serves from page cache once warm."""
+        q0 = rewrite(self._analyze_query(q))
+        from .query import MatchAll
+
+        if isinstance(q0, MatchAll):
+            return self._match_all(k, after, with_stored)
+        if isinstance(q0, self._MTQ_TYPES) and not isinstance(q0, Fuzzy):
+            expanded = self._expand_terms(self._mtq_cond(q0))
+            keys = {(q0.field, t) for t in expanded}
+            plan: dict = {
+                "type": "anyterm",
+                "score": np.float32(1.0),
+                "keys": sorted(keys),
+            }
+            qq: Query = q0
+        else:
+            qq = rewrite(self.expand(q0))
+            if isinstance(qq, MatchNone):
+                out = pd.DataFrame(
+                    columns=["rank", "score", "global_doc_id", "segment_id", "doc_id"]
+                )
+                out.attrs["total_hits"] = 0
+                out.attrs["relation"] = "EQUAL_TO"
+                return out
+            keys = query_terms(qq)
+            plan = K.compile_plan(qq, self._global_df(keys), self.doc_counts)
+        self._local_postings(keys)
+        segdata = self._local_segdata()
+        nrs = numeric_ranges(qq)
+        vsf = value_source_fields(qq)
+        allowed_maps = self._local_allowed_maps(nrs, vsf) if (nrs or vsf) else None
+        if "matchall" in K.plan_node_types(plan):
+            segs = sorted(self.doc_base)
+        else:
+            segs = sorted(
+                {
+                    sid
+                    for sid, seg in segdata.items()
+                    if any(kk in seg.rows for kk in keys)
+                }
+            )
+        parts = []  # (sid, local docs, float64 scores)
+        total_hits, all_equal = 0, True
+        for sid in segs:
+            seg = segdata[sid]
+            # per-query doc-values channel (NOT thread-safe: local mode
+            # assumes one caller, like an IndexSearcher instance)
+            seg.allowed = allowed_maps.get(sid) if allowed_maps else None
+            base = self.doc_base.get(sid, 0)
+            deleted = self.tombstones.get(sid)
+            if use_wand and K.wand_applicable(plan):
+                docs, scores, total, relation = K.score_wand(
+                    plan, seg, self.caches, k, after=after, doc_base=base,
+                    deleted=deleted,
+                )
+            else:
+                docs, scores, total, relation = K.score_exhaustive(
+                    plan, seg, self.caches, k, after=after, doc_base=base,
+                    deleted=deleted,
+                )
+            total_hits += int(total)
+            all_equal &= relation == "EQUAL_TO"
+            if len(docs):
+                parts.append((sid, docs, scores))
+        if parts:
+            sids = np.concatenate(
+                [np.full(len(d), i, dtype=np.int64) for i, (_, d, _) in enumerate(parts)]
+            )
+            docs = np.concatenate([d for _, d, _ in parts])
+            scores = np.concatenate([s for _, _, s in parts]).astype(np.float32)
+            bases = np.asarray(
+                [self.doc_base.get(sid, 0) for sid, _, _ in parts], dtype=np.int64
+            )
+            gids = bases[sids] + docs
+            order = np.lexsort((gids, -scores.astype(np.float64)))[:k]
+            sid_names = np.asarray([sid for sid, _, _ in parts], dtype=object)
+            out = pd.DataFrame(
+                {
+                    "segment_id": sid_names[sids[order]],
+                    "doc_id": docs[order],
+                    "score": scores[order],
+                    "global_doc_id": gids[order],
+                }
+            )
+        else:
+            out = pd.DataFrame(
+                {
+                    "segment_id": pd.Series(dtype="object"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float32"),
+                    "global_doc_id": pd.Series(dtype="int64"),
+                }
+            )
+        out.insert(0, "rank", np.arange(len(out)))
+        if with_stored and len(out):
+            stored = self._fetch_stored(out)
+            out = out.merge(stored, on=["segment_id", "doc_id"], how="left")
+        out.attrs["total_hits"] = total_hits
+        out.attrs["relation"] = "EQUAL_TO" if all_equal else "GREATER_THAN_OR_EQUAL_TO"
+        return out
+
+    def _local_segdata(self) -> dict:
+        """Persistent per-segment SegmentData over ALL locally cached
+        posting rows — the FOR-block decode cache survives across
+        queries (a warm query touches no pandas rows at all). Rebuilt
+        only when new terms were fetched; existing decoded arrays are
+        carried over."""
+        rev = getattr(self, "_local_rev", 0)
+        if getattr(self, "_local_segs_rev", -1) != rev:
+            rows = (
+                pd.concat(list(self._local_rows.values()), ignore_index=True)
+                if getattr(self, "_local_rows", None)
+                else pd.DataFrame(columns=["field", "term"])
+            )
+            old = getattr(self, "_local_segs", {})
+            segs = {}
+            for sid in self.doc_base:
+                sub = (
+                    rows[rows["segment_id"] == sid]
+                    if "segment_id" in rows.columns
+                    else rows
+                )
+                seg = K.SegmentData(sub, self.seg_doc_count.get(sid, 0))
+                if sid in old:  # keep already-decoded postings
+                    seg._decoded.update(old[sid]._decoded)
+                segs[sid] = seg
+            self._local_segs = segs
+            self._local_segs_rev = rev
+        return self._local_segs
+
+    def _local_postings(self, keys: set) -> pd.DataFrame:
+        """Posting rows for (field, term) keys, fetched from the
+        distributed table ONCE per key and cached driver-side (the hot
+        shard's page-cache analog). Cache is safe: the index is immutable
+        under this manifest generation."""
+        if not hasattr(self, "_local_rows"):
+            self._local_rows: dict = {}
+            self._local_rev = 0
+        missing = sorted(kk for kk in keys if kk not in self._local_rows)
+        if missing:
+            pdf = self._postings.where(self._terms_filter(set(missing))).toPandas()
+            for kk in missing:
+                self._local_rows[kk] = pdf[
+                    (pdf["field"] == kk[0]) & (pdf["term"] == kk[1])
+                ]
+            self._local_rev += 1
+
+    def _local_allowed_maps(self, nrs: set, vsf: set) -> dict:
+        """Doc-values channel (NumericRange sets + FunctionScore values)
+        fetched once per distinct set_id, pre-grouped per segment into
+        the exact SegmentData.allowed payloads, and cached driver-side:
+        {segment_id: {set_id: sorted docIDs | (docs, values)}}."""
+        if not hasattr(self, "_local_sets"):
+            self._local_sets: dict = {}  # set_id -> {sid: payload}
+        need_nrs = {nr for nr in nrs if K.numeric_set_id(nr) not in self._local_sets}
+        need_vsf = {f for f in vsf if f"values:{f}" not in self._local_sets}
+        if need_nrs or need_vsf:
+            pdf = self._numeric_allowed_df(need_nrs, need_vsf).toPandas()
+            for (set_id, sid), g in pdf.groupby(["set_id", "segment_id"]):
+                per_sid = self._local_sets.setdefault(set_id, {})
+                payload = _allowed_from_pdf(g)
+                per_sid[sid] = payload[set_id]
+            for set_id in (
+                {K.numeric_set_id(nr) for nr in need_nrs}
+                | {f"values:{f}" for f in need_vsf}
+            ):
+                self._local_sets.setdefault(set_id, {})
+        wanted = [K.numeric_set_id(nr) for nr in nrs] + [f"values:{f}" for f in vsf]
+        out: dict = {}
+        for set_id in wanted:
+            for sid, payload in self._local_sets[set_id].items():
+                out.setdefault(sid, {})[set_id] = payload
+        return out
 
     def _match_all(self, k: int, after, with_stored: bool) -> pd.DataFrame:
         """MatchAllDocsQuery: constant score 1.0 over the docmap — a
