@@ -43,18 +43,32 @@ class SearcherService:
             )
         self.searcher = searcher
         self._pool = ThreadPoolExecutor(max_workers=max_concurrent)
+        import threading
 
-    def submit(self, q, k: int = 10, **kw):
-        """Async single query → Future[pd.DataFrame]."""
-        return self._pool.submit(self.searcher.search, q, k, **kw)
+        # search_local mutates per-segment state (seg.allowed) and its
+        # caches — serialize it; at ~2 ms/query the lock still clears
+        # hundreds of qps, far above the distributed dispatch path
+        self._local_lock = threading.Lock()
 
-    def search_all(self, queries: dict, k: int = 10, **kw) -> dict:
+    def _search_local_locked(self, q, k: int, **kw):
+        with self._local_lock:
+            return self.searcher.search_local(q, k, **kw)
+
+    def submit(self, q, k: int = 10, local: bool = False, **kw):
+        """Async single query → Future[pd.DataFrame]. `local=True` routes
+        to the driver-local kernels (zero Spark jobs when warm)."""
+        fn = self._search_local_locked if local else self.searcher.search
+        return self._pool.submit(fn, q, k, **kw)
+
+    def search_all(self, queries: dict, k: int = 10, local: bool = False,
+                   **kw) -> dict:
         """Run independent queries concurrently; returns {name: hits}.
         Results identical to sequential search() per query (the searcher's
         driver-side caches are GIL-safe; Spark job submission is
         thread-safe)."""
         futures = {
-            name: self.submit(q, k, **kw) for name, q in queries.items()
+            name: self.submit(q, k, local=local, **kw)
+            for name, q in queries.items()
         }
         return {name: f.result() for name, f in futures.items()}
 

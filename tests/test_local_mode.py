@@ -71,6 +71,24 @@ def test_local_search_after_pages(local_setup):
     )
 
 
+def test_service_local_routing(local_setup):
+    """SearcherService local=True serves concurrent callers from the
+    driver-local kernels with results identical to search()."""
+    from lucene_solr_1_spark.search.service import SearcherService
+
+    s = local_setup
+    svc = SearcherService(searcher=s, max_concurrent=4)
+    qs = {f"q{i}": Term(t) for i, t in
+          enumerate(["return", "class", "public", "static", "void", "int"])}
+    got = svc.search_all(qs, k=10, local=True, with_stored=False)
+    svc.close()
+    for name, q in qs.items():
+        want = s.search(q, k=10, with_stored=False)
+        pd.testing.assert_frame_equal(
+            got[name].reset_index(drop=True), want.reset_index(drop=True)
+        )
+
+
 def test_local_mode_zero_jobs_when_warm(local_setup, spark):
     """Once the term cache is warm, repeated local queries run without
     ANY Spark job — the resident single-node posture."""
