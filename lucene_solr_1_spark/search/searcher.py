@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..index import manifest as mf
 from ..index.builder import norms_paths, postings_paths
 from ..kernels import bm25
+from ..kernels.osa import osa_udf
 from . import kernel as K
 from .query import (
     Bool, Clause, FunctionScore, Fuzzy, MatchNone, NUMERIC_DOCVALUES, Occur,
@@ -264,11 +265,16 @@ class LuceneSparkSearcher:
         if isinstance(q, Regexp):
             return in_field & col.rlike("^" + q.pattern + "$")
         if isinstance(q, Fuzzy):
-            # length pre-filter keeps the levenshtein scan cheap
+            # Transpositions count ONE edit (FuzzyQuery.java:58
+            # defaultTranspositions=true): exact OSA distance via an
+            # Arrow-batched UDF behind two Catalyst-pushable prefilters —
+            # the length window and levenshtein <= 2*max_edits (sound:
+            # osa <= e implies levenshtein <= 2e) reach the scan, the
+            # Python stage sees only the survivors.
             lo, hi = len(q.text) - q.max_edits, len(q.text) + q.max_edits
             return in_field & (F.length(col).between(lo, hi)) & (
-                F.levenshtein(col, F.lit(q.text)) <= q.max_edits
-            )
+                F.levenshtein(col, F.lit(q.text)) <= 2 * q.max_edits
+            ) & (osa_udf(q.text)(col) <= q.max_edits)
         if isinstance(q, TermRange):
             cond = in_field
             if q.lower is not None:
@@ -295,7 +301,7 @@ class LuceneSparkSearcher:
         )
         rows = (
             t.where(self._mtq_cond(q))
-            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q.text)))
+            .withColumn("dist", osa_udf(q.text)(F.col("term")))
             .withColumn(
                 "boost",
                 1.0

@@ -269,7 +269,13 @@ def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10) -> str:
     """Twin of the kernel fuzzy SCORING rewrite (FuzzyQuery top-terms
     rewrite): dictionary terms within max_edits expand to a SHOULD
     disjunction, each weighted f32(f32(boost) * idf32) with
-    boost = 1 - ed/min(|term|, |text|) (FuzzyTermsEnum.java:218-238)."""
+    boost = 1 - ed/min(|term|, |text|) (FuzzyTermsEnum.java:218-238).
+
+    ed counts transpositions as ONE edit (FuzzyQuery.java:58
+    defaultTranspositions=true). DuckDB's damerau_levenshtein is the
+    UNRESTRICTED variant vs the engine's OSA (kernels/osa.py);
+    tests/test_osa.py asserts they agree over every in-window
+    dictionary pair of the pinned corpora."""
     lo, hi = len(text) - max_edits, len(text) + max_edits
     qt = _sql_str(text)
     boost32 = (
@@ -283,11 +289,11 @@ exp AS (
   -- TopTermsRewrite cap (TopTermsRewrite.java:106): the 1024 survivors
   -- are the top by BOOST (1 - ed/min-len) then term, matching the
   -- engine's _expand_fuzzy — close-but-rare beats popular-but-far
-  SELECT term, df, levenshtein(term, {qt}) AS ed FROM dict
+  SELECT term, df, damerau_levenshtein(term, {qt}) AS ed FROM dict
   WHERE length(term) BETWEEN {lo} AND {hi}
-    AND levenshtein(term, {qt}) <= {max_edits}
+    AND damerau_levenshtein(term, {qt}) <= {max_edits}
   QUALIFY row_number() OVER (
-    ORDER BY 1.0 - levenshtein(term, {qt})::DOUBLE
+    ORDER BY 1.0 - damerau_levenshtein(term, {qt})::DOUBLE
                  / least(length(term), {len(text)}) DESC, term ASC
   ) <= 1024
 ),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 K1 = 1.2
 B = 0.75
 from ..kernels.analyzer import SQL_TOKEN_PATTERN as TOKEN_PATTERN  # one shared spec
+from ..kernels.osa import osa_udf
 
 
 def spark_tokens_expr(text_col: str = "text") -> str:
@@ -388,25 +389,34 @@ SELECT DISTINCT doc_id FROM tok WHERE term LIKE '{prefix}%' ORDER BY doc_id
 
 
 def fuzzy_terms_spark(spark, sf_dir, text: str, max_edits: int = 1) -> DataFrame:
-    """Fuzzy term expansion against the dictionary (FuzzyQuery rewrite)."""
+    """Fuzzy term expansion against the dictionary (FuzzyQuery rewrite).
+
+    Transpositions count ONE edit (FuzzyQuery.java:58
+    defaultTranspositions=true): exact OSA distance (kernels/osa.py)
+    behind Catalyst-pushable prefilters (length window +
+    levenshtein <= 2*max_edits, sound since osa <= e ⟹ lev <= 2e)."""
     docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
     toks = docs.select(F.explode("toks").alias("term")).distinct()
     return (
         toks.where(
             (F.length("term").between(len(text) - max_edits, len(text) + max_edits))
-            & (F.levenshtein(F.col("term"), F.lit(text)) <= max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(text)) <= 2 * max_edits)
+            & (osa_udf(text)(F.col("term")) <= max_edits)
         )
         .orderBy("term")
     )
 
 
 def fuzzy_terms_duck(text: str, max_edits: int = 1) -> str:
+    """Twin: DuckDB damerau_levenshtein (unrestricted DL) stands in for
+    the engine's OSA — agreement over every in-window dictionary pair of
+    the pinned corpora is asserted by tests/test_osa.py."""
     te = duck_tokens_expr()
     return f"""
 WITH tok AS (SELECT DISTINCT unnest({te}) AS term FROM documents)
 SELECT term FROM tok
 WHERE length(term) BETWEEN {len(text) - max_edits} AND {len(text) + max_edits}
-  AND levenshtein(term, '{text}') <= {max_edits}
+  AND damerau_levenshtein(term, '{text}') <= {max_edits}
 ORDER BY term
 """.strip()
 
@@ -748,9 +758,10 @@ def suggest_spell_spark(
     score desc, docFreq desc, term asc. If the query term itself is in
     the index, no suggestions (the suggest-when-not-in-index contract) —
     expressed declaratively via a broadcast qdf frame so the whole thing
-    is ONE distributed plan. Deviation: plain Levenshtein (Spark/DuckDB
-    built-in) instead of LuceneLevenshteinDistance's transposition-aware
-    variant."""
+    is ONE distributed plan. ed is LuceneLevenshteinDistance's
+    transposition-aware OSA (kernels/osa.py) behind Catalyst-pushable
+    prefilters; the DuckDB twin's damerau_levenshtein agreement is
+    asserted by tests/test_osa.py."""
     docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
     tok = docs.select("doc_id", F.explode("toks").alias("term"))
     d = tok.groupBy("term").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
@@ -763,8 +774,9 @@ def suggest_spell_spark(
             F.length("term").between(lo, hi)
             & (F.substring("term", 1, 1) == text[0])
             & (F.col("term") != text)
+            & (F.levenshtein(F.col("term"), F.lit(text)) <= 2 * max_edits)
         )
-        .withColumn("ed", F.levenshtein(F.col("term"), F.lit(text)))
+        .withColumn("ed", osa_udf(text)(F.col("term")))
         .where(F.col("ed") <= max_edits)
         .withColumn(
             "score",
@@ -792,7 +804,7 @@ WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents),
 d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
 q AS (SELECT coalesce(sum(df), 0) AS qdf FROM d WHERE term = '{text}'),
 cand AS (
-  SELECT term, df, levenshtein(term, '{text}') AS ed FROM d
+  SELECT term, df, damerau_levenshtein(term, '{text}') AS ed FROM d
   WHERE length(term) BETWEEN {lo} AND {hi}
     AND substring(term, 1, 1) = '{text[0]}' AND term <> '{text}'
 )

@@ -29,6 +29,22 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def osa_distance(a: str, b: str) -> int:
+    """Independent OSA (restricted Damerau) reference — transposition of
+    adjacent chars costs 1, transposed pairs never edited again; the
+    engine twin lives in kernels/osa.py (FuzzyQuery transpositions=true)."""
+    rows = [list(range(len(b) + 1))]
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            d = min(rows[i - 1][j] + 1, cur[j - 1] + 1, rows[i - 1][j - 1] + (ca != cb))
+            if i > 1 and j > 1 and ca == b[j - 2] and a[i - 2] == cb:
+                d = min(d, rows[i - 2][j - 2] + 1)
+            cur.append(d)
+        rows.append(cur)
+    return rows[-1][-1]
+
+
 class OracleIndex:
     def __init__(self, corpus_pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD):
         pdf = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
@@ -104,12 +120,13 @@ class OracleIndex:
     def fuzzy_scores(self, text: str, max_edits: int = 2) -> dict:
         """FuzzyQuery scoring-rewrite oracle: every dictionary term within
         max_edits contributes with boost 1 - ed/min(|term|, |text|)
-        (FuzzyTermsEnum.java:218-238), summed as a SHOULD disjunction."""
+        (FuzzyTermsEnum.java:218-238), summed as a SHOULD disjunction.
+        ed is OSA (transpositions=true, FuzzyQuery.java:58)."""
         out: dict = {}
         for term in self.df:
             if abs(len(term) - len(text)) > max_edits:
                 continue
-            d = levenshtein(term, text)
+            d = osa_distance(term, text)
             if d > max_edits:
                 continue
             boost = 1.0 if d == 0 else 1.0 - d / min(len(term), len(text))

@@ -181,13 +181,15 @@ def test_prefix_and_wildcard(searcher, oracle):
 
 
 def test_fuzzy(searcher, oracle):
-    # 'returm' ~1 → 'return' (and possibly other 1-edit vocab terms)
+    # 'returm' ~1 → 'return' (and possibly other 1-OSA-edit vocab terms)
+    from .oracle import osa_distance
+
     hits = searcher.search(Fuzzy("returm", max_edits=1), k=10)
     assert len(hits) > 0
     assert set(keys_of(hits)) <= {
         oracle.key_of(d)
         for t in oracle.df
-        if _lev(t, "returm") <= 1
+        if osa_distance(t, "returm") <= 1
         for d in oracle.term_scores(t)
     }
 
@@ -227,8 +229,11 @@ def test_query_result_cache(searcher):
 def test_fuzzy_scoring_rewrite(searcher, oracle):
     """FuzzyQuery scoring rewrite: per-expanded-term boost 1 - ed/min-len
     (FuzzyTermsEnum.java:218-238) — rank-identical to the brute-force
-    fuzzy oracle, closer matches outranking farther ones."""
-    for text, me in [("returm", 1), ("returm", 2), ("clasz", 2)]:
+    fuzzy oracle (OSA distance: transpositions count one edit,
+    FuzzyQuery.java:58), closer matches outranking farther ones. The
+    'reutrn' case is OSA 1 / levenshtein 2 from 'return' — it matches at
+    max_edits=1 ONLY under transposition-aware distance."""
+    for text, me in [("returm", 1), ("returm", 2), ("clasz", 2), ("reutrn", 1)]:
         hits = searcher.search(Fuzzy(text, max_edits=me), k=10, with_stored=False)
         want = oracle.top_k(oracle.fuzzy_scores(text, me), 10)
         got = hits["global_doc_id"].tolist()
