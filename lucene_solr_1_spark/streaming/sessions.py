@@ -15,8 +15,10 @@ gap to the previous event is <= GAP; session_end = last event + GAP
 batch == DuckDB is driver-gate hashed.
 
 Scale notes: sessions shuffle on user_id (high-cardinality, uniform);
-watermark bounds state; the stateful path keeps ONE open session per
-user (constant state per key).
+watermark bounds state; the stateful path keeps a session LIST per user
+whose size the watermark bounds at WATERMARK/GAP + 1 (sessions are >=
+GAP apart and anything ending before the watermark is emitted and
+dropped) — constant state per key with true session_window semantics.
 """
 
 from __future__ import annotations
@@ -38,6 +40,9 @@ _EVENT_SCHEMA = (
 _SESSION_DDL = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, sum_value double"
+)
+_STATE_DDL = (
+    "starts array<long>, lasts array<long>, ns array<long>, svs array<double>"
 )
 
 
@@ -109,70 +114,93 @@ def sessionize_stream(
 
 
 def _sessionize_state_func(key, pdf_iter, state):
-    """applyInPandasWithState kernel: one open session per user in state
-    (start_us, last_us, n, sum_value as int64/float64); CLOSED sessions
-    are emitted as soon as a later event proves the gap, or when the
-    event-time timeout (watermark past last+GAP) fires.
+    """applyInPandasWithState kernel with TRUE session_window semantics:
+    state holds a LIST of open sessions (parallel arrays starts/lasts/
+    ns/svs, sorted by start); a session is emitted only once the
+    watermark passes its end (last + GAP) — exactly the built-in's
+    append-mode contract, so arbitrarily-reordered within-watermark
+    events (including stragglers older than every open session) always
+    merge correctly: they are just more intervals in the merge.
 
-    Late (within-watermark, out-of-order ACROSS micro-batches) events
-    MERGE into the open session when they fall within its gap-extended
-    span [start-GAP, last]: start/last track min/max, so a late event
-    never moves the session backwards (ADVICE r2 fix). A straggler older
-    than start-GAP emits immediately as its own single-event session —
-    the one divergence from the built-in session_window, which would
-    hold it to merge with even-later stragglers (documented trade-off:
-    constant state per key instead of a session list)."""
+    Per batch: events are sessionized vectorized (sort → np.diff > GAP
+    boundaries → reduceat aggregates), then interval-merged with the
+    state's sessions (two sessions merge when next.start <= cur.last +
+    GAP — the same inclusive-gap rule as session_window and the DuckDB
+    gap-and-island twin). Sessions ending strictly before the watermark
+    can never absorb another event (Spark drops rows with ts < watermark
+    before this function) → emitted and dropped from state; the rest
+    persist with an event-time timeout at the earliest open end, so
+    tail sessions flush on watermark advance with no further data.
+
+    The list is bounded: open sessions are > GAP apart and all end at or
+    after the watermark, so a key holds at most WATERMARK/GAP + 1 of
+    them (3 with the module constants)."""
+    import numpy as np
+
     gap_us = GAP_SECONDS * 1_000_000
-    out = []
+    wm_us = state.getCurrentWatermarkMs() * 1000
 
-    def emit(start_us, last_us, n, sv):
-        out.append(
-            (
-                key[0],
-                pd.Timestamp(start_us, unit="us"),
-                pd.Timestamp(last_us + gap_us, unit="us"),
-                int(n),
-                round(float(sv), 4),
-            )
-        )
+    sessions = []  # [(start_us, last_us, n, sv)] sorted by start
+    if state.exists:
+        starts, lasts, ns, svs = state.get
+        sessions = [
+            (int(a), int(b), int(c), float(d))
+            for a, b, c, d in zip(starts, lasts, ns, svs)
+        ]
 
-    if state.hasTimedOut:
-        start_us, last_us, n, sv = state.get
-        emit(start_us, last_us, n, sv)
-        state.remove()
-    else:
+    if not state.hasTimedOut:
         rows = [p for p in pdf_iter if len(p)]
         if rows:
-            events = pd.concat(rows).sort_values("ts")
-            ts_us = events["ts"].astype("int64").to_numpy() // 1000
-            vals = events["value"].to_numpy()
-            if state.exists:
-                start_us, last_us, n, sv = state.get
-            else:
-                start_us, last_us, n, sv = None, None, 0, 0.0
-            for t, v in zip(ts_us, vals):
-                t = int(t)
-                if last_us is None:
-                    start_us, last_us, n, sv = t, t, 1, float(v)
-                    continue
-                if t > last_us + gap_us:
-                    emit(start_us, last_us, n, sv)
-                    start_us, last_us, n, sv = t, t, 1, float(v)
-                    continue
-                if t < start_us - gap_us:
-                    # straggler older than the open session's reach: its
-                    # own (already-gap-closed) session, emitted now
-                    emit(t, t, 1, float(v))
-                    continue
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
-                sv += float(v)
-            state.update((int(start_us), int(last_us), int(n), float(sv)))
-            state.setTimeoutTimestamp(last_us // 1000 + GAP_SECONDS * 1000)
-    if out:
+            events = pd.concat(rows)
+            order = np.argsort(events["ts"].to_numpy(), kind="stable")
+            ts_us = (events["ts"].astype("int64").to_numpy() // 1000)[order]
+            vals = events["value"].to_numpy(dtype="float64")[order]
+            brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
+            seg = np.concatenate(([0], brk))
+            seg_end = np.concatenate((brk, [len(ts_us)]))
+            seg_sv = np.add.reduceat(vals, seg)
+            sessions.extend(
+                (int(ts_us[i]), int(ts_us[j - 1]), int(j - i), float(sv))
+                for i, j, sv in zip(seg, seg_end, seg_sv)
+            )
+            sessions.sort(key=lambda s: s[0])
+            merged = []
+            for s in sessions:
+                if merged and s[0] <= merged[-1][1] + gap_us:
+                    m = merged[-1]
+                    merged[-1] = (
+                        m[0], max(m[1], s[1]), m[2] + s[2], m[3] + s[3]
+                    )
+                else:
+                    merged.append(s)
+            sessions = merged
+
+    closed = [s for s in sessions if s[1] + gap_us < wm_us]
+    open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
+    if open_:
+        state.update((
+            [s[0] for s in open_],
+            [s[1] for s in open_],
+            [s[2] for s in open_],
+            [s[3] for s in open_],
+        ))
+        min_end_ms = min(s[1] for s in open_) // 1000 + GAP_SECONDS * 1000
+        state.setTimeoutTimestamp(max(min_end_ms, wm_us // 1000 + 1))
+    elif state.exists:
+        state.remove()
+
+    if closed:
         yield pd.DataFrame(
-            out,
+            [
+                (
+                    key[0],
+                    pd.Timestamp(s[0], unit="us"),
+                    pd.Timestamp(s[1] + gap_us, unit="us"),
+                    int(s[2]),
+                    round(float(s[3]), 4),
+                )
+                for s in closed
+            ],
             columns=[
                 "user_id", "session_start", "session_end", "n_events", "sum_value",
             ],
@@ -196,7 +224,7 @@ def sessionize_stateful_stream(
     sessions = events.groupBy("user_id").applyInPandasWithState(
         _sessionize_state_func,
         outputStructType=_SESSION_DDL,
-        stateStructType="start_us long, last_us long, n long, sv double",
+        stateStructType=_STATE_DDL,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

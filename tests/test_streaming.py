@@ -145,7 +145,7 @@ def test_stateful_sessions_late_events_across_batches(spark, tmp_path_factory):
     sessions = events.groupBy("user_id").applyInPandasWithState(
         S._sessionize_state_func,
         outputStructType=S._SESSION_DDL,
-        stateStructType="start_us long, last_us long, n long, sv double",
+        stateStructType=S._STATE_DDL,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -165,6 +165,91 @@ def test_stateful_sessions_late_events_across_batches(spark, tmp_path_factory):
     assert first["n_events"] == 5
     assert first["session_start"] == mins(0)
     assert first["session_end"] == mins(25) + pd.Timedelta(seconds=S.GAP_SECONDS)
+
+
+def test_stateful_sessions_straggler_merges_like_session_window(
+    spark, tmp_path_factory
+):
+    """r3: stragglers older than EVERY open session's gap reach must be
+    held (watermark-gated) and merged with each other, exactly like the
+    built-in session_window — the r2 design emitted each straggler
+    immediately as its own single-event session, splitting [45,55] into
+    two. Two files + maxFilesPerTrigger=1 put the stragglers in a later
+    micro-batch than the session they predate."""
+    import pandas as pd
+    import time as _time
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from lucene_solr_1_spark.streaming import sessions as S
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    # batch 1: one open session [100, 110]; watermark after it = mins(40)
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [mins(100), mins(110)],
+            "user_id": [1, 1],
+            "event_type": ["a"] * 2,
+            "value": [1.0, 1.0],
+            "props": [""] * 2,
+        }
+    )
+    # batch 2: within-watermark stragglers at 45 and 55 — older than
+    # start(100)-GAP(30), 10 min apart so they form ONE session — plus
+    # an event at 300 to advance the watermark past both sessions' ends
+    f2 = pd.DataFrame(
+        {
+            "event_id": [3, 4, 5],
+            "ts": [mins(45), mins(55), mins(300)],
+            "user_id": [1, 1, 1],
+            "event_type": ["a"] * 3,
+            "value": [1.0, 1.0, 1.0],
+            "props": [""] * 3,
+        }
+    )
+    src = str(tmp_path_factory.mktemp("strag_src"))
+    ckpt = str(tmp_path_factory.mktemp("strag_ckpt"))
+    out = str(tmp_path_factory.mktemp("strag_out"))
+    spark.createDataFrame(f1).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(f2).coalesce(1).write.mode("append").parquet(src)
+
+    events = (
+        spark.readStream.schema(S._EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", S.WATERMARK)
+    )
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        S._sessionize_state_func,
+        outputStructType=S._SESSION_DDL,
+        stateStructType=S._STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(240)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("session_start")
+        .reset_index(drop=True)
+    )
+    gap = pd.Timedelta(seconds=S.GAP_SECONDS)
+    # exactly two emitted sessions: the merged straggler pair + the
+    # original; the t=300 tail stays open in state
+    assert len(got) == 2
+    assert got.loc[0, "session_start"] == mins(45)
+    assert got.loc[0, "session_end"] == mins(55) + gap
+    assert got.loc[0, "n_events"] == 2
+    assert got.loc[1, "session_start"] == mins(100)
+    assert got.loc[1, "session_end"] == mins(110) + gap
+    assert got.loc[1, "n_events"] == 2
 
 
 def test_streaming_exact_dedup_across_batches(spark, tmp_path_factory):
