@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["facet_ranges"] = lambda s, d: R.range_facets_spark(s, d, "query")
     q["facet_taxonomy"] = lambda s, d: R.taxonomy_facets_spark(s, d, "query")
+    q["stats_numeric"] = lambda s, d: R.stats_numeric_spark(s, d, "query")
+    q["facet_drill_sideways"] = lambda s, d: R.drill_sideways_spark(
+        s, d, "query", "en"
+    )
+    q["fts_term_vectors"] = lambda s, d: R.term_vector_spark(s, d, (3, 17, 42))
 
     # --- training-data pipeline (oracle-checked) ---
     q["dedup_exact"] = dedup.dedup_exact_spark
@@ -398,6 +403,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_block_join_children": R.block_join_children_duck("query", 5),
         "facet_ranges": R.range_facets_duck("query"),
         "facet_taxonomy": R.taxonomy_facets_duck("query"),
+        "stats_numeric": R.stats_numeric_duck("query"),
+        "facet_drill_sideways": R.drill_sideways_duck("query", "en"),
+        "fts_term_vectors": R.term_vector_duck((3, 17, 42)),
         "dedup_exact": dedup.dedup_exact_duck(),
         "dedup_ngram_jaccard": dedup.dedup_jaccard_duck(0.4),
         "dedup_minhash_lsh": dedup.minhash_bands_duck(),

@@ -1232,3 +1232,131 @@ def constant_score_duck(term: str, score: float = 1.0) -> str:
         f"SELECT doc_id::BIGINT AS doc_id, {float(score)} AS score FROM documents "
         f"WHERE list_contains({te}, '{term}') ORDER BY doc_id"
     )
+
+
+def stats_numeric_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Solr StatsComponent over a query's result set, faceted by a field
+    (stats.field=n_chars + stats.facet=lang): count/min/max/sum/mean/
+    stddev of a numeric doc-value per facet bucket of the matched docs
+    (solr/core/.../handler/component/StatsComponent.java,
+    StatsValuesFactory.java:138-215 — count/min/max/sum accumulators
+    merged per shard; FieldFacetStats.java buckets them by facet field).
+    Spark shape: the match set is one scan+agg; the stats agg has
+    map-side partial combine and shuffles only (lang) — tiny."""
+    matched = bm25_bool_spark(spark, sf_dir, should=(term,), k=None).select("doc_id")
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return (
+        docs.join(matched, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+            F.round(F.stddev_samp("n_chars"), 4).alias("stddev_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def stats_numeric_duck(term: str) -> str:
+    inner = bm25_bool_duck(should=(term,), k=None)
+    return f"""
+WITH matched AS ({inner})
+SELECT d.lang, count(*)::BIGINT AS cnt,
+       min(d.n_chars)::BIGINT AS min_chars,
+       max(d.n_chars)::BIGINT AS max_chars,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       round(avg(d.n_chars), 4) AS mean_chars,
+       round(stddev_samp(d.n_chars), 4) AS stddev_chars
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+def drill_sideways_spark(spark, sf_dir, term: str, drill_lang: str) -> DataFrame:
+    """DrillSideways (lucene/facet/.../DrillSideways.java:69,176): a
+    drill-down query (base query + lang=drill_lang) where the drilled
+    dimension's facet counts are computed with its OWN constraint
+    removed (base query only — "alternative values for the drill-down")
+    while other dimensions (source) count under the FULL drill-down.
+    One row per (dim, value); `in_drilldown` marks the selected value.
+    Spark shape: the base match set materializes once; the two facet
+    aggs reuse it (lang agg unfiltered = sideways, source agg filtered =
+    drill-down); both shuffle only tiny key sets."""
+    base = bm25_bool_spark(spark, sf_dir, should=(term,), k=None).select("doc_id")
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang", "source")
+    matched = docs.join(base, "doc_id")
+    sideways = (
+        matched.groupBy(F.col("lang").alias("value"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.lit("lang").alias("dim"),
+            "value",
+            "cnt",
+            (F.col("value") == drill_lang).alias("in_drilldown"),
+        )
+    )
+    drilled = (
+        matched.where(F.col("lang") == drill_lang)
+        .groupBy(F.col("source").alias("value"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.lit("source").alias("dim"),
+            "value",
+            "cnt",
+            F.lit(False).alias("in_drilldown"),
+        )
+    )
+    return sideways.unionByName(drilled).orderBy("dim", "value")
+
+
+def drill_sideways_duck(term: str, drill_lang: str) -> str:
+    inner = bm25_bool_duck(should=(term,), k=None)
+    return f"""
+WITH base AS ({inner}),
+matched AS (
+  SELECT d.doc_id, d.lang, d.source
+  FROM documents d JOIN base b ON d.doc_id = b.doc_id
+)
+SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt,
+       lang = '{drill_lang}' AS in_drilldown
+FROM matched GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS cnt,
+       FALSE AS in_drilldown
+FROM matched WHERE lang = '{drill_lang}' GROUP BY source
+ORDER BY dim, value
+""".strip()
+
+
+def term_vector_spark(spark, sf_dir, doc_ids: tuple) -> DataFrame:
+    """Per-document term vectors (index/TermVectorsConsumerPerField.java,
+    codecs read side TermVectorsReader.java — terms()+freq() for one
+    doc): (doc_id, term, freq) rows, terms in byte order per doc. The
+    doc_id filter pushes down to the parquet scan; tokenization runs
+    only on the selected rows."""
+    docs = load_documents(spark, sf_dir).where(
+        F.col("doc_id").isin(list(doc_ids))
+    )
+    toks = docs.select(
+        F.col("doc_id").cast("bigint"),
+        F.explode(F.expr(spark_tokens_expr())).alias("term"),
+    )
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy("doc_id", "term")
+    )
+
+
+def term_vector_duck(doc_ids: tuple) -> str:
+    te = duck_tokens_expr()
+    ids = ", ".join(str(int(i)) for i in doc_ids)
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, term, count(*)::BIGINT AS freq
+FROM (SELECT doc_id, unnest({te}) AS term FROM documents
+      WHERE doc_id IN ({ids}))
+GROUP BY 1, 2 ORDER BY 1, 2
+""".strip()

@@ -1,0 +1,77 @@
+"""Round-3 tail operators: StatsComponent, DrillSideways, term vectors.
+
+Each is checked against an independent pandas reference built from the
+same sf0.001 parquet (the DuckDB twins are the driver-gate check; these
+pin semantics without SQL in the loop).
+"""
+
+import pandas as pd
+
+from lucene_solr_1_spark.sql import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _matched(spark, term):
+    scored = R.bm25_bool_spark(spark, SF, should=(term,), k=None).toPandas()
+    docs = R.load_documents(spark, SF).toPandas()
+    return docs[docs["doc_id"].isin(scored["doc_id"])]
+
+
+def test_stats_numeric_reference(spark):
+    got = R.stats_numeric_spark(spark, SF, "query").toPandas()
+    m = _matched(spark, "query")
+    ref = (
+        m.groupby("lang")["n_chars"]
+        .agg(cnt="count", min_chars="min", max_chars="max",
+             sum_chars="sum", mean_chars="mean", stddev_chars="std")
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    ref["mean_chars"] = ref["mean_chars"].round(4)
+    ref["stddev_chars"] = ref["stddev_chars"].round(4)
+    got = got.sort_values("lang").reset_index(drop=True)
+    assert got["lang"].tolist() == ref["lang"].tolist()
+    for c in ("cnt", "min_chars", "max_chars", "sum_chars"):
+        assert got[c].astype(int).tolist() == ref[c].astype(int).tolist()
+    pd.testing.assert_series_equal(got["mean_chars"], ref["mean_chars"],
+                                   check_dtype=False)
+    pd.testing.assert_series_equal(got["stddev_chars"], ref["stddev_chars"],
+                                   check_dtype=False)
+
+
+def test_drill_sideways_reference(spark):
+    """Drilled dim counts ignore its own constraint; other dims honor it."""
+    got = R.drill_sideways_spark(spark, SF, "query", "en").toPandas()
+    m = _matched(spark, "query")
+    side = got[got["dim"] == "lang"].set_index("value")["cnt"]
+    ref_side = m.groupby("lang").size()
+    assert side.astype(int).to_dict() == ref_side.astype(int).to_dict()
+    drilled = got[got["dim"] == "source"].set_index("value")["cnt"]
+    ref_drill = m[m["lang"] == "en"].groupby("source").size()
+    assert drilled.astype(int).to_dict() == ref_drill.astype(int).to_dict()
+    flags = got[got["dim"] == "lang"].set_index("value")["in_drilldown"]
+    assert bool(flags.get("en", False)) is True
+    assert not flags.drop(index="en", errors="ignore").any()
+    assert not got[got["dim"] == "source"]["in_drilldown"].any()
+
+
+def test_term_vectors_reference(spark):
+    import re
+
+    from lucene_solr_1_spark.kernels.analyzer import SQL_TOKEN_PATTERN
+
+    ids = (1, 5, 9)
+    got = R.term_vector_spark(spark, SF, ids).toPandas()
+    docs = R.load_documents(spark, SF).toPandas()
+    sel = docs[docs["doc_id"].isin(ids)].sort_values("doc_id")
+    ref_rows = []
+    for _, r in sel.iterrows():
+        toks = re.findall(SQL_TOKEN_PATTERN, r["text"].lower())
+        vc = pd.Series(toks).value_counts()
+        for term in sorted(vc.index):
+            ref_rows.append((int(r["doc_id"]), term, int(vc[term])))
+    ref = pd.DataFrame(ref_rows, columns=["doc_id", "term", "freq"])
+    got2 = got.astype({"doc_id": int, "freq": int}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, ref, check_dtype=False)
