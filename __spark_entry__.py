@@ -24,7 +24,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_solr_1_spark.index.builder import build_index
-from lucene_solr_1_spark.pipeline import dedup, multimodal, similarity, textstats
+from lucene_solr_1_spark.pipeline import (
+    dedup,
+    multimodal,
+    repetition,
+    similarity,
+    textstats,
+)
 from lucene_solr_1_spark.search.query import Bool, Fuzzy, NumericRange, Occur, Term
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
 from lucene_solr_1_spark.sql import kernel_oracle as KO
@@ -213,6 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = textstats.lang_id_spark
     q["quality_score"] = textstats.quality_score_spark
     q["doc_fingerprint"] = textstats.fingerprint_spark
+    q["repetition_stats"] = repetition.repetition_stats_spark
+    q["pii_scrub"] = repetition.pii_scrub_spark
     q["multimodal_features"] = multimodal.multimodal_features_spark
 
     def _windowed(s, d):
@@ -428,6 +436,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textstats.lang_id_duck(),
         "quality_score": textstats.quality_score_duck(),
         "doc_fingerprint": textstats.fingerprint_duck(),
+        "repetition_stats": repetition.repetition_stats_duck(),
+        "pii_scrub": repetition.pii_scrub_duck(),
         "multimodal_features": multimodal.multimodal_features_duck(),
         "events_windowed_counts": __import__(
             "lucene_solr_1_spark.streaming.analytics", fromlist=["x"]
