@@ -332,6 +332,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_function_score"] = _func_score
 
+    # QueryRescorer: first-pass top-50 by 'query', rescored by the
+    # (merge OR spark) disjunction at weight 2.0 — second pass scored
+    # only on the first-pass doc set (cogrouped allowed channel)
+    def _rescore(s, d):
+        searcher = _get_index(s, d)
+        from lucene_solr_1_spark.search.query import Bool as B, Occur as O
+
+        hits = searcher.rescore(
+            Term("query"),
+            B.of((O.SHOULD, Term("merge")), (O.SHOULD, Term("spark"))),
+            weight=2.0, first_k=50, k=10, with_stored=True,
+        )
+        pdf = hits[["path", "score", "rank"]].copy()
+        pdf["doc_id"] = pdf["path"].str.removeprefix("doc/").astype("int64")
+        pdf["score"] = pdf["score"].astype("float64")
+        pdf["rank"] = pdf["rank"].astype("int64")
+        return s.createDataFrame(pdf[["doc_id", "score", "rank"]])
+
+    q["fts_rescore"] = _rescore
+
     # MoreLikeThis: analyze a seed text, keep high-tf*idf terms with
     # df >= 2 (the junk term drops out), search as a tf-boosted OR. The
     # seed's terms are all common at every shipped SF, so the oracle is
@@ -460,6 +480,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
         "fts_function_score": KO.kernel_function_score_duck(
             "query", "dl", "multiply", 0.01, k=10
+        ),
+        "fts_rescore": KO.kernel_rescore_duck(
+            ("query",), ("merge", "spark"), weight=2.0, first_k=50, k=10
         ),
         "fts_more_like_this": KO.kernel_bool_duck(
             should=("merge", "query", "spark"), boosts={"merge": 2.0}, k=10

@@ -657,6 +657,135 @@ class LuceneSparkSearcher:
             out_frames.append(h.drop(columns=["total", "relation"], errors="ignore"))
         return pd.concat(out_frames, ignore_index=True)
 
+    def rescore(
+        self,
+        first_q: Query,
+        rescore_q: Query,
+        weight: float = 1.0,
+        first_k: int = 100,
+        k: int = 10,
+        with_stored: bool = True,
+        use_wand: bool = True,
+    ) -> pd.DataFrame:
+        """Two-pass query rescoring (QueryRescorer.java:51-139 rescore
+        loop; :168-180 the linear-combination sugar): first-pass top-N
+        by `first_q`, then `rescore_q` scored ONLY on those N docs;
+        combined = float32(first + weight * second) when the second pass
+        matches, else the first-pass score unchanged; re-ranked by
+        (score desc, global docID asc) and truncated to k.
+
+        Spark shape: the first pass is the normal WAND path; the second
+        pass ships the tiny first-pass doc set to the segment kernels
+        through the SAME cogrouped allowed channel NumericRange filters
+        use (set_id "rescore:first"), compiled as
+        Bool(MUST=rescore_q, FILTER=docidset) — so each segment scores
+        rescore_q against at most first_k candidate docs, never its full
+        posting lists. FILTER makes WAND inapplicable by invariant, so
+        the second pass routes exhaustive (which is exactly Lucene's
+        ScoreMode.COMPLETE advance-and-score loop)."""
+        hits = self.search(
+            first_q, k=first_k, use_wand=use_wand, with_stored=False
+        )
+        attrs = dict(hits.attrs)
+        if not len(hits):
+            return hits
+        q2 = rewrite(self.expand(rewrite(self._analyze_query(rescore_q))))
+        if isinstance(q2, MatchNone):
+            hits2 = pd.DataFrame(columns=["segment_id", "doc_id", "score"])
+        else:
+            terms = query_terms(q2)
+            plan2 = {
+                "type": "bool",
+                "msm": 0,
+                "clauses": [
+                    {
+                        "occur": "MUST",
+                        "node": K.compile_plan(
+                            q2, self._global_df(terms), self.doc_counts
+                        ),
+                    },
+                    {
+                        "occur": "FILTER",
+                        "node": {
+                            "type": "docidset",
+                            "set_id": "rescore:first",
+                            "score": np.float32(1.0),
+                        },
+                    },
+                ],
+            }
+            post = (
+                self._postings.where(self._terms_filter(terms))
+                if terms
+                else self._postings.limit(0)
+            )
+            if "matchall" in K.plan_node_types(plan2):
+                post = post.unionByName(self._sentinel_rows())
+            post = self._prune_positions(post, plan2)
+            allowed = self.spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "segment_id": hits["segment_id"].astype(str),
+                        "doc_id": hits["doc_id"].astype("int64"),
+                        "set_id": "rescore:first",
+                        "val": np.full(len(hits), np.nan, dtype=np.float64),
+                    }
+                ),
+                schema="segment_id string, doc_id bigint, set_id string, val double",
+            )
+            nrs = numeric_ranges(q2)
+            vsf = value_source_fields(q2)
+            if nrs or vsf:
+                allowed = allowed.unionByName(self._numeric_allowed_df(nrs, vsf))
+            kernel = partial(
+                _kernel_udf, plan=plan2, cache=self.caches, k=first_k,
+                use_wand=False, after=None, doc_bases=self.doc_base,
+                tombstones=self.tombstones, doc_counts=self.seg_doc_count,
+            )
+            hits2 = (
+                post.groupBy("segment_id")
+                .cogroup(allowed.groupBy("segment_id"))
+                .applyInPandas(
+                    lambda key, l, r: kernel(key, l, allowed_pdf=r),
+                    schema=_HIT_SCHEMA,
+                )
+                .toPandas()
+            )
+        merged = hits.merge(
+            hits2[["segment_id", "doc_id", "score"]].rename(
+                columns={"score": "score2"}
+            ),
+            on=["segment_id", "doc_id"],
+            how="left",
+        )
+        first32 = merged["score"].to_numpy(np.float32)
+        second = merged["score2"].to_numpy(np.float64)  # NaN = no match
+        matched = ~np.isnan(second)
+        combined = first32.copy()
+        # Java compound assignment `score += weight * secondPassScore`:
+        # double arithmetic, ONE float32 cast of the result
+        # (QueryRescorer.java:173-176)
+        combined[matched] = np.float32(
+            first32[matched].astype(np.float64) + float(weight) * second[matched]
+        )
+        merged["score"] = combined
+        merged = (
+            merged.drop(columns=["score2"])
+            .sort_values(
+                ["score", "global_doc_id"], ascending=[False, True],
+                kind="mergesort",
+            )
+            .head(k)
+            .reset_index(drop=True)
+        )
+        merged["rank"] = np.arange(len(merged))
+        merged.attrs.update(attrs)
+        if with_stored and len(merged):
+            stored = self._fetch_stored(merged)
+            merged = merged.merge(stored, on=["segment_id", "doc_id"], how="left")
+            merged.attrs.update(attrs)
+        return merged
+
     def search_local(
         self,
         q: Query,

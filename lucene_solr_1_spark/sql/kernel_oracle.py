@@ -467,6 +467,48 @@ matched AS (
 """.strip()
 
 
+def kernel_rescore_duck(
+    first_should: tuple,
+    rescore_should: tuple,
+    weight: float = 1.0,
+    first_k: int = 100,
+    k: int = 10,
+) -> str:
+    """Twin of LuceneSparkSearcher.rescore (QueryRescorer.java:51-139,
+    :168-180): first-pass top-first_k by a SHOULD disjunction, second
+    pass scored only where it matches a first-pass doc, combined =
+    CAST(first::DOUBLE + weight * second::DOUBLE AS REAL) — the Java
+    compound assignment's double arithmetic with ONE float32 cast —
+    else the first-pass float32 score unchanged; re-ranked by
+    (score desc, doc asc) LIMIT k."""
+    all_terms = sorted(set(first_should) | set(rescore_should))
+    return f"""
+WITH {_prelude(all_terms)},
+{_weights_cte({})},
+{_scores_cte()},
+first_agg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN term IN ({_sql_list(first_should)}) THEN s::DOUBLE END) AS REAL) AS f,
+         count(CASE WHEN term IN ({_sql_list(first_should)}) THEN 1 END) AS n1,
+         CAST(sum(CASE WHEN term IN ({_sql_list(rescore_should)}) THEN s::DOUBLE END) AS REAL) AS s2,
+         count(CASE WHEN term IN ({_sql_list(rescore_should)}) THEN 1 END) AS n2
+  FROM s GROUP BY 1
+),
+first_top AS (
+  SELECT doc_id, f, s2, n2 FROM first_agg WHERE n1 >= 1
+  ORDER BY f DESC, doc_id ASC LIMIT {first_k}
+),
+matched AS (
+  SELECT doc_id,
+         CASE WHEN n2 >= 1
+              THEN CAST(f::DOUBLE + {_lit(weight)} * s2::DOUBLE AS REAL)
+              ELSE f END AS score32
+  FROM first_top
+)
+{_topk_select(k)}
+""".strip()
+
+
 def kernel_keyword_term_duck(field: str, value: str, k: int = 10) -> str:
     """Twin of a keyword-field TermQuery (StringField postings: tf=1,
     dl=1, per-field avgdl = 1): score is one float32 constant per query,
