@@ -85,8 +85,8 @@ def _get_stem_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
-def _kernel_hits_df(spark, searcher, q, k=10) -> DataFrame:
-    hits = searcher.search(q, k=k)
+def _kernel_hits_df(spark, searcher, q, k=10, similarity=None) -> DataFrame:
+    hits = searcher.search(q, k=k, similarity=similarity)
     if len(hits) == 0:
         return spark.createDataFrame([], "doc_id bigint, score double, rank bigint")
     pdf = hits[["path", "score", "rank"]].copy()
@@ -320,6 +320,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _get_stem_index(s, d), Term("merges"), k=10
     )
 
+    # Pluggable similarities (IndexSearcher.setSimilarity): the SAME
+    # index serves every scorer — only query-time scoring changes
+    # (kernels/similarity.py; unified SmallFloat norm encoding)
+    q["fts_classic_tfidf"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d),
+        Bool.of((Occur.SHOULD, Term("query")), (Occur.SHOULD, Term("merge"))),
+        k=10, similarity="classic",
+    )
+    q["fts_boolean_sim"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("query"), k=10, similarity="boolean"
+    )
+    q["fts_lm_dirichlet"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("query"), k=10, similarity="lmd"
+    )
+    q["fts_lm_jelinek_mercer"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("merge"), k=10, similarity="lmjm"
+    )
+
     # FunctionScoreQuery: BM25 term score shaped by a numeric doc-value
     # (dl) — the recency/stars/quality boosting pattern
     def _func_score(s, d):
@@ -478,6 +496,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_field_term": KO.kernel_keyword_term_duck("lang", "en", k=10),
         "fts_kernel_fuzzy": KO.kernel_fuzzy_duck("quary", 2, 10),
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
+        "fts_classic_tfidf": KO.kernel_classic_duck(("query", "merge"), k=10),
+        "fts_boolean_sim": KO.kernel_boolean_sim_duck("query", k=10),
+        "fts_lm_dirichlet": KO.kernel_lmdirichlet_duck("query", k=10),
+        "fts_lm_jelinek_mercer": KO.kernel_lmjm_duck("merge", k=10),
         "fts_function_score": KO.kernel_function_score_duck(
             "query", "dl", "multiply", 0.01, k=10
         ),

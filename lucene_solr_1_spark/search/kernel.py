@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..kernels import bm25
+from ..kernels import similarity as simk
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
     Bool, Boost, ConstantScore, DisjunctionMax, FunctionScore, MatchAll,
@@ -80,23 +81,80 @@ def _dc_of(doc_count, field: str) -> int:
     return int(doc_count)
 
 
-def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> dict:
+def _sim_spec_for(sim: dict, field: str, boost: float,
+                  df: int = 0, dc: int = 1, idf_sum=None, ttf: int = 0):
+    """Per-node compiled spec for a non-default similarity.
+
+    `idf_sum` (classic only) carries a pre-summed multi-term idf
+    (synonym/phrase/span). LM sims are single-term: SimilarityBase builds
+    one BasicStats per TermStatistics, so multi-term shapes must be
+    rejected by the CALLER before reaching here."""
+    name = sim["name"]
+    if name == "classic":
+        if idf_sum is None:
+            idf_sum = simk.classic_idf(df, dc) if df > 0 else F32(0.0)
+        return {"name": "classic",
+                "qw": simk.classic_query_weight(idf_sum, boost)}
+    if name == "boolean":
+        return {"name": "boolean", "boost": F32(boost)}
+    if name in ("lmd", "lmjm"):
+        p = simk.lm_collection_probability(
+            ttf, int(sim["field_tokens"].get(field, 1))
+        )
+        spec = {"name": name, "p": p, "boost": float(boost)}
+        if name == "lmd":
+            spec["mu"] = float(sim.get("mu", simk.LMD_MU_DEFAULT))
+        else:
+            spec["lam"] = float(sim.get("lam", simk.LMJM_LAMBDA_DEFAULT))
+        return spec
+    raise ValueError(f"unknown similarity {name!r}")
+
+
+def _multi_term_sim(sim: dict, field: str, boost: float, dfs, dc: int) -> dict:
+    """Sim spec for synonym/phrase/span shapes: classic sums per-term
+    float idfs in double (TFIDFSimilarity.idfExplain over stats...);
+    boolean is freq-independent; LM sims have no multi-term stats model
+    (SimilarityBase: one BasicStats per term) — rejected."""
+    if sim["name"] == "classic":
+        idfs = [simk.classic_idf(df, dc) for df in dfs if df > 0]
+        idf_sum = simk.classic_idf_sum(idfs) if idfs else F32(0.0)
+        return _sim_spec_for(sim, field, boost, idf_sum=idf_sum)
+    if sim["name"] == "boolean":
+        return _sim_spec_for(sim, field, boost)
+    raise NotImplementedError(
+        f"similarity {sim['name']!r} scores single-term stats only "
+        "(SimilarityBase builds one BasicStats per term)"
+    )
+
+
+def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
+                 sim: dict | None = None) -> dict:
+    """`sim` selects a non-default similarity (kernels/similarity.py):
+    {"name": "classic" | "boolean"} or {"name": "lmd" | "lmjm",
+    "ttf": {(field, term): global ttf}, "field_tokens": {field: sum_ttf},
+    "mu"/"lam": param}. None = BM25 (the index default). Plans carrying a
+    sim route exhaustive (wand_applicable: block-max UBs are derived from
+    the BM25 impact model only)."""
     if isinstance(q, Boost):
-        return compile_plan(q.query, global_df, doc_count, boost * q.boost)
+        return compile_plan(q.query, global_df, doc_count, boost * q.boost, sim)
     if isinstance(q, ConstantScore):
         return {
             "type": "const",
-            "node": compile_plan(q.query, global_df, doc_count, 1.0),
+            "node": compile_plan(q.query, global_df, doc_count, 1.0, sim),
             "score": F32(boost * q.score),
         }
     if isinstance(q, Term):
         df = _df_of(global_df, q.field, q.text)
         dc = _dc_of(doc_count, q.field)
         idf = bm25.idf(df, dc) if df > 0 else F32(0.0)
-        return {
+        node = {
             "type": "term", "field": q.field, "term": q.text,
             "weight": bm25.term_weight(idf, boost),
         }
+        if sim is not None:
+            ttf = int(sim.get("ttf", {}).get((q.field, q.text), 0))
+            node["sim"] = _sim_spec_for(sim, q.field, boost, df=df, dc=dc, ttf=ttf)
+        return node
     if isinstance(q, (Synonym, Phrase)):
         dc = _dc_of(doc_count, q.field)
         dfs = [_df_of(global_df, q.field, t) for t in q.terms]
@@ -109,6 +167,8 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> di
             node["type"] = "synonym"
         else:
             node.update(type="phrase", slop=q.slop)
+        if sim is not None:
+            node["sim"] = _multi_term_sim(sim, q.field, boost, dfs, dc)
         return node
     if isinstance(q, SPAN_TYPES):
         # span algebra (search/spans/): weight = summed idf over the leaf
@@ -121,19 +181,26 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> di
             if (df := _df_of(global_df, f, t)) > 0
         ]
         w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
-        return {
+        node = {
             "type": "span",
             "field": q.field,
             "weight": w,
             "leaves": leaves,
             "span": _span_tree(q, q.field),
         }
+        if sim is not None:
+            dfs = [_df_of(global_df, f, t) for f, t in leaves]
+            node["sim"] = _multi_term_sim(
+                sim, q.field, boost, dfs, _dc_of(doc_count, q.field)
+            )
+        return node
     if isinstance(q, Bool):
         return {
             "type": "bool",
             "msm": q.min_should_match,
             "clauses": [
-                {"occur": c.occur.value, "node": compile_plan(c.query, global_df, doc_count, boost)}
+                {"occur": c.occur.value,
+                 "node": compile_plan(c.query, global_df, doc_count, boost, sim)}
                 for c in q.clauses
             ],
         }
@@ -141,7 +208,8 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0) -> di
         return {
             "type": "dismax",
             "tie": F32(q.tie_breaker),
-            "nodes": [compile_plan(s, global_df, doc_count, boost) for s in q.queries],
+            "nodes": [compile_plan(s, global_df, doc_count, boost, sim)
+                      for s in q.queries],
         }
     if isinstance(q, MatchAll):
         return {"type": "matchall", "score": F32(boost)}
@@ -293,13 +361,25 @@ def _node_key(node: dict, term: str):
     return (node.get("field", "content"), term)
 
 
+def _score_postings(node: dict, freqs, norms, cache) -> np.ndarray:
+    """freq/norm -> float32 score under the node's similarity: BM25 with
+    the per-field quantized norm cache by default, else the compiled sim
+    spec (kernels/similarity.py dispatch)."""
+    spec = node.get("sim")
+    if spec is not None:
+        return simk.score(spec, freqs, norms)
+    return bm25.score(
+        freqs, norms, node["weight"], _cache_for(cache, node.get("field", "content"))
+    )
+
+
 def eval_node(node: dict, seg: SegmentData, cache):
     t = node["type"]
     if t == "term":
         docs, freqs, norms = seg.postings(_node_key(node, node["term"]))
         if len(docs) == 0:
             return _EMPTY_I, _EMPTY_F
-        s = bm25.score(freqs, norms, node["weight"], _cache_for(cache, node.get("field", "content")))
+        s = _score_postings(node, freqs, norms, cache)
         return docs, s.astype(np.float64)
     if t == "synonym":
         # freqs summed across member terms, scored once (SynonymQuery.java)
@@ -315,7 +395,7 @@ def eval_node(node: dict, seg: SegmentData, cache):
         np.add.at(freqs, inv, allfreqs)
         norms = np.zeros(len(docs), dtype=np.int64)
         norms[inv] = allnorms  # same doc ⇒ same norm byte
-        s = bm25.score(freqs, norms, node["weight"], _cache_for(cache, node.get("field", "content")))
+        s = _score_postings(node, freqs, norms, cache)
         return docs, s.astype(np.float64)
     if t == "phrase":
         return _eval_phrase(node, seg, cache)
@@ -510,7 +590,7 @@ def _eval_phrase(node, seg, cache):
         freqs = totals[keep]
     d0, _f0, n0 = seg.postings((field, terms[0]))
     norms = n0[np.searchsorted(d0, docs)]
-    s = bm25.score(freqs, norms, node["weight"], _cache_for(cache, field))
+    s = _score_postings(node, freqs, norms, cache)
     return docs, s.astype(np.float64)
 
 
@@ -870,8 +950,7 @@ def _eval_span(node, seg, cache):
         take = ok & ~filled
         norms[take] = n[idx[take]]
         filled |= ok
-    s = bm25.score(freqs, norms, node["weight"],
-                   _cache_for(cache, node.get("field", "content")))
+    s = _score_postings(node, freqs, norms, cache)
     return docs, s.astype(np.float64)
 
 
@@ -985,11 +1064,16 @@ def wand_applicable(plan: dict) -> bool:
     """Flat term queries run under block-max pruning: pure disjunctions
     (WANDScorer.java) and conjunctions / MUST+SHOULD mixes
     (BlockMaxConjunctionScorer.java, Boolean2ScorerSupplier.java:156-193).
-    MUST_NOT / minShouldMatch>1 / nested shapes use the exhaustive path."""
+    MUST_NOT / minShouldMatch>1 / nested shapes use the exhaustive path.
+    Plans compiled with a non-default similarity are ineligible: the
+    stored impact metadata yields BM25 upper bounds only."""
+    if "sim" in plan:
+        return False
     if plan["type"] in ("term", "synonym"):
         return True
     if plan["type"] == "bool":
-        if any(cl["node"]["type"] != "term" for cl in plan["clauses"]):
+        if any(cl["node"]["type"] != "term" or "sim" in cl["node"]
+               for cl in plan["clauses"]):
             return False
         occurs = {cl["occur"] for cl in plan["clauses"]}
         # FILTER is excluded: it matches with score 0, but window upper

@@ -166,6 +166,7 @@ class LuceneSparkSearcher:
             s["segment_id"]: s["doc_count"] for s in self.manifest["segments"]
         }
         self._df_cache: dict = {}
+        self._ttf_cache: dict = {}
         from ..index.deletes import read_tombstones
 
         # tombstoned local docIDs per segment (live-docs analog) — tiny,
@@ -437,6 +438,23 @@ class LuceneSparkSearcher:
                 self._df_cache[key] = found.get(key, 0)
         return {key: self._df_cache[key] for key in pairs}
 
+    def _global_ttf(self, pairs: set) -> dict:
+        """Global totalTermFreq per (field, term) key — the
+        TermStatistics.totalTermFreq stat LM similarities consume.
+        Same cached one-job aggregation shape as _global_df."""
+        missing = pairs - self._ttf_cache.keys()
+        if missing:
+            rows = (
+                self._postings.where(self._terms_filter(missing))
+                .groupBy("field", "term")
+                .agg(F.sum("ttf").alias("ttf"))
+                .collect()
+            )
+            found = {(r["field"], r["term"]): int(r["ttf"]) for r in rows}
+            for key in missing:
+                self._ttf_cache[key] = found.get(key, 0)
+        return {key: self._ttf_cache[key] for key in pairs}
+
     def search(
         self,
         q: Query,
@@ -444,14 +462,23 @@ class LuceneSparkSearcher:
         use_wand: bool = True,
         with_stored: bool = True,
         after: tuple | None = None,
+        similarity=None,
     ) -> pd.DataFrame:
         """`after=(score, global_doc_id)` pages past a previous hit
         (searchAfter, IndexSearcher.java:391-420).
 
-        Results are LRU-cached per (query, k, use_wand, after) — the
-        filter/query-cache analog (search/LRUQueryCache.java): repeated
-        queries against an immutable manifest skip all Spark jobs."""
-        cache_key = (q, k, use_wand, with_stored, after)
+        `similarity` swaps the scoring model per query
+        (IndexSearcher.setSimilarity): None/"bm25" (default),
+        "classic" (TF-IDF), "boolean", ("lmd", mu) or "lmd",
+        ("lmjm", lambda) or "lmjm". The same index serves all of them
+        (unified SmallFloat norm encoding); non-default sims route
+        exhaustive (impact metadata upper-bounds BM25 only).
+
+        Results are LRU-cached per (query, k, use_wand, after, similarity)
+        — the filter/query-cache analog (search/LRUQueryCache.java):
+        repeated queries against an immutable manifest skip all Spark
+        jobs."""
+        cache_key = (q, k, use_wand, with_stored, after, similarity)
         with self._cache_lock:
             try:
                 cached = self._result_cache.pop(cache_key)
@@ -463,7 +490,7 @@ class LuceneSparkSearcher:
             out = cached.copy()
             out.attrs.update(cached.attrs)
             return out
-        hits = self._search_uncached(q, k, use_wand, with_stored, after)
+        hits = self._search_uncached(q, k, use_wand, with_stored, after, similarity)
         with self._cache_lock:
             try:
                 self._result_cache[cache_key] = hits
@@ -475,6 +502,31 @@ class LuceneSparkSearcher:
         out.attrs.update(hits.attrs)
         return out
 
+    def _sim_ctx(self, similarity, terms: set) -> dict | None:
+        """Normalize the user-facing `similarity` arg into the compile_plan
+        sim dict, fetching global ttf stats for LM sims (the
+        CollectionStatistics.sumTotalTermFreq / TermStatistics.totalTermFreq
+        barrier — same one-job shape as _global_df)."""
+        if similarity in (None, "bm25"):
+            return None
+        name, param = similarity, None
+        if isinstance(similarity, tuple):
+            name, param = similarity
+        if name in ("classic", "boolean"):
+            return {"name": name}
+        if name in ("lmd", "lmjm"):
+            sim = {
+                "name": name,
+                "ttf": self._global_ttf(terms),
+                "field_tokens": {
+                    f: int(st["sum_ttf"]) for f, st in self.field_stats.items()
+                },
+            }
+            if param is not None:
+                sim["mu" if name == "lmd" else "lam"] = float(param)
+            return sim
+        raise ValueError(f"unknown similarity {similarity!r}")
+
     def _search_uncached(
         self,
         q: Query,
@@ -482,6 +534,7 @@ class LuceneSparkSearcher:
         use_wand: bool,
         with_stored: bool,
         after: tuple | None,
+        similarity=None,
     ) -> pd.DataFrame:
         q = rewrite(self._analyze_query(q))
         from .query import MatchAll
@@ -508,7 +561,10 @@ class LuceneSparkSearcher:
                 out.attrs["relation"] = "EQUAL_TO"
                 return out
             terms = query_terms(q)
-            plan = K.compile_plan(q, self._global_df(terms), self.doc_counts)
+            plan = K.compile_plan(
+                q, self._global_df(terms), self.doc_counts,
+                sim=self._sim_ctx(similarity, terms),
+            )
             post = self._postings.where(self._terms_filter(terms)) if terms else self._postings.limit(0)
         if "matchall" in K.plan_node_types(plan):
             # the plan matches docs without postings: dispatch EVERY segment
@@ -793,6 +849,7 @@ class LuceneSparkSearcher:
         use_wand: bool = True,
         with_stored: bool = False,
         after: tuple | None = None,
+        similarity=None,
     ) -> pd.DataFrame:
         """Driver-LOCAL evaluation: the exact same compiled plan and
         segment kernels run in-process over posting rows fetched once and
@@ -830,7 +887,10 @@ class LuceneSparkSearcher:
                 out.attrs["relation"] = "EQUAL_TO"
                 return out
             keys = query_terms(qq)
-            plan = K.compile_plan(qq, self._global_df(keys), self.doc_counts)
+            plan = K.compile_plan(
+                qq, self._global_df(keys), self.doc_counts,
+                sim=self._sim_ctx(similarity, keys),
+            )
         self._local_postings(keys)
         segdata = self._local_segdata()
         nrs = numeric_ranges(qq)

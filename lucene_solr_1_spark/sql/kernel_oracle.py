@@ -538,3 +538,144 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Pluggable-similarity twins (kernels/similarity.py): Classic TF-IDF,
+# BooleanSimilarity, LM Dirichlet, LM Jelinek-Mercer — the same quantized
+# norm pipeline (SmallFloat length table), different per-term scorers.
+# Reference: lucene/core similarities/ClassicSimilarity.java:38-64,
+# TFIDFSimilarity.java:515-552, BooleanSimilarity.java:47-61,
+# LMDirichletSimilarity.java:73-77, LMJelinekMercerSimilarity.java:63-68.
+#
+# Bit-exactness caveat (LM sims only): both engines compute the log in
+# DOUBLE (NumPy vectorized log vs DuckDB std::log) which can differ by
+# 1 double-ULP; the final CAST(.. AS REAL) absorbs that noise (a float32
+# boundary hit needs the double to land within 2^-29 of a half-ulp —
+# measured 0 mismatches over 200k random (freq, dl, p) triples).
+# --------------------------------------------------------------------------
+
+
+def classic_norm_table_values() -> str:
+    """256 rows (len_i BIGINT, cn REAL-as-DOUBLE literal): the Classic
+    lengthNorm table — cn[i] = f32(1/sqrt(f64(LENGTH_TABLE[i]))), slot 0
+    = 1f/cn[255] (TFIDFSimilarity.java:515-521 normTable). Emitted from
+    the SAME constants as kernels/similarity.py CLASSIC_NORM_TABLE."""
+    from ..kernels.similarity import CLASSIC_NORM_TABLE
+
+    ints = LENGTH_TABLE.astype(np.int64)
+    return ", ".join(
+        f"({int(ints[i])}, {_lit(CLASSIC_NORM_TABLE[i])})" for i in range(256)
+    )
+
+
+def _classic_weights_cte() -> str:
+    """qw(term) = f32(f32(1.0) * f32(ln((N+1)/(df+1)) + 1.0)) — the
+    classic_idf / classic_query_weight op order (boost 1)."""
+    idf32 = _f32(
+        "ln((tot.n_docs + 1)::DOUBLE / (dfr.df + 1)::DOUBLE) + 1e0"
+    )
+    return f"""
+w AS (
+  SELECT dfr.term, {_f32(f"{_f32(_lit(1.0))} * {idf32}")} AS qw
+  FROM dfr CROSS JOIN tot
+)
+""".strip()
+
+
+def kernel_classic_duck(should: tuple, k: int = 10) -> str:
+    """Classic TF-IDF disjunction twin: per term
+    s = f32(f32(f32(sqrt(f64(f32(tf)))) * qw) * cn[normByte]); clause
+    scores summed in DOUBLE, cast REAL (kernel _eval_bool + top_k)."""
+    terms = sorted(set(should))
+    score32 = (
+        "CAST(CAST(CAST(sqrt(CAST(tf.tf AS REAL)::DOUBLE) AS REAL)"
+        " * w.qw AS REAL) * q.cn AS REAL)"
+    )
+    return f"""
+WITH {_prelude(terms)},
+{_classic_weights_cte()},
+ct(len_i, cn) AS (VALUES {classic_norm_table_values()}),
+cnq AS (
+  SELECT d.doc_id, arg_max(c.cn, c.len_i) AS cn
+  FROM dl d JOIN ct c ON c.len_i <= d.dl GROUP BY d.doc_id
+),
+s AS (
+  SELECT tf.doc_id, {score32} AS s
+  FROM tf JOIN w USING (term) JOIN cnq q ON q.doc_id = tf.doc_id
+),
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_boolean_sim_duck(term: str, k: int = 10) -> str:
+    """BooleanSimilarity twin: every matching doc scores exactly the
+    query boost (BooleanSimilarity.java:47-61; norms ignored)."""
+    return f"""
+WITH {_base_ctes()},
+matched AS (
+  SELECT DISTINCT doc_id, {_f32(_lit(1.0))} AS score32 FROM tok
+  WHERE term = {_sql_str(term)}
+)
+{_topk_select(k)}
+""".strip()
+
+
+def _lm_prelude(term: str) -> str:
+    """tf + collection-model CTEs shared by the LM twins: p(w|C) =
+    (ttf + 1) / (sumTotalTermFreq + 1) in DOUBLE
+    (LMSimilarity.DefaultCollectionModel, java:148-156); quantized
+    docLen from the SmallFloat table (SimilarityBase.java:222-229)."""
+    return f"""
+{_prelude([term])},
+ttfr AS (SELECT count(*) AS ttf FROM tok WHERE term = {_sql_str(term)}),
+cm AS (
+  SELECT (ttfr.ttf + 1e0) / (tot.sum_ttf + 1e0) AS p
+  FROM ttfr CROSS JOIN tot
+)
+""".strip()
+
+
+def kernel_lmdirichlet_duck(term: str, mu: float = 2000.0, k: int = 10) -> str:
+    """LM Dirichlet twin: s = f32(max(0, boost * (ln(1 + f/(mu*p)) +
+    ln(mu/(dl+mu))))) all in DOUBLE (LMDirichletSimilarity.java:73-77);
+    f = f64(f32(tf)), dl = f64(LENGTH_TABLE[normByte]), mu = f64(f32(mu))."""
+    mu_d = _lit(float(np.float64(np.float32(mu))))
+    sd = (
+        f"{_lit(1.0)} * (ln(1 + CAST(tf.tf AS REAL)::DOUBLE / ({mu_d} * cm.p))"
+        f" + ln({mu_d} / (q.len_f::DOUBLE + {mu_d})))"
+    )
+    return f"""
+WITH {_lm_prelude(term)},
+matched AS (
+  SELECT tf.doc_id,
+         CAST(CASE WHEN ({sd}) > 0e0 THEN ({sd}) ELSE 0e0 END AS REAL) AS score32
+  FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN cm
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_lmjm_duck(term: str, lam: float = 0.1, k: int = 10) -> str:
+    """LM Jelinek-Mercer twin: s = f32(boost * ln(1 +
+    ((1-lambda)*f/dl) / (lambda*p))) — (1-lambda) computed in FLOAT
+    first, everything else DOUBLE (LMJelinekMercerSimilarity.java:63-68);
+    no clamp."""
+    lam_f = np.float32(lam)
+    one_minus = _lit(float(np.float64(np.float32(1.0) - lam_f)))
+    lam_d = _lit(float(np.float64(lam_f)))
+    sd = (
+        f"{_lit(1.0)} * ln(1 + ({one_minus} * CAST(tf.tf AS REAL)::DOUBLE"
+        f" / q.len_f::DOUBLE) / ({lam_d} * cm.p))"
+    )
+    return f"""
+WITH {_lm_prelude(term)},
+matched AS (
+  SELECT tf.doc_id, CAST({sd} AS REAL) AS score32
+  FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN cm
+)
+{_topk_select(k)}
+""".strip()

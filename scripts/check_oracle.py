@@ -2,7 +2,8 @@
 on Spark and its oracle_sql() twin on DuckDB over the same parquet, compare
 row count, sorted-by-name schema, and a value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [name_regex]
+(name_regex optionally restricts which queries() entries run)
 """
 
 from __future__ import annotations
@@ -47,6 +48,11 @@ def main() -> int:
         )
 
     qs = E.queries()
+    if len(sys.argv) > 2:
+        import re
+
+        pat = re.compile(sys.argv[2])
+        qs = {n: f for n, f in qs.items() if pat.search(n)}
     oracles = E.oracle_sql()
     failures = []
     for name, fn in qs.items():

@@ -22,6 +22,11 @@ KERNEL_ENTRIES = [
     "fts_bm25_metadata_filter",
     "fts_bm25_numeric_filter",
     "fts_stemmed_term",
+    # pluggable similarities over the same index (kernels/similarity.py)
+    "fts_classic_tfidf",
+    "fts_boolean_sim",
+    "fts_lm_dirichlet",
+    "fts_lm_jelinek_mercer",
 ]
 
 

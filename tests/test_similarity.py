@@ -1,0 +1,167 @@
+"""Pluggable similarities (kernels/similarity.py): Classic TF-IDF,
+BooleanSimilarity, LM Dirichlet, LM Jelinek-Mercer swapped per query
+(IndexSearcher.setSimilarity) over the ONE unified-norm index.
+
+Contract pins:
+- scorer math vs an independent pure-python float64 reference
+  (ClassicSimilarity.java:38-64, LMDirichletSimilarity.java:73-77,
+  LMJelinekMercerSimilarity.java:63-68 formulas re-derived here from
+  the published equations, NOT from the kernel code);
+- distributed == local evaluation for every similarity;
+- sim plans route exhaustive (impact metadata upper-bounds BM25 only);
+- LM sims reject multi-term stats shapes (SimilarityBase: one
+  BasicStats per term).
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_1_spark.index.builder import build_index
+from lucene_solr_1_spark.kernels import similarity as simk
+from lucene_solr_1_spark.kernels.smallfloat import LENGTH_TABLE
+from lucene_solr_1_spark.search import kernel as K
+from lucene_solr_1_spark.search.query import Bool, Occur, Phrase, Term
+from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+
+@pytest.fixture(scope="module")
+def sim_setup(spark, tmp_path_factory):
+    from lucene_solr_1_spark.corpus import corpus_spark_df
+
+    d = str(tmp_path_factory.mktemp("idx_sim"))
+    build_index(spark, corpus_spark_df(spark, 400, partitions=3),
+                d, num_segments=3)
+    return LuceneSparkSearcher(spark, d)
+
+
+# ---------------------------------------------------------------- kernels
+
+def test_classic_score_reference():
+    """f32 pipeline tracks tf*idf*lengthNorm computed in plain float64
+    (rtol bounds the quantization), and the exact op order is reproduced
+    by an independent scalar chain."""
+    freqs = np.array([1, 2, 5, 13, 40])
+    norm_bytes = np.array([10, 24, 39, 52, 120])
+    qw = simk.classic_query_weight(simk.classic_idf(7, 400))
+    got = simk.classic_score(freqs, norm_bytes, qw)
+    idf = math.log(401.0 / 8.0) + 1.0
+    for g, f, b in zip(got, freqs, norm_bytes):
+        approx = math.sqrt(f) * idf / math.sqrt(float(LENGTH_TABLE[b]))
+        assert abs(float(g) - approx) < 1e-5 * approx
+        # scalar float32 chain
+        exact = np.float32(
+            np.float32(np.float32(math.sqrt(float(np.float32(f)))) * qw)
+            * simk.CLASSIC_NORM_TABLE[b]
+        )
+        assert float(g) == float(exact)
+
+
+def test_classic_norm_table_slot0():
+    # TFIDFSimilarity normTable[0] = 1f / normTable[255]
+    assert simk.CLASSIC_NORM_TABLE[0] == np.float32(1.0) / simk.CLASSIC_NORM_TABLE[255]
+
+
+@pytest.mark.parametrize("fn,extra", [("lmd", 2000.0), ("lmjm", 0.1)])
+def test_lm_score_reference(fn, extra):
+    freqs = np.array([1, 3, 9, 27])
+    norm_bytes = np.array([15, 40, 80, 200])
+    p = simk.lm_collection_probability(123, 54321)
+    assert p == 124.0 / 54322.0
+    if fn == "lmd":
+        got = simk.lmd_score(freqs, norm_bytes, p, extra, 1.0)
+    else:
+        got = simk.lmjm_score(freqs, norm_bytes, p, extra, 1.0)
+    for g, f, b in zip(got, freqs, norm_bytes):
+        dl = float(LENGTH_TABLE[b])
+        if fn == "lmd":
+            ref = max(0.0, math.log(1 + f / (extra * p)) + math.log(extra / (dl + extra)))
+        else:
+            ref = math.log(1 + ((1 - extra) * f / dl) / (extra * p))
+        assert abs(float(g) - ref) < 1e-6 * max(1.0, abs(ref))
+
+
+def test_lmd_clamps_at_zero():
+    # a common doc-frequent term in a long doc scores <= 0 -> clamped
+    s = simk.lmd_score(np.array([1]), np.array([255]), 0.5, 2000.0, 1.0)
+    assert s[0] == np.float32(0.0)
+
+
+def test_boolean_sim_is_boost():
+    spec = {"name": "boolean", "boost": np.float32(2.5)}
+    out = simk.score(spec, np.array([1, 7, 99]), np.array([3, 90, 200]))
+    assert (out == np.float32(2.5)).all()
+
+
+# ------------------------------------------------------------ plan compile
+
+def test_sim_plans_route_exhaustive():
+    gdf = {("content", "a"): 5, ("content", "b"): 9}
+    for sim in ({"name": "classic"}, {"name": "boolean"}):
+        plan = K.compile_plan(Term("a"), gdf, 100, sim=sim)
+        assert not K.wand_applicable(plan)
+        bp = K.compile_plan(
+            Bool.of((Occur.SHOULD, Term("a")), (Occur.SHOULD, Term("b"))),
+            gdf, 100, sim=sim,
+        )
+        assert not K.wand_applicable(bp)
+    # default BM25 still prunes
+    assert K.wand_applicable(K.compile_plan(Term("a"), gdf, 100))
+
+
+def test_lm_rejects_multi_term_stats():
+    gdf = {("content", "a"): 5, ("content", "b"): 9}
+    sim = {"name": "lmd", "ttf": {}, "field_tokens": {"content": 1000}}
+    with pytest.raises(NotImplementedError):
+        K.compile_plan(Phrase(("a", "b")), gdf, 100, sim=sim)
+
+
+# ------------------------------------------------------------ end to end
+
+SIMS = ["classic", "boolean", "lmd", "lmjm", ("lmd", 500.0), ("lmjm", 0.7)]
+
+
+@pytest.mark.parametrize("sim", SIMS, ids=[str(s) for s in SIMS])
+def test_local_equals_distributed_per_sim(sim_setup, sim):
+    s = sim_setup
+    q = Bool.of((Occur.SHOULD, Term("return")), (Occur.SHOULD, Term("class")))
+    if isinstance(sim, tuple) or sim in ("lmd", "lmjm"):
+        q = Term("return")
+    dist = s.search(q, k=15, with_stored=False, similarity=sim)
+    loc = s.search_local(q, k=15, with_stored=False, similarity=sim)
+    pd.testing.assert_frame_equal(
+        dist.reset_index(drop=True), loc.reset_index(drop=True)
+    )
+    assert dist.attrs["total_hits"] == loc.attrs["total_hits"]
+
+
+def test_sims_share_match_set_differ_in_rank(sim_setup):
+    """One index, many scorers: the matched doc SET is similarity-
+    independent; only scores/ranks change. BM25 vs classic must agree on
+    membership for a disjunction when k covers every match."""
+    s = sim_setup
+    q = Term("return")
+    bm = s.search(q, k=1000, with_stored=False)
+    cl = s.search(q, k=1000, with_stored=False, similarity="classic")
+    bo = s.search(q, k=1000, with_stored=False, similarity="boolean")
+    assert (
+        set(bm["global_doc_id"]) == set(cl["global_doc_id"])
+        == set(bo["global_doc_id"])
+    )
+    assert (bo["score"] == 1.0).all()
+    # boolean ties break by global docID asc
+    assert bo["global_doc_id"].tolist() == sorted(bo["global_doc_id"].tolist())
+
+
+def test_param_changes_scores(sim_setup):
+    s = sim_setup
+    a = s.search(Term("return"), k=10, with_stored=False, similarity=("lmjm", 0.1))
+    b = s.search(Term("return"), k=10, with_stored=False, similarity=("lmjm", 0.7))
+    assert not np.array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_unknown_similarity_raises(sim_setup):
+    with pytest.raises(ValueError):
+        sim_setup.search(Term("return"), k=5, similarity="dfr")
