@@ -350,6 +350,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_function_score"] = _func_score
 
+    # FeatureField scoring functions / distance feature query
+    # (FeatureField.newSaturationQuery, LongDistanceFeatureQuery):
+    # score = f32(bm25 + weight * fn(doc-value)) — static-rank and
+    # recency-style boosts over the numeric doc-values channel
+    def _feat_sat(s, d):
+        from lucene_solr_1_spark.search.query import FunctionScore
+
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            FunctionScore(Term("query"), "dl", "saturation",
+                          weight=0.5, pivot=45.0), k=10,
+        )
+
+    q["fts_feature_saturation"] = _feat_sat
+
+    def _feat_dist(s, d):
+        from lucene_solr_1_spark.search.query import FunctionScore
+
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            FunctionScore(Term("query"), "dl", "dist_feature",
+                          weight=1.0, pivot=10.0, origin=50.0), k=10,
+        )
+
+    q["fts_distance_feature"] = _feat_dist
+
     # QueryRescorer: first-pass top-50 by 'query', rescored by the
     # (merge OR spark) disjunction at weight 2.0 — second pass scored
     # only on the first-pass doc set (cogrouped allowed channel)
@@ -502,6 +528,13 @@ def oracle_sql() -> dict[str, str]:
         "fts_lm_jelinek_mercer": KO.kernel_lmjm_duck("merge", k=10),
         "fts_function_score": KO.kernel_function_score_duck(
             "query", "dl", "multiply", 0.01, k=10
+        ),
+        "fts_feature_saturation": KO.kernel_feature_duck(
+            "query", "dl", "saturation", weight=0.5, pivot=45.0, k=10
+        ),
+        "fts_distance_feature": KO.kernel_feature_duck(
+            "query", "dl", "dist_feature", weight=1.0, pivot=10.0,
+            origin=50.0, k=10
         ),
         "fts_rescore": KO.kernel_rescore_duck(
             ("query",), ("merge", "spark"), weight=2.0, first_k=50, k=10

@@ -224,9 +224,13 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
     if isinstance(q, FunctionScore):
         return {
             "type": "func",
-            "node": compile_plan(q.query, global_df, doc_count, boost),
+            "node": compile_plan(q.query, global_df, doc_count, boost, sim),
             "mode": q.mode,
             "weight": float(q.weight),
+            "pivot": float(q.pivot),
+            "origin": float(q.origin),
+            "exp": float(q.exp),
+            "scaling": float(q.scaling),
             "set_id": f"values:{q.field}",
         }
     raise TypeError(f"cannot compile {q!r} — expand multi-term queries first")
@@ -361,6 +365,23 @@ def _node_key(node: dict, term: str):
     return (node.get("field", "content"), term)
 
 
+def _feature_fn(mode: str, v: np.ndarray, node: dict) -> np.ndarray:
+    """FeatureField scoring functions over a double doc-value array
+    (document/FeatureField.java SaturationFunction/LogFunction/
+    SigmoidFunction; LongDistanceFeatureQuery boost*pivot/(pivot+dist)).
+    All double; the caller applies weight and the final float32 cast."""
+    if mode == "saturation":
+        return v / (v + node["pivot"])
+    if mode == "log":
+        return np.log(node["scaling"] + v)
+    if mode == "sigmoid":
+        va = v ** node["exp"]
+        return va / (va + node["pivot"] ** node["exp"])
+    if mode == "dist_feature":
+        return node["pivot"] / (node["pivot"] + np.abs(v - node["origin"]))
+    raise ValueError(f"unknown function-score mode {mode!r}")
+
+
 def _score_postings(node: dict, freqs, norms, cache) -> np.ndarray:
     """freq/norm -> float32 score under the node's similarity: BM25 with
     the per-field quantized norm cache by default, else the compiled sim
@@ -451,9 +472,17 @@ def eval_node(node: dict, seg: SegmentData, cache):
             )
         vdocs, vvals = vs
         idx = np.searchsorted(vdocs, docs)
-        v = vvals[np.minimum(idx, len(vvals) - 1)]
-        boost = np.float64(node["weight"]) * v
-        out = scores * boost if node["mode"] == "multiply" else scores + boost
+        v = vvals[np.minimum(idx, len(vvals) - 1)].astype(np.float64)
+        mode = node["mode"]
+        if mode in ("multiply", "sum"):
+            boost = np.float64(node["weight"]) * v
+            out = scores * boost if mode == "multiply" else scores + boost
+        else:
+            # FeatureField scoring functions / distance feature query
+            # (document/FeatureField.java:newSaturationQuery et al.,
+            # document/LongDistanceFeatureQuery.java): fn in double,
+            # combined as inner + weight*fn(v), one final f32 cast.
+            out = scores + np.float64(node["weight"]) * _feature_fn(mode, v, node)
         return docs, out.astype(F32).astype(np.float64)
     if t == "matchall":
         docs = np.arange(seg.n_docs, dtype=np.int64)

@@ -9,7 +9,7 @@ BooleanQuery rewrite simplifications search/BooleanQuery.java:211-290).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from enum import Enum
 
 
@@ -123,12 +123,27 @@ class FunctionScore(Query):
     numeric doc-values column v (dl / n_chars — recency/stars/quality
     style boosting). multiply: score = f32(inner * (weight * v));
     sum: score = f32(inner + weight * v). Matching docs = inner's docs;
-    values ride the same cogrouped norms channel as NumericRange."""
+    values ride the same cogrouped norms channel as NumericRange.
+
+    Feature modes — FeatureField's scoring functions and the distance
+    feature query (document/FeatureField.java newSaturationQuery /
+    newLogQuery / newSigmoidQuery; document/LongDistanceFeatureQuery.java),
+    collapsed into the usual Bool(MUST text, SHOULD feature) composition:
+    score = f32(inner + weight * fn(v)) with fn computed in double:
+      saturation:   v / (v + pivot)
+      log:          ln(scaling + v)
+      sigmoid:      v^exp / (v^exp + pivot^exp)
+      dist_feature: pivot / (pivot + |v - origin|)   (recency/geo boost)
+    """
 
     query: Query
     field: str  # numeric doc-values column: 'dl' or 'n_chars'
-    mode: str = "multiply"  # or "sum"
+    mode: str = "multiply"  # sum | saturation | log | sigmoid | dist_feature
     weight: float = 1.0
+    pivot: float = 1.0    # saturation / sigmoid / dist_feature
+    origin: float = 0.0   # dist_feature
+    exp: float = 1.0      # sigmoid
+    scaling: float = 1.0  # log
 
 
 @dataclass(frozen=True)
@@ -276,7 +291,7 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
         if isinstance(node, ConstantScore):
             return ConstantScore(walk(node.query), node.score)
         if isinstance(node, FunctionScore):
-            return FunctionScore(walk(node.query), node.field, node.mode, node.weight)
+            return _dc_replace(node, query=walk(node.query))
         if isinstance(node, Bool):
             return Bool(
                 tuple(Clause(c.occur, walk(c.query)) for c in node.clauses),
@@ -322,7 +337,7 @@ def _rewrite_once(q: Query) -> Query:
         inner = rewrite(q.query)
         if isinstance(inner, MatchNone):
             return inner
-        return FunctionScore(inner, q.field, q.mode, q.weight)
+        return _dc_replace(q, query=inner)
     if not isinstance(q, Bool):
         return q
     clauses = []

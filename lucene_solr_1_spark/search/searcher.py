@@ -360,7 +360,9 @@ class LuceneSparkSearcher:
             if isinstance(q, ConstantScore):
                 return ConstantScore(self.expand(q.query), q.score)
             if isinstance(q, FunctionScore):
-                return FunctionScore(self.expand(q.query), q.field, q.mode, q.weight)
+                from dataclasses import replace as _dc_replace
+
+                return _dc_replace(q, query=self.expand(q.query))
             return q
         if not terms:
             return MatchNone()

@@ -679,3 +679,45 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def kernel_feature_duck(
+    term: str, field: str = "dl", mode: str = "saturation",
+    weight: float = 1.0, pivot: float = 1.0, origin: float = 0.0,
+    exp: float = 1.0, scaling: float = 1.0, k: int = 10,
+) -> str:
+    """Twin of the FeatureField modes of FunctionScore (kernel.eval_node
+    'func' feature branch): score = f32(inner32 + weight * fn(v)) with
+    fn in DOUBLE — saturation v/(v+pivot), log ln(scaling+v), sigmoid
+    v^a/(v^a+pivot^a) (pivot^a pre-computed, same double as the kernel's
+    node constant), dist_feature pivot/(pivot+|v-origin|)."""
+    v = f"d.{field}::DOUBLE"
+    if mode == "saturation":
+        fn = f"({v}) / (({v}) + {_lit(pivot)})"
+    elif mode == "log":
+        fn = f"ln({_lit(scaling)} + {v})"
+    elif mode == "sigmoid":
+        pa = _lit(float(pivot) ** float(exp))
+        fn = f"power({v}, {_lit(exp)}) / (power({v}, {_lit(exp)}) + {pa})"
+    elif mode == "dist_feature":
+        fn = f"{_lit(pivot)} / ({_lit(pivot)} + abs(({v}) - {_lit(origin)}))"
+    else:
+        raise ValueError(f"unknown feature mode {mode!r}")
+    dv_cte = (
+        "dv AS (SELECT doc_id, dl FROM dl)"
+        if field == "dl"
+        else "dv AS (SELECT doc_id, length(text) AS n_chars FROM documents)"
+    )
+    return f"""
+WITH {_prelude((term,))},
+{_weights_cte({})},
+{_scores_cte()},
+{dv_cte},
+agg AS (SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS s32 FROM s GROUP BY 1),
+matched AS (
+  SELECT a.doc_id,
+         CAST(a.s32::DOUBLE + {_lit(weight)} * ({fn}) AS REAL) AS score32
+  FROM agg a JOIN dv d USING (doc_id)
+)
+{_topk_select(k)}
+""".strip()

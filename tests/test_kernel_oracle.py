@@ -27,6 +27,9 @@ KERNEL_ENTRIES = [
     "fts_boolean_sim",
     "fts_lm_dirichlet",
     "fts_lm_jelinek_mercer",
+    # FeatureField scoring functions / distance feature
+    "fts_feature_saturation",
+    "fts_distance_feature",
 ]
 
 
