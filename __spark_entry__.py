@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lucene_solr_1_spark.index.builder import build_index
 from lucene_solr_1_spark.pipeline import (
+    decontam,
     dedup,
     multimodal,
     repetition,
@@ -221,6 +222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = textstats.fingerprint_spark
     q["repetition_stats"] = repetition.repetition_stats_spark
     q["pii_scrub"] = repetition.pii_scrub_spark
+    # benchmark decontamination (n-gram overlap vs a broadcast benchmark
+    # set) + unigram-LM perplexity bucketing signal (CCNet-style)
+    q["decontam_ngram_overlap"] = decontam.decontam_spark
+    q["quality_unigram_logppl"] = decontam.unigram_logppl_spark
     q["multimodal_features"] = multimodal.multimodal_features_spark
 
     def _windowed(s, d):
@@ -502,6 +507,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.fingerprint_duck(),
         "repetition_stats": repetition.repetition_stats_duck(),
         "pii_scrub": repetition.pii_scrub_duck(),
+        "decontam_ngram_overlap": decontam.decontam_duck(),
+        "quality_unigram_logppl": decontam.unigram_logppl_duck(),
         "multimodal_features": multimodal.multimodal_features_duck(),
         "events_windowed_counts": __import__(
             "lucene_solr_1_spark.streaming.analytics", fromlist=["x"]
