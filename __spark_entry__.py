@@ -342,6 +342,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_lm_jelinek_mercer"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Term("merge"), k=10, similarity="lmjm"
     )
+    q["fts_dfr_inl2"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("merge"), k=10, similarity="dfr"
+    )
+    q["fts_ib_ll"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("spark"), k=10, similarity="ib"
+    )
 
     # FunctionScoreQuery: BM25 term score shaped by a numeric doc-value
     # (dl) — the recency/stars/quality boosting pattern
@@ -533,6 +539,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_boolean_sim": KO.kernel_boolean_sim_duck("query", k=10),
         "fts_lm_dirichlet": KO.kernel_lmdirichlet_duck("query", k=10),
         "fts_lm_jelinek_mercer": KO.kernel_lmjm_duck("merge", k=10),
+        "fts_dfr_inl2": KO.kernel_dfr_inl2_duck("merge", k=10),
+        "fts_ib_ll": KO.kernel_ib_ll_duck("spark", k=10),
         "fts_function_score": KO.kernel_function_score_duck(
             "query", "dl", "multiply", 0.01, k=10
         ),

@@ -126,4 +126,62 @@ def score(spec: dict, freqs, norm_bytes) -> np.ndarray:
     if name == "boolean":
         n = len(np.atleast_1d(np.asarray(freqs)))
         return np.full(n, F32(spec["boost"]), dtype=F32)
+    if name == "dfr_inl2":
+        return dfr_inl2_score(freqs, norm_bytes, spec["df"], spec["dc"],
+                              spec["avgfl"], spec["c"], spec["boost"])
+    if name == "ib_ll":
+        return ib_ll_score(freqs, norm_bytes, spec["lam"],
+                           spec["avgfl"], spec["c"], spec["boost"])
     raise ValueError(f"unknown similarity {name!r}")
+
+
+# --------------------------------------------------------------------------
+# DFR and IB (SimilarityBase framework, all-double, final float cast):
+# - DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2(c)) — the
+#   "I(n)L2" model: tfn = freq * log2(1 + c*avgfl/dl)
+#   (NormalizationH2.java:58-59), aeTimes1pTfn = 1 (AfterEffectL.java:32),
+#   score = boost * A * (1 - 1/(1+tfn)) with
+#   A = log2((N+1)/(n+0.5)) (BasicModelIn.java:33-44,
+#   DFRSimilarity.java:110-113); log2(x) = log(x)/LOG_2
+#   (SimilarityBase.java:47,202-204).
+# - IBSimilarity(DistributionLL, LambdaDF, NormalizationH2(c)) — "LL-D2":
+#   lambda = float((df+1)/(N+1)), nextDown'd off 1 (LambdaDF.java:32-38);
+#   score = boost * -log(lambda/(tfn+lambda)) (DistributionLL.java:33-34,
+#   IBSimilarity.java:99-105).
+# avgfl = sumTotalTermFreq/(double)docCount (SimilarityBase.java:112);
+# docLen = double(LENGTH_TABLE[norm&0xFF]) (SimilarityBase.java:222-228).
+# --------------------------------------------------------------------------
+
+LOG_2 = float(np.log(2.0))  # SimilarityBase.LOG_2 = Math.log(2)
+
+
+def _h2_tfn(freqs, norm_bytes, avgfl: float, c: float) -> np.ndarray:
+    """NormalizationH2: tf * log2(1 + c*avgfl/dl), all double; tf arrives
+    as (float) freq promoted double, c is a float field promoted."""
+    freq_d = np.asarray(freqs).astype(F32).astype(F64)
+    dl_d = LENGTH_TABLE[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(F64)
+    return freq_d * (np.log(1.0 + F64(F32(c)) * F64(avgfl) / dl_d) / LOG_2)
+
+
+def dfr_inl2_score(freqs, norm_bytes, df: int, dc: int,
+                   avgfl: float, c: float, boost: float) -> np.ndarray:
+    tfn = _h2_tfn(freqs, norm_bytes, avgfl, c)
+    a = np.log(float(dc + 1) / (float(df) + 0.5)) / LOG_2
+    s = F64(F32(boost)) * (a * 1.0 * (1.0 - 1.0 / (1.0 + tfn)))
+    return s.astype(F32)
+
+
+def ib_lambda(df: int, dc: int) -> np.float32:
+    """LambdaDF: float((df+1)/(N+1)), nextDown if exactly 1."""
+    lam = F32((float(df) + 1.0) / (float(dc) + 1.0))
+    if lam == F32(1.0):
+        lam = np.nextafter(lam, F32(0.0))
+    return lam
+
+
+def ib_ll_score(freqs, norm_bytes, lam: np.float32,
+                avgfl: float, c: float, boost: float) -> np.ndarray:
+    tfn = _h2_tfn(freqs, norm_bytes, avgfl, c)
+    lam_d = F64(lam)
+    s = F64(F32(boost)) * (-np.log(lam_d / (tfn + lam_d)))
+    return s.astype(F32)

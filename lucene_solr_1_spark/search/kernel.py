@@ -107,6 +107,15 @@ def _sim_spec_for(sim: dict, field: str, boost: float,
         else:
             spec["lam"] = float(sim.get("lam", simk.LMJM_LAMBDA_DEFAULT))
         return spec
+    if name in ("dfr_inl2", "ib_ll"):
+        avgfl = float(sim["field_tokens"].get(field, 1)) / float(max(dc, 1))
+        spec = {"name": name, "avgfl": avgfl,
+                "c": float(sim.get("c", 1.0)), "boost": float(boost)}
+        if name == "dfr_inl2":
+            spec["df"], spec["dc"] = int(df), int(dc)
+        else:
+            spec["lam"] = simk.ib_lambda(df, dc)
+        return spec
     raise ValueError(f"unknown similarity {name!r}")
 
 

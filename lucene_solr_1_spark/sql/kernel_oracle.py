@@ -721,3 +721,59 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def _h2_tfn_sql(c: float) -> str:
+    """NormalizationH2 tfn in DOUBLE: tf * log2(1 + c*avgfl/dl) with
+    log2(x) = ln(x)/LOG_2 (SimilarityBase.java:202-204); avgfl =
+    sum_ttf/(double)n_docs; dl = quantized len_f; c emitted through
+    float32 like the engine's float field."""
+    from ..kernels.similarity import LOG_2
+
+    c_d = _lit(float(np.float64(np.float32(c))))
+    return (
+        f"CAST(tf.tf AS REAL)::DOUBLE * (ln(1 + {c_d} * "
+        f"(tot.sum_ttf::DOUBLE / tot.n_docs::DOUBLE) / q.len_f::DOUBLE)"
+        f" / {_lit(LOG_2)})"
+    )
+
+
+def kernel_dfr_inl2_duck(term: str, c: float = 1.0, k: int = 10) -> str:
+    """DFR I(n)L2 twin (BasicModelIn.java:33-44 + AfterEffectL +
+    NormalizationH2, DFRSimilarity.java:110-113): score =
+    f32(boost * (A * 1 * (1 - 1/(1+tfn)))), A = log2((N+1)/(df+0.5))."""
+    tfn = _h2_tfn_sql(c)
+    from ..kernels.similarity import LOG_2
+
+    a = f"(ln((tot.n_docs + 1) / (dfr.df + 0.5)) / {_lit(LOG_2)})"
+    return f"""
+WITH {_prelude([term])},
+matched AS (
+  SELECT tf.doc_id,
+         CAST({_lit(1.0)} * ({a} * 1e0 * (1 - 1 / (1 + {tfn}))) AS REAL) AS score32
+  FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN tot CROSS JOIN dfr
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_ib_ll_duck(term: str, c: float = 1.0, k: int = 10) -> str:
+    """IB LL-D2 twin (DistributionLL.java:33-34, LambdaDF.java:32-38,
+    IBSimilarity.java:99-105): lambda = f32((df+1)/(N+1)) nextDown'd off
+    1; score = f32(boost * -ln(lambda/(tfn+lambda)))."""
+    tfn = _h2_tfn_sql(c)
+    nextdown_1f = _lit(float(np.nextafter(np.float32(1.0), np.float32(0.0))))
+    lam = (
+        f"(CASE WHEN CAST((dfr.df + 1.0) / (tot.n_docs + 1.0) AS REAL) >= 1"
+        f" THEN {nextdown_1f}"
+        f" ELSE CAST((dfr.df + 1.0) / (tot.n_docs + 1.0) AS REAL) END)::DOUBLE"
+    )
+    return f"""
+WITH {_prelude([term])},
+matched AS (
+  SELECT tf.doc_id,
+         CAST({_lit(1.0)} * (-ln({lam} / ({tfn} + {lam}))) AS REAL) AS score32
+  FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN tot CROSS JOIN dfr
+)
+{_topk_select(k)}
+""".strip()

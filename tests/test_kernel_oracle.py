@@ -27,6 +27,8 @@ KERNEL_ENTRIES = [
     "fts_boolean_sim",
     "fts_lm_dirichlet",
     "fts_lm_jelinek_mercer",
+    "fts_dfr_inl2",
+    "fts_ib_ll",
     # FeatureField scoring functions / distance feature
     "fts_feature_saturation",
     "fts_distance_feature",

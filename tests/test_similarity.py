@@ -89,6 +89,41 @@ def test_lmd_clamps_at_zero():
     assert s[0] == np.float32(0.0)
 
 
+def test_dfr_inl2_reference():
+    """DFR I(n)L2 vs the published formula computed in plain float64:
+    score = A * (1 - 1/(1+tfn)), tfn = f*log2(1 + avgfl/dl),
+    A = log2((N+1)/(df+0.5))."""
+    freqs = np.array([1, 4, 16])
+    norm_bytes = np.array([20, 60, 150])
+    got = simk.dfr_inl2_score(freqs, norm_bytes, df=12, dc=400,
+                              avgfl=55.5, c=1.0, boost=1.0)
+    A = math.log2(401.0 / 12.5)
+    for g, f, b in zip(got, freqs, norm_bytes):
+        dl = float(LENGTH_TABLE[b])
+        tfn = f * math.log2(1 + 55.5 / dl)
+        ref = A * (1 - 1 / (1 + tfn))
+        assert abs(float(g) - ref) < 1e-6 * ref
+    # monotone increasing in freq at fixed dl
+    same = simk.dfr_inl2_score(np.array([1, 2, 3]), np.array([60, 60, 60]),
+                               12, 400, 55.5, 1.0, 1.0)
+    assert (np.diff(same) > 0).all()
+
+
+def test_ib_ll_reference():
+    freqs = np.array([1, 4, 16])
+    norm_bytes = np.array([20, 60, 150])
+    lam = simk.ib_lambda(12, 400)
+    assert float(lam) == np.float32(13.0 / 401.0)
+    got = simk.ib_ll_score(freqs, norm_bytes, lam, avgfl=55.5, c=1.0, boost=1.0)
+    for g, f, b in zip(got, freqs, norm_bytes):
+        dl = float(LENGTH_TABLE[b])
+        tfn = f * math.log2(1 + 55.5 / dl)
+        ref = -math.log(float(lam) / (tfn + float(lam)))
+        assert abs(float(g) - ref) < 1e-6 * ref
+    # lambda nextDown guard: df == N must not yield lambda == 1
+    assert float(simk.ib_lambda(400, 400)) < 1.0
+
+
 def test_boolean_sim_is_boost():
     spec = {"name": "boolean", "boost": np.float32(2.5)}
     out = simk.score(spec, np.array([1, 7, 99]), np.array([3, 90, 200]))
@@ -120,14 +155,15 @@ def test_lm_rejects_multi_term_stats():
 
 # ------------------------------------------------------------ end to end
 
-SIMS = ["classic", "boolean", "lmd", "lmjm", ("lmd", 500.0), ("lmjm", 0.7)]
+SIMS = ["classic", "boolean", "lmd", "lmjm", ("lmd", 500.0), ("lmjm", 0.7),
+        "dfr", "ib", ("dfr", 2.0), ("ib", 0.5)]
 
 
 @pytest.mark.parametrize("sim", SIMS, ids=[str(s) for s in SIMS])
 def test_local_equals_distributed_per_sim(sim_setup, sim):
     s = sim_setup
     q = Bool.of((Occur.SHOULD, Term("return")), (Occur.SHOULD, Term("class")))
-    if isinstance(sim, tuple) or sim in ("lmd", "lmjm"):
+    if isinstance(sim, tuple) or sim in ("lmd", "lmjm", "dfr", "ib"):
         q = Term("return")
     dist = s.search(q, k=15, with_stored=False, similarity=sim)
     loc = s.search_local(q, k=15, with_stored=False, similarity=sim)
@@ -164,4 +200,4 @@ def test_param_changes_scores(sim_setup):
 
 def test_unknown_similarity_raises(sim_setup):
     with pytest.raises(ValueError):
-        sim_setup.search(Term("return"), k=5, similarity="dfr")
+        sim_setup.search(Term("return"), k=5, similarity="axiomatic_f3exp")
