@@ -348,6 +348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_ib_ll"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Term("spark"), k=10, similarity="ib"
     )
+    q["fts_dfi_standardized"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("window"), k=10, similarity="dfi"
+    )
 
     # FunctionScoreQuery: BM25 term score shaped by a numeric doc-value
     # (dl) — the recency/stars/quality boosting pattern
@@ -541,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_lm_jelinek_mercer": KO.kernel_lmjm_duck("merge", k=10),
         "fts_dfr_inl2": KO.kernel_dfr_inl2_duck("merge", k=10),
         "fts_ib_ll": KO.kernel_ib_ll_duck("spark", k=10),
+        "fts_dfi_standardized": KO.kernel_dfi_duck("window", k=10),
         "fts_function_score": KO.kernel_function_score_duck(
             "query", "dl", "multiply", 0.01, k=10
         ),

@@ -1,7 +1,8 @@
 """Pluggable per-term similarities beyond BM25 — float32 op-order-exact
-NumPy ports of the reference's classic and language-model scorers.
+NumPy ports of the reference's classic, boolean, language-model, DFR, IB
+and DFI scorers.
 
-All four share the index's unified norm encoding (SmallFloat intToByte4
+All of them share the index's unified norm encoding (SmallFloat intToByte4
 of the field length — the same byte the BM25 path reads), so ONE index
 serves every similarity; only query-time scoring changes. That mirrors
 the reference, where computeNorm is identical across TFIDFSimilarity /
@@ -132,6 +133,9 @@ def score(spec: dict, freqs, norm_bytes) -> np.ndarray:
     if name == "ib_ll":
         return ib_ll_score(freqs, norm_bytes, spec["lam"],
                            spec["avgfl"], spec["c"], spec["boost"])
+    if name == "dfi":
+        return dfi_score(freqs, norm_bytes, spec["ttf"], spec["sum_ttf"],
+                         spec["boost"])
     raise ValueError(f"unknown similarity {name!r}")
 
 
@@ -185,3 +189,18 @@ def ib_ll_score(freqs, norm_bytes, lam: np.float32,
     lam_d = F64(lam)
     s = F64(F32(boost)) * (-np.log(lam_d / (tfn + lam_d)))
     return s.astype(F32)
+
+
+def dfi_score(freqs, norm_bytes, ttf: int, sum_ttf: int,
+              boost: float) -> np.ndarray:
+    """DFISimilarity(IndependenceStandardized) (DFISimilarity.java:55-64,
+    IndependenceStandardized.java:37-38): expected = (F+1)*dl/(T+1);
+    0 when freq <= expected, else boost * log2((freq-expected)/
+    sqrt(expected) + 1). All double, final float cast."""
+    freq_d = np.asarray(freqs).astype(F32).astype(F64)
+    dl_d = LENGTH_TABLE[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(F64)
+    expected = (float(ttf) + 1.0) * dl_d / (float(sum_ttf) + 1.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        measure = (freq_d - expected) / np.sqrt(expected)
+        s = F64(F32(boost)) * (np.log(measure + 1.0) / LOG_2)
+    return np.where(freq_d <= expected, 0.0, s).astype(F32)

@@ -107,6 +107,10 @@ def _sim_spec_for(sim: dict, field: str, boost: float,
         else:
             spec["lam"] = float(sim.get("lam", simk.LMJM_LAMBDA_DEFAULT))
         return spec
+    if name == "dfi":
+        return {"name": "dfi", "ttf": int(ttf),
+                "sum_ttf": int(sim["field_tokens"].get(field, 1)),
+                "boost": float(boost)}
     if name in ("dfr_inl2", "ib_ll"):
         avgfl = float(sim["field_tokens"].get(field, 1)) / float(max(dc, 1))
         spec = {"name": name, "avgfl": avgfl,

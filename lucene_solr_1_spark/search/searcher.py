@@ -526,7 +526,7 @@ class LuceneSparkSearcher:
             if param is not None:
                 sim["c"] = float(param)
             return sim
-        if name in ("lmd", "lmjm"):
+        if name in ("lmd", "lmjm", "dfi"):
             sim = {
                 "name": name,
                 "ttf": self._global_ttf(terms),
@@ -534,7 +534,7 @@ class LuceneSparkSearcher:
                     f: int(st["sum_ttf"]) for f, st in self.field_stats.items()
                 },
             }
-            if param is not None:
+            if param is not None and name != "dfi":
                 sim["mu" if name == "lmd" else "lam"] = float(param)
             return sim
         raise ValueError(f"unknown similarity {similarity!r}")

@@ -777,3 +777,25 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def kernel_dfi_duck(term: str, k: int = 10) -> str:
+    """DFI(IndependenceStandardized) twin (DFISimilarity.java:55-64):
+    expected = (ttf+1)*dl/(sumTTF+1); 0 when freq <= expected, else
+    f32(boost * log2((freq-expected)/sqrt(expected) + 1))."""
+    from ..kernels.similarity import LOG_2
+
+    f_d = "CAST(tf.tf AS REAL)::DOUBLE"
+    expected = "((ttfr.ttf + 1) * q.len_f::DOUBLE / (tot.sum_ttf + 1))"
+    measure = f"(({f_d} - {expected}) / sqrt({expected}))"
+    return f"""
+WITH {_lm_prelude(term)},
+matched AS (
+  SELECT tf.doc_id,
+         CASE WHEN {f_d} <= {expected} THEN CAST(0 AS REAL)
+              ELSE CAST({_lit(1.0)} * (ln({measure} + 1) / {_lit(LOG_2)}) AS REAL)
+         END AS score32
+  FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN ttfr CROSS JOIN tot
+)
+{_topk_select(k)}
+""".strip()

@@ -29,6 +29,7 @@ KERNEL_ENTRIES = [
     "fts_lm_jelinek_mercer",
     "fts_dfr_inl2",
     "fts_ib_ll",
+    "fts_dfi_standardized",
     # FeatureField scoring functions / distance feature
     "fts_feature_saturation",
     "fts_distance_feature",

@@ -124,6 +124,24 @@ def test_ib_ll_reference():
     assert float(simk.ib_lambda(400, 400)) < 1.0
 
 
+def test_dfi_reference():
+    """DFI standardized: zero at/below expected freq, log2 measure above
+    (DFISimilarity.java:55-64)."""
+    # dl=100-ish slot, ttf=500, sumTTF=10000 -> expected ~ 5
+    b = int(np.argmin(np.abs(LENGTH_TABLE - 100)))
+    dl = float(LENGTH_TABLE[b])
+    exp = 501.0 * dl / 10001.0
+    got = simk.dfi_score(np.array([1, 5, 25]), np.array([b, b, b]),
+                         500, 10000, 1.0)
+    assert got[0] == np.float32(0.0)  # freq below expected
+    for g, f in zip(got[1:], (5, 25)):
+        if f <= exp:
+            assert g == np.float32(0.0)
+        else:
+            ref = math.log2((f - exp) / math.sqrt(exp) + 1)
+            assert abs(float(g) - ref) < 1e-6 * max(ref, 1.0)
+
+
 def test_boolean_sim_is_boost():
     spec = {"name": "boolean", "boost": np.float32(2.5)}
     out = simk.score(spec, np.array([1, 7, 99]), np.array([3, 90, 200]))
@@ -156,14 +174,14 @@ def test_lm_rejects_multi_term_stats():
 # ------------------------------------------------------------ end to end
 
 SIMS = ["classic", "boolean", "lmd", "lmjm", ("lmd", 500.0), ("lmjm", 0.7),
-        "dfr", "ib", ("dfr", 2.0), ("ib", 0.5)]
+        "dfr", "ib", ("dfr", 2.0), ("ib", 0.5), "dfi"]
 
 
 @pytest.mark.parametrize("sim", SIMS, ids=[str(s) for s in SIMS])
 def test_local_equals_distributed_per_sim(sim_setup, sim):
     s = sim_setup
     q = Bool.of((Occur.SHOULD, Term("return")), (Occur.SHOULD, Term("class")))
-    if isinstance(sim, tuple) or sim in ("lmd", "lmjm", "dfr", "ib"):
+    if isinstance(sim, tuple) or sim in ("lmd", "lmjm", "dfr", "ib", "dfi"):
         q = Term("return")
     dist = s.search(q, k=15, with_stored=False, similarity=sim)
     loc = s.search_local(q, k=15, with_stored=False, similarity=sim)
