@@ -146,6 +146,19 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
                 k=100, with_stored=False,
             )
         )
+        # pluggable similarities: same index, swapped scorer; routes
+        # exhaustive (impacts upper-bound BM25 only) — NOT in the p50/p95
+        # pool to keep percentiles comparable round-over-round
+        queries["classic_sim_search"] = _timed(
+            lambda: searcher.search(
+                Term("return"), k=10, with_stored=False, similarity="classic"
+            )
+        )
+        queries["lmd_sim_search"] = _timed(
+            lambda: searcher.search(
+                Term("return"), k=10, with_stored=False, similarity="lmd"
+            )
+        )
         lat: list[float] = []
         for name, q in kernel_qs.items():
             queries[name] = _timed(
@@ -245,6 +258,14 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     )
     queries["quality_score"] = _timed(
         lambda: textstats.quality_score_spark(spark, sf_dir).collect()
+    )
+    from lucene_solr_1_spark.pipeline import decontam as DC
+
+    queries["decontam_overlap"] = _timed(
+        lambda: DC.decontam_spark(spark, sf_dir).collect()
+    )
+    queries["quality_logppl"] = _timed(
+        lambda: DC.unigram_logppl_spark(spark, sf_dir).collect()
     )
 
     total = sum(queries.values())

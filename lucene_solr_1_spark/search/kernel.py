@@ -145,9 +145,10 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
     """`sim` selects a non-default similarity (kernels/similarity.py):
     {"name": "classic" | "boolean"} or {"name": "lmd" | "lmjm",
     "ttf": {(field, term): global ttf}, "field_tokens": {field: sum_ttf},
-    "mu"/"lam": param}. None = BM25 (the index default). Plans carrying a
-    sim route exhaustive (wand_applicable: block-max UBs are derived from
-    the BM25 impact model only)."""
+    "mu"/"lam": param}. None = BM25 (the index default). Sim plans prune
+    under block-max WAND too (UBs scored through the sim over the stored
+    impacts), except zero-clamping sims (lmd/dfi) which route exhaustive
+    (wand_applicable / _WAND_SAFE_SIMS)."""
     if isinstance(q, Boost):
         return compile_plan(q.query, global_df, doc_count, boost * q.boost, sim)
     if isinstance(q, ConstantScore):
@@ -1102,19 +1103,35 @@ def score_exhaustive(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
 # block-max WAND (flat disjunction / single term / flat top-level of terms)
 # --------------------------------------------------------------------------
 
+# Sims whose per-posting score is STRICTLY positive (given a positive
+# weight/boost) and monotone ↑freq / ↓dl — the preconditions for scoring
+# the stored (block_max_freq, block_min_norm) impacts through the sim to
+# get a valid window upper bound (Lucene's generic
+# SimScorer.score(maxFreq, minNorm) impacts shortcut, ImpactsDISI).
+# lmd/dfi clamp to 0 (zero-score matches ⇒ UB-0 windows would be pruned,
+# dropping legitimate hits) — they stay exhaustive.
+_WAND_SAFE_SIMS = frozenset({"classic", "boolean", "lmjm", "dfr_inl2", "ib_ll"})
+
+
+def _sim_wand_ok(node: dict) -> bool:
+    spec = node.get("sim")
+    return spec is None or spec["name"] in _WAND_SAFE_SIMS
+
+
 def wand_applicable(plan: dict) -> bool:
     """Flat term queries run under block-max pruning: pure disjunctions
     (WANDScorer.java) and conjunctions / MUST+SHOULD mixes
     (BlockMaxConjunctionScorer.java, Boolean2ScorerSupplier.java:156-193).
     MUST_NOT / minShouldMatch>1 / nested shapes use the exhaustive path.
-    Plans compiled with a non-default similarity are ineligible: the
-    stored impact metadata yields BM25 upper bounds only."""
-    if "sim" in plan:
+    Non-default similarities prune too, with window UBs scored through the
+    sim itself (monotone ↑freq/↓dl ⇒ impacts bound every doc in the
+    block) — except zero-clamping sims (lmd/dfi), which stay exhaustive."""
+    if plan["type"] in ("term", "synonym") and not _sim_wand_ok(plan):
         return False
     if plan["type"] in ("term", "synonym"):
         return True
     if plan["type"] == "bool":
-        if any(cl["node"]["type"] != "term" or "sim" in cl["node"]
+        if any(cl["node"]["type"] != "term" or not _sim_wand_ok(cl["node"])
                for cl in plan["clauses"]):
             return False
         occurs = {cl["occur"] for cl in plan["clauses"]}
@@ -1130,21 +1147,36 @@ def wand_applicable(plan: dict) -> bool:
 
 
 def _wand_terms(plan: dict):
-    """[((field, term), weight, required, scoring)] — required: conjunction
-    member (MUST/FILTER); scoring: contributes to the sum (not FILTER)."""
+    """[((field, term), node, required, scoring)] — required: conjunction
+    member (MUST/FILTER); scoring: contributes to the sum (not FILTER).
+    The node rides along so UBs and window scores go through the node's
+    similarity (_score_postings)."""
     if plan["type"] == "term":
-        return [(_node_key(plan, plan["term"]), plan["weight"], False, True)]
+        return [(_node_key(plan, plan["term"]), plan, False, True)]
     if plan["type"] == "synonym":
         return None  # synonym needs freq-merge; fall back
     return [
         (
             _node_key(cl["node"], cl["node"]["term"]),
-            cl["node"]["weight"],
+            cl["node"],
             cl["occur"] in ("MUST", "FILTER"),
             cl["occur"] != "FILTER",
         )
         for cl in plan["clauses"]
     ]
+
+
+def _wand_weight_positive(node: dict) -> bool:
+    """True iff every posting of this node scores STRICTLY > 0 — the
+    safety condition for pruning UB-0 windows. BM25: weight > 0 (idf > 0
+    always; boost can zero it). classic: qw > 0 (norm table positive).
+    boolean/lmjm/dfr/ib: positive boost ⇒ positive score (log of >1)."""
+    spec = node.get("sim")
+    if spec is None:
+        return node["weight"] > 0
+    if spec["name"] == "classic":
+        return spec["qw"] > 0
+    return spec["boost"] > 0
 
 
 def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
@@ -1158,7 +1190,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     safe because UB bounds every doc score in the window).
     """
     tw = _wand_terms(plan)
-    if tw is None or any(w <= 0 for _, w, _, s in tw if s):
+    if tw is None or any(not _wand_weight_positive(nd) for _, nd, _, s in tw if s):
         # zero-weight scoring terms (boost 0) produce UB-0 windows whose
         # legitimate zero-score matches pruning would drop — exhaustive
         return score_exhaustive(
@@ -1167,7 +1199,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     n_win = max(1, -(-seg.n_docs // window))
     win_ub = np.zeros(n_win, dtype=np.float64)
     term_info = []
-    for key, weight, required, scoring in tw:
+    for key, node, required, scoring in tw:
         r = seg.rows.get(key)
         if r is None:
             if required:
@@ -1177,8 +1209,11 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         blk_last = np.asarray(r.block_last_doc, dtype=np.int64)
         blk_maxf = np.asarray(r.block_max_freq, dtype=np.int64)
         blk_minn = np.asarray(r.block_min_norm, dtype=np.int64)
-        ub = bm25.score(blk_maxf, blk_minn, weight,
-                        _cache_for(cache, key[0])).astype(np.float64)
+        # UB scored through the node's OWN similarity over the impact pair
+        # (max freq, min norm): valid because every supported sim is
+        # monotone ↑freq/↓dl and float-rounded compositions of monotone
+        # ops stay monotone (SimScorer.score(maxFreq, minNorm) analog)
+        ub = _score_postings(node, blk_maxf, blk_minn, cache).astype(np.float64)
         # block b covers (blk_last[b-1], blk_last[b]] → window range
         blk_first = np.concatenate(([0], blk_last[:-1] + 1))
         w_lo = blk_first // window
@@ -1204,7 +1239,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
             # conjunction member: windows with no block of this term can
             # never match (BlockMaxConjunctionScorer lead-iterator skip)
             win_ub[~covered] = 0.0
-        term_info.append((key, weight, required, scoring, r))
+        term_info.append((key, node, required, scoring, r))
     if not term_info:
         return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
 
@@ -1227,7 +1262,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         # gather (doc, score) within this window across terms
         req_parts, opt_parts = [], []
         window_dead = False
-        for key, weight, required, scoring, r in term_info:
+        for key, node, required, scoring, r in term_info:
             docs, freqs, norms = seg.postings(key)
             a = np.searchsorted(docs, lo_doc)
             b = np.searchsorted(docs, hi_doc)
@@ -1238,8 +1273,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
                 continue
             dd = docs[a:b]
             if scoring:
-                s = bm25.score(freqs[a:b], norms[a:b], weight,
-                               _cache_for(cache, key[0])).astype(
+                s = _score_postings(node, freqs[a:b], norms[a:b], cache).astype(
                     np.float64
                 )
             else:

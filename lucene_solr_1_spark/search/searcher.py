@@ -473,8 +473,9 @@ class LuceneSparkSearcher:
         (IndexSearcher.setSimilarity): None/"bm25" (default),
         "classic" (TF-IDF), "boolean", ("lmd", mu) or "lmd",
         ("lmjm", lambda) or "lmjm". The same index serves all of them
-        (unified SmallFloat norm encoding); non-default sims route
-        exhaustive (impact metadata upper-bounds BM25 only).
+        (unified SmallFloat norm encoding); strictly-positive sims
+        keep block-max WAND pruning (impact UBs scored through the sim),
+        zero-clamping sims (lmd/dfi) route exhaustive.
 
         Results are LRU-cached per (query, k, use_wand, after, similarity)
         — the filter/query-cache analog (search/LRUQueryCache.java):

@@ -8,7 +8,8 @@ Contract pins:
   LMJelinekMercerSimilarity.java:63-68 formulas re-derived here from
   the published equations, NOT from the kernel code);
 - distributed == local evaluation for every similarity;
-- sim plans route exhaustive (impact metadata upper-bounds BM25 only);
+- strictly-positive sims prune under WAND with sim-scored impact UBs,
+  result-identical to exhaustive; zero-clamping sims route exhaustive;
 - LM sims reject multi-term stats shapes (SimilarityBase: one
   BasicStats per term).
 """
@@ -150,16 +151,25 @@ def test_boolean_sim_is_boost():
 
 # ------------------------------------------------------------ plan compile
 
-def test_sim_plans_route_exhaustive():
+def test_sim_wand_routing():
+    """Strictly-positive sims prune under WAND (UBs scored through the
+    sim); zero-clamping sims (lmd/dfi) stay exhaustive."""
     gdf = {("content", "a"): 5, ("content", "b"): 9}
-    for sim in ({"name": "classic"}, {"name": "boolean"}):
+    ft = {"field_tokens": {"content": 1000}, "ttf": {("content", "a"): 7,
+                                                     ("content", "b"): 11}}
+    prunable = ({"name": "classic"}, {"name": "boolean"},
+                {"name": "lmjm", **ft}, {"name": "dfr_inl2", **ft},
+                {"name": "ib_ll", **ft})
+    for sim in prunable:
         plan = K.compile_plan(Term("a"), gdf, 100, sim=sim)
-        assert not K.wand_applicable(plan)
+        assert K.wand_applicable(plan), sim
         bp = K.compile_plan(
             Bool.of((Occur.SHOULD, Term("a")), (Occur.SHOULD, Term("b"))),
             gdf, 100, sim=sim,
         )
-        assert not K.wand_applicable(bp)
+        assert K.wand_applicable(bp), sim
+    for sim in ({"name": "lmd", **ft}, {"name": "dfi", **ft}):
+        assert not K.wand_applicable(K.compile_plan(Term("a"), gdf, 100, sim=sim))
     # default BM25 still prunes
     assert K.wand_applicable(K.compile_plan(Term("a"), gdf, 100))
 
@@ -175,6 +185,20 @@ def test_lm_rejects_multi_term_stats():
 
 SIMS = ["classic", "boolean", "lmd", "lmjm", ("lmd", 500.0), ("lmjm", 0.7),
         "dfr", "ib", ("dfr", 2.0), ("ib", 0.5), "dfi"]
+
+
+@pytest.mark.parametrize("sim", SIMS, ids=["we-" + str(s) for s in SIMS])
+def test_sim_wand_equals_exhaustive(sim_setup, sim):
+    """WAND pruning under a swapped similarity must be result-identical
+    to the exhaustive path (the BM25 invariant, extended to sims)."""
+    s = sim_setup
+    for q in (Term("return"), Term("id_0042"),
+              Bool.of((Occur.SHOULD, Term("public")), (Occur.SHOULD, Term("static"))),
+              Bool.of((Occur.MUST, Term("return")), (Occur.SHOULD, Term("class")))):
+        a = s.search(q, k=12, use_wand=True, with_stored=False, similarity=sim)
+        b = s.search(q, k=12, use_wand=False, with_stored=False, similarity=sim)
+        assert a["global_doc_id"].tolist() == b["global_doc_id"].tolist()
+        assert (a["score"].to_numpy() == b["score"].to_numpy()).all()
 
 
 @pytest.mark.parametrize("sim", SIMS, ids=[str(s) for s in SIMS])
