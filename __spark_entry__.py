@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, {"query": 2.0, "merge": 0.5}, k=10
     )
     q["fts_constant_score"] = lambda s, d: R.constant_score_spark(s, d, "window", 1.0)
+    # Solr QueryElevationComponent: pinned docs first, exclusions dropped
+    q["fts_query_elevation"] = lambda s, d: R.query_elevation_spark(
+        s, d, "query", elevated=(7, 3), excluded=(5,), k=10
+    )
     q["fts_join_query"] = lambda s, d: R.join_query_spark(s, d, "dup")
     q["fts_block_join_parents"] = lambda s, d: R.block_join_parents_spark(
         s, d, "query", k=10
@@ -545,6 +549,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_dfr_inl2": KO.kernel_dfr_inl2_duck("merge", k=10),
         "fts_ib_ll": KO.kernel_ib_ll_duck("spark", k=10),
         "fts_dfi_standardized": KO.kernel_dfi_duck("window", k=10),
+        "fts_query_elevation": R.query_elevation_duck(
+            "query", elevated=(7, 3), excluded=(5,), k=10
+        ),
         "fts_function_score": KO.kernel_function_score_duck(
             "query", "dl", "multiply", 0.01, k=10
         ),

@@ -1360,3 +1360,62 @@ FROM (SELECT doc_id, unnest({te}) AS term FROM documents
       WHERE doc_id IN ({ids}))
 GROUP BY 1, 2 ORDER BY 1, 2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# query elevation (Solr QueryElevationComponent)
+# ---------------------------------------------------------------------------
+
+def query_elevation_spark(spark, sf_dir, term: str, elevated: tuple,
+                          excluded: tuple = (), k: int = 10) -> DataFrame:
+    """Solr QueryElevationComponent analog (solr/core/src/java/org/apache/
+    solr/handler/component/QueryElevationComponent.java): config-pinned
+    docs forced to the TOP in config order regardless of score, excluded
+    docs removed entirely; organic BM25 results fill the remaining slots.
+    Elevated rows carry score 0.0 + elevated=true (Solr's [elevated]
+    transformer). Scale shape: the elevation map is tiny config (literal
+    filters / broadcast); organic ranking stays TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    e = len(elevated)
+    org = bm25_bool_spark(spark, sf_dir, must=(term,), k=None)
+    banned = [int(d) for d in (*elevated, *excluded)] or [-1]
+    orgtop = (
+        org.where(~F.col("doc_id").isin(banned))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(max(k - e, 0))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    orgtop = orgtop.withColumn(
+        "rank", (F.row_number().over(w) - 1 + e).cast("bigint")
+    ).select("doc_id", "rank", "score", F.lit(False).alias("elevated"))
+    el = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(elevated)],
+        "doc_id bigint, rank bigint",
+    ).select(
+        "doc_id", "rank", F.lit(0.0).alias("score"),
+        F.lit(True).alias("elevated"),
+    )
+    return el.unionByName(orgtop).orderBy("rank")
+
+
+def query_elevation_duck(term: str, elevated: tuple,
+                         excluded: tuple = (), k: int = 10) -> str:
+    e = len(elevated)
+    banned = ", ".join(str(int(d)) for d in (*elevated, *excluded)) or "-1"
+    el_vals = ", ".join(f"({int(d)}, {i})" for i, d in enumerate(elevated))
+    return f"""
+WITH organic AS (SELECT * FROM ({bm25_bool_duck(must=(term,), k=None)}) t),
+orgtop AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) - 1 + {e} AS rank
+  FROM organic WHERE doc_id NOT IN ({banned})
+  QUALIFY rank < {k}
+),
+el(doc_id, rank) AS (VALUES {el_vals})
+SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank,
+       0.0 AS score, TRUE AS elevated FROM el
+UNION ALL
+SELECT doc_id::BIGINT, rank::BIGINT, score, FALSE FROM orgtop
+ORDER BY rank
+""".strip()

@@ -75,3 +75,22 @@ def test_term_vectors_reference(spark):
     ref = pd.DataFrame(ref_rows, columns=["doc_id", "term", "freq"])
     got2 = got.astype({"doc_id": int, "freq": int}).reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, ref, check_dtype=False)
+
+
+def test_query_elevation_semantics(spark):
+    """QueryElevationComponent contract: elevated docs first in CONFIG
+    order with elevated=true, excluded docs absent, organic BM25 fills
+    the rest in (score desc, doc_id) order without duplicates."""
+    from lucene_solr_1_spark.sql import relational as R
+
+    out = R.query_elevation_spark(
+        spark, SF, "query", elevated=(7, 3), excluded=(5,), k=10
+    ).toPandas()
+    assert out["doc_id"].tolist()[:2] == [7, 3]
+    assert out["elevated"].tolist()[:2] == [True, True]
+    assert not out["elevated"].iloc[2:].any()
+    assert 5 not in set(out["doc_id"])
+    assert len(out) == 10 and out["doc_id"].is_unique
+    assert out["rank"].tolist() == list(range(10))
+    organic = out.iloc[2:]
+    assert (organic["score"].to_numpy()[:-1] >= organic["score"].to_numpy()[1:]).all()
