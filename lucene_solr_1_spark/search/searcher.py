@@ -1268,11 +1268,12 @@ class LuceneSparkSearcher:
 
     # ---------------- explain (Explanation parity) ------------------------
 
-    def explain(self, q: Query, global_doc_id: int) -> dict:
+    def explain(self, q: Query, global_doc_id: int, similarity=None) -> dict:
         """Score breakdown for one hit — Lucene's IndexSearcher.explain /
         Explanation tree (BM25Similarity.explain, BM25Similarity.java:
         222-226 formula terms). The reference's similarity property tests
-        assert explanation value == scorer score; tests do the same here."""
+        assert explanation value == scorer score; tests do the same here.
+        `similarity` swaps the scoring model exactly as in search()."""
         q = rewrite(self.expand(rewrite(self._analyze_query(q))))
         if isinstance(q, MatchNone):
             return {"value": 0.0, "description": "MatchNone", "details": []}
@@ -1283,7 +1284,8 @@ class LuceneSparkSearcher:
                 sid, base = s, b
         local = global_doc_id - base
         terms = query_terms(q)
-        plan = K.compile_plan(q, self._global_df(terms), self.doc_counts)
+        plan = K.compile_plan(q, self._global_df(terms), self.doc_counts,
+                              sim=self._sim_ctx(similarity, terms))
         post = (
             self._postings.where(
                 (F.col("segment_id") == sid) & self._terms_filter(terms)
@@ -1310,9 +1312,11 @@ class LuceneSparkSearcher:
             j = np.searchsorted(d, local)
             freq = int(f[j])
             dl = int(byte4_to_int(np.asarray([int(n[j])]))[0])
+            sim_name = node.get("sim", {}).get("name") if "sim" in node else None
+            model = sim_name or "BM25, k1=1.2, b=0.75"
             return {
                 "value": value,
-                "description": f"weight({fld}:{node['term']} in {local}) [BM25, k1=1.2, b=0.75]",
+                "description": f"weight({fld}:{node['term']} in {local}) [{model}]",
                 "details": [
                     {"value": float(node["weight"]), "description": "boost * idf", "details": []},
                     {"value": freq, "description": "freq", "details": []},

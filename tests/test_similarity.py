@@ -243,3 +243,15 @@ def test_param_changes_scores(sim_setup):
 def test_unknown_similarity_raises(sim_setup):
     with pytest.raises(ValueError):
         sim_setup.search(Term("return"), k=5, similarity="axiomatic_f3exp")
+
+
+def test_explain_matches_score_per_sim(sim_setup):
+    """Explanation value == scorer score under every similarity (the
+    BaseSimilarityTestCase explain invariant, extended to the swap)."""
+    s = sim_setup
+    for sim in ("classic", "lmd", "dfr", "ib", "dfi", "boolean", "lmjm"):
+        hits = s.search(Term("return"), k=3, with_stored=False, similarity=sim)
+        g = int(hits["global_doc_id"].iloc[0])
+        ex = s.explain(Term("return"), g, similarity=sim)
+        assert abs(ex["value"] - float(hits["score"].iloc[0])) < 1e-6, sim
+        assert "BM25" not in ex["description"], sim  # model named in the tree
