@@ -39,6 +39,10 @@ from lucene_solr_1_spark.sql import relational as R
 
 _INDEX_CACHE: dict[str, str] = {}
 
+# classification input text (kNN / naive Bayes over the lang class field):
+# common corpus terms so retrieval is non-trivial at every shipped SF
+_CLS_TEXT = "query merge spark sort data window"
+
 # page-1-last sort key of fts_sort_by_field at the driver's correctness
 # SF (0.01): searchAfter pages strictly past this (lang, n_chars, doc_id)
 _SORT_AFTER = ("de", 389, 58)
@@ -444,6 +448,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_kernel_parsed_query"] = _parsed
     q["fts_kernel_phrase"] = _kernel_phrase
 
+    # --- classification (lucene/classification) + spatial (LatLonPoint) ---
+    def _knn(s, d):
+        from lucene_solr_1_spark.sql import classify as C
+
+        return C.knn_classify_spark(s, d, _CLS_TEXT, k=10, min_df=2)
+
+    def _nb(s, d):
+        from lucene_solr_1_spark.sql import classify as C
+
+        return C.naive_bayes_classify_spark(s, d, _CLS_TEXT)
+
+    q["classify_knn"] = _knn
+    q["classify_naive_bayes"] = _nb
+
+    def _geo_box(s, d):
+        from lucene_solr_1_spark.sql import geo as G
+
+        return G.geo_bbox_spark(s, d, 40.0, 55.0, -5.0, 15.0)
+
+    def _geo_knn(s, d):
+        from lucene_solr_1_spark.sql import geo as G
+
+        return G.geo_distance_topk_spark(s, d, 48.85, 2.35, k=10)
+
+    def _geo_range(s, d):
+        from lucene_solr_1_spark.sql import geo as G
+
+        return G.geo_distance_range_spark(s, d, 48.85, 2.35, 1200.0)
+
+    q["geo_bbox"] = _geo_box
+    q["geo_distance_topk"] = _geo_knn
+    q["geo_distance_range"] = _geo_range
+
     # IVF index completeness: probing ALL cells must reproduce brute-force
     # cosine top-k EXACTLY (every vector in exactly one cell — catches
     # lost/duplicated assignments); hash-checked vs the brute-force oracle.
@@ -530,6 +567,21 @@ def oracle_sql() -> dict[str, str]:
             "lucene_solr_1_spark.streaming.sessions", fromlist=["x"]
         ).sessionize_duck(),
         "ann_ivf_allprobe_exact": similarity.cosine_topk_duck(0, 20),
+        "classify_knn": __import__(
+            "lucene_solr_1_spark.sql.classify", fromlist=["x"]
+        ).knn_classify_duck(_CLS_TEXT, k=10, min_df=2),
+        "classify_naive_bayes": __import__(
+            "lucene_solr_1_spark.sql.classify", fromlist=["x"]
+        ).naive_bayes_classify_duck(_CLS_TEXT),
+        "geo_bbox": __import__(
+            "lucene_solr_1_spark.sql.geo", fromlist=["x"]
+        ).geo_bbox_duck(40.0, 55.0, -5.0, 15.0),
+        "geo_distance_topk": __import__(
+            "lucene_solr_1_spark.sql.geo", fromlist=["x"]
+        ).geo_distance_topk_duck(48.85, 2.35, k=10),
+        "geo_distance_range": __import__(
+            "lucene_solr_1_spark.sql.geo", fromlist=["x"]
+        ).geo_distance_range_duck(48.85, 2.35, 1200.0),
         # kernel-path twins: float32 bit-exact quantized pipeline
         "fts_kernel_term_wand": KO.kernel_bool_duck(should=("query",), k=10),
         "fts_kernel_bool": KO.kernel_bool_duck(
