@@ -481,6 +481,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["geo_distance_topk"] = _geo_knn
     q["geo_distance_range"] = _geo_range
 
+    # --- Solr pivot facets / collapse+expand / spell+suggest widening ---
+    q["facet_pivot"] = lambda s, d: R.pivot_facets_spark(s, d, "query")
+    q["fts_collapse"] = lambda s, d: R.collapse_spark(s, d, "query", k=10)
+    q["fts_expand"] = lambda s, d: R.expand_spark(s, d, "query", k=10, expand_rows=3)
+    # run-together term "sortmerge" is not in the index; both halves are
+    q["suggest_word_break"] = lambda s, d: R.word_break_spark(s, d, "sortmerge")
+    q["suggest_infix"] = lambda s, d: R.suggest_infix_spark(s, d, "er", 10)
+    q["suggest_freetext"] = lambda s, d: R.suggest_freetext_spark(s, d, "merge", 10)
+    q["stats_percentiles"] = lambda s, d: R.stats_percentiles_spark(s, d, "query")
+
     # IVF index completeness: probing ALL cells must reproduce brute-force
     # cosine top-k EXACTLY (every vector in exactly one cell — catches
     # lost/duplicated assignments); hash-checked vs the brute-force oracle.
@@ -566,6 +576,13 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionization": __import__(
             "lucene_solr_1_spark.streaming.sessions", fromlist=["x"]
         ).sessionize_duck(),
+        "facet_pivot": R.pivot_facets_duck("query"),
+        "fts_collapse": R.collapse_duck("query", k=10),
+        "fts_expand": R.expand_duck("query", k=10, expand_rows=3),
+        "suggest_word_break": R.word_break_duck("sortmerge"),
+        "suggest_infix": R.suggest_infix_duck("er", 10),
+        "suggest_freetext": R.suggest_freetext_duck("merge", 10),
+        "stats_percentiles": R.stats_percentiles_duck("query"),
         "ann_ivf_allprobe_exact": similarity.cosine_topk_duck(0, 20),
         "classify_knn": __import__(
             "lucene_solr_1_spark.sql.classify", fromlist=["x"]

@@ -1419,3 +1419,317 @@ UNION ALL
 SELECT doc_id::BIGINT, rank::BIGINT, score, FALSE FROM orgtop
 ORDER BY rank
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 late widening: Solr pivot facets, collapse/expand, WordBreak
+# spell checking, infix / free-text suggesters, percentile stats
+# ---------------------------------------------------------------------------
+
+def pivot_facets_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Solr pivot facets (facet.pivot=lang,source — solr/core/.../request/
+    PivotFacetProcessor.java): nested facet counts over a query's match
+    set. Each row is a leaf (lang, source) bucket carrying its own count
+    AND the parent (lang) count, like the nested pivot response. One
+    scan builds the match set; the leaf agg shuffles only the tiny
+    (lang, source) keys; parent counts come from a window over the
+    already-aggregated leaf frame (no second pass over the data)."""
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    matched = docs.where(F.array_contains("toks", term))
+    leaf = matched.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("lang")
+    return (
+        leaf.withColumn("lang_cnt", F.sum("cnt").over(w).cast("bigint"))
+        .select("lang", "lang_cnt", "source", "cnt")
+        .orderBy(F.desc("lang_cnt"), F.asc("lang"), F.desc("cnt"), F.asc("source"))
+    )
+
+
+def pivot_facets_duck(term: str) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH m AS (
+  SELECT lang, source FROM documents WHERE list_contains({te}, '{term}')
+),
+leaf AS (
+  SELECT lang, source, count(*)::BIGINT AS cnt FROM m GROUP BY 1, 2
+)
+SELECT lang, sum(cnt) OVER (PARTITION BY lang)::BIGINT AS lang_cnt,
+       source, cnt
+FROM leaf
+ORDER BY lang_cnt DESC, lang ASC, cnt DESC, source ASC
+""".strip()
+
+
+def collapse_spark(spark, sf_dir, term: str, k: int = 10) -> DataFrame:
+    """Solr field collapsing (CollapsingQParserPlugin, solr/core/.../search/
+    CollapsingQParserPlugin.java: `{!collapse field=source}`): the result
+    set keeps only the highest-scoring doc per `source` group (tie:
+    doc_id asc), then normal top-k ranking runs over the collapsed heads.
+    Scale shape: one window over the scored match set partitioned by the
+    collapse key (the same shuffle a groupBy would pay), then a bounded
+    TakeOrderedAndProject — never a global sort."""
+    from pyspark.sql import Window
+
+    scored = bm25_bool_spark(spark, sf_dir, must=(term,), k=None)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    heads = j.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    ranked = heads.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ranked.withColumn(
+        "rank", (F.row_number().over(wr) - 1).cast("bigint")
+    ).select("rank", "doc_id", "source", "score")
+
+
+def collapse_duck(term: str, k: int = 10) -> str:
+    inner = bm25_bool_duck(must=(term,), k=None)
+    return f"""
+WITH scored AS ({inner}),
+j AS (
+  SELECT s.doc_id, d.source, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+),
+heads AS (SELECT doc_id, source, score FROM j WHERE rn = 1)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS rank,
+       doc_id, source, score
+FROM heads
+ORDER BY score DESC, doc_id LIMIT {k}
+""".strip()
+
+
+def expand_spark(
+    spark, sf_dir, term: str, k: int = 10, expand_rows: int = 3
+) -> DataFrame:
+    """Solr ExpandComponent (solr/core/.../handler/component/
+    ExpandComponent.java): for each collapsed head in the top-k, return
+    up to `expand_rows` OTHER members of its group ranked by score
+    (the "expanded" section of a collapse response). The tiny head frame
+    (k rows) broadcasts; group members rank inside a window partitioned
+    by the collapse key."""
+    from pyspark.sql import Window
+
+    scored = bm25_bool_spark(spark, sf_dir, must=(term,), k=None)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    heads = (
+        ranked.where(F.col("rn") == 1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("source", F.col("doc_id").alias("head_doc"))
+    )
+    return (
+        ranked.where(F.col("rn") > 1)
+        .join(F.broadcast(heads), "source")
+        .where(F.col("rn") <= expand_rows + 1)
+        .select(
+            "source", "head_doc", "doc_id", "score",
+            (F.col("rn") - 2).cast("bigint").alias("expand_rank"),
+        )
+        .orderBy("source", "expand_rank")
+    )
+
+
+def expand_duck(term: str, k: int = 10, expand_rows: int = 3) -> str:
+    inner = bm25_bool_duck(must=(term,), k=None)
+    return f"""
+WITH scored AS ({inner}),
+j AS (
+  SELECT s.doc_id, d.source, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+),
+heads AS (
+  SELECT source, doc_id AS head_doc FROM j WHERE rn = 1
+  ORDER BY score DESC, doc_id LIMIT {k}
+)
+SELECT j.source, h.head_doc, j.doc_id, j.score,
+       (j.rn - 2)::BIGINT AS expand_rank
+FROM j JOIN heads h ON j.source = h.source
+WHERE j.rn > 1 AND j.rn <= {expand_rows} + 1
+ORDER BY j.source, expand_rank
+""".strip()
+
+
+def word_break_spark(
+    spark, sf_dir, text: str, min_freq: int = 1, min_part_len: int = 2,
+    n: int = 5,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks (suggest/spell/
+    WordBreakSpellChecker.java:93-178): a run-together query term that is
+    NOT in the index is split at every position where BOTH halves are
+    dictionary terms with docFreq >= minSuggestionFrequency and length >=
+    minBreakWordLength. Ranked like the reference's queue ordering for a
+    fixed changes-count (all single breaks = 1 change): by combined
+    frequency desc — here min(df_left, df_right), the reference's
+    SuggestWord freq for a break pair — then split position asc.
+    Scale shape: the candidate-splits frame is tiny literal config
+    (|term| rows) and BROADCASTS into two hash probes of the term
+    dictionary; nothing collects."""
+    splits = [
+        (i, text[:i], text[i:])
+        for i in range(min_part_len, len(text) - min_part_len + 1)
+    ]
+    if not splits:
+        return spark.createDataFrame(
+            [], "pos bigint, left string, right string, freq bigint"
+        )
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    d = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    ).where(F.col("df") >= min_freq)
+    cand = spark.createDataFrame(splits, "pos bigint, left string, right string")
+    dl = d.select(F.col("term").alias("left"), F.col("df").alias("df_l"))
+    dr = d.select(F.col("term").alias("right"), F.col("df").alias("df_r"))
+    return (
+        dl.join(F.broadcast(cand), "left")
+        .join(dr, "right")
+        .select(
+            "pos", "left", "right",
+            F.least("df_l", "df_r").cast("bigint").alias("freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("pos"))
+        .limit(n)
+    )
+
+
+def word_break_duck(
+    text: str, min_freq: int = 1, min_part_len: int = 2, n: int = 5
+) -> str:
+    te = duck_tokens_expr()
+    splits = [
+        f"({i}, '{text[:i]}', '{text[i:]}')"
+        for i in range(min_part_len, len(text) - min_part_len + 1)
+    ] or ["(NULL, NULL, NULL)"]
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents),
+d AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_freq}
+),
+cand(pos, lft, rgt) AS (VALUES {", ".join(splits)})
+SELECT cand.pos::BIGINT AS pos, cand.lft AS "left", cand.rgt AS "right",
+       least(l.df, r.df)::BIGINT AS freq
+FROM cand
+JOIN d l ON l.term = cand.lft
+JOIN d r ON r.term = cand.rgt
+ORDER BY freq DESC, pos ASC LIMIT {n}
+""".strip()
+
+
+def suggest_infix_spark(spark, sf_dir, needle: str, n: int = 10) -> DataFrame:
+    """AnalyzingInfixSuggester (suggest/analyzing/AnalyzingInfixSuggester
+    .java:60-120): completions whose analyzed form contains the query
+    ANYWHERE (the reference indexes edge n-grams of each suggestion and
+    searches them; here the containment predicate runs in the same
+    scan-stage as the dictionary agg). Ranked by weight (total term
+    frequency, the suggester's popularity weight) desc, term asc."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    toks = docs.select(F.explode("toks").alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+        .where(F.col("term").contains(needle.lower()))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def suggest_infix_duck(needle: str, n: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (SELECT unnest({te}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS weight FROM tok
+GROUP BY 1 HAVING contains(term, '{needle.lower()}')
+ORDER BY weight DESC, term ASC LIMIT {n}
+""".strip()
+
+
+def suggest_freetext_spark(spark, sf_dir, context: str, n: int = 10) -> DataFrame:
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:87-140):
+    an n-gram language model over the corpus token stream predicts the
+    next token from the preceding context (bigram order here). The
+    bigram stream is built with zip-of-slices INSIDE the scan stage (no
+    positional self-join, no extra shuffle beyond the count agg); ranked
+    by bigram count desc, term asc — the suggester's backoff weight for
+    a fully-matched context."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    bi = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))).alias("w1"),
+                F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))").alias("w2"),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    return (
+        bi.where(F.col("w1") == context.lower())
+        .groupBy("w2")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+        .select(F.col("w2").alias("term"), "weight")
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def suggest_freetext_duck(context: str, n: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH t AS (SELECT {te} AS toks FROM documents),
+bi AS (
+  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+  FROM t
+)
+SELECT w2 AS term, count(*)::BIGINT AS weight FROM bi
+WHERE w1 = '{context.lower()}'
+GROUP BY 1 ORDER BY weight DESC, term ASC LIMIT {n}
+""".strip()
+
+
+def stats_percentiles_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Solr StatsComponent percentiles (StatsValuesFactory.java percentiles
+    accumulator — the reference uses t-digest approximation; this engine
+    computes them EXACTLY with the linear-interpolation (R-7) definition
+    both Spark `percentile` and DuckDB `quantile_cont` implement, a
+    documented strengthening). Percentiles of a numeric doc-value per
+    facet bucket of the match set; map-side partial agg, only (lang)
+    keys shuffle."""
+    matched = bm25_bool_spark(spark, sf_dir, should=(term,), k=None).select("doc_id")
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    j = docs.join(matched, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(n_chars, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+def stats_percentiles_duck(term: str) -> str:
+    inner = bm25_bool_duck(should=(term,), k=None)
+    return f"""
+WITH matched AS ({inner})
+SELECT d.lang, count(*)::BIGINT AS cnt,
+       round(quantile_cont(d.n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(d.n_chars, 0.50), 4) AS p50,
+       round(quantile_cont(d.n_chars, 0.75), 4) AS p75,
+       round(quantile_cont(d.n_chars, 0.99), 4) AS p99
+FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+GROUP BY 1 ORDER BY 1
+""".strip()

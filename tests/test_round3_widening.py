@@ -1,0 +1,136 @@
+"""Late round-3 widening: pivot facets, collapse/expand, WordBreak
+spell, infix + free-text suggesters, percentile stats.
+
+Each operator is checked against an independent pandas reference built
+from the same sf0.001 parquet (the DuckDB twins are the driver-gate
+hash check; these pin semantics without SQL in the loop).
+"""
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from lucene_solr_1_spark.kernels.analyzer import SQL_TOKEN_PATTERN
+from lucene_solr_1_spark.sql import relational as R
+
+SF = "/root/testdata/sf0.001"
+_TOK = re.compile(SQL_TOKEN_PATTERN)
+
+
+def _docs(spark):
+    return R.load_documents(spark, SF).toPandas()
+
+
+def _tokens(text):
+    return _TOK.findall(text.lower())
+
+
+def test_pivot_facets_reference(spark):
+    got = R.pivot_facets_spark(spark, SF, "query").toPandas()
+    d = _docs(spark)
+    m = d[d["text"].map(lambda t: "query" in _tokens(t))]
+    leaf = m.groupby(["lang", "source"]).size().rename("cnt").reset_index()
+    parent = leaf.groupby("lang")["cnt"].sum().rename("lang_cnt")
+    ref = leaf.merge(parent, on="lang")
+    # row set identical (order is pinned by the driver hash, not here)
+    key = lambda f: sorted(map(tuple, f[["lang", "source", "cnt", "lang_cnt"]]
+                               .astype(str).values))
+    assert key(got) == key(ref)
+    # ordering: parent count desc then leaf count desc within parent
+    lc = got["lang_cnt"].tolist()
+    assert lc == sorted(lc, reverse=True)
+    for _, grp in got.groupby("lang", sort=False):
+        assert grp["cnt"].tolist() == sorted(grp["cnt"].tolist(), reverse=True)
+
+
+def test_collapse_one_doc_per_group_and_best(spark):
+    got = R.collapse_spark(spark, SF, "query", k=10).toPandas()
+    assert got["source"].is_unique  # collapsed: one head per group
+    scored = R.bm25_bool_spark(spark, SF, must=("query",), k=None).toPandas()
+    docs = _docs(spark)[["doc_id", "source"]]
+    j = scored.merge(docs, on="doc_id")
+    # every head is its group's max score (tie: lowest doc_id)
+    for _, row in got.iterrows():
+        grp = j[j["source"] == row["source"]]
+        best = grp.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).iloc[0]
+        assert row["doc_id"] == best["doc_id"]
+    # ranks are 0..k-1 in score-desc order
+    assert got["rank"].tolist() == list(range(len(got)))
+    s = got["score"].tolist()
+    assert s == sorted(s, reverse=True)
+
+
+def test_expand_rows_are_non_heads_of_top_groups(spark):
+    heads = R.collapse_spark(spark, SF, "query", k=10).toPandas()
+    exp = R.expand_spark(spark, SF, "query", k=10, expand_rows=3).toPandas()
+    assert set(exp["source"]) <= set(heads["source"])
+    assert not set(exp["doc_id"]) & set(heads["doc_id"])  # heads excluded
+    assert (exp.groupby("source").size() <= 3).all()
+    # expand members rank within their group by score desc
+    for _, grp in exp.groupby("source"):
+        s = grp.sort_values("expand_rank")["score"].tolist()
+        assert s == sorted(s, reverse=True)
+
+
+def test_word_break_finds_the_split(spark):
+    got = R.word_break_spark(spark, SF, "sortmerge").toPandas()
+    assert ("sort", "merge") in set(zip(got["left"], got["right"]))
+    # every suggestion re-concatenates to the input
+    assert all(l + r == "sortmerge" for l, r in zip(got["left"], got["right"]))
+    # freq = min of the two halves' docFreq
+    d = _docs(spark)
+    tok = d["text"].map(_tokens)
+    df = {}
+    for toks in tok:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    for _, row in got.iterrows():
+        assert row["freq"] == min(df[row["left"]], df[row["right"]])
+
+
+def test_word_break_silent_when_no_split(spark):
+    got = R.word_break_spark(spark, SF, "zzqqxxyy").toPandas()
+    assert len(got) == 0
+
+
+def test_suggest_infix_contains_and_weight(spark):
+    got = R.suggest_infix_spark(spark, SF, "er", 10).toPandas()
+    assert all("er" in t for t in got["term"])
+    d = _docs(spark)
+    ttf = {}
+    for toks in d["text"].map(_tokens):
+        for t in toks:
+            ttf[t] = ttf.get(t, 0) + 1
+    for _, row in got.iterrows():
+        assert row["weight"] == ttf[row["term"]]
+    w = got["weight"].tolist()
+    assert w == sorted(w, reverse=True)
+
+
+def test_suggest_freetext_bigram_counts(spark):
+    got = R.suggest_freetext_spark(spark, SF, "merge", 10).toPandas()
+    d = _docs(spark)
+    counts = {}
+    for toks in d["text"].map(_tokens):
+        for a, b in zip(toks, toks[1:]):
+            if a == "merge":
+                counts[b] = counts.get(b, 0) + 1
+    for _, row in got.iterrows():
+        assert row["weight"] == counts[row["term"]]
+    ref_top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["term"], got["weight"])) == ref_top
+
+
+def test_stats_percentiles_reference(spark):
+    got = R.stats_percentiles_spark(spark, SF, "query").toPandas()
+    scored = R.bm25_bool_spark(spark, SF, should=("query",), k=None).toPandas()
+    d = _docs(spark)
+    m = d[d["doc_id"].isin(scored["doc_id"])]
+    for _, row in got.iterrows():
+        vals = m[m["lang"] == row["lang"]]["n_chars"].to_numpy(dtype=float)
+        assert row["cnt"] == len(vals)
+        for col, p in (("p25", 25), ("p50", 50), ("p75", 75), ("p99", 99)):
+            # numpy's default percentile is the same R-7 linear interpolation
+            assert abs(row[col] - round(np.percentile(vals, p), 4)) < 1e-9
