@@ -315,6 +315,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         k=10,
     )
+    # PointInSetQuery: explicit doc-values set as a FILTER clause
+    def _numeric_in_set(s, d):
+        from lucene_solr_1_spark.search.query import NumericSet
+
+        return _kernel_hits_df(
+            s,
+            _get_index(s, d),
+            Bool.of(
+                (Occur.MUST, Term("query")),
+                (Occur.FILTER, NumericSet("dl", tuple(range(30, 61, 3)))),
+            ),
+            k=10,
+        )
+
+    q["fts_numeric_in_set"] = _numeric_in_set
     q["fts_kernel_bool"] = lambda s, d: _kernel_hits_df(
         s,
         _get_index(s, d),
@@ -644,5 +659,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_bm25_numeric_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="dl.dl BETWEEN 30 AND 60"
+        ),
+        "fts_numeric_in_set": KO.kernel_bool_duck(
+            must=("query",), k=10,
+            filter_sql="dl.dl IN ({})".format(
+                ", ".join(str(v) for v in range(30, 61, 3))
+            ),
         ),
     }

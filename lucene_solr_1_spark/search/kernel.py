@@ -26,7 +26,8 @@ from ..kernels import similarity as simk
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
     Bool, Boost, ConstantScore, DisjunctionMax, FunctionScore, MatchAll,
-    MatchNone, NumericRange, Occur, Phrase, Query, SPAN_TYPES, SpanFirst,
+    MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
+    SpanFirst,
     SpanNear, SpanNot, SpanOr, SpanTerm, Synonym, Term, span_leaf_terms,
 )
 
@@ -229,7 +230,7 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
         return {"type": "matchall", "score": F32(boost)}
     if isinstance(q, MatchNone):
         return {"type": "matchnone"}
-    if isinstance(q, NumericRange):
+    if isinstance(q, (NumericRange, NumericSet)):
         return {
             "type": "docidset",
             "set_id": numeric_set_id(q),
@@ -250,7 +251,11 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
     raise TypeError(f"cannot compile {q!r} — expand multi-term queries first")
 
 
-def numeric_set_id(q: NumericRange) -> str:
+def numeric_set_id(q) -> str:
+    """Stable channel key for a doc-values filter leaf (NumericRange or
+    NumericSet) — distinct filters get distinct cogroup set_ids."""
+    if isinstance(q, NumericSet):
+        return f"{q.field}:in:" + ",".join(str(v) for v in q.values)
     return f"{q.field}:{q.lower}:{q.upper}"
 
 

@@ -230,6 +230,23 @@ class NumericRange(Query):
     upper: int | None = None
 
 
+@dataclass(frozen=True)
+class NumericSet(Query):
+    """PointInSetQuery analog (search/PointInSetQuery.java:63 — the
+    query IntPoint.newSetQuery builds): docs whose numeric doc-value is
+    one of an explicit value set. Constant-score; rides the same
+    cogrouped doc-values channel as NumericRange, so it composes as a
+    FILTER/MUST clause with scored text exactly like the reference's
+    IndexOrDocValuesQuery path."""
+    field: str
+    values: tuple  # sorted unique ints (PointInSetQuery requires sorted input)
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "values", tuple(sorted({int(v) for v in self.values}))
+        )
+
+
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount
 
 
@@ -372,9 +389,10 @@ def _rewrite_once(q: Query) -> Query:
 
 
 def numeric_ranges(q: Query) -> set:
-    """All NumericRange leaves in a query tree (resolved by the searcher
-    against the doc-values columns of the norms table before scoring)."""
-    if isinstance(q, NumericRange):
+    """All NumericRange / NumericSet leaves in a query tree (resolved by
+    the searcher against the doc-values columns of the norms table before
+    scoring)."""
+    if isinstance(q, (NumericRange, NumericSet)):
         return {q}
     if isinstance(q, (Boost, ConstantScore, FunctionScore)):
         return numeric_ranges(q.query)
@@ -434,6 +452,6 @@ def query_terms(q: Query) -> set:
         return set().union(*(query_terms(c.query) for c in q.clauses)) if q.clauses else set()
     if isinstance(q, DisjunctionMax):
         return set().union(*(query_terms(s) for s in q.queries)) if q.queries else set()
-    if isinstance(q, (MatchAll, MatchNone, NumericRange)):
+    if isinstance(q, (MatchAll, MatchNone, NumericRange, NumericSet)):
         return set()
     raise TypeError(f"unexpanded multi-term query: {q!r} — call expand() first")

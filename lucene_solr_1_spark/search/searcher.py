@@ -33,7 +33,8 @@ from ..kernels import bm25
 from ..kernels.osa import osa_udf
 from . import kernel as K
 from .query import (
-    Bool, Clause, FunctionScore, Fuzzy, MatchNone, NUMERIC_DOCVALUES, Occur,
+    Bool, Clause, FunctionScore, Fuzzy, MatchNone, NUMERIC_DOCVALUES,
+    NumericSet, Occur,
     Prefix, Query, Regexp, Synonym, Term, TermRange, Wildcard,
     numeric_ranges, query_terms, rewrite, value_source_fields,
     MAX_CLAUSE_COUNT,
@@ -394,11 +395,16 @@ class LuceneSparkSearcher:
                     f"unknown numeric doc-values field {nr.field!r}; "
                     f"available: {NUMERIC_DOCVALUES}"
                 )
-            cond = F.lit(True)
-            if nr.lower is not None:
-                cond = cond & (F.col(nr.field) >= int(nr.lower))
-            if nr.upper is not None:
-                cond = cond & (F.col(nr.field) <= int(nr.upper))
+            if isinstance(nr, NumericSet):
+                # PointInSetQuery: explicit value set (parquet turns this
+                # into an In pushdown over the doc-values column)
+                cond = F.col(nr.field).isin([int(v) for v in nr.values])
+            else:
+                cond = F.lit(True)
+                if nr.lower is not None:
+                    cond = cond & (F.col(nr.field) >= int(nr.lower))
+                if nr.upper is not None:
+                    cond = cond & (F.col(nr.field) <= int(nr.upper))
             part = self._norms.where(cond).select(
                 "segment_id", "doc_id",
                 F.lit(K.numeric_set_id(nr)).alias("set_id"),

@@ -157,6 +157,59 @@ def test_numeric_filter_with_bm25(searcher, oracle):
     )
 
 
+def test_numeric_set_standalone(searcher, oracle):
+    """PointInSetQuery alone: docs whose doc-value is in the explicit
+    set, constant score 1.0, docID order (PointInSetQuery.java:63)."""
+    from lucene_solr_1_spark.search.query import NumericSet
+
+    vals = sorted({int(v) for v in oracle.exact_dl[::7]})[:12]
+    want = [int(d) for d in np.flatnonzero(np.isin(oracle.exact_dl, vals))]
+    hits = searcher.search(NumericSet("dl", tuple(vals)), k=1000,
+                           with_stored=False)
+    assert hits["global_doc_id"].tolist() == want
+    assert (hits["score"] == 1.0).all()
+
+
+def test_numeric_set_equals_dense_range(searcher):
+    """An integer doc-value set covering [lo, hi] contiguously must be
+    result-identical to the NumericRange filter — same cogrouped channel,
+    two different set_ids."""
+    from lucene_solr_1_spark.search.query import NumericSet
+
+    lo, hi = 50, 200
+    qr = Bool.of(
+        (Occur.MUST, Term("return")),
+        (Occur.FILTER, NumericRange("dl", lo, hi)),
+    )
+    qs = Bool.of(
+        (Occur.MUST, Term("return")),
+        (Occur.FILTER, NumericSet("dl", tuple(range(lo, hi + 1)))),
+    )
+    hr = searcher.search(qr, k=10, with_stored=False)
+    hs = searcher.search(qs, k=10, with_stored=False)
+    assert hr["global_doc_id"].tolist() == hs["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        hr["score"].to_numpy(np.float32), hs["score"].to_numpy(np.float32)
+    )
+
+
+def test_numeric_set_local_mode_matches(searcher):
+    """search_local resolves NumericSet through the same cached
+    doc-values channel as the distributed path."""
+    from lucene_solr_1_spark.search.query import NumericSet
+
+    q = Bool.of(
+        (Occur.MUST, Term("return")),
+        (Occur.FILTER, NumericSet("dl", (60, 75, 90, 105, 120, 150))),
+    )
+    dist = searcher.search(q, k=10, with_stored=False)
+    loc = searcher.search_local(q, k=10)
+    assert dist["global_doc_id"].tolist() == loc["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        dist["score"].to_numpy(np.float32), loc["score"].to_numpy(np.float32)
+    )
+
+
 def test_numeric_must_not_with_matchall(searcher, oracle):
     """*:* minus a numeric range — exercises sentinel dispatch + cogroup
     together (segments whose docs ALL fall outside the range must still
