@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the dedup DECISION step (connected components -> one representative
     # per near-dup cluster) and the full curation composition
     q["dedup_simhash_neardup"] = lambda s, d: dedup.simhash_neardup_spark(s, d, 3)
+    # C4-style chunk-level exact dedup (global first occurrence wins)
+    q["dedup_chunks_c4"] = lambda s, d: dedup.dedup_chunks_spark(s, d)
     q["fts_count"] = lambda s, d: R.count_query_spark(
         s, d, must=("query",), should=("merge", "spark")
     )
@@ -564,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_verified": dedup.minhash_verified_duck(0.4),
         "dedup_simhash": dedup.simhash_duck(),
         "dedup_simhash_neardup": dedup.simhash_neardup_duck(3),
+        "dedup_chunks_c4": dedup.dedup_chunks_duck(),
         "fts_count": R.count_query_duck(must=("query",), should=("merge", "spark")),
         "dedup_cluster_reps": dedup.dedup_cluster_representatives_duck(0.4),
         "pipeline_curated_docs": __import__(

@@ -525,3 +525,86 @@ SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b, hamming
 FROM cand WHERE hamming <= {max_hamming}
 ORDER BY 1, 2
 """.strip()
+
+
+# --- C4-style chunk-level exact dedup ----------------------------------------
+
+CHUNK_W = 8  # tokens per dedup unit (C4 used three-sentence spans)
+
+
+def dedup_chunks_spark(spark, sf_dir, w: int = CHUNK_W) -> DataFrame:
+    """C4-style span-level exact dedup (Raffel et al. 2020 §2.2 "we
+    discard all but one of any three-sentence span occurring more than
+    once"): the token stream is cut into fixed w-token chunks, every
+    chunk occurrence after the GLOBAL first (order: doc_id asc, chunk
+    position asc) is dropped — including repeats inside one document —
+    and each doc reports its surviving text fingerprint.
+
+    Scale shape: chunking happens with array functions inside the scan
+    stage (the lambda-binding trick from _shingle_expr — no explode
+    before the chunk level, no per-token rows); the only shuffle is the
+    first-occurrence window keyed by chunk hash (uniform md5 keys, the
+    same distribution exact dedup shuffles on), then one groupBy(doc_id)
+    to reassemble. Output: (doc_id, n_chunks, n_kept, clean_hash) where
+    clean_hash = md5 of the kept chunks joined in position order."""
+    chunk_expr = (
+        f"transform(array({spark_tokens_expr()}), t -> "
+        f"CASE WHEN size(t) > 0 THEN transform(sequence(0, (size(t)-1) div {w}), "
+        f"i -> concat_ws(' ', slice(t, i*{w} + 1, {w}))) "
+        "ELSE array() END)[0]"
+    )
+    from pyspark.sql import Window
+
+    chunks = (
+        load_documents(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.expr(chunk_expr)).alias("pos", "chunk"))
+        .withColumn("h", F.md5("chunk"))
+    )
+    wnd = Window.partitionBy("h").orderBy(F.asc("doc_id"), F.asc("pos"))
+    flagged = chunks.withColumn("keep", F.row_number().over(wnd) == 1)
+    # collect_list drops nulls, so only kept (pos, chunk) structs survive;
+    # array_sort orders by pos (first struct field) — position order back
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.col("keep").cast("long")).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+
+
+def dedup_chunks_duck(w: int = CHUNK_W) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH pos AS (
+  SELECT doc_id, unnest({te}) AS t, generate_subscripts({te}, 1) AS p
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, (p - 1) // {w} AS pos,
+         string_agg(t, ' ' ORDER BY p) AS chunk
+  FROM pos GROUP BY doc_id, (p - 1) // {w}
+),
+fl AS (
+  SELECT doc_id, pos, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, pos) = 1 AS keep
+  FROM ch
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       md5(coalesce(
+         string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE keep), ''
+       )) AS clean_hash
+FROM fl GROUP BY doc_id
+""".strip()

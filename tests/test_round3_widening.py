@@ -123,6 +123,41 @@ def test_suggest_freetext_bigram_counts(spark):
     assert list(zip(got["term"], got["weight"])) == ref_top
 
 
+def test_dedup_chunks_c4_reference(spark):
+    """Global first-occurrence-wins at chunk granularity, including
+    repeats inside one document; kept text reassembles in position
+    order."""
+    import hashlib
+
+    from lucene_solr_1_spark.pipeline import dedup as D
+
+    got = D.dedup_chunks_spark(spark, SF, w=8).toPandas()
+    d = _docs(spark).sort_values("doc_id")
+    seen, ref = set(), {}
+    for _, row in d.iterrows():
+        toks = _tokens(row["text"])
+        chunks = [" ".join(toks[i:i + 8]) for i in range(0, len(toks), 8)]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        if chunks:
+            ref[row["doc_id"]] = (
+                len(chunks), len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+    assert len(got) == len(ref)
+    for _, row in got.iterrows():
+        n_chunks, n_kept, h = ref[row["doc_id"]]
+        assert row["n_chunks"] == n_chunks
+        assert row["n_kept"] == n_kept
+        assert row["clean_hash"] == h
+    # the corpus genuinely contains cross-doc duplicate chunks at w=8?
+    # not guaranteed — but within-doc repeats exist; assert SOME drops
+    assert (got["n_kept"] < got["n_chunks"]).any()
+
+
 def test_stats_percentiles_reference(spark):
     got = R.stats_percentiles_spark(spark, SF, "query").toPandas()
     scored = R.bm25_bool_spark(spark, SF, should=("query",), k=None).toPandas()
