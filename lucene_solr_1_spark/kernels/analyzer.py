@@ -42,6 +42,49 @@ MAX_TOKEN_LENGTH = 255  # StandardTokenizer.java DEFAULT_MAX_TOKEN_LENGTH
 # Word-char runs joined by interior '.' / ''' (UAX#29 WB6/WB7 approximation).
 _TOKEN_RE = re.compile(r"\w+(?:['.]\w+)*", re.UNICODE)
 
+# ASCIIFoldingFilter (analysis/miscellaneous/ASCIIFoldingFilter.java:57-187):
+# Latin-1 Supplement + Latin Extended-A folded to their ASCII equivalents
+# (the filter's giant switch covers more blocks; this is the subset that
+# occurs in practice for European text — tests pin the contract). Values
+# may be multi-char (ß→ss, Æ→AE) exactly like the reference.
+_FOLD_PAIRS = {
+    "À": "A", "Á": "A", "Â": "A", "Ã": "A", "Ä": "A", "Å": "A", "Ā": "A",
+    "Ă": "A", "Ą": "A", "Æ": "AE", "Ç": "C", "Ć": "C", "Ĉ": "C", "Ċ": "C",
+    "Č": "C", "Ð": "D", "Ď": "D", "Đ": "D", "È": "E", "É": "E", "Ê": "E",
+    "Ë": "E", "Ē": "E", "Ĕ": "E", "Ė": "E", "Ę": "E", "Ě": "E", "Ĝ": "G",
+    "Ğ": "G", "Ġ": "G", "Ģ": "G", "Ĥ": "H", "Ħ": "H", "Ì": "I", "Í": "I",
+    "Î": "I", "Ï": "I", "Ĩ": "I", "Ī": "I", "Ĭ": "I", "Į": "I", "İ": "I",
+    "Ĳ": "IJ", "Ĵ": "J", "Ķ": "K", "Ĺ": "L", "Ļ": "L", "Ľ": "L", "Ŀ": "L",
+    "Ł": "L", "Ñ": "N", "Ń": "N", "Ņ": "N", "Ň": "N", "Ŋ": "N", "Ò": "O",
+    "Ó": "O", "Ô": "O", "Õ": "O", "Ö": "O", "Ø": "O", "Ō": "O", "Ŏ": "O",
+    "Ő": "O", "Œ": "OE", "Ŕ": "R", "Ŗ": "R", "Ř": "R", "Ś": "S", "Ŝ": "S",
+    "Ş": "S", "Š": "S", "Ţ": "T", "Ť": "T", "Ŧ": "T", "Þ": "TH", "Ù": "U",
+    "Ú": "U", "Û": "U", "Ü": "U", "Ũ": "U", "Ū": "U", "Ŭ": "U", "Ů": "U",
+    "Ű": "U", "Ų": "U", "Ŵ": "W", "Ý": "Y", "Ŷ": "Y", "Ÿ": "Y", "Ź": "Z",
+    "Ż": "Z", "Ž": "Z",
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a", "ā": "a",
+    "ă": "a", "ą": "a", "æ": "ae", "ç": "c", "ć": "c", "ĉ": "c", "ċ": "c",
+    "č": "c", "ð": "d", "ď": "d", "đ": "d", "è": "e", "é": "e", "ê": "e",
+    "ë": "e", "ē": "e", "ĕ": "e", "ė": "e", "ę": "e", "ě": "e", "ĝ": "g",
+    "ğ": "g", "ġ": "g", "ģ": "g", "ĥ": "h", "ħ": "h", "ì": "i", "í": "i",
+    "î": "i", "ï": "i", "ĩ": "i", "ī": "i", "ĭ": "i", "į": "i", "ı": "i",
+    "ĳ": "ij", "ĵ": "j", "ķ": "k", "ĸ": "q", "ĺ": "l", "ļ": "l", "ľ": "l",
+    "ŀ": "l", "ł": "l", "ñ": "n", "ń": "n", "ņ": "n", "ň": "n", "ŉ": "n",
+    "ŋ": "n", "ò": "o", "ó": "o", "ô": "o", "õ": "o", "ö": "o", "ø": "o",
+    "ō": "o", "ŏ": "o", "ő": "o", "œ": "oe", "ŕ": "r", "ŗ": "r", "ř": "r",
+    "ś": "s", "ŝ": "s", "ş": "s", "š": "s", "ß": "ss", "ţ": "t", "ť": "t",
+    "ŧ": "t", "þ": "th", "ù": "u", "ú": "u", "û": "u", "ü": "u", "ũ": "u",
+    "ū": "u", "ŭ": "u", "ů": "u", "ű": "u", "ų": "u", "ŵ": "w", "ý": "y",
+    "ŷ": "y", "ÿ": "y", "ź": "z", "ż": "z", "ž": "z", "ſ": "s",
+}
+_FOLD_TABLE = {ord(k): v for k, v in _FOLD_PAIRS.items()}
+
+
+def ascii_fold(text: str) -> str:
+    """Fold accented Latin characters to ASCII (ASCIIFoldingFilter
+    subset). Identity on pure-ASCII input."""
+    return text.translate(_FOLD_TABLE)
+
 # ASCII-only pattern used by the SQL oracle path — must stay in sync with
 # sql/relational.py's regexp_extract_all pattern.
 SQL_TOKEN_PATTERN = "[a-z0-9_]+"
@@ -63,6 +106,7 @@ class AnalyzerConfig:
     lowercase: bool = True
     possessive: bool = False  # EnglishPossessiveFilter.java
     stem: bool = False  # PorterStemFilter.java
+    ascii_fold: bool = False  # ASCIIFoldingFilter.java (Latin subset)
 
     def with_english_stop(self) -> "AnalyzerConfig":
         return AnalyzerConfig(
@@ -71,6 +115,7 @@ class AnalyzerConfig:
             lowercase=self.lowercase,
             possessive=self.possessive,
             stem=self.stem,
+            ascii_fold=self.ascii_fold,
         )
 
 
@@ -80,6 +125,10 @@ ENGLISH = AnalyzerConfig(stop_words=ENGLISH_STOP_WORDS)
 ENGLISH_STEM = AnalyzerConfig(
     stop_words=ENGLISH_STOP_WORDS, possessive=True, stem=True
 )
+# StandardAnalyzer + ASCIIFoldingFilter: accent-insensitive matching
+# (fold runs on the lowercased SOURCE, which commutes with tokenization:
+# every folded codepoint is a letter mapping to letters)
+STANDARD_FOLD = AnalyzerConfig(ascii_fold=True)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -88,6 +137,7 @@ ANALYZERS: dict = {
     "standard": STANDARD,
     "english": ENGLISH,
     "english_stem": ENGLISH_STEM,
+    "standard_fold": STANDARD_FOLD,
 }
 
 
@@ -108,6 +158,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
     # this path byte-identical to the vectorized analyze_series path.
     if cfg.lowercase:
         text = text.lower()
+    if cfg.ascii_fold:
+        text = ascii_fold(text)
     raw = _TOKEN_RE.findall(text)
     terms, positions = [], []
     for pos, tok in enumerate(raw):
@@ -132,6 +184,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     src = texts.fillna("")
     if cfg.lowercase:
         src = src.str.lower()
+    if cfg.ascii_fold:
+        src = src.str.translate(_FOLD_TABLE)
     raw = src.str.findall(_TOKEN_RE)
     max_len = cfg.max_token_length
     stop = cfg.stop_words
@@ -175,6 +229,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
     src = texts.fillna("")
     if cfg.lowercase:
         src = src.str.lower()
+    if cfg.ascii_fold:
+        src = src.str.translate(_FOLD_TABLE)
     tok_lists = src.str.findall(_TOKEN_RE)
     raw_counts = tok_lists.map(len).to_numpy(dtype=np.int64)
     total = int(raw_counts.sum())
@@ -203,3 +259,42 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         terms = stem_array(terms)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len
+
+
+def shingle_tokens(
+    terms: list,
+    min_n: int = 2,
+    max_n: int = 2,
+    sep: str = " ",
+    output_unigrams: bool = True,
+) -> list:
+    """ShingleFilter (analysis/shingle/ShingleFilter.java:61-146): emit
+    word n-grams of consecutive tokens for every size in [min_n, max_n],
+    in the reference's position-ordered interleaving (at each position:
+    the unigram if outputUnigrams, then each shingle size starting
+    there). min_n >= 2 like the reference's minShingleSize contract."""
+    if min_n < 2 or max_n < min_n:
+        raise ValueError("shingle sizes need 2 <= min_n <= max_n")
+    out = []
+    n_terms = len(terms)
+    for i in range(n_terms):
+        if output_unigrams:
+            out.append(terms[i])
+        for n in range(min_n, max_n + 1):
+            if i + n <= n_terms:
+                out.append(sep.join(terms[i:i + n]))
+    return out
+
+
+def shingle_series(
+    texts: pd.Series,
+    cfg: AnalyzerConfig = STANDARD,
+    min_n: int = 2,
+    max_n: int = 2,
+    output_unigrams: bool = True,
+) -> pd.Series:
+    """Analyze then shingle each row — Series[str] → Series[list[str]]
+    (the analyzer-chain composition a shingled field indexes)."""
+    return analyze_series(texts, cfg).map(
+        lambda t: shingle_tokens(t, min_n, max_n, " ", output_unigrams)
+    )

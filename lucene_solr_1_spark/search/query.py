@@ -262,9 +262,13 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
     from ..kernels.porter import porter_stem, strip_possessive
 
     def one(text: str) -> str:
+        from ..kernels.analyzer import ascii_fold
+
         t = strip_possessive(text) if cfg.possessive else text
         if cfg.lowercase:
             t = t.lower()
+        if cfg.ascii_fold:
+            t = ascii_fold(t)
         if cfg.stem and t not in cfg.stop_words:
             t = porter_stem(t)
         return t

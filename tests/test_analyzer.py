@@ -89,3 +89,86 @@ def test_flatten_tokens():
     assert list(terms2) == ["a", "b", "a", "the", "fox"]
     np.testing.assert_array_equal(dl2, [3, 0, 2, 0])
     np.testing.assert_array_equal(pos2, [0, 1, 2, 0, 1])
+
+
+def test_ascii_fold_tokens():
+    """ASCIIFoldingFilter subset: accents fold, multi-char expansions
+    (ß→ss, æ→ae) match the reference's mappings; ASCII is untouched."""
+    from lucene_solr_1_spark.kernels.analyzer import STANDARD_FOLD
+
+    terms, pos = tokenize_one("Café RÉSUMÉ naïve Straße Æther plain", STANDARD_FOLD)
+    assert terms == ["cafe", "resume", "naive", "strasse", "aether", "plain"]
+    assert pos == [0, 1, 2, 3, 4, 5]
+
+
+def test_ascii_fold_series_matches_scalar():
+    from lucene_solr_1_spark.kernels.analyzer import STANDARD_FOLD, flatten_tokens
+
+    texts = pd.Series(["Héllo wörld", "œuvre ĳs", "no accents", ""])
+    got = analyze_series(texts, STANDARD_FOLD)
+    want = [tokenize_one(t, STANDARD_FOLD)[0] for t in texts]
+    assert list(got) == want
+    terms, row_idx, _, doc_len = flatten_tokens(texts, STANDARD_FOLD)
+    assert list(terms) == [t for toks in want for t in toks]
+
+
+def test_ascii_fold_index_and_query_side(spark, tmp_path_factory):
+    """An index built with standard_fold matches both the folded and the
+    accented spelling of a query term (query terms re-analyze through
+    the manifest's persisted analyzer)."""
+    import pandas as pd_
+
+    from lucene_solr_1_spark.index.builder import build_index
+    from lucene_solr_1_spark.search.query import Term
+    from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+    from lucene_solr_1_spark.kernels.analyzer import STANDARD_FOLD
+
+    pdf = pd_.DataFrame({
+        "repo": ["r"] * 4,
+        "path": [f"f{i}" for i in range(4)],
+        "commit": ["c"] * 4,
+        "lang": ["txt"] * 4,
+        "content": [
+            "die Straße nach Köln",
+            "the strasse spelled plain",
+            "unrelated document text",
+            "café culture résumé",
+        ],
+    })
+    d = str(tmp_path_factory.mktemp("idx_fold"))
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=2,
+                cfg=STANDARD_FOLD)
+    s = LuceneSparkSearcher(spark, d)
+    folded = s.search(Term("strasse"), k=10, with_stored=False)
+    accented = s.search(Term("straße"), k=10, with_stored=False)
+    assert sorted(folded["global_doc_id"]) == sorted(accented["global_doc_id"])
+    assert len(folded) == 2  # both spellings of doc0/doc1
+    cafe = s.search(Term("café"), k=10, with_stored=False)
+    assert len(cafe) == 1
+
+
+def test_shingle_filter_order_and_sizes():
+    from lucene_solr_1_spark.kernels.analyzer import shingle_tokens
+
+    toks = ["please", "divide", "this", "sentence"]
+    # ShingleFilter's documented bigram example (outputUnigrams=true)
+    assert shingle_tokens(toks, 2, 2) == [
+        "please", "please divide",
+        "divide", "divide this",
+        "this", "this sentence",
+        "sentence",
+    ]
+    # bigrams + trigrams, no unigrams
+    assert shingle_tokens(toks, 2, 3, output_unigrams=False) == [
+        "please divide", "please divide this",
+        "divide this", "divide this sentence",
+        "this sentence",
+    ]
+
+
+def test_shingle_series_composes_with_analyzer():
+    from lucene_solr_1_spark.kernels.analyzer import ENGLISH, shingle_series
+
+    out = shingle_series(pd.Series(["The quick fox"]), ENGLISH, 2, 2).iloc[0]
+    # 'the' is stopped before shingling (filter order: stop -> shingle)
+    assert out == ["quick", "quick fox", "fox"]
