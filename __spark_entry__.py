@@ -90,6 +90,21 @@ def _get_stem_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_sorted_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with index_sort='n_chars' (IndexWriterConfig
+    .setIndexSort analog) — exercised by fts_index_sorted_topk's
+    early-terminated field-sorted search."""
+    key = ("sorted", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_sorted_")
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            index_sort="n_chars",
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _kernel_hits_df(spark, searcher, q, k=10, similarity=None) -> DataFrame:
     hits = searcher.search(q, k=k, similarity=similarity)
     if len(hits) == 0:
@@ -317,6 +332,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         k=10,
     )
+    # Index sorting + early-terminated field-sorted top-k: every segment
+    # emits only its first k matches in docID order (== sort order)
+    def _sorted_topk(s, d):
+        searcher = _get_sorted_index(s, d)
+        hits = searcher.search_sorted(Term("query"), k=15)
+        pdf = hits[["path", "rank", "n_chars"]].copy()
+        pdf["doc_id"] = pdf["path"].str.removeprefix("doc/").astype("int64")
+        pdf["rank"] = pdf["rank"].astype("int64")
+        pdf["n_chars"] = pdf["n_chars"].astype("int64")
+        return s.createDataFrame(pdf[["doc_id", "n_chars", "rank"]])
+
+    q["fts_index_sorted_topk"] = _sorted_topk
+
     # PointInSetQuery: explicit doc-values set as a FILTER clause
     def _numeric_in_set(s, d):
         from lucene_solr_1_spark.search.query import NumericSet
@@ -663,6 +691,18 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_numeric_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="dl.dl BETWEEN 30 AND 60"
         ),
+        # field-sorted early-terminated top-k over the sort-built index:
+        # match set == docs containing the term, order == (length, doc)
+        "fts_index_sorted_topk": f"""
+WITH m AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars
+  FROM documents
+  WHERE list_contains(regexp_extract_all(lower(text), '{R.TOKEN_PATTERN}'), 'query')
+)
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rank
+FROM m ORDER BY rank LIMIT 15
+""".strip(),
         "fts_numeric_in_set": KO.kernel_bool_duck(
             must=("query",), k=10,
             filter_sql="dl.dl IN ({})".format(

@@ -47,7 +47,8 @@ def _write_parquet(pdf: pd.DataFrame, path: str, segment_id: str) -> None:
 
 
 def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitions,
-                     pid_offset: int = 0, store_offsets: bool = False):
+                     pid_offset: int = 0, store_offsets: bool = False,
+                     index_sort: tuple | None = None):
     ctx = TaskContext.get()
     pid = (ctx.partitionId() if ctx else 0) + pid_offset
     if fail_partitions and pid in fail_partitions:
@@ -58,7 +59,21 @@ def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitio
         if pdfs
         else pd.DataFrame(columns=["repo", "path", "commit", "lang", "content"])
     )
-    pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
+    if index_sort:
+        # IndexWriterConfig.setIndexSort analog: docIDs within the segment
+        # follow (sort value, doc key) — doc key breaks value ties so the
+        # order stays content-defined and deterministic
+        field, desc = index_sort
+        pdf = (
+            pdf.assign(_sort=pdf["content"].str.len())
+            .sort_values(["_sort", *DOC_KEY],
+                         ascending=[not desc, True, True, True],
+                         kind="mergesort")
+            .drop(columns="_sort")
+            .reset_index(drop=True)
+        )
+    else:
+        pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
     fingerprint = _fingerprint_of(pdf)
     segment_id = f"s{pid:05d}-{fingerprint[:10]}"
 
@@ -70,7 +85,9 @@ def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitio
         return
 
     t0 = time.monotonic()
-    postings, norms, stats = build_segment_frames(pdf, cfg, store_offsets)
+    postings, norms, stats = build_segment_frames(
+        pdf, cfg, store_offsets, presorted=bool(index_sort)
+    )
     if isinstance(stats.get("field_stats"), dict):
         import json
 
@@ -116,8 +133,19 @@ def build_index(
     fail_partitions: set[int] | None = None,
     pre_partitioned: bool = False,
     store_offsets: bool = False,
+    index_sort: str | None = None,
+    index_sort_desc: bool = False,
 ) -> dict:
     """Build (or resume) an index over `corpus_df`; returns the manifest.
+
+    `index_sort="n_chars"` is the IndexWriterConfig.setIndexSort analog
+    (index/IndexSorter.java): docIDs within EVERY segment follow the
+    sort value (content length; ties broken by doc key), persisted
+    sticky in the manifest. A fresh build range-partitions on the sort
+    key, so global docID order equals global sort order too; appends
+    keep only the per-segment guarantee — exactly Lucene's contract.
+    `searcher.search_sorted` exploits it for early-terminated
+    field-sorted top-k.
 
     `store_offsets=True` stores per-doc token character spans in the
     docmap (IndexOptions ..._AND_OFFSETS analog) — opt-in: highlighting
@@ -135,6 +163,9 @@ def build_index(
     """
     from functools import partial
 
+    if index_sort is not None and index_sort != "n_chars":
+        raise ValueError("index_sort supports 'n_chars' (content length)")
+    sort_spec = (index_sort, bool(index_sort_desc)) if index_sort else None
     df = corpus_df.select("repo", "path", "commit", "lang", "content")
     if not pre_partitioned:
         # RANGE partition by doc key: segments hold contiguous key ranges,
@@ -143,7 +174,16 @@ def build_index(
         # That makes equal-score tie-breaks (HitQueue: docID asc) identical
         # for ANY segment count and identical to the brute-force oracle
         # (randomized rank-identity tests pin this).
-        df = df.repartitionByRange(num_segments, *DOC_KEY)
+        # With index_sort the range key leads with the sort value, making
+        # the global docID order the global SORT order on a fresh build.
+        if sort_spec:
+            from pyspark.sql import functions as F
+
+            skey = F.length("content")
+            skey = skey.desc() if sort_spec[1] else skey.asc()
+            df = df.repartitionByRange(num_segments, skey, *DOC_KEY)
+        else:
+            df = df.repartitionByRange(num_segments, *DOC_KEY)
     rows = df.mapInPandas(
         partial(
             _build_partition,
@@ -151,6 +191,7 @@ def build_index(
             cfg=cfg,
             fail_partitions=fail_partitions or set(),
             store_offsets=store_offsets,
+            index_sort=sort_spec,
         ),
         schema=MANIFEST_ROW_DDL,
     ).collect()
@@ -162,6 +203,8 @@ def build_index(
     extra = {"num_segments": num_segments, "analyzer": analyzer_name(cfg)}
     if store_offsets:
         extra["offsets"] = True
+    if sort_spec:
+        extra["index_sort"] = {"field": sort_spec[0], "desc": sort_spec[1]}
     prior = mf.read_manifest(index_dir)
     if prior and prior.get("tombstone_files"):
         extra["tombstone_files"] = prior["tombstone_files"]
@@ -195,9 +238,19 @@ def add_documents(
     if cfg is None:
         cfg = ANALYZERS.get(manifest.get("analyzer", "standard"), STANDARD)
     pid_offset = max(s["partition_id"] for s in manifest["segments"]) + 1
-    df = corpus_df.select(
-        "repo", "path", "commit", "lang", "content"
-    ).repartitionByRange(num_segments, *DOC_KEY)
+    isrt = manifest.get("index_sort")
+    sort_spec = (isrt["field"], bool(isrt["desc"])) if isrt else None
+    df = corpus_df.select("repo", "path", "commit", "lang", "content")
+    if sort_spec:
+        # sorted index: appended segments keep the per-segment sort
+        # guarantee (Lucene's index-sort contract for new flushes)
+        from pyspark.sql import functions as F
+
+        skey = F.length("content")
+        skey = skey.desc() if sort_spec[1] else skey.asc()
+        df = df.repartitionByRange(num_segments, skey, *DOC_KEY)
+    else:
+        df = df.repartitionByRange(num_segments, *DOC_KEY)
     rows = df.mapInPandas(
         partial(
             _build_partition,
@@ -206,6 +259,7 @@ def add_documents(
             fail_partitions=set(),
             pid_offset=pid_offset,
             store_offsets=bool(manifest.get("offsets")),
+            index_sort=sort_spec,
         ),
         schema=MANIFEST_ROW_DDL,
     ).collect()

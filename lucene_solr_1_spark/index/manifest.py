@@ -71,7 +71,7 @@ def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = N
     # sticky index-level settings survive every re-commit (merge, delete,
     # append): the analyzer and the offsets IndexOption are properties of
     # the INDEX, like IndexWriterConfig — readers must always see them
-    sticky = ("analyzer", "offsets")
+    sticky = ("analyzer", "offsets", "index_sort")
     if not extra or any(k not in (extra or {}) for k in sticky):
         prior = read_manifest(index_dir)
         if prior:

@@ -189,11 +189,15 @@ def _token_span_columns(content_s: pd.Series) -> tuple[list, list]:
 def build_segment_frames(
     pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD,
     store_offsets: bool = False,
+    presorted: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
     """Invert one partition of corpus rows into (postings, norms) frames.
 
     Rows are sorted by (repo, path, commit) so per-segment docIDs are
     deterministic for any partitioning (SURVEY.md §7 'hard parts' (5)).
+    `presorted=True` keeps the CALLER's row order as the docID order —
+    the index-sort path (IndexSorter), where the builder already sorted
+    by (sort value, doc key).
 
     `store_offsets=True` additionally stores per-doc token character
     spans (off_starts/off_ends docmap columns) so highlighting can cut
@@ -202,7 +206,8 @@ def build_segment_frames(
     8 bytes/token of storage).
     """
     t0 = time.monotonic()
-    pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
+    if not presorted:
+        pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
     terms, doc_ids, positions, doc_len = flatten_tokens(pdf["content"], cfg)
     norms = int_to_byte4(doc_len)

@@ -560,6 +560,23 @@ class LuceneSparkSearcher:
 
         if isinstance(q, MatchAll):
             return self._match_all(k, after, with_stored)
+        hits = self._dispatch_segments(q, k, use_wand, after, similarity)
+        if hits is None:  # rewrote to MatchNone
+            out = pd.DataFrame(
+                columns=["rank", "score", "global_doc_id", "segment_id", "doc_id"]
+            )
+            out.attrs["total_hits"] = 0
+            out.attrs["relation"] = "EQUAL_TO"
+            return out
+        return self._merge_hits(hits, k, with_stored)
+
+    def _dispatch_segments(
+        self, q: Query, k: int, use_wand: bool, after: tuple | None, similarity
+    ) -> pd.DataFrame | None:
+        """Compile + per-segment kernel dispatch: returns the RAW
+        per-segment top-k hit rows (pre-merge), or None if the query
+        rewrites to MatchNone. Shared by search() (score merge) and
+        search_sorted() (index-sort merge)."""
         if isinstance(q, self._MTQ_TYPES) and not isinstance(q, Fuzzy):
             # top-level multi-term query: CONSTANT_SCORE_REWRITE fast path
             # (MultiTermQuery.java default) — the dictionary predicate goes
@@ -573,12 +590,7 @@ class LuceneSparkSearcher:
         else:
             q = rewrite(self.expand(q))
             if isinstance(q, MatchNone):
-                out = pd.DataFrame(
-                    columns=["rank", "score", "global_doc_id", "segment_id", "doc_id"]
-                )
-                out.attrs["total_hits"] = 0
-                out.attrs["relation"] = "EQUAL_TO"
-                return out
+                return None
             terms = query_terms(q)
             plan = K.compile_plan(
                 q, self._global_df(terms), self.doc_counts,
@@ -618,7 +630,61 @@ class LuceneSparkSearcher:
                 .applyInPandas(kernel, schema=_HIT_SCHEMA)
                 .toPandas()
             )
-        return self._merge_hits(hits, k, with_stored)
+        return hits
+
+    def search_sorted(self, q: Query, k: int = 10) -> pd.DataFrame:
+        """Early-terminating field-sorted top-k over a SORT-BUILT index
+        (IndexWriterConfig.setIndexSort + TopFieldCollector's
+        canEarlyTerminate path, search/TopFieldCollector.java:52-74):
+        because docID order inside every segment IS the sort order, each
+        segment emits only its FIRST k matches in docID order — no
+        scoring, no full-match-set ranking — and the driver merges the
+        per-segment candidates by (sort value, global docID). TotalHits
+        relation is GREATER_THAN_OR_EQUAL_TO, exactly like the
+        reference's early-terminated collector.
+
+        Scoring is skipped by wrapping the match plan in ConstantScore:
+        with all scores equal, the kernel's (score desc, docID asc)
+        top-k degenerates to first-k-by-docID — the early-termination
+        cut expressed in the existing kernel contract."""
+        from .query import ConstantScore
+
+        srt = self.manifest.get("index_sort")
+        if not srt:
+            raise ValueError(
+                "search_sorted needs an index built with index_sort="
+                f"'n_chars' (manifest has none: {self.index_dir})"
+            )
+        q = rewrite(self._analyze_query(q))
+        hits = self._dispatch_segments(
+            ConstantScore(q, 1.0), k, use_wand=False, after=None,
+            similarity=None,
+        )
+        if hits is None or not len(hits):
+            out = pd.DataFrame(
+                columns=["rank", "global_doc_id", "segment_id", "doc_id",
+                         srt["field"]]
+            )
+            out.attrs["total_hits"] = 0
+            out.attrs["relation"] = "EQUAL_TO"
+            return out
+        hits["global_doc_id"] = (
+            hits["segment_id"].map(self.doc_base) + hits["doc_id"]
+        )
+        total_hits = int(hits.groupby("segment_id")["total"].first().sum())
+        # stored fields ride along (the sort value itself is one of them)
+        hits = hits.merge(
+            self._fetch_stored(hits), on=["segment_id", "doc_id"], how="left"
+        )
+        hits = hits.sort_values(
+            [srt["field"], "global_doc_id"],
+            ascending=[not srt.get("desc"), True], kind="mergesort",
+        ).head(k).reset_index(drop=True)
+        hits = hits.drop(columns=["score", "total", "relation"], errors="ignore")
+        hits.insert(0, "rank", np.arange(len(hits)))
+        hits.attrs["total_hits"] = total_hits
+        hits.attrs["relation"] = "GREATER_THAN_OR_EQUAL_TO"
+        return hits
 
     def _merge_hits(self, hits: pd.DataFrame, k: int, with_stored: bool) -> pd.DataFrame:
         """TopDocs.merge: score desc → global docID asc (leaf order, doc
