@@ -535,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_infix"] = lambda s, d: R.suggest_infix_spark(s, d, "er", 10)
     q["suggest_freetext"] = lambda s, d: R.suggest_freetext_spark(s, d, "merge", 10)
     q["stats_percentiles"] = lambda s, d: R.stats_percentiles_spark(s, d, "query")
+    q["significant_terms"] = lambda s, d: R.significant_terms_spark(s, d, "query")
+    q["suggest_fuzzy"] = lambda s, d: R.suggest_fuzzy_spark(s, d, "quary", 10)
 
     # IVF index completeness: probing ALL cells must reproduce brute-force
     # cosine top-k EXACTLY (every vector in exactly one cell — catches
@@ -629,6 +631,8 @@ def oracle_sql() -> dict[str, str]:
         "suggest_infix": R.suggest_infix_duck("er", 10),
         "suggest_freetext": R.suggest_freetext_duck("merge", 10),
         "stats_percentiles": R.stats_percentiles_duck("query"),
+        "significant_terms": R.significant_terms_duck("query"),
+        "suggest_fuzzy": R.suggest_fuzzy_duck("quary", 10),
         "ann_ivf_allprobe_exact": similarity.cosine_topk_duck(0, 20),
         "classify_knn": __import__(
             "lucene_solr_1_spark.sql.classify", fromlist=["x"]

@@ -1733,3 +1733,107 @@ SELECT d.lang, count(*)::BIGINT AS cnt,
 FROM documents d JOIN matched m ON d.doc_id = m.doc_id
 GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def significant_terms_spark(
+    spark, sf_dir, term: str, n: int = 15, min_fg: int = 3
+) -> DataFrame:
+    """Significant terms over a query's result set (the Solr JSON-facet
+    `relatedness` aggregate, solr/core/.../search/facet/RelatednessAgg
+    .java, and MoreLikeThis's interesting-terms selection): terms whose
+    document frequency in the FOREGROUND (matching docs) is unusually
+    high vs the BACKGROUND (whole corpus). Scored with the simple lift
+    ratio (fg_df/fg_size) / (bg_df/bg_size), floored at min_fg foreground
+    docs; the query term itself is excluded. One tokenize pass feeds both
+    frequency aggregates; the foreground doc set rides a broadcast
+    semi-join — at 100 TB nothing shuffles except (term) agg keys."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    tok = docs.select("doc_id", F.explode(F.array_distinct("toks")).alias("t"))
+    totals = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    fg_ids = docs.where(F.array_contains("toks", term)).select("doc_id")
+    fg_size = fg_ids.agg(F.count("*").cast("double").alias("fg_size"))
+    bg = tok.groupBy("t").agg(F.count("*").cast("double").alias("bg_df"))
+    fg = (
+        tok.join(fg_ids.hint("broadcast"), "doc_id")
+        .groupBy("t")
+        .agg(F.count("*").cast("double").alias("fg_df"))
+    )
+    return (
+        fg.join(bg, "t")
+        .crossJoin(F.broadcast(fg_size))
+        .crossJoin(F.broadcast(totals))
+        .where((F.col("fg_df") >= min_fg) & (F.col("t") != term))
+        .withColumn(
+            "lift",
+            F.round((F.col("fg_df") / F.col("fg_size"))
+                    / (F.col("bg_df") / F.col("n_docs")), 4),
+        )
+        .select(
+            F.col("t").alias("term"),
+            F.col("fg_df").cast("bigint").alias("fg_df"),
+            F.col("bg_df").cast("bigint").alias("bg_df"),
+            "lift",
+        )
+        .orderBy(F.desc("lift"), F.desc("fg_df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def significant_terms_duck(term: str, n: int = 15, min_fg: int = 3) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({te})) AS t FROM documents
+),
+fg_ids AS (
+  SELECT doc_id FROM documents WHERE list_contains({te}, '{term}')
+),
+fs AS (SELECT count(*)::DOUBLE AS fg_size FROM fg_ids),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+bg AS (SELECT t, count(*)::DOUBLE AS bg_df FROM tok GROUP BY 1),
+fg AS (
+  SELECT t, count(*)::DOUBLE AS fg_df FROM tok
+  JOIN fg_ids USING (doc_id) GROUP BY 1
+)
+SELECT fg.t AS term, fg.fg_df::BIGINT AS fg_df, bg.bg_df::BIGINT AS bg_df,
+       round((fg.fg_df / fs.fg_size) / (bg.bg_df / nd.n_docs), 4) AS lift
+FROM fg JOIN bg USING (t) CROSS JOIN fs CROSS JOIN nd
+WHERE fg.fg_df >= {min_fg} AND fg.t <> '{term}'
+ORDER BY lift DESC, fg_df DESC, term ASC LIMIT {n}
+""".strip()
+
+
+def suggest_fuzzy_spark(spark, sf_dir, prefix: str, n: int = 10) -> DataFrame:
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:55-90):
+    completion where the typed PREFIX may contain one edit — candidates
+    are terms whose first |prefix| characters are within Levenshtein
+    distance 1 of the input (the suggester's maxEdits=1 over the
+    analyzed form), ranked by weight (ttf) desc, term asc. The first
+    character must match (nonFuzzyPrefix=1 default)."""
+    p = prefix.lower()
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    toks = docs.select(F.explode("toks").alias("term"))
+    d = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("weight"))
+    return (
+        d.where(
+            (F.length("term") >= len(p))
+            & (F.substring("term", 1, 1) == p[0])
+            & (F.levenshtein(F.substring("term", 1, len(p)), F.lit(p)) <= 1)
+        )
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def suggest_fuzzy_duck(prefix: str, n: int = 10) -> str:
+    p = prefix.lower()
+    te = duck_tokens_expr()
+    return f"""
+WITH tok AS (SELECT unnest({te}) AS term FROM documents),
+d AS (SELECT term, count(*)::BIGINT AS weight FROM tok GROUP BY 1)
+SELECT term, weight FROM d
+WHERE length(term) >= {len(p)}
+  AND substring(term, 1, 1) = '{p[0]}'
+  AND levenshtein(substring(term, 1, {len(p)}), '{p}') <= 1
+ORDER BY weight DESC, term ASC LIMIT {n}
+""".strip()

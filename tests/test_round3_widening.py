@@ -169,3 +169,46 @@ def test_stats_percentiles_reference(spark):
         for col, p in (("p25", 25), ("p50", 50), ("p75", 75), ("p99", 99)):
             # numpy's default percentile is the same R-7 linear interpolation
             assert abs(row[col] - round(np.percentile(vals, p), 4)) < 1e-9
+
+
+def test_significant_terms_reference(spark):
+    got = R.significant_terms_spark(spark, SF, "query", n=15, min_fg=3).toPandas()
+    d = _docs(spark)
+    toksets = d["text"].map(lambda t: set(_tokens(t)))
+    fg_mask = toksets.map(lambda s: "query" in s)
+    fg_size, n_docs = float(fg_mask.sum()), float(len(d))
+    fg_df, bg_df = {}, {}
+    for s_, in_fg in zip(toksets, fg_mask):
+        for t in s_:
+            bg_df[t] = bg_df.get(t, 0) + 1
+            if in_fg:
+                fg_df[t] = fg_df.get(t, 0) + 1
+    rows = [
+        (t, f, bg_df[t], round((f / fg_size) / (bg_df[t] / n_docs), 4))
+        for t, f in fg_df.items() if f >= 3 and t != "query"
+    ]
+    rows.sort(key=lambda r: (-r[3], -r[1], r[0]))
+    ref = rows[:15]
+    assert [tuple(r) for r in got[["term", "fg_df", "bg_df", "lift"]]
+            .itertuples(index=False)] == ref
+    # every returned term is genuinely foreground-enriched
+    assert (got["lift"] >= 1.0).all()
+
+
+def test_suggest_fuzzy_one_edit_prefix(spark):
+    got = R.suggest_fuzzy_spark(spark, SF, "quary", 10).toPandas()
+    assert "query" in set(got["term"])  # the intended completion
+    # every candidate's prefix is within one edit and shares char 1
+    import numpy as np_
+
+    def lev(a, b):
+        m = np_.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                       prev + (ca != cb))
+        return m[-1]
+
+    for t in got["term"]:
+        assert t[0] == "q" and lev(t[:5], "quary") <= 1
