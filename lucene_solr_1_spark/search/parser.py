@@ -270,8 +270,15 @@ def parse(
     text: str,
     cfg: AnalyzerConfig = STANDARD,
     keyword_fields: tuple = KEYWORD_FIELDS,
+    synonyms: dict | None = None,
 ) -> Query:
     """Parse query text → rewritten Query tree (searcher.expand() handles
-    the multi-term expansion step)."""
+    the multi-term expansion step). `synonyms={"fast": ("quick",)}`
+    applies query-time synonym expansion (SynonymGraphFilter placement:
+    Term leaves in the default field become SynonymQuery)."""
     q = _Parser(_lex(text), cfg, keyword_fields).parse_query()
+    if synonyms:
+        from .query import apply_synonyms
+
+        q = apply_synonyms(q, synonyms)
     return rewrite(q)

@@ -459,3 +459,41 @@ def query_terms(q: Query) -> set:
     if isinstance(q, (MatchAll, MatchNone, NumericRange, NumericSet)):
         return set()
     raise TypeError(f"unexpanded multi-term query: {q!r} — call expand() first")
+
+
+def apply_synonyms(q: Query, synmap: dict) -> Query:
+    """Query-time synonym expansion — what QueryBuilder does when the
+    query analyzer chain contains a SynonymGraphFilter
+    (analysis/synonym/SynonymGraphFilter.java + util/QueryBuilder.java
+    :350-380 newSynonymQuery): a Term leaf whose text has an entry in
+    the synonym map becomes a SynonymQuery over {term} ∪ synonyms
+    (freqs summed, idfs summed — score-neutral between spellings).
+    Single-token synonyms only (multi-word synonym paths would need the
+    graph's positionLength handling); keyword-field leaves and MTQs stay
+    untouched, like the analyzer-chain placement in the reference."""
+    def walk(node):
+        if isinstance(node, Term):
+            # analyzed default field only: keyword fields are verbatim
+            # (KeywordAnalyzer carries no synonym filter)
+            syns = synmap.get(node.text) if node.field == DEFAULT_FIELD else None
+            if syns:
+                terms = tuple(dict.fromkeys((node.text, *syns)))  # stable-unique
+                return Synonym(terms, field=node.field)
+            return node
+        if isinstance(node, Boost):
+            return Boost(walk(node.query), node.boost)
+        if isinstance(node, ConstantScore):
+            return ConstantScore(walk(node.query), node.score)
+        if isinstance(node, FunctionScore):
+            return _dc_replace(node, query=walk(node.query))
+        if isinstance(node, Bool):
+            return Bool(
+                tuple(Clause(c.occur, walk(c.query)) for c in node.clauses),
+                node.min_should_match,
+            )
+        if isinstance(node, DisjunctionMax):
+            return DisjunctionMax(
+                tuple(walk(s) for s in node.queries), node.tie_breaker
+            )
+        return node  # Phrase/spans/MTQs/MatchAll/None/numeric: untouched
+    return walk(q)

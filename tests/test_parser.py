@@ -186,3 +186,42 @@ def test_not_prefix_word_is_a_term():
     # NOTE is a term, not the NOT operator
     assert parse("note") == Term("note")
     assert parse("NOTE") == Term("note")
+
+
+def test_parse_with_synonym_map():
+    """Query-time SynonymGraphFilter placement: Term leaves with a map
+    entry become SynonymQuery over {term} ∪ synonyms; other leaves and
+    keyword fields untouched."""
+    from lucene_solr_1_spark.search.parser import parse
+    from lucene_solr_1_spark.search.query import (
+        Bool, Occur, Synonym, Term,
+    )
+
+    q = parse("fast AND sort", synonyms={"fast": ("quick", "speedy")})
+    assert q == Bool.of(
+        (Occur.MUST, Synonym(("fast", "quick", "speedy"))),
+        (Occur.MUST, Term("sort")),
+    )
+    # keyword-field leaves stay verbatim terms even if the text collides
+    q2 = parse("lang:fast", synonyms={"fast": ("quick",)})
+    assert q2 == Term("fast", field="lang")
+    # duplicates collapse, order stable (original term first)
+    q3 = parse("fast", synonyms={"fast": ("quick", "fast", "quick")})
+    assert q3 == Synonym(("fast", "quick"))
+
+
+def test_synonym_map_search_equals_explicit_synonym(spark, tiny_corpus_pdf, tmp_path_factory):
+    from lucene_solr_1_spark.index.builder import build_index
+    from lucene_solr_1_spark.search.parser import parse
+    from lucene_solr_1_spark.search.query import Synonym
+    from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+    d = str(tmp_path_factory.mktemp("idx_syn"))
+    build_index(spark, spark.createDataFrame(tiny_corpus_pdf), d, num_segments=2)
+    s = LuceneSparkSearcher(spark, d)
+    via_map = s.search(
+        parse("return", synonyms={"return": ("class",)}), k=10, with_stored=False
+    )
+    explicit = s.search(Synonym(("return", "class")), k=10, with_stored=False)
+    assert via_map["global_doc_id"].tolist() == explicit["global_doc_id"].tolist()
+    assert via_map["score"].tolist() == explicit["score"].tolist()
