@@ -536,6 +536,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_freetext"] = lambda s, d: R.suggest_freetext_spark(s, d, "merge", 10)
     q["stats_percentiles"] = lambda s, d: R.stats_percentiles_spark(s, d, "query")
     q["significant_terms"] = lambda s, d: R.significant_terms_spark(s, d, "query")
+    # MemoryIndex-style percolation: docs matched against registered queries
+    q["monitor_percolate"] = lambda s, d: R.monitor_percolate_spark(s, d)
+    # hybrid lexical+vector retrieval (reciprocal-rank fusion)
+    q["hybrid_rrf"] = lambda s, d: similarity.hybrid_rrf_spark(
+        s, d, "query", query_vec_id=0, n=50, k=10
+    )
     q["suggest_fuzzy"] = lambda s, d: R.suggest_fuzzy_spark(s, d, "quary", 10)
 
     # IVF index completeness: probing ALL cells must reproduce brute-force
@@ -632,6 +638,10 @@ def oracle_sql() -> dict[str, str]:
         "suggest_freetext": R.suggest_freetext_duck("merge", 10),
         "stats_percentiles": R.stats_percentiles_duck("query"),
         "significant_terms": R.significant_terms_duck("query"),
+        "monitor_percolate": R.monitor_percolate_duck(),
+        "hybrid_rrf": similarity.hybrid_rrf_duck(
+            "query", query_vec_id=0, n=50, k=10
+        ),
         "suggest_fuzzy": R.suggest_fuzzy_duck("quary", 10),
         "ann_ivf_allprobe_exact": similarity.cosine_topk_duck(0, 20),
         "classify_knn": __import__(

@@ -518,3 +518,82 @@ def ivf_topk_spark(
     return ann_probe_topk(
         spark, ann_dir, qv, k=k, n_probe=n_probe, exclude_vec_id=query_vec_id
     )
+
+
+def hybrid_rrf_spark(
+    spark: SparkSession, sf_dir: str, term: str, query_vec_id: int = 0,
+    n: int = 50, k: int = 10, k0: int = 60,
+) -> DataFrame:
+    """Hybrid lexical + vector retrieval with reciprocal-rank fusion
+    (Cormack/Clarke/Büttcher RRF, the standard hybrid-search combiner):
+    score(d) = Σ_lists 1/(k0 + rank_d), over the BM25 top-n for `term`
+    and the cosine top-n for the query embedding (vec_id aligns with
+    doc_id in the test tables). Docs present in only one list score from
+    that list alone.
+
+    Scale shape: both candidate lists are bounded top-n
+    (TakeOrderedAndProject on each side), ranks come from windows over
+    those tiny n-row frames, and the fusion is an n-row outer join —
+    the expensive parts are exactly the two retrievals the engine
+    already optimizes."""
+    from pyspark.sql import Window
+
+    from ..sql.relational import bm25_bool_spark
+
+    lex = bm25_bool_spark(spark, sf_dir, should=(term,), k=n).withColumn(
+        "r_lex",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    )
+    vec = cosine_topk_spark(spark, sf_dir, query_vec_id, n).withColumn(
+        "r_vec",
+        F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id"))),
+    )
+    j = lex.select("doc_id", "r_lex").join(
+        vec.select(F.col("vec_id").alias("doc_id"), "r_vec"), "doc_id", "outer"
+    )
+    out = (
+        j.withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(F.lit(1.0) / (k0 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (k0 + F.col("r_vec")), F.lit(0.0)),
+                6,
+            ),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return out.withColumn(
+        "rank", (F.row_number().over(w) - 1).cast("bigint")
+    ).select("rank", F.col("doc_id").cast("bigint").alias("doc_id"), "rrf")
+
+
+def hybrid_rrf_duck(
+    term: str, query_vec_id: int = 0, n: int = 50, k: int = 10, k0: int = 60
+) -> str:
+    from ..sql.relational import bm25_bool_duck
+
+    return f"""
+WITH lex0 AS ({bm25_bool_duck(should=(term,), k=n)}),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+  FROM lex0
+),
+vec0 AS ({cosine_topk_duck(query_vec_id, n)}),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id) AS r_vec
+  FROM vec0
+),
+j AS (SELECT * FROM lex FULL OUTER JOIN vec USING (doc_id)),
+sc AS (
+  SELECT doc_id,
+         round(coalesce(1.0 / ({k0} + r_lex), 0)
+               + coalesce(1.0 / ({k0} + r_vec), 0), 6) AS rrf
+  FROM j
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) - 1 AS rank,
+       doc_id::BIGINT AS doc_id, rrf
+FROM sc ORDER BY rrf DESC, doc_id LIMIT {k}
+""".strip()

@@ -1837,3 +1837,69 @@ WHERE length(term) >= {len(p)}
   AND levenshtein(substring(term, 1, {len(p)}), '{p}') <= 1
 ORDER BY weight DESC, term ASC LIMIT {n}
 """.strip()
+
+
+# default registered-query set for percolation (query_id, must, must_not)
+MONITOR_QUERIES = (
+    (0, ("query", "merge"), ()),
+    (1, ("spark",), ("window",)),
+    (2, ("fast", "sort"), ("slow",)),
+    (3, ("data",), ()),
+)
+
+
+def monitor_percolate_spark(
+    spark, sf_dir, queries: tuple = MONITOR_QUERIES
+) -> DataFrame:
+    """Percolation / document monitoring (the reference's
+    memory/MemoryIndex.java:64-92 use case: "filtering/percolation —
+    index a single document and run MANY registered queries against
+    it"; the later Lucene monitor module productizes it): every incoming
+    document is matched against the registered query set; output is the
+    (doc_id, query_id) match pairs. Queries here are boolean
+    must/must_not term sets — the alerting workhorse shape.
+
+    Scale shape: the registered queries are config — a tiny literal
+    frame BROADCAST against one scan of the document stream; the match
+    predicate (subset / disjoint set tests on the per-doc distinct-token
+    array) runs inside the scan stage. Nothing shuffles; output order is
+    (doc_id, query_id)."""
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.expr(spark_tokens_expr())).alias("toks"),
+    )
+    qf = spark.createDataFrame(
+        [(int(i), list(m), list(n)) for i, m, n in queries],
+        "query_id bigint, must array<string>, must_not array<string>",
+    )
+    cond = (F.size(F.array_except("must", "toks")) == 0) & (
+        F.size(F.array_intersect("must_not", "toks")) == 0
+    )
+    return (
+        docs.join(F.broadcast(qf), cond)
+        .select("doc_id", "query_id")
+        .orderBy("doc_id", "query_id")
+    )
+
+
+def monitor_percolate_duck(queries: tuple = MONITOR_QUERIES) -> str:
+    te = duck_tokens_expr()
+
+    def lst(ts):
+        return "[" + ", ".join("'" + t + "'" for t in ts) + "]"
+
+    rows = ", ".join(
+        f"({int(i)}, {lst(m)}::VARCHAR[], {lst(n)}::VARCHAR[])"
+        for i, m, n in queries
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({te}) AS toks FROM documents
+),
+q(query_id, must, must_not) AS (VALUES {rows})
+SELECT d.doc_id, q.query_id::BIGINT AS query_id
+FROM d JOIN q
+  ON list_has_all(d.toks, q.must)
+ AND NOT list_has_any(d.toks, q.must_not)
+ORDER BY doc_id, query_id
+""".strip()

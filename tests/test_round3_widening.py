@@ -212,3 +212,43 @@ def test_suggest_fuzzy_one_edit_prefix(spark):
 
     for t in got["term"]:
         assert t[0] == "q" and lev(t[:5], "quary") <= 1
+
+
+def test_monitor_percolate_reference(spark):
+    got = R.monitor_percolate_spark(spark, SF).toPandas()
+    d = _docs(spark)
+    ref = []
+    for _, row in d.iterrows():
+        toks = set(_tokens(row["text"]))
+        for qid, must, must_not in R.MONITOR_QUERIES:
+            if set(must) <= toks and not (set(must_not) & toks):
+                ref.append((row["doc_id"], qid))
+    ref.sort()
+    assert list(map(tuple, got[["doc_id", "query_id"]].values)) == ref
+    assert len(ref) > 0  # the registered set genuinely fires
+
+
+def test_hybrid_rrf_reference(spark):
+    from lucene_solr_1_spark.pipeline import similarity as S
+
+    got = S.hybrid_rrf_spark(spark, SF, "query", 0, n=50, k=10).toPandas()
+    lex = R.bm25_bool_spark(spark, SF, should=("query",), k=50).toPandas()
+    lex = lex.sort_values(["score", "doc_id"], ascending=[False, True])
+    r_lex = {d: i + 1 for i, d in enumerate(lex["doc_id"])}
+    vec = S.cosine_topk_spark(spark, SF, 0, 50).toPandas()
+    vec = vec.sort_values(["cos", "vec_id"], ascending=[False, True])
+    r_vec = {d: i + 1 for i, d in enumerate(vec["vec_id"])}
+    scores = {}
+    for d_, r in r_lex.items():
+        scores[d_] = scores.get(d_, 0.0) + 1.0 / (60 + r)
+    for d_, r in r_vec.items():
+        scores[d_] = scores.get(d_, 0.0) + 1.0 / (60 + r)
+    ref = sorted(
+        ((round(s, 6), d_) for d_, s in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    assert [(round(r["rrf"], 6), r["doc_id"]) for _, r in got.iterrows()] == ref
+    # at least one fused doc came from a single list (deterministic at
+    # this pinned SF) — the outer join genuinely matters
+    both = set(r_lex) & set(r_vec)
+    assert set(got["doc_id"]) - both
