@@ -536,6 +536,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_freetext"] = lambda s, d: R.suggest_freetext_spark(s, d, "merge", 10)
     q["stats_percentiles"] = lambda s, d: R.stats_percentiles_spark(s, d, "query")
     q["significant_terms"] = lambda s, d: R.significant_terms_spark(s, d, "query")
+    # Interval queries (sandbox intervals module): minimal-interval
+    # unordered/ordered two-source shapes with saturation scoring
+    def _iv_unordered(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_unordered_spark(s, d, "query", "merge", k=10)
+
+    def _iv_ordered(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_ordered_spark(s, d, "fast", "sort", k=10, max_gaps=8)
+
+    q["fts_interval_unordered"] = _iv_unordered
+    q["fts_interval_ordered_maxgaps"] = _iv_ordered
+
     # MemoryIndex-style percolation: docs matched against registered queries
     q["monitor_percolate"] = lambda s, d: R.monitor_percolate_spark(s, d)
     # hybrid lexical+vector retrieval (reciprocal-rank fusion)
@@ -639,6 +654,12 @@ def oracle_sql() -> dict[str, str]:
         "stats_percentiles": R.stats_percentiles_duck("query"),
         "significant_terms": R.significant_terms_duck("query"),
         "monitor_percolate": R.monitor_percolate_duck(),
+        "fts_interval_unordered": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_unordered_duck("query", "merge", k=10),
+        "fts_interval_ordered_maxgaps": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_ordered_duck("fast", "sort", k=10, max_gaps=8),
         "hybrid_rrf": similarity.hybrid_rrf_duck(
             "query", query_vec_id=0, n=50, k=10
         ),

@@ -233,6 +233,29 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 
+    # sorted-index path (IndexWriterConfig.setIndexSort): one extra build
+    # plus the early-terminated field-sorted top-k over it — each segment
+    # emits only its first k matches, no scoring
+    from lucene_solr_1_spark.corpus import corpus_spark_df
+    from lucene_solr_1_spark.index.builder import build_index as _bi
+
+    sdir = tempfile.mkdtemp(prefix="sgbench_idx_sorted_")
+    try:
+        t0 = time.monotonic()
+        _bi(
+            spark,
+            corpus_spark_df(spark, n_files, n_repos=N_REPOS, partitions=cpus),
+            sdir, num_segments=cpus, index_sort="n_chars",
+        )
+        queries["index_build_sorted"] = time.monotonic() - t0
+        ssearcher = LuceneSparkSearcher(spark, sdir)
+        ssearcher.search_sorted(Term("return"), k=10)  # warm the plan shape
+        queries["sorted_topk_search"] = _timed(
+            lambda: ssearcher.search_sorted(Term("return"), k=10)
+        )
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+
     # relational/Catalyst path + pipeline ops over the sf tables
     queries["rel_bm25_bool"] = _timed(
         lambda: R.bm25_bool_spark(
@@ -266,6 +289,22 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     )
     queries["quality_logppl"] = _timed(
         lambda: DC.unigram_logppl_spark(spark, sf_dir).collect()
+    )
+    # late-r3 operators: C4 chunk dedup (window on uniform md5 keys),
+    # significant terms (broadcast fg semi-join), hybrid RRF fusion
+    # (two bounded top-n retrievals + n-row outer join), percolation
+    # (broadcast registered-query predicates inside the doc scan)
+    queries["dedup_chunks_c4"] = _timed(
+        lambda: dedup.dedup_chunks_spark(spark, sf_dir).collect()
+    )
+    queries["significant_terms"] = _timed(
+        lambda: R.significant_terms_spark(spark, sf_dir, "query").collect()
+    )
+    queries["hybrid_rrf"] = _timed(
+        lambda: similarity.hybrid_rrf_spark(spark, sf_dir, "query").collect()
+    )
+    queries["monitor_percolate"] = _timed(
+        lambda: R.monitor_percolate_spark(spark, sf_dir).collect()
     )
 
     total = sum(queries.values())

@@ -252,3 +252,82 @@ def test_hybrid_rrf_reference(spark):
     # this pinned SF) — the outer join genuinely matters
     both = set(r_lex) & set(r_vec)
     assert set(got["doc_id"]) - both
+
+
+def _brute_minimal_intervals(toks, t1, t2, ordered):
+    """Enumerate ALL qualifying intervals, keep the minimal set (no other
+    qualifying interval properly nested inside) — independent of both
+    engines' window formulations."""
+    p1 = [i for i, t in enumerate(toks) if t == t1]
+    p2 = [i for i, t in enumerate(toks) if t == t2]
+    cands = set()
+    for a in p1:
+        for b in p2:
+            if ordered:
+                if a < b:
+                    cands.add((a, b))
+            elif a != b:
+                cands.add((min(a, b), max(a, b)))
+    return sorted(
+        (s, e) for (s, e) in cands
+        if not any(
+            (s2 >= s and e2 <= e and (s2, e2) != (s, e)) for (s2, e2) in cands
+        )
+    )
+
+
+def test_interval_minimal_semantics_bruteforce(spark):
+    """Both window formulations produce EXACTLY the brute-force minimal
+    interval sets — freq and saturation score follow."""
+    from lucene_solr_1_spark.sql import intervals as IV
+
+    d = _docs(spark)
+    for t1, t2, ordered, fn in (
+        ("query", "merge", False, IV.interval_unordered_spark),
+        ("fast", "sort", True, IV.interval_ordered_spark),
+    ):
+        import math
+
+        def r4(x):  # Spark/DuckDB round: half away from zero
+            return math.floor(x * 1e4 + 0.5) / 1e4
+
+        got = fn(spark, SF, t1, t2, k=10_000).toPandas()
+        ref = {}
+        for _, row in d.iterrows():
+            toks = _tokens(row["text"])
+            ivs = _brute_minimal_intervals(toks, t1, t2, ordered)
+            if ivs:
+                freq = sum(1.0 / max(e - s, 1) for s, e in ivs)
+                ref[row["doc_id"]] = (
+                    len(ivs), r4(freq),
+                    r4(1.0 * (1.0 - 1.0 / (1.0 + freq))),
+                )
+        assert len(got) == len(ref)
+        for _, row in got.iterrows():
+            n, fr, sc = ref[row["doc_id"]]
+            assert row["n_intervals"] == n, (t1, t2, ordered, row["doc_id"])
+            assert abs(row["freq"] - fr) < 1e-9
+            assert abs(row["score"] - sc) < 1e-9
+
+
+def test_interval_maxgaps_filter(spark):
+    from lucene_solr_1_spark.sql import intervals as IV
+
+    wide = IV.interval_ordered_spark(spark, SF, "fast", "sort", k=10_000).toPandas()
+    tight = IV.interval_ordered_spark(
+        spark, SF, "fast", "sort", k=10_000, max_gaps=0
+    ).toPandas()
+    # max_gaps=0 keeps only adjacent pairs — a subset with fewer/equal
+    # intervals per doc, and every adjacent pair doc must survive
+    assert set(tight["doc_id"]) <= set(wide["doc_id"])
+    m = wide.set_index("doc_id")["n_intervals"]
+    for _, row in tight.iterrows():
+        assert row["n_intervals"] <= m[row["doc_id"]]
+    d = _docs(spark)
+    has_adjacent = {
+        row["doc_id"]
+        for _, row in d.iterrows()
+        for toks in [_tokens(row["text"])]
+        if any(a == "fast" and b == "sort" for a, b in zip(toks, toks[1:]))
+    }
+    assert set(tight["doc_id"]) == has_adjacent
