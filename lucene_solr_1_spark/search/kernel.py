@@ -26,6 +26,7 @@ from ..kernels import similarity as simk
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
     Bool, Boost, ConstantScore, DisjunctionMax, FunctionScore, MatchAll,
+    IntervalsQuery,
     MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
     SpanFirst,
     SpanNear, SpanNot, SpanOr, SpanTerm, Synonym, Term, span_leaf_terms,
@@ -230,6 +231,22 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
         return {"type": "matchall", "score": F32(boost)}
     if isinstance(q, MatchNone):
         return {"type": "matchnone"}
+    if isinstance(q, IntervalsQuery):
+        if len(q.terms) < 2:
+            raise ValueError("IntervalsQuery needs at least two term sources")
+        if not q.ordered and len(q.terms) != 2:
+            raise ValueError(
+                "unordered IntervalsQuery supports exactly two sources"
+            )
+        return {
+            "type": "intervals",
+            "terms": tuple(q.terms),
+            "field": q.field,
+            "ordered": bool(q.ordered),
+            "max_gaps": None if q.max_gaps is None else int(q.max_gaps),
+            "pivot": F32(q.pivot),
+            "weight": F32(boost),
+        }
     if isinstance(q, (NumericRange, NumericSet)):
         return {
             "type": "docidset",
@@ -441,6 +458,8 @@ def eval_node(node: dict, seg: SegmentData, cache):
         return _eval_phrase(node, seg, cache)
     if t == "span":
         return _eval_span(node, seg, cache)
+    if t == "intervals":
+        return _eval_intervals(node, seg)
     if t == "bool":
         return _eval_bool(node, seg, cache)
     if t == "dismax":
@@ -640,6 +659,100 @@ def _eval_phrase(node, seg, cache):
     norms = n0[np.searchsorted(d0, docs)]
     s = _score_postings(node, freqs, norms, cache)
     return docs, s.astype(np.float64)
+
+
+def _eval_intervals(node: dict, seg: SegmentData):
+    """IntervalQuery evaluation, batched across ALL candidate docs
+    (sandbox intervals module; no per-doc Python — same packed-key
+    idioms as the phrase/span paths):
+
+    - ordered (OrderedIntervalIterator): chain from EVERY occurrence of
+      the first source to the earliest following occurrence of each next
+      source (one packed-key searchsorted per slot), then keep the
+      minimal set — starts are ascending and chain ends non-decreasing,
+      so interval i is minimal iff its end is strictly below the next
+      same-doc end (equal ends ⇒ the later start nests inside).
+    - unordered pair (UnorderedIntervalIterator, 2 sources): the minimal
+      intervals are exactly the ADJACENT different-label pairs of the
+      merged occurrence stream — one argsort over packed keys.
+
+    freq accumulates in float32 in interval order
+    (IntervalScorer.java:62-70: freq += 1/max(length − minExtent + 1, 1),
+    minExtent = number of term sources); score =
+    f32(weight · (1 − pivot / (pivot + freq))) — the saturation function
+    (IntervalScoreFunction.java), all-float32 op order."""
+    terms = node["terms"]
+    field = node.get("field", "content")
+    n = len(terms)
+    post = [seg.positions((field, t)) for t in terms]
+    if any(p is None for p in post):
+        return _EMPTY_I, _EMPTY_F
+    cand = post[0][0]
+    for d, *_ in post[1:]:
+        cand = cand[np.isin(cand, d, assume_unique=True)]
+    if len(cand) == 0:
+        return _EMPTY_I, _EMPTY_F
+    D = len(cand)
+    flats, cnts = [], []
+    for p in post:
+        flat, cnt, _off = _slices_for(p, cand)
+        flats.append(flat)
+        cnts.append(cnt)
+    didx = [np.repeat(np.arange(D, dtype=np.int64), c) for c in cnts]
+    if node["ordered"]:
+        d0 = didx[0]
+        s0 = flats[0]
+        e0 = flats[0]
+        valid = np.ones(len(s0), dtype=bool)
+        for j in range(1, n):
+            pk_j = didx[j] * _POS_SHIFT + flats[j]
+            tgt = d0 * _POS_SHIFT + e0 + 1
+            idx = np.searchsorted(pk_j, tgt, side="left")
+            ok = idx < len(pk_j)
+            idx_c = np.minimum(idx, len(pk_j) - 1)
+            ok &= (pk_j[idx_c] // _POS_SHIFT) == d0
+            e0 = np.where(ok, pk_j[idx_c] % _POS_SHIFT, e0)
+            valid &= ok
+        d0, s0, e0 = d0[valid], s0[valid], e0[valid]
+        if len(d0):
+            keep = np.ones(len(d0), dtype=bool)
+            keep[:-1] = (d0[1:] != d0[:-1]) | (e0[:-1] < e0[1:])
+            d0, s0, e0 = d0[keep], s0[keep], e0[keep]
+    else:
+        k = np.concatenate(
+            [didx[0] * _POS_SHIFT + flats[0], didx[1] * _POS_SHIFT + flats[1]]
+        )
+        lab = np.concatenate(
+            [np.zeros(len(flats[0]), dtype=np.int8),
+             np.ones(len(flats[1]), dtype=np.int8)]
+        )
+        order = np.argsort(k, kind="stable")  # positions unique per doc
+        k, lab = k[order], lab[order]
+        if len(k) < 2:
+            return _EMPTY_I, _EMPTY_F
+        sel = ((k[1:] // _POS_SHIFT) == (k[:-1] // _POS_SHIFT)) & (
+            lab[1:] != lab[:-1]
+        )
+        d0 = (k[1:] // _POS_SHIFT)[sel]
+        s0 = (k[:-1] % _POS_SHIFT)[sel]
+        e0 = (k[1:] % _POS_SHIFT)[sel]
+    if len(d0) == 0:
+        return _EMPTY_I, _EMPTY_F
+    length = e0 - s0 + 1
+    if node["max_gaps"] is not None:
+        m = (length - np.int64(n)) <= node["max_gaps"]
+        d0, length = d0[m], length[m]
+        if len(d0) == 0:
+            return _EMPTY_I, _EMPTY_F
+    contrib = (
+        1.0 / np.maximum(length - np.int64(n) + 1, 1).astype(np.float64)
+    ).astype(F32)
+    freq = np.zeros(D, dtype=F32)
+    np.add.at(freq, d0, contrib)  # index order == interval order per doc
+    hit = freq > 0
+    pivot, w = node["pivot"], node["weight"]
+    score = (w * (F32(1.0) - pivot / (pivot + freq[hit]))).astype(F32)
+    return cand[hit], score.astype(np.float64)
 
 
 def _slices_for(post_i, cand: np.ndarray):

@@ -247,6 +247,28 @@ class NumericSet(Query):
         )
 
 
+@dataclass(frozen=True)
+class IntervalsQuery(Query):
+    """IntervalQuery over term sources (the sandbox intervals module:
+    sandbox/.../search/intervals/IntervalQuery.java, Intervals.java,
+    IntervalFunction.java): minimal-interval ordered/unordered proximity
+    scored with the saturation function
+    f32(weight · (1 − pivot / (pivot + freq))),
+    freq = Σ 1 / max(length − minExtent + 1, 1) over the doc's minimal
+    intervals (IntervalScorer.java:62-70), minExtent = len(terms).
+
+    ordered=True chains any number of term sources
+    (OrderedIntervalIterator); unordered supports exactly two (the
+    closed-form pair shape). max_gaps filters intervals with
+    length − minExtent > max_gaps before accumulation
+    (Intervals.maxgaps)."""
+    terms: tuple
+    ordered: bool = False
+    max_gaps: int | None = None
+    pivot: float = 1.0
+    field: str = DEFAULT_FIELD
+
+
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount
 
 
@@ -446,7 +468,7 @@ def query_terms(q: Query) -> set:
     """All (field, term) posting keys the query touches (after expansion)."""
     if isinstance(q, Term):
         return {(q.field, q.text)}
-    if isinstance(q, (Synonym, Phrase)):
+    if isinstance(q, (Synonym, Phrase, IntervalsQuery)):
         return {(q.field, t) for t in q.terms}
     if isinstance(q, SPAN_TYPES):
         return span_leaf_terms(q)

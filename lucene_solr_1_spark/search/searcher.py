@@ -377,7 +377,7 @@ class LuceneSparkSearcher:
         (Lucene50PostingsFormat): term/bool/WAND queries never read the
         prox stream, and it is the LARGEST posting column, so parquet
         column pruning cuts the scan accordingly."""
-        if any({"phrase", "span"} & K.plan_node_types(p) for p in plans):
+        if any({"phrase", "span", "intervals"} & K.plan_node_types(p) for p in plans):
             return post
         keep = [c for c in post.columns if c not in ("pos_enc", "pos_offsets")]
         return post.select(*keep)
