@@ -332,6 +332,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         k=10,
     )
+    # CommonTermsQuery: df split at query time; with every term above the
+    # cutoff the high group is promoted to a conjunction — the oracle is
+    # the equivalent MUST pair (CommonTermsQuery.java:179-187)
+    def _common_terms(s, d):
+        from lucene_solr_1_spark.search.query import CommonTerms
+
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            CommonTerms(("query", "merge"), max_term_frequency=0.05), k=10,
+        )
+
+    q["fts_common_terms"] = _common_terms
+
     # Index sorting + early-terminated field-sorted top-k: every segment
     # emits only its first k matches in docID order (== sort order)
     def _sorted_topk(s, d):
@@ -726,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_numeric_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="dl.dl BETWEEN 30 AND 60"
         ),
+        "fts_common_terms": KO.kernel_bool_duck(must=("query", "merge"), k=10),
         # field-sorted early-terminated top-k over the sort-built index:
         # match set == docs containing the term, order == (length, doc)
         "fts_index_sorted_topk": f"""

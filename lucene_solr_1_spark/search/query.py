@@ -248,6 +248,26 @@ class NumericSet(Query):
 
 
 @dataclass(frozen=True)
+class CommonTerms(Query):
+    """CommonTermsQuery (queries/CommonTermsQuery.java:67-221): terms are
+    split by document frequency at query time — df > max_term_frequency
+    (absolute when >= 1, else ceil(ratio · maxDoc)) makes a term HIGH
+    frequency. Low-freq terms gate (their sub-Bool is a MUST clause);
+    high-freq terms only boost (SHOULD clause) — unless there are no
+    low-freq terms, in which case the high group is promoted to a
+    conjunction "to prevent slow queries" (buildQuery:179-187). The
+    searcher resolves the split against its global-df cache (the
+    collectTermStates pass) in expand()."""
+    terms: tuple
+    max_term_frequency: float = 0.01
+    low_freq_occur: Occur = Occur.SHOULD
+    high_freq_occur: Occur = Occur.SHOULD
+    low_freq_msm: int = 0
+    high_freq_msm: int = 0
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class IntervalsQuery(Query):
     """IntervalQuery over term sources (the sandbox intervals module:
     sandbox/.../search/intervals/IntervalQuery.java, Intervals.java,

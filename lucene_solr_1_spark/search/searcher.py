@@ -327,6 +327,10 @@ class LuceneSparkSearcher:
         boostAtt.setBoost(similarity); FuzzyQuery's
         TopTermsBlendedFreqScoringRewrite) — closer matches outrank
         farther ones instead of pure docFreq ranking."""
+        from .query import CommonTerms
+
+        if isinstance(q, CommonTerms):
+            return self._rewrite_common_terms(q)
         if isinstance(q, Fuzzy):
             from .query import Boost
 
@@ -370,6 +374,44 @@ class LuceneSparkSearcher:
         if len(terms) == 1:
             return Term(terms[0], field=q.field)
         return Bool.of(*((Occur.SHOULD, Term(t, field=q.field)) for t in terms))
+
+    def _rewrite_common_terms(self, q) -> Query:
+        """CommonTermsQuery.buildQuery (queries/CommonTermsQuery.java:
+        148-209): split terms by the global-df cutoff, wrap the low-freq
+        group as a MUST clause and the high-freq group as SHOULD; with no
+        low-freq terms the high group is promoted to a conjunction
+        (:179-187). Uses the searcher's df cache — the collectTermStates
+        stats pass, already one aggregation job per novel term set."""
+        import math
+
+        dfs = self._global_df({(q.field, t) for t in q.terms})
+        max_doc = self.doc_count
+        mtf = float(q.max_term_frequency)
+        cutoff = mtf if mtf >= 1.0 else math.ceil(mtf * max_doc)
+        low, high = [], []
+        for t in q.terms:
+            (high if dfs[(q.field, t)] > cutoff else low).append(t)
+        high_occur, high_msm = q.high_freq_occur, q.high_freq_msm
+        if not low and high_msm == 0 and high_occur != Occur.MUST:
+            high_occur = Occur.MUST  # conjunction promotion (:179-187)
+        clauses = []
+        if low:
+            clauses.append((
+                Occur.MUST,
+                Bool.of(*((q.low_freq_occur, Term(t, field=q.field)) for t in low),
+                        min_should_match=q.low_freq_msm
+                        if q.low_freq_occur == Occur.SHOULD else 0),
+            ))
+        if high:
+            clauses.append((
+                Occur.SHOULD,
+                Bool.of(*((high_occur, Term(t, field=q.field)) for t in high),
+                        min_should_match=high_msm
+                        if high_occur == Occur.SHOULD else 0),
+            ))
+        if not clauses:
+            return MatchNone()
+        return rewrite(Bool.of(*clauses))
 
     def _prune_positions(self, post: DataFrame, *plans) -> DataFrame:
         """Drop the position-stream columns from the kernel input when no

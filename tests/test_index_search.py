@@ -557,3 +557,54 @@ def test_spannear_golden(spark, tmp_path_factory):
     # zero-slop ordered == exact adjacency
     hits = s.search(SpanNear(("alpha", "beta"), slop=0, in_order=True), k=5)
     assert sorted(h.path for h in hits.itertuples(index=False)) == ["a"]
+
+
+def test_common_terms_split_and_promotion(searcher, oracle):
+    """CommonTermsQuery: df-based split — low-freq terms gate, high-freq
+    terms boost; the all-high case promotes to a conjunction
+    (CommonTermsQuery.java:148-209)."""
+    from lucene_solr_1_spark.search.query import CommonTerms
+
+    n = oracle.n_docs
+    # derive a genuinely rare term from the corpus (df < 0.2n) so the
+    # split is unambiguous at any corpus seed
+    from collections import Counter
+
+    df_all = Counter(
+        t for toks in (set(x) for x in map(
+            lambda s: __import__(
+                "lucene_solr_1_spark.kernels.analyzer", fromlist=["x"]
+            ).tokenize_one(s)[0], oracle.pdf["content"]))
+        for t in toks
+    )
+    rare = min(
+        (t for t in df_all if t.startswith("id_") and df_all[t] >= 2),
+        key=lambda t: (df_all[t], t),
+    )
+    assert len(oracle.term_scores("return")) > n * 0.5
+    assert df_all[rare] < n * 0.2
+    q = CommonTerms(("return", rare), max_term_frequency=0.5)
+    explicit = Bool.of(
+        (Occur.MUST, Bool.of((Occur.SHOULD, Term(rare)))),
+        (Occur.SHOULD, Bool.of((Occur.SHOULD, Term("return")))),
+    )
+    got = searcher.search(q, k=20, with_stored=False)
+    want = searcher.search(explicit, k=20, with_stored=False)
+    assert got["global_doc_id"].tolist() == want["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(np.float32), want["score"].to_numpy(np.float32)
+    )
+    # low-freq term gates: every hit contains it
+    low_docs = set(oracle.term_scores(rare))
+    assert set(got["global_doc_id"]) <= low_docs
+    # all-high promotion: both terms common -> conjunction semantics
+    q2 = CommonTerms(("return", "class"), max_term_frequency=0.2)
+    got2 = searcher.search(q2, k=20, with_stored=False)
+    want2 = searcher.search(
+        Bool.of((Occur.MUST, Term("return")), (Occur.MUST, Term("class"))),
+        k=20, with_stored=False,
+    )
+    assert got2["global_doc_id"].tolist() == want2["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        got2["score"].to_numpy(np.float32), want2["score"].to_numpy(np.float32)
+    )
