@@ -503,8 +503,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _kernel_hits_df(s, _get_index(s, d), Phrase(("fast", "sort")), k=10)
 
+    def _kernel_multiphrase(s, d):
+        from lucene_solr_1_spark.search.query import MultiPhrase
+
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            MultiPhrase((("fast", "slow"), ("scan", "sort"))), k=10,
+        )
+
+    def _kernel_blended(s, d):
+        from lucene_solr_1_spark.search.query import Blended
+
+        return _kernel_hits_df(
+            s, _get_index(s, d), Blended(("customer", "merge")), k=10
+        )
+
     q["fts_kernel_parsed_query"] = _parsed
     q["fts_kernel_phrase"] = _kernel_phrase
+    q["fts_multi_phrase"] = _kernel_multiphrase
+    q["fts_blended_term"] = _kernel_blended
 
     # --- classification (lucene/classification) + spatial (LatLonPoint) ---
     def _knn(s, d):
@@ -699,6 +716,10 @@ def oracle_sql() -> dict[str, str]:
             must=("query",), should=("merge",), must_not=("window",), k=10
         ),
         "fts_kernel_phrase": KO.kernel_phrase_duck("fast", "sort", k=10),
+        "fts_multi_phrase": KO.kernel_multiphrase_duck(
+            (("fast", "slow"), ("scan", "sort")), k=10
+        ),
+        "fts_blended_term": KO.kernel_blended_duck(("customer", "merge"), k=10),
         "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
             "data", ("query", "merge"), k=10
         ),

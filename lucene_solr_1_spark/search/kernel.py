@@ -26,7 +26,7 @@ from ..kernels import similarity as simk
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
     Bool, Boost, ConstantScore, DisjunctionMax, FunctionScore, MatchAll,
-    IntervalsQuery,
+    IntervalsQuery, MultiPhrase,
     MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
     SpanFirst,
     SpanNear, SpanNot, SpanOr, SpanTerm, Synonym, Term, span_leaf_terms,
@@ -160,7 +160,10 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
             "score": F32(boost * q.score),
         }
     if isinstance(q, Term):
-        df = _df_of(global_df, q.field, q.text)
+        # BlendedTermQuery's adjusted TermStates (BlendedTermQuery.java:
+        # 297-308): df_override substitutes the blended docFreq for idf.
+        df = (q.df_override if q.df_override is not None
+              else _df_of(global_df, q.field, q.text))
         dc = _dc_of(doc_count, q.field)
         idf = bm25.idf(df, dc) if df > 0 else F32(0.0)
         node = {
@@ -183,6 +186,23 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
             node["type"] = "synonym"
         else:
             node.update(type="phrase", slop=q.slop)
+        if sim is not None:
+            node["sim"] = _multi_term_sim(sim, q.field, boost, dfs, dc)
+        return node
+    if isinstance(q, MultiPhrase):
+        # MultiPhraseQuery weight (MultiPhraseQuery.java:216-238): ONE
+        # SimScorer over allTermStats — every term in every position with
+        # df > 0 contributes its idf to the sum, like Synonym/Phrase.
+        dc = _dc_of(doc_count, q.field)
+        all_terms = [t for slot in q.positions for t in slot]
+        dfs = [_df_of(global_df, q.field, t) for t in all_terms]
+        idfs = [bm25.idf(df, dc) for df in dfs if df > 0]
+        w = bm25.term_weight(bm25.synonym_idf(idfs), boost) if idfs else F32(0.0)
+        node = {
+            "type": "multiphrase", "field": q.field,
+            "positions": [list(slot) for slot in q.positions],
+            "slop": int(q.slop), "weight": w,
+        }
         if sim is not None:
             node["sim"] = _multi_term_sim(sim, q.field, boost, dfs, dc)
         return node
@@ -456,6 +476,8 @@ def eval_node(node: dict, seg: SegmentData, cache):
         return docs, s.astype(np.float64)
     if t == "phrase":
         return _eval_phrase(node, seg, cache)
+    if t == "multiphrase":
+        return _eval_multiphrase(node, seg, cache)
     if t == "span":
         return _eval_span(node, seg, cache)
     if t == "intervals":
@@ -657,6 +679,105 @@ def _eval_phrase(node, seg, cache):
         freqs = totals[keep]
     d0, _f0, n0 = seg.postings((field, terms[0]))
     norms = n0[np.searchsorted(d0, docs)]
+    s = _score_postings(node, freqs, norms, cache)
+    return docs, s.astype(np.float64)
+
+
+def _eval_multiphrase(node, seg, cache):
+    """MultiPhraseQuery evaluation (MultiPhraseQuery.java:285-294): a
+    UnionPostingsEnum per position — each slot's alternative posting
+    streams merge into ONE virtual posting (positions are unique per doc
+    across a slot's terms: the index holds one token per position), then
+    the PhraseQuery machinery runs unchanged — packed-key intersection
+    for slop=0, the batched greedy sloppy matcher otherwise. Slots
+    sharing ANY term form a repeat group (SloppyPhraseMatcher's repeat
+    handling over union enums): their alignments must consume DISTINCT
+    token occurrences."""
+    slots = node["positions"]
+    field = node.get("field", "content")
+    if not slots:
+        return _EMPTY_I, _EMPTY_F
+    slot_posts = []
+    for alts in slots:
+        posts = [p for t in alts
+                 if (p := seg.positions((field, t))) is not None]
+        if not posts:
+            return _EMPTY_I, _EMPTY_F
+        slot_posts.append(posts)
+    # candidates: docs where EVERY slot has at least one alternative
+    cand = None
+    for posts in slot_posts:
+        docs_u = (posts[0][0] if len(posts) == 1
+                  else np.unique(np.concatenate([p[0] for p in posts])))
+        cand = docs_u if cand is None else cand[
+            np.isin(cand, docs_u, assume_unique=True)
+        ]
+    if len(cand) == 0:
+        return _EMPTY_I, _EMPTY_F
+    # union virtual posting per slot over cand: (docs, freqs, starts, pos)
+    union = []
+    for posts in slot_posts:
+        parts = []
+        for p in posts:
+            sub = cand[np.isin(cand, p[0], assume_unique=True)]
+            if len(sub) == 0:
+                continue
+            flat, cnt, _off = _slices_for(p, sub)
+            didx = np.repeat(np.searchsorted(cand, sub), cnt)
+            parts.append(didx * _POS_SHIFT + flat)
+        keys = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        keys.sort()
+        cnts = np.bincount(keys // _POS_SHIFT, minlength=len(cand))
+        starts = np.cumsum(cnts) - cnts
+        union.append((cand, cnts, starts, (keys % _POS_SHIFT).astype(np.int64)))
+    slop = int(node.get("slop", 0))
+    if slop == 0:
+        n_t = np.int64(len(slots))
+        keys = None
+        for i, (_d, cnts, _s, pos_all) in enumerate(union):
+            didx = np.repeat(np.arange(len(cand), dtype=np.int64), cnts)
+            k = didx * _POS_SHIFT + (pos_all - np.int64(i) + n_t)
+            keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+            if len(keys) == 0:
+                return _EMPTY_I, _EMPTY_F
+        didx, counts = np.unique(keys // _POS_SHIFT, return_counts=True)
+        docs = cand[didx]
+        freqs = counts.astype(np.float64)
+    else:
+        # repeat groups: union-find slots on shared terms
+        parent = list(range(len(slots)))
+
+        def _find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        seen: dict = {}
+        for i, alts in enumerate(slots):
+            for t in alts:
+                if t in seen:
+                    parent[_find(i)] = _find(seen[t])
+                else:
+                    seen[t] = i
+        groups: dict = {}
+        for i in range(len(slots)):
+            groups.setdefault(_find(i), []).append(i)
+        repeat_groups = tuple(
+            tuple(g) for g in groups.values() if len(g) > 1
+        )
+        totals = _batched_sloppy(union, cand, slop, repeat_groups)
+        keep = totals > 0
+        if not keep.any():
+            return _EMPTY_I, _EMPTY_F
+        docs = cand[keep]
+        freqs = totals[keep]
+    # norm byte: slot 0's union covers every result doc (same doc ⇒ same norm)
+    nd = np.concatenate([seg.postings((field, t))[0] for t in slots[0]])
+    nn = np.concatenate([seg.postings((field, t))[2] for t in slots[0]])
+    order = np.argsort(nd, kind="stable")
+    nd, nn = nd[order], nn[order]
+    norms = nn[np.searchsorted(nd, docs)]
     s = _score_postings(node, freqs, norms, cache)
     return docs, s.astype(np.float64)
 

@@ -38,6 +38,10 @@ class Query:
 class Term(Query):
     text: str
     field: str = DEFAULT_FIELD
+    # BlendedTermQuery support (search/BlendedTermQuery.java:297-308
+    # adjustFrequencies): when set, compile_plan computes idf from THIS
+    # docFreq instead of the index's — the TermStates df override.
+    df_override: int | None = None
 
 
 @dataclass(frozen=True)
@@ -53,6 +57,48 @@ class Phrase(Query):
     """Exact phrase (slop=0) — positional intersection (PhraseQuery.java)."""
     terms: tuple
     slop: int = 0
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class MultiPhrase(Query):
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:60-115 builder,
+    :216-238 weight over allTermStats, :285-294 UnionPostingsEnum →
+    ExactPhraseMatcher): a phrase where each position admits ANY of
+    several terms — "app*-style phrase" / query-time synonyms inside a
+    phrase. Per slot the posting streams union (one token per position,
+    so the union has no duplicate positions); matching and freq follow
+    PhraseQuery exactly (slop=0 adjacency; slop>0 greedy sloppy windows).
+    Scoring: ONE weight from the idfs of every term in every position
+    (allTermStats → BM25 idf sum), scored against the doc's norm —
+    exactly the Synonym/Phrase multi-term shape."""
+    positions: tuple  # tuple of tuple[str, ...] — alternatives per slot
+    slop: int = 0
+    field: str = DEFAULT_FIELD
+
+    def __post_init__(self):
+        # normalize: bare string = single-alternative slot; dedupe
+        # alternatives order-preserving (duplicate terms in one slot would
+        # double-count union positions)
+        object.__setattr__(
+            self, "positions",
+            tuple(tuple(dict.fromkeys((p,) if isinstance(p, str) else p))
+                  for p in self.positions),
+        )
+
+
+@dataclass(frozen=True)
+class Blended(Query):
+    """BlendedTermQuery (search/BlendedTermQuery.java:265-294 rewrite):
+    blends index statistics across terms so equally-relevant spellings
+    score identically — df becomes max(df) over the terms (:279), and
+    the blended term queries combine under the default
+    DISJUNCTION_MAX_REWRITE with tie_breaker 0.01 (:183). The searcher's
+    expand() resolves the blend against its global-df cache and emits
+    DisjunctionMax of df-overridden Term leaves."""
+    terms: tuple
+    boosts: tuple = ()   # per-term boosts, defaults to 1.0 each
+    tie_breaker: float = 0.01
     field: str = DEFAULT_FIELD
 
 
@@ -321,7 +367,22 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
         if isinstance(node, Term):
             if node.field in keyword_fields:
                 return node
-            return Term(one(node.text), field=node.field)
+            return Term(one(node.text), field=node.field,
+                        df_override=node.df_override)
+        if isinstance(node, MultiPhrase):
+            if node.field in keyword_fields:
+                return node
+            return MultiPhrase(
+                tuple(tuple(one(t) for t in slot) for slot in node.positions),
+                slop=node.slop, field=node.field,
+            )
+        if isinstance(node, Blended):
+            if node.field in keyword_fields:
+                return node
+            return Blended(
+                tuple(one(t) for t in node.terms), boosts=node.boosts,
+                tie_breaker=node.tie_breaker, field=node.field,
+            )
         if isinstance(node, SpanTerm):
             if node.field in keyword_fields:
                 return node
@@ -490,6 +551,8 @@ def query_terms(q: Query) -> set:
         return {(q.field, q.text)}
     if isinstance(q, (Synonym, Phrase, IntervalsQuery)):
         return {(q.field, t) for t in q.terms}
+    if isinstance(q, MultiPhrase):
+        return {(q.field, t) for slot in q.positions for t in slot}
     if isinstance(q, SPAN_TYPES):
         return span_leaf_terms(q)
     if isinstance(q, (Boost, ConstantScore, FunctionScore)):

@@ -33,7 +33,7 @@ from ..kernels import bm25
 from ..kernels.osa import osa_udf
 from . import kernel as K
 from .query import (
-    Bool, Clause, FunctionScore, Fuzzy, MatchNone, NUMERIC_DOCVALUES,
+    Blended, Bool, Clause, FunctionScore, Fuzzy, MatchNone, NUMERIC_DOCVALUES,
     NumericSet, Occur,
     Prefix, Query, Regexp, Synonym, Term, TermRange, Wildcard,
     numeric_ranges, query_terms, rewrite, value_source_fields,
@@ -331,6 +331,8 @@ class LuceneSparkSearcher:
 
         if isinstance(q, CommonTerms):
             return self._rewrite_common_terms(q)
+        if isinstance(q, Blended):
+            return self._rewrite_blended(q)
         if isinstance(q, Fuzzy):
             from .query import Boost
 
@@ -374,6 +376,28 @@ class LuceneSparkSearcher:
         if len(terms) == 1:
             return Term(terms[0], field=q.field)
         return Bool.of(*((Occur.SHOULD, Term(t, field=q.field)) for t in terms))
+
+    def _rewrite_blended(self, q: Blended) -> Query:
+        """BlendedTermQuery.rewrite (search/BlendedTermQuery.java:265-294):
+        the blended docFreq is max(df) over the terms (:279), substituted
+        into each term's stats via adjustFrequencies (:297-308 — here the
+        Term leaf's df_override), and the term queries combine under the
+        default DISJUNCTION_MAX_REWRITE, tie_breaker 0.01 (:183).
+        Deviation (documented): the reference also blends ttf (sum);
+        BM25 never reads ttf, so only df is blended here — non-default
+        sims that read ttf see the true per-term value."""
+        from .query import Boost, DisjunctionMax
+
+        dfs = self._global_df({(q.field, t) for t in q.terms})
+        df_max = max(dfs.values(), default=0)
+        boosts = q.boosts or (1.0,) * len(q.terms)
+        subs = []
+        for t, b in zip(q.terms, boosts):
+            leaf: Query = Term(t, field=q.field, df_override=df_max)
+            subs.append(leaf if b == 1.0 else Boost(leaf, b))
+        if len(subs) == 1:
+            return subs[0]
+        return DisjunctionMax(tuple(subs), q.tie_breaker)
 
     def _rewrite_common_terms(self, q) -> Query:
         """CommonTermsQuery.buildQuery (queries/CommonTermsQuery.java:
@@ -419,7 +443,8 @@ class LuceneSparkSearcher:
         (Lucene50PostingsFormat): term/bool/WAND queries never read the
         prox stream, and it is the LARGEST posting column, so parquet
         column pruning cuts the scan accordingly."""
-        if any({"phrase", "span", "intervals"} & K.plan_node_types(p) for p in plans):
+        if any({"phrase", "multiphrase", "span", "intervals"}
+               & K.plan_node_types(p) for p in plans):
             return post
         keep = [c for c in post.columns if c not in ("pos_enc", "pos_offsets")]
         return post.select(*keep)

@@ -265,6 +265,74 @@ matched AS (
 """.strip()
 
 
+def kernel_multiphrase_duck(slots: tuple, k: int = 10) -> str:
+    """Twin of the kernel MultiPhraseQuery scorer, slop=0
+    (MultiPhraseQuery.java:285-294 UnionPostingsEnum → ExactPhraseMatcher):
+    slot i matches ANY of its alternative terms at position start+i; freq =
+    count of matching starts; weight = f32(sum of f32 idfs in double) over
+    EVERY term of every slot present in the corpus (:216-238 allTermStats),
+    scored against the doc's quantized norm cache."""
+    slots = [tuple(s) for s in slots]
+    all_terms = sorted({t for s in slots for t in s})
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    slot_ctes = ",\n".join(
+        f"p{i} AS (SELECT doc_id, p FROM pos WHERE term IN ({_sql_list(s)}))"
+        for i, s in enumerate(slots)
+    )
+    joins = "".join(
+        f" JOIN p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {i}"
+        for i in range(1, len(slots))
+    )
+    return f"""
+WITH {_prelude(all_terms)},
+pw AS (
+  SELECT {_f32("CAST(1.0 AS REAL) * " + _f32(f"sum({_idf32('dfr.df', 'tot.n_docs')}::DOUBLE)"))} AS w
+  FROM dfr CROSS JOIN tot
+),
+pos AS (
+  SELECT doc_id, unnest({toks}) AS term, generate_subscripts({toks}, 1) AS p
+  FROM documents
+),
+{slot_ctes},
+pf AS (
+  SELECT p0.doc_id, count(*) AS freq FROM p0{joins} GROUP BY 1
+),
+matched AS (
+  SELECT pf.doc_id,
+         CAST(pw.w * CAST(CAST(pf.freq AS REAL)::DOUBLE /
+              (CAST(pf.freq AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL) AS score32
+  FROM pf JOIN cache c ON c.doc_id = pf.doc_id CROSS JOIN pw
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_blended_duck(terms: tuple, tie: float = 0.01, k: int = 10) -> str:
+    """Twin of the BlendedTermQuery path (BlendedTermQuery.java:265-294):
+    ONE weight from the blended docFreq max(df) over the terms (:279),
+    every term scored with it, combined DisjunctionMax
+    mx + tie*(sum - mx) with f32 per-term scores accumulated in DOUBLE
+    (kernel _eval_dismax) and a final REAL cast (top_k)."""
+    return f"""
+WITH {_prelude(sorted(set(terms)))},
+bdf AS (SELECT max(df) AS df FROM dfr),
+w AS (
+  SELECT dfr.term,
+         {_f32(f"{_f32(_lit(1.0))} * {_idf32('bdf.df', 'tot.n_docs')}")} AS w
+  FROM dfr CROSS JOIN bdf CROSS JOIN tot
+),
+{_scores_cte()},
+matched AS (
+  SELECT doc_id,
+         CAST(max(s::DOUBLE) +
+              {_f32(_lit(tie))}::DOUBLE * (sum(s::DOUBLE) - max(s::DOUBLE))
+              AS REAL) AS score32
+  FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
+
+
 def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10) -> str:
     """Twin of the kernel fuzzy SCORING rewrite (FuzzyQuery top-terms
     rewrite): dictionary terms within max_edits expand to a SHOULD

@@ -17,6 +17,8 @@ KERNEL_ENTRIES = [
     "fts_kernel_term_wand",
     "fts_kernel_bool",
     "fts_kernel_phrase",
+    "fts_multi_phrase",
+    "fts_blended_term",
     "fts_kernel_parsed_query",
     "fts_field_term",
     "fts_bm25_metadata_filter",
