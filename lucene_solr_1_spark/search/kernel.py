@@ -29,7 +29,8 @@ from .query import (
     IntervalsQuery, MultiPhrase,
     MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
     SpanFirst,
-    SpanNear, SpanNot, SpanOr, SpanTerm, Synonym, Term, span_leaf_terms,
+    SpanContaining, SpanNear, SpanNot, SpanOr, SpanTerm, SpanWithin, Synonym,
+    Term, span_leaf_terms,
 )
 
 F32 = np.float32
@@ -326,6 +327,12 @@ def _span_tree(q, field: str) -> dict:
             "kind": "first",
             "match": _span_tree(q.match, q.field),
             "end": int(q.end),
+        }
+    if isinstance(q, (SpanContaining, SpanWithin)):
+        return {
+            "kind": "containing" if isinstance(q, SpanContaining) else "within",
+            "big": _span_tree(q.big, q.field),
+            "little": _span_tree(q.little, q.field),
         }
     raise TypeError(f"not a span query: {q!r}")
 
@@ -980,6 +987,11 @@ def _span_docs(span: dict, seg: SegmentData) -> np.ndarray:
         return _span_docs(span["include"], seg)
     if k == "first":
         return _span_docs(span["match"], seg)
+    if k in ("containing", "within"):
+        # ConjunctionSpans (ContainSpans.java): both sides must be present
+        b = _span_docs(span["big"], seg)
+        l = _span_docs(span["little"], seg)
+        return b[np.isin(b, l, assume_unique=True)]
     raise ValueError(f"unknown span kind {k}")
 
 
@@ -1027,6 +1039,16 @@ def _doc_spans(span: dict, seg: SegmentData, doc: int) -> list:
     if k == "first":
         return [(s, e) for s, e in _doc_spans(span["match"], seg, doc)
                 if e <= span["end"]]
+    if k == "containing":
+        big = _doc_spans(span["big"], seg, doc)
+        little = _doc_spans(span["little"], seg, doc)
+        return [(s, e) for s, e in big
+                if any(ls >= s and le <= e for ls, le in little)]
+    if k == "within":
+        big = _doc_spans(span["big"], seg, doc)
+        little = _doc_spans(span["little"], seg, doc)
+        return [(s, e) for s, e in little
+                if any(bs <= s and be >= e for bs, be in big)]
     raise ValueError(f"unknown span kind {k}")
 
 
@@ -1126,6 +1148,45 @@ def _seg_span_stream(span: dict, seg: SegmentData, cand: np.ndarray):
         di, s, e = _seg_span_stream(span["match"], seg, cand)
         keep = e <= span["end"]
         return di[keep], s[keep], e[keep]
+    if k in ("containing", "within"):
+        # SpanContaining: keep big spans containing >= 1 little span;
+        # SpanWithin: keep little spans inside >= 1 big span
+        # (ContainSpans.java). Same packed-key trick family as NOT:
+        # containing needs "min little END among littles with start >= my
+        # start in MY doc" — a SUFFIX min over littles sorted by
+        # (doc, start); within needs "max big END among bigs with start <=
+        # my start in MY doc" — a PREFIX max. Cross-doc contamination is
+        # impossible: other docs' packed keys land outside
+        # [doc<<32, doc<<32 + 2^32).
+        big = _seg_span_stream(span["big"], seg, cand)
+        little = _seg_span_stream(span["little"], seg, cand)
+        bdi, bs, be = big
+        ldi, ls, le = little
+        if k == "containing":
+            out_di, out_s, out_e = bdi, bs, be
+            if len(ldi) == 0 or len(bdi) == 0:
+                return (_EMPTY_I, _EMPTY_I, _EMPTY_I)
+            lorder = np.lexsort((ls, ldi))
+            lk_start = (ldi * _POS_SHIFT + ls)[lorder]
+            lk_end = (ldi * _POS_SHIFT + le)[lorder]
+            suf_min = np.minimum.accumulate(lk_end[::-1])[::-1]
+            j = np.searchsorted(lk_start, bdi * _POS_SHIFT + bs, side="left")
+            ok = j < len(lk_start)
+            jc = np.minimum(j, len(lk_start) - 1)
+            keep = ok & (suf_min[jc] <= bdi * _POS_SHIFT + be)
+        else:
+            out_di, out_s, out_e = ldi, ls, le
+            if len(ldi) == 0 or len(bdi) == 0:
+                return (_EMPTY_I, _EMPTY_I, _EMPTY_I)
+            border = np.lexsort((bs, bdi))
+            bk_start = (bdi * _POS_SHIFT + bs)[border]
+            bk_end = (bdi * _POS_SHIFT + be)[border]
+            pre_max = np.maximum.accumulate(bk_end)
+            j = np.searchsorted(bk_start, ldi * _POS_SHIFT + ls, side="right")
+            keep = (j > 0) & (
+                pre_max[np.maximum(j, 1) - 1] >= ldi * _POS_SHIFT + le
+            )
+        return out_di[keep], out_s[keep], out_e[keep]
     raise ValueError(f"unknown span kind {k}")
 
 

@@ -151,6 +151,28 @@ class SpanFirst(Query):
 
 
 @dataclass(frozen=True)
+class SpanContaining(Query):
+    """Spans of `big` that CONTAIN at least one span of `little`
+    (search/spans/SpanContainingQuery.java:80-111, ContainSpans.java):
+    emit (s, e) of big when some little span has s_l >= s and e_l <= e
+    in the same doc. ConjunctionSpans: only docs holding both sides."""
+    big: Query
+    little: Query
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
+class SpanWithin(Query):
+    """Spans of `little` that fall WITHIN a span of `big`
+    (search/spans/SpanWithinQuery.java, ContainSpans.java): emit (s, e)
+    of little when some big span has s_b <= s and e_b >= e in the same
+    doc. ConjunctionSpans: only docs holding both sides."""
+    big: Query
+    little: Query
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class Boost(Query):
     query: Query
     boost: float = 1.0
@@ -410,6 +432,11 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             )
         if isinstance(node, SpanFirst):
             return SpanFirst(walk(node.match, node.field), node.end, field=node.field)
+        if isinstance(node, (SpanContaining, SpanWithin)):
+            return type(node)(
+                walk(node.big, node.field), walk(node.little, node.field),
+                field=node.field,
+            )
         if isinstance(node, Boost):
             return Boost(walk(node.query), node.boost)
         if isinstance(node, ConstantScore):
@@ -510,7 +537,8 @@ def numeric_ranges(q: Query) -> set:
     return set()
 
 
-SPAN_TYPES = (SpanTerm, SpanOr, SpanNot, SpanFirst, SpanNear)
+SPAN_TYPES = (SpanTerm, SpanOr, SpanNot, SpanFirst, SpanNear,
+              SpanContaining, SpanWithin)
 
 
 def value_source_fields(q: Query) -> set:
@@ -542,6 +570,8 @@ def span_leaf_terms(q, field: str = DEFAULT_FIELD) -> set:
         return span_leaf_terms(q.include, q.field) | span_leaf_terms(q.exclude, q.field)
     if isinstance(q, SpanFirst):
         return span_leaf_terms(q.match, q.field)
+    if isinstance(q, (SpanContaining, SpanWithin)):
+        return span_leaf_terms(q.big, q.field) | span_leaf_terms(q.little, q.field)
     raise TypeError(f"not a span query: {q!r}")
 
 

@@ -11,7 +11,7 @@ import pytest
 from lucene_solr_1_spark.index.builder import build_index
 from lucene_solr_1_spark.kernels.analyzer import tokenize_one
 from lucene_solr_1_spark.search.query import (
-    SpanFirst, SpanNear, SpanNot, SpanOr, SpanTerm,
+    SpanContaining, SpanFirst, SpanNear, SpanNot, SpanOr, SpanTerm, SpanWithin,
 )
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
 
@@ -60,6 +60,16 @@ def ref_spans(q, tokens):
         ]
     if isinstance(q, SpanFirst):
         return [(s, e) for s, e in ref_spans(q.match, tokens) if e <= q.end]
+    if isinstance(q, SpanContaining):
+        big = ref_spans(q.big, tokens)
+        little = ref_spans(q.little, tokens)
+        return [(s, e) for s, e in big
+                if any(ls >= s and le <= e for ls, le in little)]
+    if isinstance(q, SpanWithin):
+        big = ref_spans(q.big, tokens)
+        little = ref_spans(q.little, tokens)
+        return [(s, e) for s, e in little
+                if any(bs <= s and be >= e for bs, be in big)]
     if isinstance(q, SpanNear):
         lists = [ref_spans(c, tokens) for c in q.terms]
         if any(not l for l in lists):
@@ -106,6 +116,8 @@ def _leaf_terms(q):
         return _leaf_terms(q.include) + _leaf_terms(q.exclude)
     if isinstance(q, SpanFirst):
         return _leaf_terms(q.match)
+    if isinstance(q, (SpanContaining, SpanWithin)):
+        return _leaf_terms(q.big) + _leaf_terms(q.little)
     raise TypeError(q)
 
 
@@ -139,6 +151,15 @@ QUERIES = [
     SpanNear((SpanNear(("red", "green"), slop=0, in_order=True), "blue"), slop=3),
     SpanNot(SpanNear(("red", "blue"), slop=2), SpanTerm("green")),
     SpanFirst(SpanNear(("red", "green"), slop=2), 10),
+    # SpanContaining / SpanWithin (SpanContainingQuery/SpanWithinQuery):
+    # near-windows containing a specific term, and terms inside a window
+    SpanContaining(SpanNear(("red", "blue"), slop=3), SpanTerm("green")),
+    SpanWithin(SpanNear(("red", "blue"), slop=3), SpanTerm("green")),
+    SpanContaining(
+        SpanNear(("red", "green"), slop=4),
+        SpanNear(("green", "blue"), slop=0, in_order=True),
+    ),
+    SpanWithin(SpanNear(("red", "white"), slop=5), SpanOr(("green", "blue"))),
 ]
 
 
@@ -191,7 +212,8 @@ def test_batched_stream_equals_scalar():
     vocab = ["a", "b", "c"]
 
     def rand_span(depth=0):
-        kinds = ["term", "or", "near", "not", "first"] if depth < 2 else ["term"]
+        kinds = (["term", "or", "near", "not", "first", "containing", "within"]
+                 if depth < 2 else ["term"])
         k = rng.choice(kinds)
         if k == "term":
             return {"kind": "term", "field": "content",
@@ -209,6 +231,9 @@ def test_batched_stream_equals_scalar():
         if k == "not":
             return {"kind": "not", "include": rand_span(depth + 1),
                     "exclude": rand_span(depth + 1)}
+        if k in ("containing", "within"):
+            return {"kind": k, "big": rand_span(depth + 1),
+                    "little": rand_span(depth + 1)}
         return {"kind": "first", "match": rand_span(depth + 1),
                 "end": int(rng.integers(1, 15))}
 
