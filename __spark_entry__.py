@@ -181,6 +181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "query", elevated=(7, 3), excluded=(5,), k=10
     )
     q["fts_join_query"] = lambda s, d: R.join_query_spark(s, d, "dup")
+    q["fts_join_scored"] = lambda s, d: R.join_query_scored_spark(
+        s, d, "customer", score_mode="total", k=10
+    )
+    q["terms_enum"] = lambda s, d: R.terms_enum_spark(
+        s, d, prefix="s", mincount=2, limit=10
+    )
     q["fts_block_join_parents"] = lambda s, d: R.block_join_parents_spark(
         s, d, "query", k=10
     )
@@ -634,6 +640,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_boosted_or": R.bm25_boosted_or_duck({"query": 2.0, "merge": 0.5}, k=10),
         "fts_constant_score": R.constant_score_duck("window", 1.0),
         "fts_join_query": R.join_query_duck("dup"),
+        "fts_join_scored": R.join_query_scored_duck("customer", "total", 10),
+        "terms_enum": R.terms_enum_duck("s", 2, 10),
         "fts_block_join_parents": R.block_join_parents_duck("query", 10),
         "fts_block_join_children": R.block_join_children_duck("query", 5),
         "facet_ranges": R.range_facets_duck("query"),

@@ -1903,3 +1903,98 @@ FROM d JOIN q
  AND NOT list_has_any(d.toks, q.must_not)
 ORDER BY doc_id, query_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# JoinUtil score modes (lucene/join JoinUtil.java:90-141 createJoinQuery with
+# ScoreMode; TermsWithScoreCollector.java:74-134 per-join-value aggregation)
+# ---------------------------------------------------------------------------
+
+_JOIN_SCORE_AGGS = {"max": F.max, "min": F.min, "total": F.sum, "avg": F.avg}
+
+
+def join_query_scored_spark(
+    spark, sf_dir, term: str, score_mode: str = "total", k: int = 10
+) -> DataFrame:
+    """Scored query-time join (JoinUtil.createJoinQuery, fromField =
+    toField = `source`, ScoreMode.Avg/Max/Total/Min — ScoreMode.java:22-47):
+    the from-side query's BM25 scores aggregate PER JOIN VALUE
+    (TermsWithScoreCollector keeps one float per unique join term), and
+    every to-side doc carrying that value scores the aggregate. The
+    aggregated key frame is O(distinct join values) → broadcast; the
+    to-side table streams map-side — at 100 TB the big side never
+    shuffles, exactly like the constant-score join."""
+    scored = bm25_bool_spark(spark, sf_dir, should=(term,), k=None)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    keys = (
+        scored.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(_JOIN_SCORE_AGGS[score_mode]("score").alias("jscore"))
+    )
+    return (
+        docs.join(F.broadcast(keys), "source")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "source",
+            F.round(F.col("jscore"), 4).alias("score"),
+        )
+        .orderBy(F.round(F.col("jscore"), 6).desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def join_query_scored_duck(term: str, score_mode: str = "total", k: int = 10) -> str:
+    agg = {"max": "max", "min": "min", "total": "sum", "avg": "avg"}[score_mode]
+    return f"""
+WITH scored AS ({bm25_bool_duck(should=(term,), k=None)}),
+keys AS (
+  SELECT d.source, {agg}(s.score) AS jscore
+  FROM scored s JOIN documents d USING (doc_id) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.source, round(k2.jscore, 4) AS score
+FROM documents d JOIN keys k2 USING (source)
+ORDER BY round(k2.jscore, 6) DESC, d.doc_id LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Solr TermsComponent (solr/handler/component/TermsComponent.java:168-236):
+# raw indexed-term enumeration with prefix filter, mincount floor, count-
+# descending bounded queue (BoundedTreeSet keeps ties by term order)
+# ---------------------------------------------------------------------------
+
+def terms_enum_spark(
+    spark, sf_dir, prefix: str = "", mincount: int = 1, limit: int = 10
+) -> DataFrame:
+    """terms.prefix + terms.mincount + terms.limit, terms.sort=count:
+    term -> docFreq over the corpus, count desc then term asc (the
+    BoundedTreeSet tie order, TermsComponent.java:212). One distinct-
+    (doc, term) aggregation — partial-combines map-side; the bounded
+    result is a TakeOrderedAndProject, never a global sort."""
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    tf = docs.select("doc_id", F.explode("toks").alias("term")).distinct()
+    if prefix:
+        tf = tf.where(F.col("term").startswith(prefix))
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .where(F.col("df") >= mincount)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(limit)
+    )
+
+
+def terms_enum_duck(prefix: str = "", mincount: int = 1, limit: int = 10) -> str:
+    te = duck_tokens_expr()
+    pf = f"AND term LIKE '{prefix}%'" if prefix else ""
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest({te}) AS term FROM documents
+)
+SELECT term, count(*)::BIGINT AS df FROM tok
+WHERE TRUE {pf}
+GROUP BY 1 HAVING count(*) >= {mincount}
+ORDER BY df DESC, term ASC LIMIT {limit}
+""".strip()
