@@ -284,3 +284,94 @@ def norms_paths(index_dir: str, manifest: dict) -> list[str]:
         os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _NORMS_FILE)
         for s in manifest["segments"]
     ]
+
+
+def add_indexes(index_dir: str, *source_dirs: str) -> dict:
+    """IndexWriter.addIndexes(Directory...) analog (index/IndexWriter.java
+    addIndexes — "adds all segments from an array of indexes ... by copying
+    over the segment files, without re-indexing"): every live segment of
+    every source index joins the destination manifest as a new partition.
+
+    Segment directories are file-copied (the reference's copy path); a
+    segment_id collision (same corpus indexed twice) is resolved by
+    rewriting the copied parquet under a fresh id — the segment_id column
+    rides inside the files, so the rewrite is mandatory there. Source
+    tombstones copy through, so deleted docs stay deleted.
+
+    Compatibility is checked like an IndexWriter would enforce via its
+    config: analyzer name, offsets IndexOption, and index_sort must match
+    the destination (mixing analyzers silently splits the term space)."""
+    import hashlib
+    import shutil
+
+    dest = mf.read_manifest(index_dir)
+    if dest is None:
+        raise ValueError(f"destination {index_dir} has no committed manifest")
+    for opt in ("analyzer", "offsets", "index_sort"):
+        want = dest.get(opt)
+        for sd in source_dirs:
+            src = mf.read_manifest(sd)
+            if src is None:
+                raise ValueError(f"source {sd} has no committed manifest")
+            if src.get(opt) != want:
+                raise ValueError(
+                    f"addIndexes: {opt!r} mismatch — dest={want!r} "
+                    f"source {sd}={src.get(opt)!r}"
+                )
+    segments = [dict(s) for s in dest["segments"]]
+    existing_ids = {s["segment_id"] for s in segments}
+    pid = max(s["partition_id"] for s in segments) + 1
+    tombstone_files = list(dest.get("tombstone_files", []))
+    for sd in source_dirs:
+        src = mf.read_manifest(sd)
+        id_map: dict[str, str] = {}
+        for s in sorted(src["segments"], key=lambda x: x["partition_id"]):
+            entry = dict(s)
+            old_id = entry["segment_id"]
+            new_id = old_id
+            src_seg = mf.segment_dir(sd, old_id)
+            if new_id in existing_ids:
+                # collision: rewrite under a fresh id (fingerprint suffix
+                # keeps the checkpoint-marker convention)
+                new_id = f"s{pid:05d}-{hashlib.sha256((old_id + sd).encode()).hexdigest()[:10]}"
+                dst_seg = mf.segment_dir(index_dir, new_id)
+                os.makedirs(dst_seg, exist_ok=True)
+                for fname in (_POSTINGS_FILE, _NORMS_FILE):
+                    pdf = pq.read_table(os.path.join(src_seg, fname)).to_pandas()
+                    pdf["segment_id"] = new_id
+                    pq.write_table(
+                        pa.Table.from_pandas(pdf, preserve_index=False),
+                        os.path.join(dst_seg, fname),
+                    )
+            else:
+                dst_seg = mf.segment_dir(index_dir, new_id)
+                if not os.path.isdir(dst_seg):
+                    shutil.copytree(src_seg, dst_seg, ignore=shutil.ignore_patterns("meta.json"))
+            id_map[old_id] = new_id
+            entry["segment_id"] = new_id
+            entry["partition_id"] = pid
+            meta = {**entry}
+            mf.write_segment_meta(index_dir, new_id, meta)  # marker LAST
+            segments.append(entry)
+            existing_ids.add(new_id)
+            pid += 1
+        # tombstones: re-point segment ids and copy the parquet files in
+        for rel in src.get("tombstone_files", []):
+            src_path = os.path.join(sd, rel)
+            pdf = pq.read_table(src_path).to_pandas()
+            pdf["segment_id"] = pdf["segment_id"].map(lambda x: id_map.get(x, x))
+            os.makedirs(os.path.join(index_dir, "deletes"), exist_ok=True)
+            base = f"added-{hashlib.sha256((sd + rel).encode()).hexdigest()[:10]}.parquet"
+            new_rel = os.path.join("deletes", base)
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(index_dir, new_rel),
+            )
+            tombstone_files.append(new_rel)
+    extra = {"num_segments": len(segments)}
+    for opt in ("analyzer",):
+        if dest.get(opt):
+            extra[opt] = dest[opt]
+    if tombstone_files:
+        extra["tombstone_files"] = tombstone_files
+    return mf.commit_manifest(index_dir, segments, extra=extra)

@@ -123,3 +123,52 @@ def write_segment_meta(index_dir: str, segment_id: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
     os.replace(tmp, os.path.join(d, "meta.json"))
+
+
+def list_commits(index_dir: str) -> list[dict]:
+    """DirectoryReader.listCommits analog (index/DirectoryReader.java
+    listCommits, index/IndexCommit.java): every retained manifest
+    generation with its commit metadata, oldest first. Generations are
+    never deleted by commit_manifest — the SnapshotDeletionPolicy
+    posture (index/SnapshotDeletionPolicy.java): old commit points stay
+    openable until explicitly removed."""
+    out = []
+    for f in sorted(os.listdir(index_dir)):
+        m = _GEN_RE.match(f)
+        if not m:
+            continue
+        with open(os.path.join(index_dir, f)) as fh:
+            man = json.load(fh)
+        out.append(
+            {
+                "generation": man["generation"],
+                "committed_at": man.get("committed_at"),
+                "doc_count": man["doc_count"],
+                "num_segments": len(man["segments"]),
+            }
+        )
+    return sorted(out, key=lambda c: c["generation"])
+
+
+def rollback_to(index_dir: str, generation: int) -> dict:
+    """Open-an-old-commit + make it current (IndexWriterConfig
+    setIndexCommit / IndexWriter rollback semantics): republish the
+    snapshot manifest of `generation` as a NEW highest generation, so
+    every reader atomically sees the old view. Segment files written
+    after the snapshot are left on disk (retained like files referenced
+    by a snapshotted commit) — a vacuum pass may reclaim unreferenced
+    directories later."""
+    p = os.path.join(index_dir, f"manifest-{generation}.json")
+    if not os.path.exists(p):
+        raise ValueError(f"no manifest generation {generation} in {index_dir}")
+    with open(p) as f:
+        snap = json.load(f)
+    segs = [dict(s) for s in snap["segments"]]
+    extra = {
+        k: snap[k]
+        for k in ("analyzer", "offsets", "index_sort", "tombstone_files",
+                  "num_segments")
+        if snap.get(k) is not None
+    }
+    extra["rolled_back_from"] = generation
+    return commit_manifest(index_dir, segs, extra=extra)
