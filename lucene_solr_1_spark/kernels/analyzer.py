@@ -298,3 +298,70 @@ def shingle_series(
     return analyze_series(texts, cfg).map(
         lambda t: shingle_tokens(t, min_n, max_n, " ", output_unigrams)
     )
+
+
+def ngram_tokens(
+    terms: list, min_n: int = 1, max_n: int = 2, preserve_original: bool = False
+) -> list:
+    """NGramTokenFilter (analysis/ngram/NGramTokenFilter.java:60-160):
+    per input token, every char n-gram in emission order — for each start
+    offset, gram sizes min..max, then the next offset. preserve_original
+    keeps tokens shorter than min_n (emitted alone, :87-92) and appends
+    tokens longer than max_n after their grams (:110-117)."""
+    if min_n < 1 or min_n > max_n:
+        raise ValueError("ngram sizes need 1 <= min_n <= max_n")
+    out = []
+    for t in terms:
+        L = len(t)
+        if L < min_n:
+            if preserve_original:
+                out.append(t)
+            continue
+        for pos in range(L):
+            for n in range(min_n, max_n + 1):
+                if pos + n <= L:
+                    out.append(t[pos:pos + n])
+        if preserve_original and L > max_n:
+            out.append(t)
+    return out
+
+
+def edge_ngram_tokens(
+    terms: list, min_n: int = 1, max_n: int = 2, preserve_original: bool = False
+) -> list:
+    """EdgeNGramTokenFilter (analysis/ngram/EdgeNGramTokenFilter.java:
+    60-130): per input token, the front-anchored grams of sizes min..max;
+    preserve_original keeps shorter-than-min tokens and appends
+    longer-than-max originals after their grams."""
+    if min_n < 1 or min_n > max_n:
+        raise ValueError("edge ngram sizes need 1 <= min_n <= max_n")
+    out = []
+    for t in terms:
+        L = len(t)
+        if L < min_n:
+            if preserve_original:
+                out.append(t)
+            continue
+        for n in range(min_n, min(max_n, L) + 1):
+            out.append(t[:n])
+        if preserve_original and L > max_n:
+            out.append(t)
+    return out
+
+
+def ngram_series(
+    texts: pd.Series,
+    cfg: AnalyzerConfig = STANDARD,
+    min_n: int = 1,
+    max_n: int = 2,
+    edge: bool = False,
+    preserve_original: bool = False,
+) -> pd.Series:
+    """Analyze then n-gram each row — Series[str] → Series[list[str]]:
+    the (Edge)NGram analyzer-chain composition a substring/prefix-search
+    field indexes (the filters compose AFTER stop filtering, like
+    ShingleFilter)."""
+    fn = edge_ngram_tokens if edge else ngram_tokens
+    return analyze_series(texts, cfg).map(
+        lambda t: fn(t, min_n, max_n, preserve_original)
+    )
