@@ -90,6 +90,36 @@ def _get_stem_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_payload_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with store_payloads=True over a DETERMINISTICALLY
+    annotated view: every `merge` occurrence carries payload
+    doc_id % 7 + 1 (DelimitedPayloadTokenFilter syntax). Both engines
+    derive the same per-doc factor, so the PayloadScore entry is
+    value-hash checkable against kernel_payload_duck (the annotation is
+    stripped at index time — dl/df/stored content equal the raw corpus)."""
+    key = ("payload", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_pay_")
+        docs = R.load_documents(spark, sf_dir)
+        annotated = docs.select(
+            F.lit("testdata/documents").alias("repo"),
+            F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
+            F.sha2(F.col("text"), 256).alias("commit"),
+            F.col("lang"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"\bmerge\b"),
+                F.concat(
+                    F.lit("merge|"),
+                    (F.col("doc_id") % 7 + 1).cast("string"),
+                ),
+            ).alias("content"),
+        )
+        build_index(spark, annotated, d, num_segments=4, store_payloads=True)
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_sorted_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with index_sort='n_chars' (IndexWriterConfig
     .setIndexSort analog) — exercised by fts_index_sorted_topk's
@@ -524,10 +554,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, _get_index(s, d), Blended(("customer", "merge")), k=10
         )
 
+    def _kernel_payload(s, d):
+        from lucene_solr_1_spark.search.query import PayloadScore, SpanTerm
+
+        return _kernel_hits_df(
+            s, _get_payload_index(s, d),
+            PayloadScore(SpanTerm("merge"), func="max",
+                         include_span_score=True),
+            k=10,
+        )
+
     q["fts_kernel_parsed_query"] = _parsed
     q["fts_kernel_phrase"] = _kernel_phrase
     q["fts_multi_phrase"] = _kernel_multiphrase
     q["fts_blended_term"] = _kernel_blended
+    q["fts_payload_score"] = _kernel_payload
 
     # --- classification (lucene/classification) + spatial (LatLonPoint) ---
     def _knn(s, d):
@@ -728,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
             (("fast", "slow"), ("scan", "sort")), k=10
         ),
         "fts_blended_term": KO.kernel_blended_duck(("customer", "merge"), k=10),
+        "fts_payload_score": KO.kernel_payload_duck("merge", mod=7, k=10),
         "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
             "data", ("query", "merge"), k=10
         ),

@@ -48,7 +48,8 @@ def _write_parquet(pdf: pd.DataFrame, path: str, segment_id: str) -> None:
 
 def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitions,
                      pid_offset: int = 0, store_offsets: bool = False,
-                     index_sort: tuple | None = None):
+                     index_sort: tuple | None = None,
+                     store_payloads: bool = False):
     ctx = TaskContext.get()
     pid = (ctx.partitionId() if ctx else 0) + pid_offset
     if fail_partitions and pid in fail_partitions:
@@ -86,7 +87,8 @@ def _build_partition(batches, index_dir: str, cfg: AnalyzerConfig, fail_partitio
 
     t0 = time.monotonic()
     postings, norms, stats = build_segment_frames(
-        pdf, cfg, store_offsets, presorted=bool(index_sort)
+        pdf, cfg, store_offsets, presorted=bool(index_sort),
+        store_payloads=store_payloads,
     )
     if isinstance(stats.get("field_stats"), dict):
         import json
@@ -135,8 +137,14 @@ def build_index(
     store_offsets: bool = False,
     index_sort: str | None = None,
     index_sort_desc: bool = False,
+    store_payloads: bool = False,
 ) -> dict:
     """Build (or resume) an index over `corpus_df`; returns the manifest.
+
+    `store_payloads=True` runs the DelimitedPayloadTokenFilter at index
+    time (`tok|2.5` annotations become per-occurrence float32 payloads,
+    the .pay stream riding in posting rows) — opt-in and sticky, queried
+    via PayloadScore.
 
     `index_sort="n_chars"` is the IndexWriterConfig.setIndexSort analog
     (index/IndexSorter.java): docIDs within EVERY segment follow the
@@ -192,6 +200,7 @@ def build_index(
             fail_partitions=fail_partitions or set(),
             store_offsets=store_offsets,
             index_sort=sort_spec,
+            store_payloads=store_payloads,
         ),
         schema=MANIFEST_ROW_DDL,
     ).collect()
@@ -203,6 +212,8 @@ def build_index(
     extra = {"num_segments": num_segments, "analyzer": analyzer_name(cfg)}
     if store_offsets:
         extra["offsets"] = True
+    if store_payloads:
+        extra["payloads"] = True
     if sort_spec:
         extra["index_sort"] = {"field": sort_spec[0], "desc": sort_spec[1]}
     prior = mf.read_manifest(index_dir)
@@ -260,6 +271,7 @@ def add_documents(
             pid_offset=pid_offset,
             store_offsets=bool(manifest.get("offsets")),
             index_sort=sort_spec,
+            store_payloads=bool(manifest.get("payloads")),
         ),
         schema=MANIFEST_ROW_DDL,
     ).collect()
@@ -307,7 +319,7 @@ def add_indexes(index_dir: str, *source_dirs: str) -> dict:
     dest = mf.read_manifest(index_dir)
     if dest is None:
         raise ValueError(f"destination {index_dir} has no committed manifest")
-    for opt in ("analyzer", "offsets", "index_sort"):
+    for opt in ("analyzer", "offsets", "index_sort", "payloads"):
         want = dest.get(opt)
         for sd in source_dirs:
             src = mf.read_manifest(sd)

@@ -71,7 +71,7 @@ def commit_manifest(index_dir: str, segments: list[dict], extra: dict | None = N
     # sticky index-level settings survive every re-commit (merge, delete,
     # append): the analyzer and the offsets IndexOption are properties of
     # the INDEX, like IndexWriterConfig — readers must always see them
-    sticky = ("analyzer", "offsets", "index_sort")
+    sticky = ("analyzer", "offsets", "index_sort", "payloads")
     if not extra or any(k not in (extra or {}) for k in sticky):
         prior = read_manifest(index_dir)
         if prior:
@@ -166,8 +166,8 @@ def rollback_to(index_dir: str, generation: int) -> dict:
     segs = [dict(s) for s in snap["segments"]]
     extra = {
         k: snap[k]
-        for k in ("analyzer", "offsets", "index_sort", "tombstone_files",
-                  "num_segments")
+        for k in ("analyzer", "offsets", "index_sort", "payloads",
+                  "tombstone_files", "num_segments")
         if snap.get(k) is not None
     }
     extra["rolled_back_from"] = generation

@@ -123,12 +123,17 @@ def _merge_term_rows(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
     out of the flat stream is safe."""
     pdf = pdf.sort_values("segment_id", key=lambda s: s.map(seg_order))
     field = pdf.iloc[0]["field"]
-    docs_parts, freqs_parts, pos_parts, norm_parts = [], [], [], []
+    docs_parts, freqs_parts, pos_parts, norm_parts, pay_parts = [], [], [], [], []
+    has_pay = "pay_enc" in pdf.columns
     for r in pdf.itertuples(index=False):
         d_local = np.cumsum(decode_all(bytes(r.docs_enc), np.asarray(r.docs_offsets)))
         f = decode_all(bytes(r.freqs_enc), np.asarray(r.freqs_offsets))
         p = decode_all(bytes(r.pos_enc), np.asarray(r.pos_offsets))
         n = np.frombuffer(bytes(r.norms_enc), dtype=np.uint8)
+        # payload stream is position-aligned raw float32 — masked the
+        # same way as positions under reclaim
+        pay = (np.frombuffer(bytes(r.pay_enc), dtype="<f4")
+               if has_pay and r.pay_enc else None)
         if docmaps is None:
             d = d_local + seg_offset[r.segment_id]
         else:
@@ -136,22 +141,30 @@ def _merge_term_rows(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
             newd = m[d_local]
             keep = newd >= 0
             d = newd[keep]
-            p = p[np.repeat(keep, f)]
+            occ_keep = np.repeat(keep, f)
+            p = p[occ_keep]
+            if pay is not None:
+                pay = pay[occ_keep]
             f = f[keep]
             n = n[keep]
         docs_parts.append(d)
         freqs_parts.append(f)
         pos_parts.append(p)
         norm_parts.append(n)
+        if pay is not None:
+            pay_parts.append(pay)
     docs = np.concatenate(docs_parts)
     freqs = np.concatenate(freqs_parts)
     pos_flat = np.concatenate(pos_parts)
     norms = np.concatenate(norm_parts)
+    pay_enc = (
+        np.concatenate(pay_parts).astype("<f4").tobytes() if pay_parts else b""
+    )
     if len(docs) == 0:
         # every posting of this term was tombstoned — emit a doc_freq-0 row
         # (filtered out before the segment write)
         return (field, pdf.iloc[0]["term"], 0, 0,
-                b"", [], b"", [], b"", [], b"", [], [], [])
+                b"", [], b"", [], b"", [], b"", [], [], [], b"")
 
     docs_enc, docs_off = encode_doc_deltas(docs)
     freqs_enc, freqs_off = encode_blocks(freqs)
@@ -176,6 +189,7 @@ def _merge_term_rows(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
         pos_enc, pos_off.tolist(),
         norms.tobytes(),
         blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
+        pay_enc,
     )
 
 

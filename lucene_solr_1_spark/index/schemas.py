@@ -21,8 +21,14 @@ POSTINGS_DDL = (
     "norms_enc binary, "
     "block_last_doc array<bigint>, "
     "block_max_freq array<bigint>, "
-    "block_min_norm array<bigint>"
+    "block_min_norm array<bigint>, "
+    "pay_enc binary"
 )
+# pay_enc: the .pay payload stream (Lucene50PostingsFormat.java:80-96) —
+# one little-endian float32 per POSITION, aligned one-to-one with the
+# decoded position stream (runs indexed by the same freqs/starts).
+# Empty bytes when the index stores no payloads; pruned from the scan
+# (like pos_enc) unless the plan contains a payload node.
 # norms_enc: one norm byte per posting doc (parallel to the doc stream).
 # Denormalizing the norm into the posting row is what makes a query touch
 # ONLY the (predicate-pruned) posting rows of its terms — scoring never

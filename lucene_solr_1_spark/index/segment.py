@@ -39,6 +39,7 @@ POSTINGS_COLS = [
     "docs_enc", "docs_offsets", "freqs_enc", "freqs_offsets",
     "pos_enc", "pos_offsets", "norms_enc",
     "block_last_doc", "block_max_freq", "block_min_norm",
+    "pay_enc",
 ]
 
 
@@ -66,6 +67,7 @@ def _invert_rows(
     doc_ids: np.ndarray,
     positions: np.ndarray,
     norms_by_doc: np.ndarray,
+    payloads: np.ndarray | None = None,
 ) -> list[tuple]:
     """Invert one field's flattened token stream into posting rows.
 
@@ -81,6 +83,9 @@ def _invert_rows(
     codes, uniq_terms = pd.factorize(pd.Series(terms), sort=True)
     order = np.lexsort((positions, doc_ids, codes))
     c, d, p = codes[order], doc_ids[order], positions[order]
+    # payload stream rides parallel to positions (the .pay alignment):
+    # pay[i] is the float32 payload of occurrence i in stream order
+    pay = payloads[order].astype("<f4") if payloads is not None else None
 
     # run-length over (term, doc): one posting per run
     pair_start = np.flatnonzero(
@@ -121,6 +126,9 @@ def _invert_rows(
         s_pos_b = _enc8_batch(s_pos)
         s_norms = norms_by_doc[s_docs].astype(np.uint8)
         s_norm_flat = s_norms.tobytes()
+        s_pay_flat = (
+            pay[pair_start[ts_sel]].tobytes() if pay is not None else b""
+        )
     _FREQ1 = b"\x00\xff" + (1).to_bytes(8, "little")
 
     rows = []
@@ -135,6 +143,7 @@ def _invert_rows(
                     s_docs_b[j], [0], _FREQ1, [0], s_pos_b[j], [0],
                     s_norm_flat[j:j + 1],
                     [int(s_docs[j])], [1], [int(s_norms[j])],
+                    s_pay_flat[4 * j:4 * j + 4] if pay is not None else b"",
                 )
             )
             continue
@@ -163,6 +172,7 @@ def _invert_rows(
                 pos_enc, pos_off.tolist(),
                 doc_norms.astype(np.uint8).tobytes(),
                 blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
+                pay[occ_lo:occ_hi].tobytes() if pay is not None else b"",
             )
         )
     return rows
@@ -190,6 +200,7 @@ def build_segment_frames(
     pdf: pd.DataFrame, cfg: AnalyzerConfig = STANDARD,
     store_offsets: bool = False,
     presorted: bool = False,
+    store_payloads: bool = False,
 ) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
     """Invert one partition of corpus rows into (postings, norms) frames.
 
@@ -209,7 +220,31 @@ def build_segment_frames(
     if not presorted:
         pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
+    pay_tok = None
+    if store_payloads:
+        # DelimitedPayloadTokenFilter at index time: strip `tok|<float>`
+        # annotations, record a float32 per RAW token position (default
+        # 1.0 = the null-payload convention). The CLEAN text is what gets
+        # analyzed, stored and sha'd — payloads are metadata, not content.
+        from ..kernels.analyzer import parse_delimited_payloads
+
+        cleaned, pay_docs = [], []
+        for text in pdf["content"].fillna(""):
+            c, pv = parse_delimited_payloads(text)
+            cleaned.append(c)
+            pay_docs.append(pv)
+        pdf = pdf.assign(content=pd.Series(cleaned, index=pdf.index))
+        pay_flat = (
+            np.concatenate(pay_docs) if pay_docs else np.empty(0, dtype=np.float32)
+        )
+        pay_counts = np.asarray([len(v) for v in pay_docs], dtype=np.int64)
+        pay_doc_off = np.cumsum(pay_counts) - pay_counts
     terms, doc_ids, positions, doc_len = flatten_tokens(pdf["content"], cfg)
+    if store_payloads:
+        # payload of each KEPT token = its raw position's entry
+        pay_tok = pay_flat[pay_doc_off[doc_ids] + positions] if len(terms) else (
+            np.empty(0, dtype=np.float32)
+        )
     norms = int_to_byte4(doc_len)
     content_s = pdf["content"].fillna("")
 
@@ -245,7 +280,7 @@ def build_segment_frames(
     }
 
     rows = _invert_rows(CONTENT_FIELD, terms, doc_ids, positions,
-                        norms.astype(np.int64))
+                        norms.astype(np.int64), payloads=pay_tok)
     content_postings = len(rows)
 
     # keyword fields: one atomic term per doc, freq 1, position 0, dl 1

@@ -365,3 +365,41 @@ def ngram_series(
     return analyze_series(texts, cfg).map(
         lambda t: fn(t, min_n, max_n, preserve_original)
     )
+
+
+# DelimitedPayloadTokenFilter (analysis/payloads/
+# DelimitedPayloadTokenFilter.java + FloatEncoder.java): `token|2.5`
+# attaches payload 2.5 to `token`. The annotation must terminate the
+# token (delimiter is a non-word char) and be followed by whitespace or
+# end-of-text, like the whitespace-tokenized form the reference filter
+# consumes. Unannotated tokens carry the null-payload default 1.0
+# (PayloadDecoder.FLOAT_DECODER's null -> 1 convention).
+_PAYLOAD_ANNOT = re.compile(r"\|(-?\d+(?:\.\d+)?)(?=\s|$)")
+
+
+def parse_delimited_payloads(text: str) -> tuple[str, np.ndarray]:
+    """One doc's annotated text → (clean_text, float32 payload array
+    aligned with the clean text's RAW token positions). Token counting is
+    per-part incremental: an annotation always ends a token and is
+    followed by non-word input, so tokens never span part boundaries."""
+    if not text or "|" not in text:
+        n = len(_TOKEN_RE.findall(text or ""))
+        return text or "", np.ones(n, dtype=np.float32)
+    parts = []
+    pays = []  # (raw_pos, value)
+    tok_count = 0
+    last = 0
+    for m in _PAYLOAD_ANNOT.finditer(text):
+        seg = text[last:m.start()]
+        parts.append(seg)
+        tok_count += len(_TOKEN_RE.findall(seg))
+        if tok_count > 0:
+            pays.append((tok_count - 1, float(m.group(1))))
+        last = m.end()
+    tail = text[last:]
+    parts.append(tail)
+    tok_count += len(_TOKEN_RE.findall(tail))
+    out = np.ones(tok_count, dtype=np.float32)
+    for pos, v in pays:
+        out[pos] = np.float32(v)
+    return "".join(parts), out

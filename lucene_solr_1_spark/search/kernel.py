@@ -29,7 +29,8 @@ from .query import (
     IntervalsQuery, MultiPhrase,
     MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
     SpanFirst,
-    SpanContaining, SpanNear, SpanNot, SpanOr, SpanTerm, SpanWithin, Synonym,
+    PayloadScore, SpanContaining, SpanNear, SpanNot, SpanOr, SpanTerm,
+    SpanWithin, Synonym,
     Term, span_leaf_terms,
 )
 
@@ -231,6 +232,26 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
                 sim, q.field, boost, dfs, _dc_of(doc_count, q.field)
             )
         return node
+    if isinstance(q, PayloadScore):
+        # PayloadScoreQuery weight = the wrapped span's weight
+        # (PayloadSpanWeight delegates to innerWeight); the payload
+        # factor composes at score time
+        if q.func not in ("min", "max", "sum", "avg"):
+            raise ValueError(f"unknown payload function {q.func!r}")
+        inner = compile_plan(
+            q.query if isinstance(q.query, SPAN_TYPES) else SpanTerm(q.query, field=q.field),
+            global_df, doc_count, boost, sim,
+        )
+        return {
+            "type": "payload",
+            "span": inner["span"],
+            "leaves": inner["leaves"],
+            "field": q.field,
+            "weight": inner["weight"],
+            **({"sim": inner["sim"]} if "sim" in inner else {}),
+            "func": q.func,
+            "include": bool(q.include_span_score),
+        }
     if isinstance(q, Bool):
         return {
             "type": "bool",
@@ -398,6 +419,18 @@ class SegmentData:
         pos = _segmented_cumsum(pos_deltas, starts)
         return docs, freqs, starts, pos
 
+    def payloads(self, key):
+        """float32 payload per occurrence, aligned with the flat position
+        stream (the .pay stream; runs indexed by the same freqs/starts) —
+        None when the index stores no payloads for this term."""
+        if isinstance(key, str):
+            key = ("content", key)
+        r = self.rows.get(key)
+        pay = getattr(r, "pay_enc", None) if r is not None else None
+        if not pay:
+            return None
+        return np.frombuffer(bytes(pay), dtype="<f4")
+
 
 def _segmented_cumsum(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Cumulative sum restarting at each index in `starts`."""
@@ -487,6 +520,8 @@ def eval_node(node: dict, seg: SegmentData, cache):
         return _eval_multiphrase(node, seg, cache)
     if t == "span":
         return _eval_span(node, seg, cache)
+    if t == "payload":
+        return _eval_payload(node, seg, cache)
     if t == "intervals":
         return _eval_intervals(node, seg)
     if t == "bool":
@@ -1278,8 +1313,14 @@ def _eval_span(node, seg, cache):
     u, counts = np.unique(di, return_counts=True)
     docs = cand[u]
     freqs = counts.astype(np.float64)
-    # norm byte per doc from whichever leaf posting holds the doc (every
-    # candidate contains >= 1 leaf; same doc => same norm byte per field)
+    norms = _span_norms(node, seg, docs)
+    s = _score_postings(node, freqs, norms, cache)
+    return docs, s.astype(np.float64)
+
+
+def _span_norms(node: dict, seg: SegmentData, docs: np.ndarray) -> np.ndarray:
+    """Norm byte per doc from whichever leaf posting holds it (every
+    candidate contains >= 1 leaf; same doc => same norm byte per field)."""
     norms = np.zeros(len(docs), dtype=np.int64)
     filled = np.zeros(len(docs), dtype=bool)
     for key in node["leaves"]:
@@ -1293,8 +1334,89 @@ def _eval_span(node, seg, cache):
         take = ok & ~filled
         norms[take] = n[idx[take]]
         filled |= ok
-    s = _score_postings(node, freqs, norms, cache)
-    return docs, s.astype(np.float64)
+    return norms
+
+
+def _eval_payload(node, seg, cache):
+    """PayloadScoreQuery evaluation (PayloadScoreQuery.java:185-235
+    PayloadSpans.collectLeaf + PayloadSpanScorer.scoreCurrentDoc):
+    span stream batched as usual; per matched span, every leaf-term
+    occurrence inside [start, end) contributes its float32 payload
+    (missing payload -> 1.0, the FLOAT_DECODER null convention); per doc
+    the payloads fold through Min/Max/Sum/AveragePayloadFunction (float32
+    accumulation in collection order, docScore default 1 when none seen);
+    final score = f32(span_score * factor) under include_span_score, else
+    the factor alone."""
+    span = node["span"]
+    cand = _span_docs(span, seg)
+    if len(cand) == 0:
+        return _EMPTY_I, _EMPTY_F
+    di, s, e = _seg_span_stream(span, seg, cand)
+    if len(di) == 0:
+        return _EMPTY_I, _EMPTY_F
+    # leaf occurrence stream with payloads, sorted by packed (doc, pos)
+    key_parts, pay_parts = [], []
+    for key in node["leaves"]:
+        p = seg.positions(tuple(key))
+        if p is None:
+            continue
+        docs_i, freqs_i, starts_i, pos_i = p
+        sub = cand[np.isin(cand, docs_i, assume_unique=True)]
+        if len(sub) == 0:
+            continue
+        j = np.searchsorted(docs_i, sub)
+        cnt = freqs_i[j].astype(np.int64)
+        take = _run_take(starts_i[j], cnt)
+        didx = np.repeat(np.searchsorted(cand, sub), cnt)
+        key_parts.append(didx * _POS_SHIFT + pos_i[take].astype(np.int64))
+        pv = seg.payloads(tuple(key))
+        pay_parts.append(
+            pv[take].astype(F32) if pv is not None
+            else np.ones(len(take), dtype=F32)
+        )
+    if not key_parts:
+        return _EMPTY_I, _EMPTY_F
+    keys = np.concatenate(key_parts)
+    pays = np.concatenate(pay_parts)
+    order = np.argsort(keys, kind="stable")
+    keys, pays = keys[order], pays[order]
+    lo = np.searchsorted(keys, di * _POS_SHIFT + s, side="left")
+    hi = np.searchsorted(keys, di * _POS_SHIFT + e, side="left")
+    cnts = (hi - lo).astype(np.int64)
+    cov = _run_take(lo, cnts)  # collection order: span order, then position
+    span_doc = np.repeat(di, cnts)
+    vals = pays[cov]
+    D = len(cand)
+    seen = np.bincount(span_doc, minlength=D)
+    factor = np.ones(D, dtype=F32)
+    hasp = seen > 0
+    if node["func"] in ("sum", "avg"):
+        sums = np.zeros(D, dtype=F32)
+        np.add.at(sums, span_doc, vals)  # float32, collection order
+        if node["func"] == "sum":
+            factor[hasp] = sums[hasp]
+        else:
+            factor[hasp] = (sums[hasp] / seen[hasp].astype(F32)).astype(F32)
+    elif node["func"] == "min":
+        mins = np.full(D, np.inf, dtype=F32)
+        np.minimum.at(mins, span_doc, vals)
+        factor[hasp] = mins[hasp]
+    else:  # max
+        maxs = np.full(D, -np.inf, dtype=F32)
+        np.maximum.at(maxs, span_doc, vals)
+        factor[hasp] = maxs[hasp]
+    # docs with >= 1 span; span freq scores like SpanScorer
+    u, counts = np.unique(di, return_counts=True)
+    docs = cand[u]
+    if node["include"]:
+        norms = _span_norms(node, seg, docs)
+        span_scores = _score_postings(
+            node, counts.astype(np.float64), norms, cache
+        )
+        out = (span_scores * factor[u]).astype(F32)
+    else:
+        out = factor[u]
+    return docs, out.astype(np.float64)
 
 
 def _sloppy_freq(term_pos: list, slop: int, repeat_groups: tuple = ()) -> float:

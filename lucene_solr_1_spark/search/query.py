@@ -173,6 +173,29 @@ class SpanWithin(Query):
 
 
 @dataclass(frozen=True)
+class PayloadScore(Query):
+    """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:50-235):
+    wraps a span query over a payload-storing index; every leaf-term
+    occurrence collected inside a matching span contributes its float32
+    payload (unannotated occurrences carry the null-payload default 1.0,
+    PayloadDecoder.FLOAT_DECODER convention). Per doc the payloads
+    aggregate through `func` (Min/Max/Sum/AveragePayloadFunction —
+    docScore defaults to 1 when no payloads were seen), and the final
+    score is f32(span_score * factor) when include_span_score else the
+    factor alone.
+
+    Documented deviation: the reference's SpanCollector visits exactly
+    the leaf occurrences that FORMED each span; here every leaf-term
+    occurrence inside the span's [start, end) window is collected — the
+    two differ only when another occurrence of a leaf term falls inside
+    a sloppy span's window."""
+    query: Query  # span tree (term leaves)
+    func: str = "max"  # min | max | sum | avg
+    include_span_score: bool = True
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class Boost(Query):
     query: Query
     boost: float = 1.0
@@ -441,7 +464,7 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             return Boost(walk(node.query), node.boost)
         if isinstance(node, ConstantScore):
             return ConstantScore(walk(node.query), node.score)
-        if isinstance(node, FunctionScore):
+        if isinstance(node, (FunctionScore, PayloadScore)):
             return _dc_replace(node, query=walk(node.query))
         if isinstance(node, Bool):
             return Bool(
@@ -585,6 +608,8 @@ def query_terms(q: Query) -> set:
         return {(q.field, t) for slot in q.positions for t in slot}
     if isinstance(q, SPAN_TYPES):
         return span_leaf_terms(q)
+    if isinstance(q, PayloadScore):
+        return span_leaf_terms(q.query, q.field)
     if isinstance(q, (Boost, ConstantScore, FunctionScore)):
         return query_terms(q.query)
     if isinstance(q, Bool):

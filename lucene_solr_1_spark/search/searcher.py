@@ -223,13 +223,18 @@ class LuceneSparkSearcher:
             rows = [
                 (sid, "\x00", K.SENTINEL_TERM, 0, 0,
                  bytearray(), [], bytearray(), [], bytearray(), [],
-                 bytearray(), [], [], [])
+                 bytearray(), [], [], [], bytearray())
                 for sid in self.doc_base
             ]
             self._sentinels = self.spark.createDataFrame(
                 rows, schema="segment_id string, " + POSTINGS_DDL
             )
         return self._sentinels
+
+    def _union_sentinels(self, post: DataFrame) -> DataFrame:
+        """Union sentinel rows, projected to the postings scan's actual
+        columns (pre-payload indexes lack pay_enc)."""
+        return post.unionByName(self._sentinel_rows().select(post.columns))
 
     # ---------------- multi-term expansion (§2.5 PrefixQuery etc.) --------
 
@@ -443,10 +448,17 @@ class LuceneSparkSearcher:
         (Lucene50PostingsFormat): term/bool/WAND queries never read the
         prox stream, and it is the LARGEST posting column, so parquet
         column pruning cuts the scan accordingly."""
-        if any({"phrase", "multiphrase", "span", "intervals"}
-               & K.plan_node_types(p) for p in plans):
+        types = set().union(*(K.plan_node_types(p) for p in plans)) if plans else set()
+        drop = set()
+        if not ({"phrase", "multiphrase", "span", "intervals", "payload"} & types):
+            drop |= {"pos_enc", "pos_offsets"}
+        if "payload" not in types:
+            # the payload stream is read ONLY by payload nodes (.pay
+            # column pruning, like .pos for non-positional queries)
+            drop.add("pay_enc")
+        if not drop:
             return post
-        keep = [c for c in post.columns if c not in ("pos_enc", "pos_offsets")]
+        keep = [c for c in post.columns if c not in drop]
         return post.select(*keep)
 
     def _numeric_allowed_df(self, nrs, vsources=()) -> DataFrame:
@@ -666,7 +678,7 @@ class LuceneSparkSearcher:
             post = self._postings.where(self._terms_filter(terms)) if terms else self._postings.limit(0)
         if "matchall" in K.plan_node_types(plan):
             # the plan matches docs without postings: dispatch EVERY segment
-            post = post.unionByName(self._sentinel_rows())
+            post = self._union_sentinels(post)
         post = self._prune_positions(post, plan)
         kernel = partial(
             _kernel_udf, plan=plan, cache=self.caches, k=k,
@@ -826,7 +838,7 @@ class LuceneSparkSearcher:
             )
         post = self._postings.where(self._terms_filter(all_terms))
         if any("matchall" in K.plan_node_types(p) for p in compiled.values()):
-            post = post.unionByName(self._sentinel_rows())
+            post = self._union_sentinels(post)
         post = self._prune_positions(post, *compiled.values())
         kernel = partial(
             _kernel_many_udf, plans=compiled, cache=self.caches, k=k,
@@ -928,7 +940,7 @@ class LuceneSparkSearcher:
                 else self._postings.limit(0)
             )
             if "matchall" in K.plan_node_types(plan2):
-                post = post.unionByName(self._sentinel_rows())
+                post = self._union_sentinels(post)
             post = self._prune_positions(post, plan2)
             allowed = self.spark.createDataFrame(
                 pd.DataFrame(

@@ -333,6 +333,29 @@ matched AS (
 """.strip()
 
 
+def kernel_payload_duck(term: str, mod: int = 7, k: int = 10) -> str:
+    """Twin of the PayloadScoreQuery driver entry: the Spark side indexes
+    a deterministically annotated view (every `term` occurrence carries
+    payload doc_id % mod + 1 — constant per doc, so MaxPayloadFunction's
+    factor is exactly that value), and the final score is
+    f32(span_score · factor). The span score of a single SpanTerm equals
+    the term's BM25 kernel score; f32·f32 multiplication replayed as a
+    double product with one REAL cast (exact: a 24-bit × 24-bit product
+    fits double, so the single rounding matches NumPy's f32 multiply)."""
+    return f"""
+WITH {_prelude([term])},
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id,
+         CAST(s::DOUBLE * CAST((doc_id % {mod} + 1) AS REAL)::DOUBLE AS REAL)
+           AS score32
+  FROM s
+)
+{_topk_select(k)}
+""".strip()
+
+
 def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10) -> str:
     """Twin of the kernel fuzzy SCORING rewrite (FuzzyQuery top-terms
     rewrite): dictionary terms within max_edits expand to a SHOULD

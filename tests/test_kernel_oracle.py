@@ -19,6 +19,7 @@ KERNEL_ENTRIES = [
     "fts_kernel_phrase",
     "fts_multi_phrase",
     "fts_blended_term",
+    "fts_payload_score",
     "fts_kernel_parsed_query",
     "fts_field_term",
     "fts_bm25_metadata_filter",
