@@ -264,6 +264,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curate.quota_split_spark(s, d, 10, 20)
 
     q["pipeline_quota_split"] = _quota
+
+    def _pack(s, d):
+        from lucene_solr_1_spark.pipeline import packing
+
+        return packing.pack_sequences_spark(s, d, seq_len=512, n_buckets=8)
+
+    def _pack_stats(s, d):
+        from lucene_solr_1_spark.pipeline import packing
+
+        return packing.packing_stats_spark(s, d, seq_len=512, n_buckets=8)
+
+    q["pipeline_pack_sequences"] = _pack
+    q["pipeline_packing_stats"] = _pack_stats
     q["embedding_cosine_topk"] = lambda s, d: similarity.cosine_topk_spark(s, d, 0, 20)
     q["embedding_cosine_topk_batch"] = lambda s, d: similarity.cosine_topk_many_spark(
         s, d, (0, 7, 42), 10
@@ -705,6 +718,12 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_quota_split": __import__(
             "lucene_solr_1_spark.pipeline.curate", fromlist=["x"]
         ).quota_split_duck(10, 20),
+        "pipeline_pack_sequences": __import__(
+            "lucene_solr_1_spark.pipeline.packing", fromlist=["x"]
+        ).pack_sequences_duck(512, 8),
+        "pipeline_packing_stats": __import__(
+            "lucene_solr_1_spark.pipeline.packing", fromlist=["x"]
+        ).packing_stats_duck(512, 8),
         "embedding_cosine_topk": similarity.cosine_topk_duck(0, 20),
         "embedding_cosine_topk_batch": similarity.cosine_topk_many_duck((0, 7, 42), 10),
         "dedup_embedding_cosine": similarity.embedding_neardup_duck(0.45),
