@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["terms_enum"] = lambda s, d: R.terms_enum_spark(
         s, d, prefix="s", mincount=2, limit=10
     )
+    q["facet_queries"] = lambda s, d: R.facet_queries_spark(
+        s, d, "query", ("merge", "spark", "window")
+    )
     q["fts_block_join_parents"] = lambda s, d: R.block_join_parents_spark(
         s, d, "query", k=10
     )
@@ -696,6 +699,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_join_query": R.join_query_duck("dup"),
         "fts_join_scored": R.join_query_scored_duck("customer", "total", 10),
         "terms_enum": R.terms_enum_duck("s", 2, 10),
+        "facet_queries": R.facet_queries_duck(
+            "query", ("merge", "spark", "window")
+        ),
         "fts_block_join_parents": R.block_join_parents_duck("query", 10),
         "fts_block_join_children": R.block_join_children_duck("query", 5),
         "facet_ranges": R.range_facets_duck("query"),

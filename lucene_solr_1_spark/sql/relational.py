@@ -1998,3 +1998,59 @@ WHERE TRUE {pf}
 GROUP BY 1 HAVING count(*) >= {mincount}
 ORDER BY df DESC, term ASC LIMIT {limit}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Solr facet.query (SimpleFacets.getFacetQueryCounts — arbitrary named
+# subqueries counted as facets over the main query's match set)
+# ---------------------------------------------------------------------------
+
+def facet_queries_spark(spark, sf_dir, main_term: str, facet_terms: tuple) -> DataFrame:
+    """facet.query=<term> counts: docs of the MAIN match set that also
+    match each named facet term. One tokenized pass: the match set and
+    every facet predicate evaluate as conditional aggregations over the
+    same scan — no per-facet re-query (the reference re-executes one
+    DocSet intersection per facet.query; here Catalyst fuses them)."""
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    m = docs.where(F.array_contains("toks", main_term))
+    aggs = [
+        F.sum(F.when(F.array_contains("toks", t), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"fq_{t}")
+        for t in facet_terms
+    ]
+    row = m.agg(F.count("*").cast("bigint").alias("n_matched"), *aggs)
+    # long form: (facet, cnt) rows, stable order
+    pairs = [
+        F.struct(F.lit(t).alias("facet"), F.col(f"fq_{t}").alias("cnt"))
+        for t in facet_terms
+    ]
+    return (
+        row.select(F.explode(F.array(*pairs)).alias("s"), "n_matched")
+        .select(
+            F.col("s.facet").alias("facet"),
+            F.col("s.cnt").alias("cnt"),
+            "n_matched",
+        )
+        .orderBy("facet")
+    )
+
+
+def facet_queries_duck(main_term: str, facet_terms: tuple) -> str:
+    te = duck_tokens_expr()
+    rows = ", ".join(f"('{t}')" for t in sorted(facet_terms))
+    return f"""
+WITH m AS (
+  SELECT {te} AS toks FROM documents
+  WHERE list_contains({te}, '{main_term}')
+),
+tot AS (SELECT count(*)::BIGINT AS n_matched FROM m),
+fq(facet) AS (VALUES {rows})
+SELECT fq.facet,
+       (SELECT count(*) FROM m WHERE list_contains(m.toks, fq.facet))::BIGINT AS cnt,
+       tot.n_matched
+FROM fq CROSS JOIN tot
+ORDER BY fq.facet
+""".strip()

@@ -94,3 +94,20 @@ def test_query_elevation_semantics(spark):
     assert out["rank"].tolist() == list(range(10))
     organic = out.iloc[2:]
     assert (organic["score"].to_numpy()[:-1] >= organic["score"].to_numpy()[1:]).all()
+
+
+def test_facet_queries_reference(spark):
+    """facet.query counts (SimpleFacets.getFacetQueryCounts): docs of the
+    main match set also matching each named facet term."""
+    import re
+
+    got = R.facet_queries_spark(
+        spark, SF, "query", ("merge", "spark")
+    ).toPandas().set_index("facet")
+    docs = R.load_documents(spark, SF).toPandas()
+    toks = docs["text"].map(lambda t: set(re.findall(r"[a-z0-9_]+", t.lower())))
+    main = toks.map(lambda s: "query" in s)
+    assert int(got.loc["merge", "n_matched"]) == int(main.sum())
+    for t in ("merge", "spark"):
+        want = int((main & toks.map(lambda s: t in s)).sum())
+        assert int(got.loc[t, "cnt"]) == want
