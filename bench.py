@@ -74,7 +74,8 @@ def _timed(fn) -> float:
 def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
     from lucene_solr_1_spark.pipeline import dedup, similarity, textstats
     from lucene_solr_1_spark.search.query import (
-        Bool, NumericRange, Occur, Phrase, Prefix, SpanNear, SpanOr, Term,
+        Bool, MultiPhrase, NumericRange, Occur, Phrase, Prefix, SpanNear,
+        SpanOr, Term,
     )
     from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
     from lucene_solr_1_spark.sql import relational as R
@@ -130,6 +131,12 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
             "spanor_near_search": SpanNear(
                 (SpanOr(("public", "private")), "static"), slop=3
             ),
+            # r3 widening: hot multiphrase — slot 2 unions two common
+            # terms (the UnionPostingsEnum path over ~whole-corpus
+            # candidates); target is parity with phrase_hot_search
+            "multiphrase_search": MultiPhrase(
+                (("return",), ("int", "new"))
+            ),
         }
         # BASELINE prescribes latency at k = 10 AND 100: k only changes
         # the per-segment heap size + driver merge width, not the scan
@@ -172,7 +179,8 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
             k: v for k, v in kernel_qs.items()
             if k not in ("field_filter_search", "numeric_filter_search",
                          "phrase_hot_search", "spannear_search",
-                         "sloppy_hot_search", "spanor_near_search")
+                         "sloppy_hot_search", "spanor_near_search",
+                         "multiphrase_search")
         }
         for _ in range(4):
             for q in lat_pool.values():
