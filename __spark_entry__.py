@@ -550,6 +550,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _kernel_hits_df(s, _get_index(s, d), parse("data AND (query OR merge)"), k=10)
 
+    def _edismax(s, d):
+        from lucene_solr_1_spark.search.parser import parse_dismax
+
+        # DisMaxQParser shape: each word a dismax over (content, lang^2);
+        # 'de' only matches the keyword field, 'data'/'merge' only content
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            parse_dismax("de data merge", {"content": 1.0, "lang": 2.0},
+                         tie=0.1, mm=1),
+            k=10,
+        )
+
+    def _edismax_pf(s, d):
+        from lucene_solr_1_spark.search.parser import parse_dismax
+
+        # mm=2 (both words required) + pf phrase boost OUTSIDE the mm bool
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            parse_dismax("query merge", {"content": 1.0, "lang": 2.0},
+                         tie=0.0, mm=2, pf={"content": 2.0}),
+            k=10,
+        )
+
     def _kernel_phrase(s, d):
         from lucene_solr_1_spark.search.query import Phrase
 
@@ -581,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_kernel_parsed_query"] = _parsed
+    q["fts_edismax"] = _edismax
+    q["fts_edismax_pf"] = _edismax_pf
     q["fts_kernel_phrase"] = _kernel_phrase
     q["fts_multi_phrase"] = _kernel_multiphrase
     q["fts_blended_term"] = _kernel_blended
@@ -797,6 +822,14 @@ def oracle_sql() -> dict[str, str]:
         "fts_payload_score": KO.kernel_payload_duck("merge", mod=7, k=10),
         "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
             "data", ("query", "merge"), k=10
+        ),
+        "fts_edismax": KO.kernel_edismax_duck(
+            ("de", "data", "merge"), kw_field="lang", content_boost=1.0,
+            kw_boost=2.0, tie=0.1, mm=1, k=10,
+        ),
+        "fts_edismax_pf": KO.kernel_edismax_duck(
+            ("query", "merge"), kw_field="lang", content_boost=1.0,
+            kw_boost=2.0, tie=0.0, mm=2, pf_boost=2.0, k=10,
         ),
         "fts_field_term": KO.kernel_keyword_term_duck("lang", "en", k=10),
         "fts_kernel_fuzzy": KO.kernel_fuzzy_duck("quary", 2, 10),

