@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top-k docs within each, plus per-group totals
     q["grouping_topn"] = lambda s, d: R.grouping_topn_spark(s, d, "query", 5, 3)
     q["fts_sort_by_field"] = lambda s, d: R.sort_by_field_spark(s, d, "data", 15)
+    q["fts_export_sorted"] = lambda s, d: R.export_sorted_spark(s, d, "merge")
+    q["fts_diversified_topk"] = lambda s, d: R.diversified_topk_spark(s, d, "merge", 2, 10)
+    q["facet_associations"] = lambda s, d: R.facet_associations_spark(s, d, "query")
     q["fts_numeric_range"] = lambda s, d: R.numeric_range_spark(s, d, 200, 400)
     q["fts_term_in_set"] = lambda s, d: R.term_in_set_spark(s, d, ("en", "de"))
     q["fts_wildcard_expand"] = lambda s, d: R.wildcard_terms_spark(s, d, "s?rt*")
@@ -195,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_prefix"] = lambda s, d: R.suggest_prefix_spark(s, d, "pa")
     # DirectSpellChecker did-you-mean + weighted analyzed completion
     q["suggest_spell"] = lambda s, d: R.suggest_spell_spark(s, d, "quary", 2, 5)
+    q["suggest_spell_collate"] = lambda s, d: R.suggest_spell_collate_spark(s, d, ("quary", "merge"))
     q["suggest_completion"] = lambda s, d: R.suggest_completion_spark(s, d, "Pa", 10)
     # field-sorted searchAfter: page 2 of fts_sort_by_field (after = page
     # 1's last (lang, n_chars, doc_id) sort key at sf0.01)
@@ -707,6 +711,9 @@ def oracle_sql() -> dict[str, str]:
         "grouping_top1_per_source": R.grouping_top1_duck("query"),
         "grouping_topn": R.grouping_topn_duck("query", 5, 3),
         "fts_sort_by_field": R.sort_by_field_duck("data", 15),
+        "fts_export_sorted": R.export_sorted_duck("merge"),
+        "fts_diversified_topk": R.diversified_topk_duck("merge", 2, 10),
+        "facet_associations": R.facet_associations_duck("query"),
         "fts_numeric_range": R.numeric_range_duck(200, 400),
         "fts_term_in_set": R.term_in_set_duck(("en", "de")),
         "fts_wildcard_expand": R.wildcard_terms_duck("s?rt*"),
@@ -714,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_highlight_positional": R.highlight_positional_duck(("query", "merge"), 10),
         "suggest_prefix": R.suggest_prefix_duck("pa"),
         "suggest_spell": R.suggest_spell_duck("quary", 2, 5),
+        "suggest_spell_collate": R.suggest_spell_collate_duck(("quary", "merge")),
         "suggest_completion": R.suggest_completion_duck("Pa", 10),
         "fts_sort_by_field_after": R.sort_by_field_after_duck(
             "data", 15, after=_SORT_AFTER

@@ -2054,3 +2054,250 @@ SELECT fq.facet,
 FROM fq CROSS JOIN tot
 ORDER BY fq.facet
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Solr /export (ExportQParserPlugin / ExportWriter): the FULL sorted match
+# set streamed out — no top-k cap, doc-values columns only.
+# ---------------------------------------------------------------------------
+
+
+def export_sorted_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Solr /export handler analog (solr/core/src/java/org/apache/solr/
+    search/ExportQParserPlugin.java, handler/export/ExportWriter.java):
+    every matching doc, sorted by doc-values fields, streamed in full.
+    Spark-shaped by construction: orderBy on an unbounded result compiles
+    to a RANGE-PARTITIONED distributed sort (sampled bounds), never a
+    single-node collect, so the export scales with executors. No rank
+    column on purpose — the output rows carry the complete sort key
+    (lang, n_chars, doc_id), so row order is a pure function of the
+    values (ExportWriter emits no rank either)."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    return (
+        docs.where(F.array_contains("toks", term))
+        .orderBy(F.asc("lang"), F.desc("n_chars"), F.asc("doc_id"))
+        .select(F.col("doc_id").cast("bigint"), "lang", F.col("n_chars").cast("bigint"))
+    )
+
+
+def export_sorted_duck(term: str) -> str:
+    te = duck_tokens_expr()
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents WHERE list_contains({te}, '{term}')
+ORDER BY lang ASC, n_chars DESC, doc_id ASC
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# DiversifiedTopDocsCollector (lucene/misc/src/java/org/apache/lucene/
+# search/DiversifiedTopDocsCollector.java): score-ranked top-k with at most
+# maxHitsPerKey docs per key.
+# ---------------------------------------------------------------------------
+
+
+def diversified_topk_spark(
+    spark, sf_dir, term: str, max_per_key: int = 2, k: int = 10
+) -> DataFrame:
+    """Top-k BM25 hits for `term` keeping at most `max_per_key` docs per
+    lang key (DiversifiedTopDocsCollector.java:62-96: a global priority
+    queue + per-key sub-queues that evict the weakest same-key hit).
+    Relationally that IS 'rank within key, keep the best max_per_key,
+    then global top-k': a per-key window (bounded per-key state, same as
+    the collector's sub-queues) followed by TakeOrderedAndProject — no
+    global sort of the full match set."""
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    totals = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("sum_dl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", "lang", F.size("toks").cast("double").alias("dl"),
+            F.explode("toks").alias("t"),
+        )
+        .where(F.col("t") == term)
+        .groupBy("doc_id", "lang", "dl")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    sc = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy(F.lit(1))).cast("double"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score_raw",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + K1 * ((1 - B) + B * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))
+            ),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.round(F.col("score_raw"), 6).desc(), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_per_key)
+        .orderBy(F.round(F.col("score_raw"), 6).desc(), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "lang", F.round("score_raw", 4).alias("score"))
+    )
+
+
+def diversified_topk_duck(term: str, max_per_key: int = 2, k: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tot AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(len({te}))::DOUBLE AS sum_dl FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, len({te})::DOUBLE AS dl,
+         len(list_filter({te}, t -> t = '{term}'))::DOUBLE AS tf
+  FROM documents WHERE list_contains({te}, '{term}')
+),
+dfr AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT doc_id, lang,
+         ln(1.0 + (tot.n_docs - dfr.df + 0.5)/(dfr.df + 0.5))
+           * tf/(tf + {K1}*((1-{B}) + {B}*dl/(tot.sum_dl/tot.n_docs))) AS score_raw
+  FROM tf CROSS JOIN dfr CROSS JOIN tot
+),
+div AS (
+  SELECT doc_id, lang, score_raw,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY round(score_raw, 6) DESC, doc_id ASC) AS rn
+  FROM sc
+)
+SELECT doc_id, lang, round(score_raw, 4) AS score FROM div
+WHERE rn <= {max_per_key}
+ORDER BY round(score_raw, 6) DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Association facets (facet/taxonomy/FloatAssociationFacetField +
+# TaxonomyFacetSumFloatAssociations): per-category SUM of a per-doc float
+# association instead of a hit count.
+# ---------------------------------------------------------------------------
+
+
+def facet_associations_spark(spark, sf_dir, term: str) -> DataFrame:
+    """Float-association facets over the match set of `term`
+    (facet/src/java/org/apache/lucene/facet/taxonomy/
+    TaxonomyFacetSumFloatAssociations.java:35-88 sumValues): each matching
+    doc contributes its association value (here n_chars/1000, a
+    quality-style weight) to its lang category; categories rank by summed
+    association, not count. One scan, map-side partial agg, shuffles only
+    the 5 lang keys."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    return (
+        docs.where(F.array_contains("toks", term))
+        .groupBy("lang")
+        .agg(
+            F.round(F.sum(F.col("n_chars") / 1000.0), 4).alias("assoc"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        .orderBy(F.desc("assoc"), F.asc("lang"))
+    )
+
+
+def facet_associations_duck(term: str) -> str:
+    te = duck_tokens_expr()
+    return f"""
+SELECT lang, round(sum(n_chars/1000.0), 4) AS assoc, count(*)::BIGINT AS cnt
+FROM documents WHERE list_contains({te}, '{term}')
+GROUP BY lang ORDER BY assoc DESC, lang ASC
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Solr spellcheck collation (handler/component/SpellCheckComponent.java
+# collate; spell/SpellingQueryConverter): substitute each misspelled word
+# with its top correction and verify the rewritten query has hits.
+# ---------------------------------------------------------------------------
+
+
+def suggest_spell_collate_spark(
+    spark, sf_dir, words: tuple, max_edits: int = 2, accuracy: float = 0.5
+) -> DataFrame:
+    """spellcheck.collate analog: per query word, keep it if it's in the
+    index, else substitute the TOP DirectSpellChecker suggestion (score
+    desc, df desc, term asc — suggest_spell_spark's ranking); the
+    collation row carries the rewritten query and its conjunction hit
+    count (maxCollationTries verification: a collation must actually
+    match). All frames are tiny (per-word suggestion lists) and broadcast
+    into one conjunction count over the corpus scan."""
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    d = tok.groupBy("term").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    fixed = []
+    for w in words:
+        top = (
+            suggest_spell_spark(spark, sf_dir, w, max_edits=max_edits,
+                                accuracy=accuracy)
+            .limit(1)
+            .select(F.col("term").alias(f"w{len(fixed)}"))
+        )
+        # keep the original word when it IS in the dictionary (the
+        # suggest-when-not-in-index gate returns an empty frame then)
+        present = d.where(F.col("term") == w).select(
+            F.col("term").alias(f"w{len(fixed)}")
+        )
+        fixed.append(F.broadcast(top.union(present).limit(1)))
+    joined = fixed[0]
+    for fr in fixed[1:]:
+        joined = joined.crossJoin(fr)
+    cols = [f"w{i}" for i in range(len(words))]
+    m = docs.select("doc_id", "toks").crossJoin(joined)
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.expr(f"array_contains(toks, {c})")
+    hits = (
+        m.where(cond)
+        .groupBy(*cols)
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return hits.select(
+        F.concat_ws(" ", *cols).alias("collation"), "hits"
+    )
+
+
+def suggest_spell_collate_duck(
+    words: tuple, max_edits: int = 2, accuracy: float = 0.5
+) -> str:
+    te = duck_tokens_expr()
+    word_ctes, sel = [], []
+    for i, w in enumerate(words):
+        lo, hi = len(w) - max_edits, len(w) + max_edits
+        word_ctes.append(f"""
+c{i} AS (
+  SELECT term FROM (
+    SELECT term, df, round(1.0 - damerau_levenshtein(term, '{w}')::DOUBLE /
+           least(length(term), {len(w)}), 4) AS score
+    FROM d
+    WHERE length(term) BETWEEN {lo} AND {hi}
+      AND substring(term, 1, 1) = '{w[0]}' AND term <> '{w}'
+      AND damerau_levenshtein(term, '{w}') <= {max_edits}
+      AND round(1.0 - damerau_levenshtein(term, '{w}')::DOUBLE /
+          least(length(term), {len(w)}), 4) >= {accuracy}
+      AND NOT EXISTS (SELECT 1 FROM d dq WHERE dq.term = '{w}')
+    ORDER BY score DESC, df DESC, term ASC LIMIT 1
+  )
+  UNION ALL
+  SELECT term FROM d WHERE term = '{w}' LIMIT 1
+)""".strip())
+        sel.append(f"(SELECT term FROM c{i} LIMIT 1)")
+    conds = " AND ".join(
+        f"list_contains({te}, {s})" for s in sel
+    )
+    collation = " || ' ' || ".join(sel)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+{",".join(word_ctes)}
+SELECT {collation} AS collation, count(*)::BIGINT AS hits
+FROM documents WHERE {conds}
+""".strip()

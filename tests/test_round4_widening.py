@@ -176,3 +176,77 @@ def test_dismax_mm_filters_matches(overlap_searcher):
         if w_en and w_me:
             ok.add(f"doc/{i:08d}")
     assert set(h2["path"]) <= ok and len(h2) == min(100, len(ok))
+
+
+# ---------------------------------------------------------------------------
+# Solr /export, DiversifiedTopDocsCollector, association facets, collate
+# ---------------------------------------------------------------------------
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_export_sorted_is_full_match_set_in_order(spark):
+    from lucene_solr_1_spark.sql import relational as R
+
+    pdf = R.export_sorted_spark(spark, SF001, "merge").toPandas()
+    docs = R.load_documents(spark, SF001).toPandas()
+    import re as _re
+
+    match = docs[docs["text"].str.lower().apply(
+        lambda t: "merge" in _re.findall(r"[a-z0-9_]+", t)
+    )]
+    assert len(pdf) == len(match)  # no top-k cap: the FULL match set
+    # emitted order is exactly (lang asc, n_chars desc, doc_id asc)
+    expect = pdf.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pdf.reset_index(drop=True), expect)
+
+
+def test_diversified_topk_caps_per_key(spark):
+    from lucene_solr_1_spark.sql import relational as R
+
+    top = R.diversified_topk_spark(spark, SF001, "merge", max_per_key=2, k=10).toPandas()
+    assert len(top) == 10
+    assert top["lang"].value_counts().max() <= 2
+    # reference semantics: per-key best-2 of the undiversified ranking
+    full = R.diversified_topk_spark(spark, SF001, "merge", max_per_key=10**6, k=10**6).toPandas()
+    full = full.sort_values(["score", "doc_id"], ascending=[False, True])
+    keep, seen = [], {}
+    for _, r in full.iterrows():
+        c = seen.get(r["lang"], 0)
+        if c < 2:
+            keep.append(r["doc_id"])
+            seen[r["lang"]] = c + 1
+    assert top["doc_id"].tolist() == keep[:10]
+
+
+def test_facet_associations_sums(spark):
+    from lucene_solr_1_spark.sql import relational as R
+
+    out = R.facet_associations_spark(spark, SF001, "query").toPandas()
+    exp = R.export_sorted_spark(spark, SF001, "query").toPandas()
+    want = (
+        (exp.assign(a=exp["n_chars"] / 1000.0).groupby("lang")["a"].sum()).round(4)
+    )
+    got = dict(zip(out["lang"], out["assoc"]))
+    assert got == want.to_dict()
+    assert (out["assoc"].values[:-1] >= out["assoc"].values[1:]).all()
+
+
+def test_spell_collate_corrects_only_oov_words(spark):
+    from lucene_solr_1_spark.sql import relational as R
+
+    out = R.suggest_spell_collate_spark(spark, SF001, ("quary", "merge")).toPandas()
+    assert len(out) == 1
+    assert out["collation"].iloc[0] == "query merge"  # quary->query, merge kept
+    # hit count == conjunction count of the collated words
+    docs = R.load_documents(spark, SF001).toPandas()
+    import re as _re
+
+    n = sum(
+        1
+        for t in docs["text"]
+        if {"query", "merge"} <= set(_re.findall(r"[a-z0-9_]+", t.lower()))
+    )
+    assert int(out["hits"].iloc[0]) == n
