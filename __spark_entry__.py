@@ -554,6 +554,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _kernel_hits_df(s, _get_index(s, d), parse("data AND (query OR merge)"), k=10)
 
+    def _covering(s, d):
+        from lucene_solr_1_spark.search.query import Covering
+
+        # per-doc required clause count: long docs must match more of the
+        # query (min_match = max(1, floor(n_chars/150)))
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            Covering((Term("query"), Term("merge"), Term("data")),
+                     "n_chars", scale=1.0 / 150.0),
+            k=10,
+        )
+
     def _edismax(s, d):
         from lucene_solr_1_spark.search.parser import parse_dismax
 
@@ -608,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_kernel_parsed_query"] = _parsed
+    q["fts_covering"] = _covering
     q["fts_edismax"] = _edismax
     q["fts_edismax_pf"] = _edismax_pf
     q["fts_kernel_phrase"] = _kernel_phrase
@@ -830,6 +843,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_payload_score": KO.kernel_payload_duck("merge", mod=7, k=10),
         "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
             "data", ("query", "merge"), k=10
+        ),
+        "fts_covering": KO.kernel_covering_duck(
+            ("query", "merge", "data"), field="n_chars", scale=1.0 / 150.0,
+            k=10,
         ),
         "fts_edismax": KO.kernel_edismax_duck(
             ("de", "data", "merge"), kw_field="lang", content_boost=1.0,

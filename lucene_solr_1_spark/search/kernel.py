@@ -25,7 +25,7 @@ from ..kernels import bm25
 from ..kernels import similarity as simk
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
-    Bool, Boost, ConstantScore, DisjunctionMax, FunctionScore, MatchAll,
+    Bool, Boost, ConstantScore, Covering, DisjunctionMax, FunctionScore, MatchAll,
     IntervalsQuery, MultiPhrase,
     MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
     SpanFirst,
@@ -295,6 +295,15 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
             "set_id": numeric_set_id(q),
             "score": F32(boost),
         }
+    if isinstance(q, Covering):
+        return {
+            "type": "covering",
+            "nodes": [compile_plan(s, global_df, doc_count, boost, sim)
+                      for s in q.queries],
+            "set_id": f"values:{q.field}",
+            "scale": float(q.scale),
+            "offset": float(q.offset),
+        }
     if isinstance(q, FunctionScore):
         return {
             "type": "func",
@@ -558,6 +567,35 @@ def eval_node(node: dict, seg: SegmentData, cache):
             return _EMPTY_I, _EMPTY_F
         docs = np.unique(np.concatenate(parts))
         return docs, np.full(len(docs), float(node["score"]), dtype=np.float64)
+    if t == "covering":
+        # CoveringQuery (CoveringScorer.java:120-160): disjunction whose
+        # required match count is per-doc — min_match(doc) =
+        # max(1, floor(value*scale + offset)) from the cogrouped
+        # doc-values channel; score = sum of matching clauses.
+        subs = [eval_node(s, seg, cache) for s in node["nodes"]]
+        subs = [(d, sc) for d, sc in subs if len(d)]
+        if not subs:
+            return _EMPTY_I, _EMPTY_F
+        alldocs = np.concatenate([d for d, _ in subs])
+        allscores = np.concatenate([sc for _, sc in subs])
+        docs, inv = np.unique(alldocs, return_inverse=True)
+        scores = np.zeros(len(docs), dtype=np.float64)
+        np.add.at(scores, inv, allscores)
+        cnt = np.bincount(inv, minlength=len(docs))
+        vs = seg.allowed.get(node["set_id"]) if isinstance(seg.allowed, dict) else None
+        if vs is None:
+            raise ValueError(
+                f"covering values {node['set_id']!r} not shipped to kernel"
+            )
+        vdocs, vvals = vs
+        idx = np.searchsorted(vdocs, docs)
+        v = vvals[np.minimum(idx, len(vvals) - 1)].astype(np.float64)
+        need = np.maximum(
+            np.floor(v * np.float64(node["scale"]) + np.float64(node["offset"])),
+            1.0,
+        )
+        keep = cnt >= need
+        return docs[keep], scores[keep]
     if t == "func":
         # FunctionScoreQuery: matching docs = inner's; score reshaped by a
         # numeric doc-value delivered via the cogrouped norms channel

@@ -238,6 +238,26 @@ class FunctionScore(Query):
 
 
 @dataclass(frozen=True)
+class Covering(Query):
+    """CoveringQuery (sandbox/src/java/org/apache/lucene/search/
+    CoveringQuery.java:35-60, CoveringScorer.java:120-133): a disjunction
+    whose REQUIRED number of matching clauses is a per-document long
+    value from a numeric doc-values source. The value source here is the
+    affine map floor(value(field) * scale + offset); per the reference,
+    values < 1 are treated as 1 (min_match = max(1, ...)). Matching docs
+    score as the SUM of their matching clauses (SHOULD semantics).
+    The values ride the same cogrouped doc-values channel as
+    FunctionScore/NumericRange; WAND is inapplicable (the per-doc
+    threshold invalidates fixed window upper bounds) so covering plans
+    route exhaustive."""
+
+    queries: tuple
+    field: str  # numeric doc-values column: 'dl' or 'n_chars'
+    scale: float = 1.0
+    offset: float = 0.0
+
+
+@dataclass(frozen=True)
 class MatchAll(Query):
     pass
 
@@ -475,6 +495,8 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             return DisjunctionMax(
                 tuple(walk(s) for s in node.queries), node.tie_breaker
             )
+        if isinstance(node, Covering):
+            return _dc_replace(node, queries=tuple(walk(s) for s in node.queries))
         return node  # MTQs, MatchAll/None, NumericRange: untouched
 
     return walk(q)
@@ -512,6 +534,12 @@ def _rewrite_once(q: Query) -> Query:
         if isinstance(inner, MatchNone):
             return inner
         return _dc_replace(q, query=inner)
+    if isinstance(q, Covering):
+        qs = tuple(s for s in (rewrite(c) for c in q.queries)
+                   if not isinstance(s, MatchNone))
+        if not qs:
+            return MatchNone()
+        return _dc_replace(q, queries=qs)
     if not isinstance(q, Bool):
         return q
     clauses = []
@@ -569,6 +597,8 @@ def value_source_fields(q: Query) -> set:
     resolved by the searcher via the cogrouped norms channel."""
     if isinstance(q, FunctionScore):
         return {q.field} | value_source_fields(q.query)
+    if isinstance(q, Covering):
+        return {q.field}.union(*(value_source_fields(s) for s in q.queries))
     if isinstance(q, (Boost, ConstantScore)):
         return value_source_fields(q.query)
     if isinstance(q, Bool):
@@ -614,7 +644,7 @@ def query_terms(q: Query) -> set:
         return query_terms(q.query)
     if isinstance(q, Bool):
         return set().union(*(query_terms(c.query) for c in q.clauses)) if q.clauses else set()
-    if isinstance(q, DisjunctionMax):
+    if isinstance(q, (DisjunctionMax, Covering)):
         return set().union(*(query_terms(s) for s in q.queries)) if q.queries else set()
     if isinstance(q, (MatchAll, MatchNone, NumericRange, NumericSet)):
         return set()

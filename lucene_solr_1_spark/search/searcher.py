@@ -375,6 +375,14 @@ class LuceneSparkSearcher:
                 from dataclasses import replace as _dc_replace
 
                 return _dc_replace(q, query=self.expand(q.query))
+            from .query import Covering as _Covering
+
+            if isinstance(q, _Covering):
+                from dataclasses import replace as _dc_replace
+
+                return _dc_replace(
+                    q, queries=tuple(self.expand(s) for s in q.queries)
+                )
             return q
         if not terms:
             return MatchNone()

@@ -1002,3 +1002,39 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def kernel_covering_duck(
+    terms: tuple,
+    field: str = "n_chars",
+    scale: float = 1.0,
+    offset: float = 0.0,
+    k: int = 10,
+) -> str:
+    """Twin of Covering(terms..., field, scale, offset)
+    (sandbox CoveringQuery.java / CoveringScorer.java:120-160): per-doc
+    required match count = max(1, floor(value*scale + offset)) over the
+    RAW doc-values column; matching docs score as the double sum of their
+    matching f32 term scores, final REAL cast at top-k."""
+    dv_cte = (
+        "dv AS (SELECT doc_id, dl AS v FROM dl)"
+        if field == "dl"
+        else "dv AS (SELECT doc_id, length(text) AS v FROM documents)"
+    )
+    return f"""
+WITH {_prelude(sorted(set(terms)))},
+{_weights_cte({})},
+{_scores_cte()},
+{dv_cte},
+agg AS (
+  SELECT doc_id, sum(s::DOUBLE) AS total, count(DISTINCT term) AS cnt
+  FROM s GROUP BY 1
+),
+matched AS (
+  SELECT a.doc_id, CAST(a.total AS REAL) AS score32
+  FROM agg a JOIN dv d USING (doc_id)
+  WHERE a.cnt >= greatest(
+    floor(d.v::DOUBLE * {_lit(scale)} + {_lit(offset)}), 1.0)
+)
+{_topk_select(k)}
+""".strip()

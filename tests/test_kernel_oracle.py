@@ -23,6 +23,7 @@ KERNEL_ENTRIES = [
     "fts_kernel_parsed_query",
     "fts_edismax",
     "fts_edismax_pf",
+    "fts_covering",
     "fts_field_term",
     "fts_bm25_metadata_filter",
     "fts_bm25_numeric_filter",

@@ -250,3 +250,55 @@ def test_spell_collate_corrects_only_oov_words(spark):
         if {"query", "merge"} <= set(_re.findall(r"[a-z0-9_]+", t.lower()))
     )
     assert int(out["hits"].iloc[0]) == n
+
+
+# ---------------------------------------------------------------------------
+# CoveringQuery (sandbox/search/CoveringQuery.java): per-doc min_match
+# from a numeric doc-values source
+# ---------------------------------------------------------------------------
+
+
+def test_covering_semantics_vs_bruteforce(spark):
+    import re as _re
+
+    from lucene_solr_1_spark.search.query import Covering, Term
+    from lucene_solr_1_spark.sql import relational as R
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    terms = ("query", "merge", "data")
+    q = Covering(tuple(Term(t) for t in terms), "n_chars", scale=1.0 / 150.0)
+    hits = s.search(q, k=1000)
+    got = set(hits["path"])
+    docs = R.load_documents(spark, SF001).toPandas()
+    want = set()
+    for _, r in docs.iterrows():
+        toks = set(_re.findall(r"[a-z0-9_]+", r["text"].lower()))
+        cnt = sum(t in toks for t in terms)
+        need = max(1, int(len(r["text"]) // 150))
+        if cnt >= need:
+            want.add(f"doc/{r['doc_id']:08d}")
+    assert got == want
+    # the per-doc threshold actually bites: some docs match >=1 clause
+    # but fail their min_match
+    fails = 0
+    for _, r in docs.iterrows():
+        toks = set(_re.findall(r"[a-z0-9_]+", r["text"].lower()))
+        cnt = sum(t in toks for t in terms)
+        if 1 <= cnt < max(1, int(len(r["text"]) // 150)):
+            fails += 1
+    assert fails > 0
+
+
+def test_covering_local_matches_distributed(spark):
+    from lucene_solr_1_spark.search.query import Covering, Term
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    q = Covering((Term("query"), Term("merge")), "dl", scale=0.01)
+    dist = s.search(q, k=20)
+    loc = s.search_local(q, k=20)
+    assert dist["global_doc_id"].tolist() == loc["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        dist["score"].to_numpy(np.float64), loc["score"].to_numpy(np.float64)
+    )
