@@ -554,6 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _kernel_hits_df(s, _get_index(s, d), parse("data AND (query OR merge)"), k=10)
 
+    def _complex_phrase(s, d):
+        sr = _get_index(s, d)
+        return _kernel_hits_df(s, sr, sr.complex_phrase(("fast", "s*")), k=10)
+
     def _covering(s, d):
         from lucene_solr_1_spark.search.query import Covering
 
@@ -620,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_kernel_parsed_query"] = _parsed
+    q["fts_complex_phrase"] = _complex_phrase
     q["fts_covering"] = _covering
     q["fts_edismax"] = _edismax
     q["fts_edismax_pf"] = _edismax_pf
@@ -843,6 +848,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_payload_score": KO.kernel_payload_duck("merge", mod=7, k=10),
         "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
             "data", ("query", "merge"), k=10
+        ),
+        "fts_complex_phrase": KO.kernel_complex_phrase_duck(
+            ("fast", {"prefix": "s"}), k=10
         ),
         "fts_covering": KO.kernel_covering_duck(
             ("query", "merge", "data"), field="n_chars", scale=1.0 / 150.0,

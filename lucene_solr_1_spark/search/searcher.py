@@ -323,6 +323,34 @@ class LuceneSparkSearcher:
             self._df_cache[(q.field, r["term"])] = int(r["df"])
         return [(r["term"], int(r["dist"])) for r in rows]
 
+    def complex_phrase(self, slots: tuple, slop: int = 0,
+                       field: str = "content") -> Query:
+        """ComplexPhraseQueryParser analog (lucene/queryparser/src/java/
+        org/apache/lucene/queryparser/complexPhrase/
+        ComplexPhraseQueryParser.java:40-120; Solr
+        ComplexPhraseQParserPlugin.java): a phrase where a slot may be a
+        wildcard/prefix pattern. Each pattern slot expands against the
+        LIVE term dictionary (the same pushdown + 1024-cap machinery as
+        standalone MTQs) and the whole thing evaluates as ONE
+        MultiPhraseQuery — per-slot union posting streams, standard
+        phrase matching, allTermStats weight."""
+        from .query import MatchNone as _MN, MultiPhrase, Prefix, Wildcard
+
+        positions = []
+        for spec in slots:
+            if isinstance(spec, str) and ("*" in spec or "?" in spec):
+                if spec.endswith("*") and "*" not in spec[:-1] and "?" not in spec:
+                    mtq: Query = Prefix(spec[:-1], field=field)
+                else:
+                    mtq = Wildcard(spec, field=field)
+                alts = self._expand_terms(self._mtq_cond(mtq))
+                if not alts:
+                    return _MN()  # a dead slot kills the phrase
+                positions.append(tuple(sorted(alts)))
+            else:
+                positions.append((spec,) if isinstance(spec, str) else tuple(spec))
+        return MultiPhrase(tuple(positions), slop=slop, field=field)
+
     def expand(self, q: Query) -> Query:
         """Rewrite multi-term queries to term disjunctions (ScoringRewrite /
         TopTermsRewrite: terms ranked by docFreq, capped at 1024).

@@ -1038,3 +1038,59 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def kernel_complex_phrase_duck(slots: tuple, k: int = 10) -> str:
+    """Twin of searcher.complex_phrase (ComplexPhraseQueryParser /
+    MultiPhraseQuery with a pattern slot): a slot is a literal term or
+    {"prefix": p} / {"like": pat}; pattern slots match every corpus term
+    matching the pattern — the same set the engine's term-dict expansion
+    yields (every indexed term has df >= 1). Weight = f32(sum of f32
+    idfs in double) over ALL alternatives of every slot (allTermStats),
+    freq = count of matching starts, scored against the quantized norm
+    cache — the kernel_multiphrase_duck pipeline with predicate slots."""
+    def cond(slot) -> str:
+        if isinstance(slot, dict):
+            pat = slot.get("like") or slot["prefix"] + "%"
+            return f"term LIKE {_sql_str(pat)}"
+        if isinstance(slot, str):
+            return f"term = {_sql_str(slot)}"
+        return f"term IN ({_sql_list(slot)})"
+
+    any_cond = " OR ".join(f"({cond(s)})" for s in slots)
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    slot_ctes = ",\n".join(
+        f"p{i} AS (SELECT doc_id, p FROM pos WHERE {cond(s)})"
+        for i, s in enumerate(slots)
+    )
+    joins = "".join(
+        f" JOIN p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.p = p0.p + {i}"
+        for i in range(1, len(slots))
+    )
+    return f"""
+WITH {_base_ctes()},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE {any_cond} GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+pw AS (
+  SELECT {_f32("CAST(1.0 AS REAL) * " + _f32(f"sum({_idf32('dfr.df', 'tot.n_docs')}::DOUBLE)"))} AS w
+  FROM dfr CROSS JOIN tot
+),
+pos AS (
+  SELECT doc_id, unnest({toks}) AS term, generate_subscripts({toks}, 1) AS p
+  FROM documents
+),
+{slot_ctes},
+pf AS (
+  SELECT p0.doc_id, count(*) AS freq FROM p0{joins} GROUP BY 1
+),
+matched AS (
+  SELECT pf.doc_id,
+         CAST(pw.w * CAST(CAST(pf.freq AS REAL)::DOUBLE /
+              (CAST(pf.freq AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL) AS score32
+  FROM pf JOIN cache c ON c.doc_id = pf.doc_id CROSS JOIN pw
+)
+{_topk_select(k)}
+""".strip()

@@ -24,6 +24,7 @@ KERNEL_ENTRIES = [
     "fts_edismax",
     "fts_edismax_pf",
     "fts_covering",
+    "fts_complex_phrase",
     "fts_field_term",
     "fts_bm25_metadata_filter",
     "fts_bm25_numeric_filter",

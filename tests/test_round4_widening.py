@@ -302,3 +302,38 @@ def test_covering_local_matches_distributed(spark):
     np.testing.assert_array_equal(
         dist["score"].to_numpy(np.float64), loc["score"].to_numpy(np.float64)
     )
+
+
+# ---------------------------------------------------------------------------
+# ComplexPhraseQueryParser: wildcard slot inside a phrase -> MultiPhrase
+# ---------------------------------------------------------------------------
+
+
+def test_complex_phrase_matches_bruteforce(spark):
+    import re as _re
+
+    from lucene_solr_1_spark.sql import relational as R
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    q = s.complex_phrase(("fast", "s*"))
+    hits = s.search(q, k=1000)
+    got = set(hits["path"])
+    docs = R.load_documents(spark, SF001).toPandas()
+    want = set()
+    for _, r in docs.iterrows():
+        toks = _re.findall(r"[a-z0-9_]+", r["text"].lower())
+        if any(
+            a == "fast" and b.startswith("s")
+            for a, b in zip(toks, toks[1:])
+        ):
+            want.add(f"doc/{r['doc_id']:08d}")
+    assert got == want and len(got) > 0
+
+
+def test_complex_phrase_dead_slot_matches_nothing(spark):
+    from lucene_solr_1_spark.search.query import MatchNone
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    assert isinstance(s.complex_phrase(("fast", "zzqx*")), MatchNone)
