@@ -135,6 +135,27 @@ def _get_sorted_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_dvu_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Lifecycle index exercising updateNumericDocValue: after the build,
+    every lang='zh' doc's n_chars doc-value is set to 10_000 (a value no
+    raw doc reaches), so a NumericRange(n_chars >= 10_000) FILTER selects
+    exactly the zh docs THROUGH the updated per-segment doc-values
+    generation — the DuckDB twin expresses the same match set as a lang
+    filter."""
+    from lucene_solr_1_spark.index.docvalues import update_numeric_docvalue
+
+    key = ("dvu", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_dvu_")
+        build_index(spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4)
+        update_numeric_docvalue(
+            spark, d, term="zh", field="n_chars", value=10_000,
+            term_field="lang",
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _kernel_hits_df(spark, searcher, q, k=10, similarity=None) -> DataFrame:
     hits = searcher.search(q, k=k, similarity=similarity)
     if len(hits) == 0:
@@ -376,6 +397,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Bool.of(
             (Occur.MUST, Term("query")),
             (Occur.FILTER, Term("en", field="lang")),
+        ),
+        k=10,
+    )
+    q["fts_dv_update_filter"] = lambda s, d: _kernel_hits_df(
+        s,
+        _get_dvu_index(s, d),
+        Bool.of(
+            (Occur.MUST, Term("merge")),
+            (Occur.FILTER, NumericRange("n_chars", 10_000, None)),
         ),
         k=10,
     )
@@ -897,6 +927,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_kernel_highlight_offsets": KO.kernel_highlight_duck("query", 10, 30),
         "fts_bm25_metadata_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="doc.lang = 'en'"
+        ),
+        "fts_dv_update_filter": KO.kernel_bool_duck(
+            must=("merge",), k=10, filter_sql="doc.lang = 'zh'"
         ),
         "fts_bm25_numeric_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="dl.dl BETWEEN 30 AND 60"

