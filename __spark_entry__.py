@@ -584,6 +584,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _kernel_hits_df(s, _get_index(s, d), parse("data AND (query OR merge)"), k=10)
 
+    def _rtg(s, d):
+        sr = _get_index(s, d)
+        pdf = sr.get_documents(
+            ("doc/00000003", "doc/00000017", "doc/00000042")
+        )
+        pdf = pdf[["path", "lang", "n_chars"]].copy()
+        pdf["doc_id"] = pdf["path"].str.removeprefix("doc/").astype("int64")
+        pdf["n_chars"] = pdf["n_chars"].astype("int64")
+        return s.createDataFrame(pdf[["doc_id", "lang", "n_chars"]])
+
     def _complex_phrase(s, d):
         sr = _get_index(s, d)
         return _kernel_hits_df(s, sr, sr.complex_phrase(("fast", "s*")), k=10)
@@ -654,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_kernel_parsed_query"] = _parsed
+    q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
     q["fts_covering"] = _covering
     q["fts_edismax"] = _edismax
@@ -879,6 +890,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
             "data", ("query", "merge"), k=10
         ),
+        "fts_realtime_get": """
+SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
+""".strip(),
         "fts_complex_phrase": KO.kernel_complex_phrase_duck(
             ("fast", {"prefix": "s"}), k=10
         ),

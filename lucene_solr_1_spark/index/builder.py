@@ -357,6 +357,33 @@ def update_documents(
     return mf.commit_manifest(index_dir, segments, extra=extra)
 
 
+def atomic_update(
+    spark: SparkSession,
+    index_dir: str,
+    path: str,
+    set_fields: dict,
+) -> dict:
+    """Solr atomic update (solr/core/src/java/org/apache/solr/update/
+    processor/AtomicUpdateDocumentMerger.java, 'set' modifier): read the
+    doc's STORED fields, overlay `set_fields`, and updateDocument — the
+    caller never resupplies the whole document. Requires stored fields
+    (ours always are). One atomic commit via update_documents."""
+    from ..search.searcher import LuceneSparkSearcher
+
+    allowed = {"repo", "commit", "lang", "content"}
+    bad = set(set_fields) - allowed
+    if bad:
+        raise ValueError(f"cannot set {sorted(bad)}; settable: {sorted(allowed)}")
+    s = LuceneSparkSearcher(spark, index_dir)
+    cur = s.get_documents((path,))
+    if len(cur) == 0:
+        raise KeyError(f"no live document with path {path!r}")
+    row = cur.iloc[0][["repo", "path", "commit", "lang", "content"]].to_dict()
+    row.update(set_fields)
+    new_df = spark.createDataFrame(pd.DataFrame([row]))
+    return update_documents(spark, new_df, index_dir, key_field="path")
+
+
 def postings_paths(index_dir: str, manifest: dict) -> list[str]:
     return [
         os.path.join(mf.segment_dir(index_dir, s["segment_id"]), _POSTINGS_FILE)

@@ -26,6 +26,7 @@ from ..kernels import similarity as simk
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
     Bool, Boost, ConstantScore, Covering, DisjunctionMax, FunctionScore, MatchAll,
+    SpanPositionRange,
     IntervalsQuery, MultiPhrase,
     MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
     SpanFirst,
@@ -351,6 +352,13 @@ def _span_tree(q, field: str) -> dict:
             "kind": "not",
             "include": _span_tree(q.include, q.field),
             "exclude": _span_tree(q.exclude, q.field),
+        }
+    if isinstance(q, SpanPositionRange):
+        return {
+            "kind": "posrange",
+            "match": _span_tree(q.match, q.field),
+            "start": int(q.start),
+            "end": int(q.end),
         }
     if isinstance(q, SpanFirst):
         return {
@@ -1058,7 +1066,7 @@ def _span_docs(span: dict, seg: SegmentData) -> np.ndarray:
         return cand if cand is not None else _EMPTY_I
     if k == "not":
         return _span_docs(span["include"], seg)
-    if k == "first":
+    if k in ("first", "posrange"):
         return _span_docs(span["match"], seg)
     if k in ("containing", "within"):
         # ConjunctionSpans (ContainSpans.java): both sides must be present
@@ -1112,6 +1120,9 @@ def _doc_spans(span: dict, seg: SegmentData, doc: int) -> list:
     if k == "first":
         return [(s, e) for s, e in _doc_spans(span["match"], seg, doc)
                 if e <= span["end"]]
+    if k == "posrange":
+        return [(s, e) for s, e in _doc_spans(span["match"], seg, doc)
+                if s >= span["start"] and e <= span["end"]]
     if k == "containing":
         big = _doc_spans(span["big"], seg, doc)
         little = _doc_spans(span["little"], seg, doc)
@@ -1220,6 +1231,10 @@ def _seg_span_stream(span: dict, seg: SegmentData, cand: np.ndarray):
     if k == "first":
         di, s, e = _seg_span_stream(span["match"], seg, cand)
         keep = e <= span["end"]
+        return di[keep], s[keep], e[keep]
+    if k == "posrange":
+        di, s, e = _seg_span_stream(span["match"], seg, cand)
+        keep = (s >= span["start"]) & (e <= span["end"])
         return di[keep], s[keep], e[keep]
     if k in ("containing", "within"):
         # SpanContaining: keep big spans containing >= 1 little span;

@@ -151,6 +151,17 @@ class SpanFirst(Query):
 
 
 @dataclass(frozen=True)
+class SpanPositionRange(Query):
+    """Spans of `match` with start >= `start` and end <= `end`
+    (search/spans/SpanPositionRangeQuery.java:35-60; SpanFirstQuery is
+    the start=0 special case)."""
+    match: Query
+    start: int
+    end: int
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class SpanContaining(Query):
     """Spans of `big` that CONTAIN at least one span of `little`
     (search/spans/SpanContainingQuery.java:80-111, ContainSpans.java):
@@ -475,6 +486,8 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             )
         if isinstance(node, SpanFirst):
             return SpanFirst(walk(node.match, node.field), node.end, field=node.field)
+        if isinstance(node, SpanPositionRange):
+            return _dc_replace(node, match=walk(node.match, node.field))
         if isinstance(node, (SpanContaining, SpanWithin)):
             return type(node)(
                 walk(node.big, node.field), walk(node.little, node.field),
@@ -588,7 +601,7 @@ def numeric_ranges(q: Query) -> set:
     return set()
 
 
-SPAN_TYPES = (SpanTerm, SpanOr, SpanNot, SpanFirst, SpanNear,
+SPAN_TYPES = (SpanTerm, SpanOr, SpanNot, SpanFirst, SpanPositionRange, SpanNear,
               SpanContaining, SpanWithin)
 
 
@@ -621,7 +634,7 @@ def span_leaf_terms(q, field: str = DEFAULT_FIELD) -> set:
         return set().union(*(span_leaf_terms(c, q.field) for c in q.terms)) if q.terms else set()
     if isinstance(q, SpanNot):
         return span_leaf_terms(q.include, q.field) | span_leaf_terms(q.exclude, q.field)
-    if isinstance(q, SpanFirst):
+    if isinstance(q, (SpanFirst, SpanPositionRange)):
         return span_leaf_terms(q.match, q.field)
     if isinstance(q, (SpanContaining, SpanWithin)):
         return span_leaf_terms(q.big, q.field) | span_leaf_terms(q.little, q.field)

@@ -1529,6 +1529,29 @@ class LuceneSparkSearcher:
             "details": details,
         }
 
+    def get_documents(self, paths: tuple) -> pd.DataFrame:
+        """Real-time get (solr/core/src/java/org/apache/solr/handler/
+        component/RealTimeGetComponent.java use case): fetch stored fields
+        by unique key with NO search — one pushed-down docmap scan
+        (PushedFilters: path IN (...)), tombstones masked so a replaced
+        doc returns only its LIVE version. Rows come back in path order."""
+        out = (
+            self._norms.where(F.col("path").isin(list(paths)))
+            .select("segment_id", "doc_id", "repo", "path", "commit",
+                    "lang", "dl", "n_chars", "content")
+            .toPandas()
+        )
+        if self.tombstones:
+            import numpy as _np
+
+            keep = _np.ones(len(out), dtype=bool)
+            for i, (sid, did) in enumerate(zip(out["segment_id"], out["doc_id"])):
+                dead = self.tombstones.get(sid)
+                if dead is not None and did in dead:
+                    keep[i] = False
+            out = out[keep]
+        return out.sort_values(["path", "segment_id"]).reset_index(drop=True)
+
     def _fetch_stored(self, hits: pd.DataFrame) -> pd.DataFrame:
         """Stored-fields retrieval = broadcast join of the tiny hit set
         against the norms/docmap table (SURVEY.md §2.1)."""

@@ -215,3 +215,25 @@ def test_dv_update_survives_merge_bake_in(spark, dv_index):
     fr_paths = set(c.loc[c["lang"] == "fr", "path"])
     assert len(hits) > 0 and set(hits["path"]) <= fr_paths
     assert check_index(spark, d)["errors"] == []
+
+
+def test_realtime_get_and_atomic_update(spark, tmp_path):
+    from lucene_solr_1_spark.index.builder import atomic_update
+
+    c = _corpus(5, 25, "au")
+    d = str(tmp_path / "iau")
+    build_index(spark, spark.createDataFrame(c), d, num_segments=2)
+    s = LuceneSparkSearcher(spark, d)
+    p = c["path"].iloc[3]
+    got = s.get_documents((p,))
+    assert len(got) == 1 and got["content"].iloc[0] == c["content"].iloc[3]
+    # atomic set: change lang only; content/commit preserved
+    atomic_update(spark, d, p, {"lang": "fr"})
+    s2 = LuceneSparkSearcher(spark, d)
+    got2 = s2.get_documents((p,))
+    assert len(got2) == 1  # the replaced version is tombstone-masked
+    assert got2["lang"].iloc[0] == "fr"
+    assert got2["content"].iloc[0] == c["content"].iloc[3]
+    # keyword search finds it under the new lang value
+    hits = s2.search(Term("fr", field="lang"), k=50, with_stored=True)
+    assert p in set(hits["path"])

@@ -11,7 +11,8 @@ import pytest
 from lucene_solr_1_spark.index.builder import build_index
 from lucene_solr_1_spark.kernels.analyzer import tokenize_one
 from lucene_solr_1_spark.search.query import (
-    SpanContaining, SpanFirst, SpanNear, SpanNot, SpanOr, SpanTerm, SpanWithin,
+    SpanContaining, SpanFirst, SpanNear, SpanNot, SpanOr, SpanPositionRange,
+    SpanTerm, SpanWithin,
 )
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
 
@@ -60,6 +61,9 @@ def ref_spans(q, tokens):
         ]
     if isinstance(q, SpanFirst):
         return [(s, e) for s, e in ref_spans(q.match, tokens) if e <= q.end]
+    if isinstance(q, SpanPositionRange):
+        return [(s, e) for s, e in ref_spans(q.match, tokens)
+                if s >= q.start and e <= q.end]
     if isinstance(q, SpanContaining):
         big = ref_spans(q.big, tokens)
         little = ref_spans(q.little, tokens)
@@ -114,7 +118,7 @@ def _leaf_terms(q):
         return [t for c in q.terms for t in _leaf_terms(c)]
     if isinstance(q, SpanNot):
         return _leaf_terms(q.include) + _leaf_terms(q.exclude)
-    if isinstance(q, SpanFirst):
+    if isinstance(q, (SpanFirst, SpanPositionRange)):
         return _leaf_terms(q.match)
     if isinstance(q, (SpanContaining, SpanWithin)):
         return _leaf_terms(q.big) + _leaf_terms(q.little)
@@ -151,6 +155,8 @@ QUERIES = [
     SpanNear((SpanNear(("red", "green"), slop=0, in_order=True), "blue"), slop=3),
     SpanNot(SpanNear(("red", "blue"), slop=2), SpanTerm("green")),
     SpanFirst(SpanNear(("red", "green"), slop=2), 10),
+    SpanPositionRange(SpanTerm("green"), 3, 12),
+    SpanPositionRange(SpanNear(("red", "green"), slop=2), 2, 14),
     # SpanContaining / SpanWithin (SpanContainingQuery/SpanWithinQuery):
     # near-windows containing a specific term, and terms inside a window
     SpanContaining(SpanNear(("red", "blue"), slop=3), SpanTerm("green")),
