@@ -293,6 +293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_quota_split"] = _quota
 
+    def _mixture(s, d):
+        from lucene_solr_1_spark.pipeline import curate
+
+        return curate.mixture_upsample_spark(s, d, 2.5, 0.5)
+
+    q["pipeline_mixture_upsample"] = _mixture
+
     def _pack(s, d):
         from lucene_solr_1_spark.pipeline import packing
 
@@ -319,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: similarity.dedup_embedding_lsh_verified_spark(s, d, 0.9)
     )
     q["token_count"] = textstats.token_count_spark
+    q["code_stats"] = textstats.code_stats_spark
     q["lang_id"] = textstats.lang_id_spark
     q["quality_score"] = textstats.quality_score_spark
     q["doc_fingerprint"] = textstats.fingerprint_spark
@@ -816,6 +824,9 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_quota_split": __import__(
             "lucene_solr_1_spark.pipeline.curate", fromlist=["x"]
         ).quota_split_duck(10, 20),
+        "pipeline_mixture_upsample": __import__(
+            "lucene_solr_1_spark.pipeline.curate", fromlist=["x"]
+        ).mixture_upsample_duck(2.5, 0.5),
         "pipeline_pack_sequences": __import__(
             "lucene_solr_1_spark.pipeline.packing", fromlist=["x"]
         ).pack_sequences_duck(512, 8),
@@ -827,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": similarity.embedding_neardup_duck(0.45),
         "dedup_embedding_lsh_verified": similarity.dedup_embedding_lsh_verified_duck(0.9),
         "token_count": textstats.token_count_duck(),
+        "code_stats": textstats.code_stats_duck(),
         "lang_id": textstats.lang_id_duck(),
         "quality_score": textstats.quality_score_duck(),
         "doc_fingerprint": textstats.fingerprint_duck(),

@@ -126,3 +126,65 @@ WHERE lid.pred_lang = '{lang}'
   AND d.doc_id = reps.rep_id
 ORDER BY 1
 """.strip()
+
+
+def mixture_upsample_spark(
+    spark, sf_dir, even_weight: float = 2.5, odd_weight: float = 0.5
+) -> DataFrame:
+    """Domain-mixture epoch upsampling — the data-mixing step where each
+    source gets a TARGET weight (epochs over the corpus: DoReMi/Pile/
+    LLaMA-style "wikipedia x2.5, crawl x0.5" mixtures). Per doc with
+    weight w: floor(w) guaranteed epochs plus one more with probability
+    frac(w), decided by a DETERMINISTIC content-stable hash (reshuffle-
+    proof, same property as quota_split's split). Output is the
+    PLACEMENT MAP (doc_id, source, epoch) — one row per scheduled
+    repetition; token payloads never move, downstream joins by doc_id.
+
+    Scale shape: weight + repetition count are pure codegen expressions;
+    the explode multiplies rows by at most ceil(max weight) — no shuffle,
+    no skew (hash is uniform)."""
+    from .dedup import _spark_h
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    w = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0,
+        F.lit(float(even_weight)),
+    ).otherwise(F.lit(float(odd_weight)))
+    u = (F.pmod(F.expr(_spark_h("cast(doc_id as string)", "mix")), F.lit(1_000_000))
+         / 1_000_000.0)
+    rep = (F.floor(w) + F.when(u < w - F.floor(w), 1).otherwise(0)).cast("int")
+    return (
+        docs.withColumn("rep", rep)
+        .where(F.col("rep") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("rep") - 1)))
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "source",
+            F.col("epoch").cast("bigint"),
+        )
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def mixture_upsample_duck(even_weight: float = 2.5, odd_weight: float = 0.5) -> str:
+    from .dedup import _duck_h
+
+    h = _duck_h("cast(doc_id as varchar)", "mix")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0
+              THEN {even_weight} ELSE {odd_weight} END AS w,
+         (({h}) % 1000000) / 1000000.0 AS u
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, source,
+         CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS rep
+  FROM base
+)
+SELECT doc_id::BIGINT AS doc_id, source,
+       unnest(generate_series(0, rep - 1))::BIGINT AS epoch
+FROM rep WHERE rep > 0
+ORDER BY doc_id, epoch
+""".strip()

@@ -137,3 +137,56 @@ def fingerprint_duck() -> str:
         "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint "
         "FROM documents ORDER BY 1"
     )
+
+
+def code_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-quality filtering signals (the StarCoder/SantaCoder-style
+    rules a source-code training pipeline gates on): line-shape stats
+    (count, mean/max length — screens minified/generated blobs),
+    alphanumeric fraction (screens binary/data blobs), comment-line
+    count (# or // prefixed). Pure codegen expressions over one scan —
+    no UDF, no shuffle; at 100 TB this is a map-only pass."""
+    docs = load_documents(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n")
+    lens = F.expr("transform(split(text, '\\n'), l -> length(l))")
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.expr(
+            "aggregate(transform(split(text, '\\n'), l -> length(l)), "
+            "0L, (a, x) -> a + x)"
+        ).alias("_sum_len"),
+        F.array_max(lens).cast("bigint").alias("max_line_len"),
+        F.size(F.expr(r"filter(split(text, '\\n'), l -> l rlike '^\\\\s*(#|//)')"))
+        .cast("bigint")
+        .alias("comment_lines"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("_alpha"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        F.round(F.col("_sum_len") / F.col("n_lines"), 4).alias("avg_line_len"),
+        "max_line_len",
+        "comment_lines",
+        F.round("_alpha", 4).alias("alpha_frac"),
+    ).orderBy("doc_id")
+
+
+def code_stats_duck() -> str:
+    return r"""
+WITH l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       len(lines)::BIGINT AS n_lines,
+       round(list_sum(list_transform(lines, x -> length(x)))::DOUBLE
+             / len(lines), 4) AS avg_line_len,
+       list_max(list_transform(lines, x -> length(x)))::BIGINT AS max_line_len,
+       len(list_filter(lines, x -> regexp_matches(x, '^\s*(#|//)')))::BIGINT
+         AS comment_lines,
+       round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 4) AS alpha_frac
+FROM l ORDER BY 1
+""".strip()

@@ -337,3 +337,53 @@ def test_complex_phrase_dead_slot_matches_nothing(spark):
 
     s = E._get_index(spark, SF001)
     assert isinstance(s.complex_phrase(("fast", "zzqx*")), MatchNone)
+
+
+# ---------------------------------------------------------------------------
+# pipeline: mixture upsampling + code stats
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_upsample_semantics(spark):
+    from lucene_solr_1_spark.pipeline.curate import mixture_upsample_spark
+    from lucene_solr_1_spark.sql import relational as R
+
+    out = mixture_upsample_spark(spark, SF001, 2.5, 0.5).toPandas()
+    docs = R.load_documents(spark, SF001).toPandas()
+    n = len(docs)
+    # deterministic: re-running gives the identical placement map
+    out2 = mixture_upsample_spark(spark, SF001, 2.5, 0.5).toPandas()
+    pd.testing.assert_frame_equal(out, out2)
+    # per-doc repetition bounds: even sources 2-3 epochs, odd 0-1
+    reps = out.groupby("doc_id").size()
+    src = docs.set_index("doc_id")["source"]
+    for doc_id, r in reps.items():
+        even = int(src[doc_id][3:]) % 2 == 0
+        assert r in ((2, 3) if even else (1,))
+    # expected mass: ~ n/2*2.5 + n/2*0.5 within 15%
+    assert abs(len(out) - n * 1.5) / (n * 1.5) < 0.15
+    # epochs are 0..rep-1 per doc
+    for doc_id, g in out.groupby("doc_id"):
+        assert sorted(g["epoch"]) == list(range(len(g)))
+
+
+def test_code_stats_reference(spark):
+    from lucene_solr_1_spark.pipeline.textstats import code_stats_spark
+    from lucene_solr_1_spark.sql import relational as R
+    import re as _re
+
+    out = code_stats_spark(spark, SF001).toPandas().set_index("doc_id")
+    docs = R.load_documents(spark, SF001).toPandas()
+    for _, r in docs.head(40).iterrows():
+        lines = r["text"].split("\n")
+        row = out.loc[r["doc_id"]]
+        assert row["n_lines"] == len(lines)
+        assert row["max_line_len"] == max(len(x) for x in lines)
+        assert row["avg_line_len"] == round(
+            sum(len(x) for x in lines) / len(lines), 4
+        )
+        assert row["comment_lines"] == sum(
+            1 for x in lines if _re.match(r"^\s*(#|//)", x)
+        )
+        alnum = sum(ch.isascii() and ch.isalnum() for ch in r["text"])
+        assert row["alpha_frac"] == round(alnum / max(len(r["text"]), 1), 4)
