@@ -592,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _kernel_hits_df(s, _get_index(s, d), parse("data AND (query OR merge)"), k=10)
 
+    def _field_stats(s, d):
+        return s.createDataFrame(_get_index(s, d).index_field_stats())
+
     def _rtg(s, d):
         sr = _get_index(s, d)
         pdf = sr.get_documents(
@@ -672,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_kernel_parsed_query"] = _parsed
+    q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
     q["fts_covering"] = _covering
@@ -902,6 +906,29 @@ def oracle_sql() -> dict[str, str]:
         "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
             "data", ("query", "merge"), k=10
         ),
+        "index_field_stats": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT * FROM (
+  SELECT 'commit' AS field,
+         (SELECT count(DISTINCT sha256(text)) FROM documents)::BIGINT AS n_terms,
+         (SELECT n_docs FROM n)::BIGINT AS sum_df
+  UNION ALL
+  SELECT 'content', (SELECT count(DISTINCT term) FROM dt)::BIGINT,
+         (SELECT count(*) FROM dt)::BIGINT
+  UNION ALL
+  SELECT 'lang', (SELECT count(DISTINCT lang) FROM documents)::BIGINT,
+         (SELECT n_docs FROM n)::BIGINT
+  UNION ALL
+  SELECT 'path', (SELECT n_docs FROM n)::BIGINT, (SELECT n_docs FROM n)::BIGINT
+  UNION ALL
+  SELECT 'repo', 1::BIGINT, (SELECT n_docs FROM n)::BIGINT
+) ORDER BY field
+""".strip(),
         "fts_realtime_get": """
 SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id

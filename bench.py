@@ -138,6 +138,18 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
                 (("return",), ("int", "new"))
             ),
         }
+        # r4 widening: eDisMax (cross-field dismax of hot words) and
+        # CoveringQuery (per-doc min-match from the dl doc-value channel)
+        from lucene_solr_1_spark.search.parser import parse_dismax
+        from lucene_solr_1_spark.search.query import Covering
+
+        kernel_qs["edismax_search"] = parse_dismax(
+            "return class python", {"content": 1.0, "lang": 2.0},
+            tie=0.1, mm=1,
+        )
+        kernel_qs["covering_search"] = Covering(
+            (Term("return"), Term("class"), Term("void")), "dl", scale=0.01
+        )
         # BASELINE prescribes latency at k = 10 AND 100: k only changes
         # the per-segment heap size + driver merge width, not the scan
         queries["wand_term_hot_k100"] = _timed(
@@ -180,7 +192,8 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
             if k not in ("field_filter_search", "numeric_filter_search",
                          "phrase_hot_search", "spannear_search",
                          "sloppy_hot_search", "spanor_near_search",
-                         "multiphrase_search")
+                         "multiphrase_search", "edismax_search",
+                         "covering_search")
         }
         for _ in range(4):
             for q in lat_pool.values():
@@ -269,6 +282,9 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
         lambda: R.bm25_bool_spark(
             spark, sf_dir, must=("data",), should=("query", "merge"), k=10
         ).collect()
+    )
+    queries["export_sorted"] = _timed(
+        lambda: R.export_sorted_spark(spark, sf_dir, "data").collect()
     )
     queries["rel_phrase"] = _timed(
         lambda: R.phrase_match_spark(spark, sf_dir, "fast", "sort").collect()

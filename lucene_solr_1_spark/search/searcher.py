@@ -1529,6 +1529,25 @@ class LuceneSparkSearcher:
             "details": details,
         }
 
+    def index_field_stats(self) -> pd.DataFrame:
+        """Index introspection (Solr LukeRequestHandler / Lucene
+        FieldInfos + Terms.getSumDocFreq surface): per field, the number
+        of distinct terms and the summed docFreq, aggregated from the
+        live posting rows (sentinel rows excluded). One distributed agg
+        over the postings scan — the per-field term dictionary sizes a
+        CheckIndex-style invariant can compare against corpus truth."""
+        out = (
+            self._postings.where(~F.col("term").startswith("\x00"))
+            .groupBy("field")
+            .agg(
+                F.count_distinct("term").cast("bigint").alias("n_terms"),
+                F.sum("doc_freq").cast("bigint").alias("sum_df"),
+            )
+            .orderBy("field")
+            .toPandas()
+        )
+        return out
+
     def get_documents(self, paths: tuple) -> pd.DataFrame:
         """Real-time get (solr/core/src/java/org/apache/solr/handler/
         component/RealTimeGetComponent.java use case): fetch stored fields
