@@ -1593,11 +1593,35 @@ def _sim_wand_ok(node: dict) -> bool:
     return spec is None or spec["name"] in _WAND_SAFE_SIMS
 
 
+def _dismax_wandable(node: dict) -> bool:
+    """A DisjunctionMax node prunes when every alternative is a term
+    under a WAND-safe similarity and 0 <= tie <= 1: the per-doc combiner
+    f(s) = (1-tie)*max(s) + tie*sum(s) is then monotone non-decreasing
+    in every member score, so member block UBs bound the group
+    (WANDScorer.java handles DisjunctionMax the same way — its leaf
+    maxScore just folds through the combiner)."""
+    return (
+        node["type"] == "dismax"
+        and 0.0 <= float(node["tie"]) <= 1.0
+        and all(sub["type"] == "term" and _sim_wand_ok(sub)
+                for sub in node["nodes"])
+    )
+
+
+def _clause_wandable(node: dict) -> bool:
+    if node["type"] == "term":
+        return _sim_wand_ok(node)
+    return _dismax_wandable(node)
+
+
 def wand_applicable(plan: dict) -> bool:
-    """Flat term queries run under block-max pruning: pure disjunctions
-    (WANDScorer.java) and conjunctions / MUST+SHOULD mixes
-    (BlockMaxConjunctionScorer.java, Boolean2ScorerSupplier.java:156-193).
-    MUST_NOT / minShouldMatch>1 / nested shapes use the exhaustive path.
+    """Flat term/dismax queries run under block-max pruning: pure
+    disjunctions (WANDScorer.java), conjunctions / MUST+SHOULD mixes
+    (BlockMaxConjunctionScorer.java, Boolean2ScorerSupplier.java:156-193),
+    and DisjunctionMax-of-terms clauses (the eDisMax per-word shape) —
+    a dismax group's window UB is (1-tie)*max + tie*sum of its members'
+    window UBs, valid because the combiner is monotone per member.
+    MUST_NOT / minShouldMatch>1 / deeper nesting use the exhaustive path.
     Non-default similarities prune too, with window UBs scored through the
     sim itself (monotone ↑freq/↓dl ⇒ impacts bound every doc in the
     block) — except zero-clamping sims (lmd/dfi), which stay exhaustive."""
@@ -1605,9 +1629,10 @@ def wand_applicable(plan: dict) -> bool:
         return False
     if plan["type"] in ("term", "synonym"):
         return True
+    if plan["type"] == "dismax":
+        return _dismax_wandable(plan)
     if plan["type"] == "bool":
-        if any(cl["node"]["type"] != "term" or not _sim_wand_ok(cl["node"])
-               for cl in plan["clauses"]):
+        if any(not _clause_wandable(cl["node"]) for cl in plan["clauses"]):
             return False
         occurs = {cl["occur"] for cl in plan["clauses"]}
         # FILTER is excluded: it matches with score 0, but window upper
@@ -1621,24 +1646,35 @@ def wand_applicable(plan: dict) -> bool:
     return False
 
 
-def _wand_terms(plan: dict):
-    """[((field, term), node, required, scoring)] — required: conjunction
-    member (MUST/FILTER); scoring: contributes to the sum (not FILTER).
-    The node rides along so UBs and window scores go through the node's
-    similarity (_score_postings)."""
+def _wand_groups(plan: dict):
+    """[(required, scoring, tie, [((field, term), node), ...])] — one
+    group per clause. A plain term clause is a singleton group (tie 0,
+    where the combiner degenerates to the identity); a DisjunctionMax
+    clause groups its term alternatives under its tie. required:
+    conjunction member (MUST/FILTER); scoring: contributes to the sum
+    (not FILTER). Nodes ride along so UBs and window scores go through
+    each node's similarity (_score_postings)."""
+    def entry(nd):
+        return (_node_key(nd, nd["term"]), nd)
+
     if plan["type"] == "term":
-        return [(_node_key(plan, plan["term"]), plan, False, True)]
+        return [(False, True, 0.0, [entry(plan)])]
+    if plan["type"] == "dismax":
+        return [(False, True, float(plan["tie"]),
+                 [entry(sub) for sub in plan["nodes"]])]
     if plan["type"] == "synonym":
         return None  # synonym needs freq-merge; fall back
-    return [
-        (
-            _node_key(cl["node"], cl["node"]["term"]),
-            cl["node"],
-            cl["occur"] in ("MUST", "FILTER"),
-            cl["occur"] != "FILTER",
-        )
-        for cl in plan["clauses"]
-    ]
+    out = []
+    for cl in plan["clauses"]:
+        nd = cl["node"]
+        required = cl["occur"] in ("MUST", "FILTER")
+        scoring = cl["occur"] != "FILTER"
+        if nd["type"] == "dismax":
+            out.append((required, scoring, float(nd["tie"]),
+                        [entry(sub) for sub in nd["nodes"]]))
+        else:
+            out.append((required, scoring, 0.0, [entry(nd)]))
+    return out
 
 
 def _wand_weight_positive(node: dict) -> bool:
@@ -1664,8 +1700,12 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     the remaining windows can never contribute — stop (MaxScore/BMW hybrid,
     safe because UB bounds every doc score in the window).
     """
-    tw = _wand_terms(plan)
-    if tw is None or any(not _wand_weight_positive(nd) for _, nd, _, s in tw if s):
+    groups = _wand_groups(plan)
+    if groups is None or any(
+        not _wand_weight_positive(nd)
+        for req, sc, tie, members in groups if sc
+        for _, nd in members
+    ):
         # zero-weight scoring terms (boost 0) produce UB-0 windows whose
         # legitimate zero-score matches pruning would drop — exhaustive
         return score_exhaustive(
@@ -1673,49 +1713,63 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         )
     n_win = max(1, -(-seg.n_docs // window))
     win_ub = np.zeros(n_win, dtype=np.float64)
-    term_info = []
-    for key, node, required, scoring in tw:
-        r = seg.rows.get(key)
-        if r is None:
+    group_info = []
+    for required, scoring, tie, members in groups:
+        present = []
+        gmax = gsum = gcov = None
+        for key, node in members:
+            r = seg.rows.get(key)
+            if r is None:
+                continue
+            blk_last = np.asarray(r.block_last_doc, dtype=np.int64)
+            blk_maxf = np.asarray(r.block_max_freq, dtype=np.int64)
+            blk_minn = np.asarray(r.block_min_norm, dtype=np.int64)
+            # UB scored through the node's OWN similarity over the impact
+            # pair (max freq, min norm): valid because every supported sim
+            # is monotone ↑freq/↓dl and float-rounded compositions of
+            # monotone ops stay monotone (SimScorer.score(maxFreq, minNorm))
+            ub = _score_postings(node, blk_maxf, blk_minn, cache).astype(np.float64)
+            # block b covers (blk_last[b-1], blk_last[b]] → window range
+            blk_first = np.concatenate(([0], blk_last[:-1] + 1))
+            w_lo = blk_first // window
+            w_hi = blk_last // window
+            # per-term per-window max block UB — vectorized scatter-max
+            # over window endpoints + (rare) interiors: a hot term's ~78k
+            # blocks/segment must not become a Python loop
+            tmax = np.zeros(n_win, dtype=np.float64)
+            covered = np.zeros(n_win, dtype=bool)
+            np.maximum.at(tmax, w_lo, ub)
+            np.maximum.at(tmax, w_hi, ub)
+            covered[w_lo] = True
+            covered[w_hi] = True
+            span = w_hi - w_lo - 1  # interior windows of blocks spanning >= 3
+            m = span > 0
+            if m.any():
+                interior = _run_take((w_lo + 1)[m], span[m])
+                np.maximum.at(tmax, interior, np.repeat(ub[m], span[m]))
+                covered[interior] = True
+            present.append((key, node, r))
+            if gmax is None:
+                gmax, gsum, gcov = tmax.copy(), tmax.copy(), covered.copy()
+            else:
+                np.maximum(gmax, tmax, out=gmax)
+                gsum += tmax
+                gcov |= covered
+        if not present:
             if required:
-                # a MUST term absent from the segment ⇒ nothing matches
+                # a MUST group with no member in the segment ⇒ no matches
                 return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
             continue
-        blk_last = np.asarray(r.block_last_doc, dtype=np.int64)
-        blk_maxf = np.asarray(r.block_max_freq, dtype=np.int64)
-        blk_minn = np.asarray(r.block_min_norm, dtype=np.int64)
-        # UB scored through the node's OWN similarity over the impact pair
-        # (max freq, min norm): valid because every supported sim is
-        # monotone ↑freq/↓dl and float-rounded compositions of monotone
-        # ops stay monotone (SimScorer.score(maxFreq, minNorm) analog)
-        ub = _score_postings(node, blk_maxf, blk_minn, cache).astype(np.float64)
-        # block b covers (blk_last[b-1], blk_last[b]] → window range
-        blk_first = np.concatenate(([0], blk_last[:-1] + 1))
-        w_lo = blk_first // window
-        w_hi = blk_last // window
-        # per-term per-window max block UB, then summed across terms —
-        # vectorized scatter-max over window endpoints + (rare) interiors:
-        # a hot term's ~78k blocks/segment must not become a Python loop
-        tmax = np.zeros(n_win, dtype=np.float64)
-        covered = np.zeros(n_win, dtype=bool)
-        np.maximum.at(tmax, w_lo, ub)
-        np.maximum.at(tmax, w_hi, ub)
-        covered[w_lo] = True
-        covered[w_hi] = True
-        span = w_hi - w_lo - 1  # interior windows of blocks spanning >= 3
-        m = span > 0
-        if m.any():
-            interior = _run_take((w_lo + 1)[m], span[m])
-            np.maximum.at(tmax, interior, np.repeat(ub[m], span[m]))
-            covered[interior] = True
         if scoring:
-            win_ub += tmax
+            # group window UB = (1-tie)*max + tie*sum of member UBs —
+            # monotone combiner, so it bounds every doc in the window
+            win_ub += gmax + tie * (gsum - gmax)
         if required:
-            # conjunction member: windows with no block of this term can
+            # conjunction member: windows where NO member has a block can
             # never match (BlockMaxConjunctionScorer lead-iterator skip)
-            win_ub[~covered] = 0.0
-        term_info.append((key, node, required, scoring, r))
-    if not term_info:
+            win_ub[~gcov] = 0.0
+        group_info.append((required, scoring, tie, present))
+    if not group_info:
         return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
 
     order = np.argsort(-win_ub, kind="stable")
@@ -1734,26 +1788,46 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
             pruned = True
             break
         lo_doc, hi_doc = w * window, (w + 1) * window
-        # gather (doc, score) within this window across terms
+        # gather (doc, score) within this window across groups
         req_parts, opt_parts = [], []
         window_dead = False
-        for key, node, required, scoring, r in term_info:
-            docs, freqs, norms = seg.postings(key)
-            a = np.searchsorted(docs, lo_doc)
-            b = np.searchsorted(docs, hi_doc)
-            if a == b:
+        for required, scoring, tie, present in group_info:
+            mdocs, mscores = [], []
+            for key, node, r in present:
+                docs, freqs, norms = seg.postings(key)
+                a = np.searchsorted(docs, lo_doc)
+                b = np.searchsorted(docs, hi_doc)
+                if a == b:
+                    continue
+                dd = docs[a:b]
+                if scoring:
+                    sc = _score_postings(
+                        node, freqs[a:b], norms[a:b], cache
+                    ).astype(np.float64)
+                else:
+                    sc = np.zeros(len(dd), dtype=np.float64)  # FILTER: no score
+                mdocs.append(dd)
+                mscores.append(sc)
+            if not mdocs:
                 if required:
                     window_dead = True
                     break
                 continue
-            dd = docs[a:b]
-            if scoring:
-                s = _score_postings(node, freqs[a:b], norms[a:b], cache).astype(
-                    np.float64
-                )
+            if len(mdocs) == 1:
+                dd, sgrp = mdocs[0], mscores[0]
             else:
-                s = np.zeros(len(dd), dtype=np.float64)  # FILTER: match, no score
-            (req_parts if required else opt_parts).append((dd, s))
+                # dismax combine inside the window — the same unique +
+                # scatter max/sum ops as _eval_dismax, so WAND stays
+                # bit-identical to the exhaustive path
+                alld = np.concatenate(mdocs)
+                alls = np.concatenate(mscores)
+                dd, inv = np.unique(alld, return_inverse=True)
+                mx = np.zeros(len(dd), dtype=np.float64)
+                np.maximum.at(mx, inv, alls)
+                sm = np.zeros(len(dd), dtype=np.float64)
+                np.add.at(sm, inv, alls)
+                sgrp = mx + tie * (sm - mx)
+            (req_parts if required else opt_parts).append((dd, sgrp))
         if window_dead or (not req_parts and not opt_parts):
             continue
         if req_parts:

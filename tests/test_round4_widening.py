@@ -387,3 +387,70 @@ def test_code_stats_reference(spark):
         )
         alnum = sum(ch.isascii() and ch.isalnum() for ch in r["text"])
         assert row["alpha_frac"] == round(alnum / max(len(r["text"]), 1), 4)
+
+
+# ---------------------------------------------------------------------------
+# WAND over dismax groups: pruning must stay result-identical
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [11, 389])
+def test_dismax_wand_equals_exhaustive(spark, tmp_path_factory, seed):
+    from lucene_solr_1_spark.search import kernel as K
+    from lucene_solr_1_spark.search.query import query_terms
+
+    rng = np.random.default_rng(seed)
+    pdf = _overlap_corpus(120)
+    d = str(tmp_path_factory.mktemp(f"dmw{seed}"))
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=3)
+    s = LuceneSparkSearcher(spark, d)
+    vocab = ["merge", "data", "en", "query", "filler1", "filler2"]
+
+    def rand_q():
+        kind = rng.integers(0, 3)
+        tie = float(rng.choice([0.0, 0.1, 0.37, 1.0]))
+        terms = rng.choice(vocab, size=2 + rng.integers(0, 2), replace=False)
+        dm = DisjunctionMax(
+            tuple(Term(str(t)) for t in terms), tie_breaker=tie
+        )
+        if kind == 0:
+            return dm
+        if kind == 1:
+            return Bool.of(
+                (Occur.SHOULD, dm),
+                (Occur.SHOULD, Term(str(rng.choice(vocab)))),
+            )
+        return Bool.of(
+            (Occur.MUST, Term("merge")),
+            (Occur.SHOULD, dm),
+        )
+
+    checked_wandable = 0
+    for _ in range(10):
+        q = rand_q()
+        k = int(rng.integers(1, 12))
+        plan = K.compile_plan(
+            s.expand(q), s._global_df(query_terms(s.expand(q))), s.doc_counts
+        )
+        if K.wand_applicable(plan):
+            checked_wandable += 1
+        a = s.search(q, k=k, use_wand=True, with_stored=False)
+        b = s.search(q, k=k, use_wand=False, with_stored=False)
+        np.testing.assert_array_equal(
+            a["global_doc_id"].to_numpy(), b["global_doc_id"].to_numpy(),
+            err_msg=repr(q),
+        )
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(), b["score"].to_numpy(), err_msg=repr(q)
+        )
+    assert checked_wandable >= 8  # the shapes really take the pruned path
+
+
+def test_dismax_tie_above_one_stays_exhaustive():
+    from lucene_solr_1_spark.search import kernel as K
+
+    df = {("content", "a"): 3, ("content", "b"): 5}
+    plan = K.compile_plan(
+        DisjunctionMax((Term("a"), Term("b")), tie_breaker=1.5), df, 100
+    )
+    assert not K.wand_applicable(plan)  # combiner not monotone-bounded
