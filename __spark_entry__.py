@@ -609,6 +609,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sr = _get_index(s, d)
         return _kernel_hits_df(s, sr, sr.complex_phrase(("fast", "s*")), k=10)
 
+    def _boost_fn(s, d):
+        from lucene_solr_1_spark.search.parser import parse_function_expr
+        from lucene_solr_1_spark.search.query import FunctionExpr
+
+        # Solr's classic recency/size boost: bf=recip(...) x _score
+        e = parse_function_expr("product(_score, recip(n_chars, 1, 1000, 1000))")
+        return _kernel_hits_df(
+            s, _get_index(s, d), FunctionExpr(Term("query"), e), k=10
+        )
+
     def _covering(s, d):
         from lucene_solr_1_spark.search.query import Covering
 
@@ -678,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
+    q["fts_boost_function"] = _boost_fn
     q["fts_covering"] = _covering
     q["fts_edismax"] = _edismax
     q["fts_edismax_pf"] = _edismax_pf
@@ -935,6 +946,13 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
 """.strip(),
         "fts_complex_phrase": KO.kernel_complex_phrase_duck(
             ("fast", {"prefix": "s"}), k=10
+        ),
+        "fts_boost_function": KO.kernel_funcexpr_duck(
+            "query",
+            ("product", ("score",),
+             ("recip", ("field", "n_chars"), ("lit", 1.0),
+              ("lit", 1000.0), ("lit", 1000.0))),
+            k=10,
         ),
         "fts_covering": KO.kernel_covering_duck(
             ("query", "merge", "data"), field="n_chars", scale=1.0 / 150.0,

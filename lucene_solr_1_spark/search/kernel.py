@@ -25,7 +25,8 @@ from ..kernels import bm25
 from ..kernels import similarity as simk
 from ..kernels.forcodec import decode_all, decode_block
 from .query import (
-    Bool, Boost, ConstantScore, Covering, DisjunctionMax, FunctionScore, MatchAll,
+    Bool, Boost, ConstantScore, Covering, DisjunctionMax, FunctionExpr,
+    FunctionScore, MatchAll,
     SpanPositionRange,
     IntervalsQuery, MultiPhrase,
     MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
@@ -305,6 +306,15 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
             "scale": float(q.scale),
             "offset": float(q.offset),
         }
+    if isinstance(q, FunctionExpr):
+        from .query import expr_fields
+
+        return {
+            "type": "funcexpr",
+            "node": compile_plan(q.query, global_df, doc_count, boost, sim),
+            "expr": q.expr,
+            "set_ids": {f: f"values:{f}" for f in sorted(expr_fields(q.expr))},
+        }
     if isinstance(q, FunctionScore):
         return {
             "type": "func",
@@ -507,6 +517,58 @@ def _score_postings(node: dict, freqs, norms, cache) -> np.ndarray:
     )
 
 
+def _eval_expr(expr, scores: np.ndarray, fields: dict):
+    """FunctionExpr AST → float64 arrays (vectorized recursive eval).
+    log is base 10 per Solr's LogDoubleFunction; recip(x,m,a,b) =
+    a/(m*x+b) (ReciprocalFloatFunction)."""
+    op = expr[0]
+    if op == "lit":
+        return np.float64(expr[1])
+    if op == "score":
+        return scores
+    if op == "field":
+        return fields[expr[1]]
+    args = [_eval_expr(a, scores, fields) for a in expr[1:]]
+    if op == "sum":
+        out = args[0]
+        for a in args[1:]:
+            out = out + a
+        return out
+    if op == "sub":
+        return args[0] - args[1]
+    if op == "product":
+        out = args[0]
+        for a in args[1:]:
+            out = out * a
+        return out
+    if op == "div":
+        return args[0] / args[1]
+    if op == "log":
+        return np.log10(args[0])
+    if op == "ln":
+        return np.log(args[0])
+    if op == "sqrt":
+        return np.sqrt(args[0])
+    if op == "abs":
+        return np.abs(args[0])
+    if op == "pow":
+        return np.power(args[0], args[1])
+    if op == "min":
+        out = args[0]
+        for a in args[1:]:
+            out = np.minimum(out, a)
+        return out
+    if op == "max":
+        out = args[0]
+        for a in args[1:]:
+            out = np.maximum(out, a)
+        return out
+    if op == "recip":
+        x, m, a, b = args
+        return a / (m * x + b)
+    raise ValueError(f"unknown expr op {op!r}")
+
+
 def eval_node(node: dict, seg: SegmentData, cache):
     t = node["type"]
     if t == "term":
@@ -604,6 +666,26 @@ def eval_node(node: dict, seg: SegmentData, cache):
         )
         keep = cnt >= need
         return docs[keep], scores[keep]
+    if t == "funcexpr":
+        # compiled score expression (lucene/expressions, Solr
+        # FunctionQParser): eval the AST in double over (inner score,
+        # doc-values arrays), one final f32 cast — the kernel twin of the
+        # SQL generator in kernel_oracle.function_expr_sql
+        docs, scores = eval_node(node["node"], seg, cache)
+        if len(docs) == 0:
+            return _EMPTY_I, _EMPTY_F
+        fields = {}
+        for f, set_id in node["set_ids"].items():
+            vs = seg.allowed.get(set_id) if isinstance(seg.allowed, dict) else None
+            if vs is None:
+                raise ValueError(f"funcexpr values {set_id!r} not shipped to kernel")
+            vdocs, vvals = vs
+            idx = np.searchsorted(vdocs, docs)
+            fields[f] = vvals[np.minimum(idx, len(vvals) - 1)].astype(np.float64)
+        out = _eval_expr(node["expr"], scores, fields)
+        return docs, np.broadcast_to(
+            np.asarray(out, dtype=np.float64), scores.shape
+        ).astype(F32).astype(np.float64)
     if t == "func":
         # FunctionScoreQuery: matching docs = inner's; score reshaped by a
         # numeric doc-value delivered via the cogrouped norms channel

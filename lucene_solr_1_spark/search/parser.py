@@ -266,6 +266,64 @@ class _Parser:
         return Bool.of(*((Occur.SHOULD, Term(t, field=eff_field)) for t in terms))
 
 
+_FUNC_ARITY = {
+    "sum": None, "sub": 2, "product": None, "div": 2, "log": 1, "ln": 1,
+    "sqrt": 1, "abs": 1, "pow": 2, "min": None, "max": None, "recip": 4,
+}
+
+
+def parse_function_expr(text: str) -> tuple:
+    """Solr function-query syntax → FunctionExpr AST
+    (solr/core/src/java/org/apache/solr/search/FunctionQParser.java
+    parseValueSource; ValueSourceParser.java standard sources;
+    lucene/expressions JavascriptCompiler's compiled-expression role).
+    Grammar: name(arg, ...) | _score | <field> | <number>. Example:
+    'product(_score, recip(n_chars, 1, 1000, 1000))'."""
+    toks = re.findall(r"[A-Za-z_][\w]*|[-+]?\d+(?:\.\d+)?|[(),]", text)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat(t=None):
+        nonlocal pos
+        if pos >= len(toks) or (t is not None and toks[pos] != t):
+            raise ParseError(f"function-expr syntax at {toks[pos:pos+3]!r}")
+        pos += 1
+        return toks[pos - 1]
+
+    def parse_one() -> tuple:
+        tok = eat()
+        if re.fullmatch(r"[-+]?\d+(?:\.\d+)?", tok):
+            return ("lit", float(tok))
+        if tok == "_score":
+            return ("score",)
+        if peek() == "(":
+            fn = tok.lower()
+            if fn not in _FUNC_ARITY:
+                raise ParseError(f"unknown function {fn!r}")
+            eat("(")
+            args = [parse_one()]
+            while peek() == ",":
+                eat(",")
+                args.append(parse_one())
+            eat(")")
+            arity = _FUNC_ARITY[fn]
+            if arity is not None and len(args) != arity:
+                raise ParseError(f"{fn} expects {arity} args, got {len(args)}")
+            if arity is None and len(args) < 2:
+                raise ParseError(f"{fn} expects >= 2 args")
+            return (fn, *args)
+        if tok in NUMERIC_FIELDS:
+            return ("field", tok)
+        raise ParseError(f"unknown value source {tok!r}")
+
+    out = parse_one()
+    if pos != len(toks):
+        raise ParseError(f"trailing tokens {toks[pos:]!r}")
+    return out
+
+
 _DISMAX_WORD = re.compile(r'([+-]?)("(?:[^"\\]|\\.)*"|\S+)')
 
 

@@ -249,6 +249,27 @@ class FunctionScore(Query):
 
 
 @dataclass(frozen=True)
+class FunctionExpr(Query):
+    """Compiled score-expression query — the lucene/expressions module +
+    Solr FunctionQParser surface (expressions/src/java/org/apache/lucene/
+    expressions/js/JavascriptCompiler.java; solr/core/src/java/org/apache/
+    solr/search/FunctionQParser.java, ValueSourceParser.java standard
+    sources): the final score is an arithmetic expression over `_score`
+    (the inner query's score) and numeric doc-values fields, evaluated
+    per matching doc in double with ONE final float32 cast.
+
+    `expr` is a parsed AST (tuples) produced by
+    parser.parse_function_expr from Solr function syntax, e.g.
+    'product(_score, recip(n_chars, 1, 1000, 1000))' — the classic
+    recency/size boost. Supported sources: literals, _score, doc-values
+    fields; functions: sum, sub, product, div, log (base 10, per Solr),
+    ln, sqrt, abs, pow, min, max, recip(x,m,a,b) = a/(m*x+b)."""
+
+    query: Query
+    expr: tuple  # AST: ("lit", v) | ("score",) | ("field", name) | (fn, args...)
+
+
+@dataclass(frozen=True)
 class Covering(Query):
     """CoveringQuery (sandbox/src/java/org/apache/lucene/search/
     CoveringQuery.java:35-60, CoveringScorer.java:120-133): a disjunction
@@ -497,7 +518,7 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             return Boost(walk(node.query), node.boost)
         if isinstance(node, ConstantScore):
             return ConstantScore(walk(node.query), node.score)
-        if isinstance(node, (FunctionScore, PayloadScore)):
+        if isinstance(node, (FunctionScore, FunctionExpr, PayloadScore)):
             return _dc_replace(node, query=walk(node.query))
         if isinstance(node, Bool):
             return Bool(
@@ -553,6 +574,11 @@ def _rewrite_once(q: Query) -> Query:
         if not qs:
             return MatchNone()
         return _dc_replace(q, queries=qs)
+    if isinstance(q, FunctionExpr):
+        inner = rewrite(q.query)
+        if isinstance(inner, MatchNone):
+            return inner
+        return _dc_replace(q, query=inner)
     if not isinstance(q, Bool):
         return q
     clauses = []
@@ -605,6 +631,16 @@ SPAN_TYPES = (SpanTerm, SpanOr, SpanNot, SpanFirst, SpanPositionRange, SpanNear,
               SpanContaining, SpanWithin)
 
 
+def expr_fields(expr: tuple) -> set:
+    """Doc-values fields referenced anywhere in a FunctionExpr AST."""
+    op = expr[0]
+    if op == "field":
+        return {expr[1]}
+    if op in ("lit", "score"):
+        return set()
+    return set().union(*(expr_fields(a) for a in expr[1:])) if expr[1:] else set()
+
+
 def value_source_fields(q: Query) -> set:
     """Doc-values fields needed as SCORE INPUTS (FunctionScore leaves) —
     resolved by the searcher via the cogrouped norms channel."""
@@ -612,6 +648,8 @@ def value_source_fields(q: Query) -> set:
         return {q.field} | value_source_fields(q.query)
     if isinstance(q, Covering):
         return {q.field}.union(*(value_source_fields(s) for s in q.queries))
+    if isinstance(q, FunctionExpr):
+        return expr_fields(q.expr) | value_source_fields(q.query)
     if isinstance(q, (Boost, ConstantScore)):
         return value_source_fields(q.query)
     if isinstance(q, Bool):
@@ -653,7 +691,7 @@ def query_terms(q: Query) -> set:
         return span_leaf_terms(q)
     if isinstance(q, PayloadScore):
         return span_leaf_terms(q.query, q.field)
-    if isinstance(q, (Boost, ConstantScore, FunctionScore)):
+    if isinstance(q, (Boost, ConstantScore, FunctionScore, FunctionExpr)):
         return query_terms(q.query)
     if isinstance(q, Bool):
         return set().union(*(query_terms(c.query) for c in q.clauses)) if q.clauses else set()

@@ -403,8 +403,12 @@ class LuceneSparkSearcher:
                 from dataclasses import replace as _dc_replace
 
                 return _dc_replace(q, query=self.expand(q.query))
-            from .query import Covering as _Covering
+            from .query import Covering as _Covering, FunctionExpr as _FE
 
+            if isinstance(q, _FE):
+                from dataclasses import replace as _dc_replace
+
+                return _dc_replace(q, query=self.expand(q.query))
             if isinstance(q, _Covering):
                 from dataclasses import replace as _dc_replace
 

@@ -1094,3 +1094,66 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def _expr_sql(expr: tuple, score_sql: str) -> str:
+    """FunctionExpr AST → DuckDB double expression (same semantics as
+    kernel._eval_expr: log = base 10, recip(x,m,a,b) = a/(m*x+b))."""
+    op = expr[0]
+    if op == "lit":
+        return _lit(expr[1])
+    if op == "score":
+        return score_sql
+    if op == "field":
+        return {"dl": "d.dl::DOUBLE", "n_chars": "d.n_chars::DOUBLE"}[expr[1]]
+    args = [_expr_sql(a, score_sql) for a in expr[1:]]
+    if op in ("sum", "product"):
+        j = " + " if op == "sum" else " * "
+        return "(" + j.join(args) + ")"
+    if op == "sub":
+        return f"({args[0]} - {args[1]})"
+    if op == "div":
+        return f"({args[0]} / {args[1]})"
+    if op == "log":
+        return f"log10({args[0]})"
+    if op == "ln":
+        return f"ln({args[0]})"
+    if op == "sqrt":
+        return f"sqrt({args[0]})"
+    if op == "abs":
+        return f"abs({args[0]})"
+    if op == "pow":
+        return f"pow({args[0]}, {args[1]})"
+    if op == "min":
+        return "least(" + ", ".join(args) + ")"
+    if op == "max":
+        return "greatest(" + ", ".join(args) + ")"
+    if op == "recip":
+        x, m, a, b = args
+        return f"({a} / ({m} * {x} + {b}))"
+    raise ValueError(f"unknown expr op {op!r}")
+
+
+def kernel_funcexpr_duck(term: str, expr: tuple, k: int = 10) -> str:
+    """Twin of FunctionExpr(Term(term), expr) (lucene/expressions +
+    Solr FunctionQParser surface): the AST evaluates in DOUBLE over the
+    inner f32 term score and the RAW doc-values columns (dl = the
+    oracle's token count, n_chars = length(text)), one final REAL cast
+    (kernel 'funcexpr' node). Single-term inner only: the inner f32
+    score is exactly CAST(sum(s) AS REAL) then."""
+    score_sql = "a.s32::DOUBLE"
+    return f"""
+WITH {_prelude((term,))},
+{_weights_cte({})},
+{_scores_cte()},
+dv AS (
+  SELECT d2.doc_id, dl.dl AS dl, length(d2.text) AS n_chars
+  FROM documents d2 JOIN dl ON dl.doc_id = d2.doc_id
+),
+agg AS (SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS s32 FROM s GROUP BY 1),
+matched AS (
+  SELECT a.doc_id, CAST({_expr_sql(expr, score_sql)} AS REAL) AS score32
+  FROM agg a JOIN dv d USING (doc_id)
+)
+{_topk_select(k)}
+""".strip()

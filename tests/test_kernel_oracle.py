@@ -25,6 +25,7 @@ KERNEL_ENTRIES = [
     "fts_edismax_pf",
     "fts_covering",
     "fts_complex_phrase",
+    "fts_boost_function",
     "fts_field_term",
     "fts_bm25_metadata_filter",
     "fts_bm25_numeric_filter",

@@ -454,3 +454,47 @@ def test_dismax_tie_above_one_stays_exhaustive():
         DisjunctionMax((Term("a"), Term("b")), tie_breaker=1.5), df, 100
     )
     assert not K.wand_applicable(plan)  # combiner not monotone-bounded
+
+
+# ---------------------------------------------------------------------------
+# FunctionExpr: compiled score expressions (lucene/expressions surface)
+# ---------------------------------------------------------------------------
+
+
+def test_function_expr_parser_and_eval():
+    import numpy as np
+
+    from lucene_solr_1_spark.search.kernel import _eval_expr
+    from lucene_solr_1_spark.search.parser import ParseError, parse_function_expr
+
+    e = parse_function_expr("sum(ln(dl), product(2, _score), recip(n_chars, 1, 10, 0))")
+    got = _eval_expr(
+        e,
+        np.array([1.5]),
+        {"dl": np.array([np.e]), "n_chars": np.array([5.0])},
+    )
+    assert got[0] == 1.0 + 3.0 + 2.0
+    with pytest.raises(ParseError):
+        parse_function_expr("nosuchfn(dl)")
+    with pytest.raises(ParseError):
+        parse_function_expr("recip(dl, 1)")  # wrong arity
+    with pytest.raises(ParseError):
+        parse_function_expr("unknown_field")
+
+
+def test_function_expr_local_matches_distributed(spark):
+    from lucene_solr_1_spark.search.parser import parse_function_expr
+    from lucene_solr_1_spark.search.query import FunctionExpr, Term
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    q = FunctionExpr(
+        Term("merge"),
+        parse_function_expr("sum(_score, div(sqrt(dl), 100))"),
+    )
+    dist = s.search(q, k=15)
+    loc = s.search_local(q, k=15)
+    assert dist["global_doc_id"].tolist() == loc["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        dist["score"].to_numpy(np.float64), loc["score"].to_numpy(np.float64)
+    )
