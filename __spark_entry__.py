@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["grouping_topn"] = lambda s, d: R.grouping_topn_spark(s, d, "query", 5, 3)
     q["fts_sort_by_field"] = lambda s, d: R.sort_by_field_spark(s, d, "data", 15)
     q["fts_export_sorted"] = lambda s, d: R.export_sorted_spark(s, d, "merge")
+    q["fts_sort_by_expression"] = lambda s, d: R.sort_by_expression_spark(
+        s, d, "merge", "recip(n_chars, 1, 500, 100)", 15
+    )
     q["fts_diversified_topk"] = lambda s, d: R.diversified_topk_spark(s, d, "merge", 2, 10)
     q["facet_associations"] = lambda s, d: R.facet_associations_spark(s, d, "query")
     q["fts_numeric_range"] = lambda s, d: R.numeric_range_spark(s, d, 200, 400)
@@ -794,6 +797,9 @@ def oracle_sql() -> dict[str, str]:
         "grouping_topn": R.grouping_topn_duck("query", 5, 3),
         "fts_sort_by_field": R.sort_by_field_duck("data", 15),
         "fts_export_sorted": R.export_sorted_duck("merge"),
+        "fts_sort_by_expression": R.sort_by_expression_duck(
+            "merge", "recip(n_chars, 1, 500, 100)", 15
+        ),
         "fts_diversified_topk": R.diversified_topk_duck("merge", 2, 10),
         "facet_associations": R.facet_associations_duck("query"),
         "fts_numeric_range": R.numeric_range_duck(200, 400),

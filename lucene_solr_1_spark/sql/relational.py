@@ -2301,3 +2301,119 @@ d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
 SELECT {collation} AS collation, count(*)::BIGINT AS hits
 FROM documents WHERE {conds}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Sort by expression (Lucene SortField.FIELD_DOC + DoubleValuesSource
+# .getSortField; Solr 'sort=recip(...) desc') — FunctionExpr ASTs drive
+# the sort order instead of a raw column.
+# ---------------------------------------------------------------------------
+
+
+def _expr_column(expr: tuple, dl_col, nchars_col):
+    """FunctionExpr AST (score-free) → Spark Column in double — the
+    Catalyst twin of kernel._eval_expr for sort expressions."""
+    op = expr[0]
+    if op == "lit":
+        return F.lit(float(expr[1]))
+    if op == "field":
+        return {"dl": dl_col, "n_chars": nchars_col}[expr[1]].cast("double")
+    if op == "score":
+        raise ValueError("_score is not available in a sort expression")
+    args = [_expr_column(a, dl_col, nchars_col) for a in expr[1:]]
+    if op in ("sum", "product"):
+        out = args[0]
+        for a in args[1:]:
+            out = (out + a) if op == "sum" else (out * a)
+        return out
+    if op == "sub":
+        return args[0] - args[1]
+    if op == "div":
+        return args[0] / args[1]
+    if op == "log":
+        return F.log10(args[0])
+    if op == "ln":
+        return F.log(args[0])
+    if op == "sqrt":
+        return F.sqrt(args[0])
+    if op == "abs":
+        return F.abs(args[0])
+    if op == "pow":
+        return F.pow(args[0], args[1])
+    if op == "min":
+        return F.least(*args)
+    if op == "max":
+        return F.greatest(*args)
+    if op == "recip":
+        x, m, a, b = args
+        return a / (m * x + b)
+    raise ValueError(f"unknown expr op {op!r}")
+
+
+def _expr_sql_rel(expr: tuple) -> str:
+    op = expr[0]
+    if op == "lit":
+        return repr(float(expr[1]))
+    if op == "field":
+        return {"dl": f"len({duck_tokens_expr()})::DOUBLE",
+                "n_chars": "length(text)::DOUBLE"}[expr[1]]
+    args = [_expr_sql_rel(a) for a in expr[1:]]
+    if op in ("sum", "product"):
+        return "(" + (" + " if op == "sum" else " * ").join(args) + ")"
+    if op == "sub":
+        return f"({args[0]} - {args[1]})"
+    if op == "div":
+        return f"({args[0]} / {args[1]})"
+    if op in ("log",):
+        return f"log10({args[0]})"
+    if op == "ln":
+        return f"ln({args[0]})"
+    if op == "sqrt":
+        return f"sqrt({args[0]})"
+    if op == "abs":
+        return f"abs({args[0]})"
+    if op == "pow":
+        return f"pow({args[0]}, {args[1]})"
+    if op == "min":
+        return "least(" + ", ".join(args) + ")"
+    if op == "max":
+        return "greatest(" + ", ".join(args) + ")"
+    if op == "recip":
+        x, m, a, b = args
+        return f"({a} / ({m} * {x} + {b}))"
+    raise ValueError(f"unknown expr op {op!r}")
+
+
+def sort_by_expression_spark(
+    spark, sf_dir, term: str, expr_text: str, k: int = 15
+) -> DataFrame:
+    """Matching docs ordered by a computed expression over doc-values
+    (DoubleValuesSource.getSortField / Solr sort-by-function): the
+    expression compiles to a Catalyst Column, the bounded top-k is
+    TakeOrderedAndProject — never a global sort."""
+    from ..search.parser import parse_function_expr
+
+    ast = parse_function_expr(expr_text)
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    val = _expr_column(
+        ast, F.size("toks"), F.col("n_chars")
+    )
+    return (
+        docs.where(F.array_contains("toks", term))
+        .withColumn("sort_val", F.round(val, 6))
+        .orderBy(F.desc("sort_val"), F.asc("doc_id"))
+        .limit(k)
+        .select(F.col("doc_id").cast("bigint"), "sort_val")
+    )
+
+
+def sort_by_expression_duck(term: str, expr_text: str, k: int = 15) -> str:
+    from ..search.parser import parse_function_expr
+
+    ast = parse_function_expr(expr_text)
+    te = duck_tokens_expr()
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, round({_expr_sql_rel(ast)}, 6) AS sort_val
+FROM documents WHERE list_contains({te}, '{term}')
+ORDER BY sort_val DESC, doc_id ASC LIMIT {k}
+""".strip()
