@@ -43,7 +43,8 @@ from ..kernels.analyzer import AnalyzerConfig, STANDARD, tokenize_one
 from .query import (
     Bool, Boost, Clause, ConstantScore, DEFAULT_FIELD, DisjunctionMax, Fuzzy,
     MatchAll, MatchNone, NUMERIC_DOCVALUES, NumericRange, Occur, Phrase,
-    Prefix, Query, Regexp, Term, TermRange, Wildcard, rewrite,
+    Prefix, Query, Regexp, SpanNear, SpanOr, Term, TermRange, Wildcard,
+    rewrite,
 )
 
 # numeric doc-values fields parse `dl:[30 TO 60]` to a NumericRange
@@ -429,4 +430,170 @@ def parse(
         from .query import apply_synonyms
 
         q = apply_synonyms(q, synonyms)
+    return rewrite(q)
+
+
+# ---------------------------------------------------------------------------
+# Surround query parser (lucene/queryparser/src/java/org/apache/lucene/
+# queryparser/surround/: QueryParser.jj grammar, query/DistanceQuery.java
+# getSpanNearQuery — W/N distance operators over the span algebra).
+# ---------------------------------------------------------------------------
+
+_SURROUND_TOKEN = re.compile(
+    r"\s*(\(|\)|,|(?:\d+)?[wWnN](?=[\s(])|[Aa][Nn][Dd]\b|[Oo][Rr]\b|"
+    r"[Nn][Oo][Tt]\b|[^\s(),]+)"
+)
+
+
+def parse_surround(
+    text: str,
+    cfg: AnalyzerConfig = STANDARD,
+) -> Query:
+    """Surround syntax → query tree: `a W b` / `a 3W b` (ordered within
+    distance, SpanNear slop = n-1 in_order — DistanceQuery.java:117
+    getSpanNearQuery), `a N b` / `3N(a, b)` (unordered), AND / OR / NOT
+    boolean composition, parentheses. OR inside a distance becomes
+    SpanOr (the only composed query a distance operand admits —
+    DistanceSubQuery); AND/NOT inside a distance raises, matching the
+    reference's Test01Exceptions list. Truncation (`ab*`) is not
+    supported here (SrndTruncQuery needs the live term dict — use
+    searcher.complex_phrase for wildcard-in-proximity)."""
+    toks = [t for t in _SURROUND_TOKEN.findall(text) if t.strip()]
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat():
+        nonlocal pos
+        pos += 1
+        return toks[pos - 1]
+
+    def is_dist_op(t):
+        return t is not None and re.fullmatch(r"\d*[wWnN]", t)
+
+    def analyzed(t: str) -> str:
+        terms, _ = tokenize_one(t, cfg)
+        if len(terms) != 1:
+            raise ParseError(f"surround term {t!r} analyzes to {terms}")
+        return terms[0]
+
+    def primary(in_dist: bool):
+        t = peek()
+        if t == "(":
+            eat()
+            q = orexpr(in_dist)
+            if peek() != ")":
+                raise ParseError("unbalanced parenthesis in surround query")
+            eat()
+            return q
+        if is_dist_op(t):  # prefix form: 3W(a, b, c)
+            op = eat()
+            if peek() != "(":
+                raise ParseError(f"{op} prefix operator needs (...)")
+            eat()
+            args = [orexpr(True)]
+            while peek() == ",":
+                eat()
+                args.append(orexpr(True))
+            if peek() != ")":
+                raise ParseError("unbalanced parenthesis in surround query")
+            eat()
+            return _distance(op, args)
+        tok = eat()
+        if tok in (")", ","):
+            raise ParseError(f"unexpected {tok!r}")
+        return Term(analyzed(tok))
+
+    def _as_span_operand(o: Query):
+        """A distance operand must be a DistanceSubQuery (term, OR group,
+        nested distance) — a pure-SHOULD OR of such operands converts to
+        SpanOr; anything else matches the reference's parse exceptions."""
+        if isinstance(o, Term):
+            return o.text
+        if isinstance(o, (SpanNear, SpanOr)):
+            return o
+        if (
+            isinstance(o, Bool)
+            and o.min_should_match <= 1
+            and all(c.occur == Occur.SHOULD for c in o.clauses)
+        ):
+            return SpanOr(tuple(_as_span_operand(c.query) for c in o.clauses))
+        raise ParseError(
+            "distance operands must be terms, OR groups or nested "
+            f"distances — got {type(o).__name__}"
+        )
+
+    def _distance(op: str, operands: list) -> Query:
+        n = int(op[:-1]) if len(op) > 1 else 1
+        ordered = op[-1].lower() == "w"
+        subs = tuple(_as_span_operand(o) for o in operands)
+        return SpanNear(subs, slop=n - 1, in_order=ordered)
+
+    def distexpr(in_dist: bool):
+        left = primary(in_dist)
+        ops = []
+        while is_dist_op(peek()):
+            op = eat()
+            right = primary(True)
+            ops.append((op, right))
+        if not ops:
+            return left
+        # a W b W c with ONE op spelling = one distance list (the
+        # reference's ComposedQuery over all operands)
+        if len({o for o, _ in ops}) == 1:
+            return _distance(ops[0][0], [left] + [r for _, r in ops])
+        q = left
+        for op, right in ops:
+            q = _distance(op, [q, right])
+        return q
+
+    def notexpr(in_dist: bool):
+        q = distexpr(in_dist)
+        while peek() is not None and peek().lower() == "not":
+            eat()
+            if in_dist:
+                raise ParseError("NOT is not allowed inside a distance")
+            rhs = distexpr(in_dist)
+            q = Bool.of((Occur.MUST, q), (Occur.MUST_NOT, rhs))
+        return q
+
+    def andexpr(in_dist: bool):
+        q = notexpr(in_dist)
+        subs = [q]
+        while peek() is not None and peek().lower() == "and":
+            eat()
+            if in_dist:
+                raise ParseError("AND is not allowed inside a distance")
+            subs.append(notexpr(in_dist))
+        if len(subs) == 1:
+            return q
+        return Bool.of(*((Occur.MUST, s) for s in subs))
+
+    def orexpr(in_dist: bool):
+        q = andexpr(in_dist)
+        subs = [q]
+        while peek() is not None and peek().lower() == "or":
+            eat()
+            subs.append(andexpr(in_dist))
+        if len(subs) == 1:
+            return q
+        if in_dist:
+            # OR inside a distance: SpanOr over term/span operands
+            clauses = []
+            for s in subs:
+                if isinstance(s, Term):
+                    clauses.append(s.text)
+                elif isinstance(s, (SpanNear,)) or s.__class__.__name__ in (
+                    "SpanOr", "SpanTerm"
+                ):
+                    clauses.append(s)
+                else:
+                    raise ParseError("OR inside a distance admits only spans")
+            return SpanOr(tuple(clauses))
+        return Bool.of(*((Occur.SHOULD, s) for s in subs))
+
+    q = orexpr(False)
+    if pos != len(toks):
+        raise ParseError(f"trailing surround tokens {toks[pos:]!r}")
     return rewrite(q)

@@ -498,3 +498,54 @@ def test_function_expr_local_matches_distributed(spark):
     np.testing.assert_array_equal(
         dist["score"].to_numpy(np.float64), loc["score"].to_numpy(np.float64)
     )
+
+
+# ---------------------------------------------------------------------------
+# Surround query parser (queryparser/surround): W/N distance operators
+# ---------------------------------------------------------------------------
+
+
+def test_surround_parser_goldens():
+    from lucene_solr_1_spark.search.parser import ParseError, parse_surround
+    from lucene_solr_1_spark.search.query import SpanNear, SpanOr
+
+    assert parse_surround("word1 w word2") == SpanNear(
+        ("word1", "word2"), slop=0, in_order=True
+    )
+    assert parse_surround("public 3W static") == SpanNear(
+        ("public", "static"), slop=2, in_order=True
+    )
+    assert parse_surround("3N(aa, bb, cc)") == SpanNear(
+        ("aa", "bb", "cc"), slop=2, in_order=False
+    )
+    assert parse_surround("(aa or bb) w cc") == SpanNear(
+        (SpanOr(("aa", "bb")), "cc"), slop=0, in_order=True
+    )
+    # chained one-op infix folds into ONE distance list (ComposedQuery)
+    assert parse_surround("a w b w c") == SpanNear(
+        ("a", "b", "c"), slop=0, in_order=True
+    )
+    # precedence per QueryParser.jj: NOT binds tighter than AND
+    q = parse_surround("aa and bb not cc")
+    assert [c.occur.value for c in q.clauses] == ["MUST", "MUST"]
+    inner = q.clauses[1].query
+    assert [c.occur.value for c in inner.clauses] == ["MUST", "MUST_NOT"]
+    # the reference's Test01Exceptions shapes stay exceptions
+    for bad in ("(aa and bb) w cc", "(aa not bb) w cc"):
+        with pytest.raises(ParseError):
+            parse_surround(bad)
+
+
+def test_surround_search_equals_span_query(spark):
+    from lucene_solr_1_spark.search.parser import parse_surround
+    from lucene_solr_1_spark.search.query import SpanNear
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    a = s.search(parse_surround("fast w sort"), k=20)
+    b = s.search(SpanNear(("fast", "sort"), slop=0, in_order=True), k=20)
+    assert a["global_doc_id"].tolist() == b["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float64), b["score"].to_numpy(np.float64)
+    )
+    assert len(a) > 0
