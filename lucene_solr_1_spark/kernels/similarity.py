@@ -136,6 +136,9 @@ def score(spec: dict, freqs, norm_bytes) -> np.ndarray:
     if name == "dfi":
         return dfi_score(freqs, norm_bytes, spec["ttf"], spec["sum_ttf"],
                          spec["boost"])
+    if name == "f2exp":
+        return f2exp_score(freqs, norm_bytes, spec["df"], spec["dc"],
+                           spec["avgfl"], spec["s"], spec["k"], spec["boost"])
     raise ValueError(f"unknown similarity {name!r}")
 
 
@@ -204,3 +207,20 @@ def dfi_score(freqs, norm_bytes, ttf: int, sum_ttf: int,
         measure = (freq_d - expected) / np.sqrt(expected)
         s = F64(F32(boost)) * (np.log(measure + 1.0) / LOG_2)
     return np.where(freq_d <= expected, 0.0, s).astype(F32)
+
+
+def f2exp_score(freqs, norm_bytes, df: int, dc: int, avgfl: float,
+                s: float, k: float, boost: float) -> np.ndarray:
+    """AxiomaticF2EXP (Axiomatic.java:104-113 score = tf·ln·tfln·idf −
+    gamma, then ·boost, clamped at 0; AxiomaticF2EXP.java:60-88:
+    tf = ln = 1, gamma = 0, tfln = freq/(freq + s + s·docLen/avgdl),
+    idf = ((N+1)/df)^k). All double over the quantized docLen
+    (SimilarityBase LENGTH_TABLE), float params promoted, final float
+    cast. Defaults s = 0.25, k = 0.35 (Axiomatic.java:99-101)."""
+    freq_d = np.asarray(freqs).astype(F32).astype(F64)
+    dl_d = LENGTH_TABLE[np.asarray(norm_bytes, dtype=np.int64) & 0xFF].astype(F64)
+    s_d = F64(F32(s))
+    tfln = freq_d / (freq_d + s_d + s_d * dl_d / F64(avgfl))
+    idf = np.power((float(dc) + 1.0) / float(df), F64(F32(k)))
+    out = (tfln * idf) * F64(F32(boost))
+    return np.maximum(0.0, out).astype(F32)

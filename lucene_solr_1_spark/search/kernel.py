@@ -117,6 +117,11 @@ def _sim_spec_for(sim: dict, field: str, boost: float,
         return {"name": "dfi", "ttf": int(ttf),
                 "sum_ttf": int(sim["field_tokens"].get(field, 1)),
                 "boost": float(boost)}
+    if name == "f2exp":
+        avgfl = float(sim["field_tokens"].get(field, 1)) / float(max(dc, 1))
+        return {"name": "f2exp", "avgfl": avgfl, "df": int(max(df, 1)),
+                "dc": int(dc), "s": float(sim.get("s", 0.25)),
+                "k": float(sim.get("k", 0.35)), "boost": float(boost)}
     if name in ("dfr_inl2", "ib_ll"):
         avgfl = float(sim["field_tokens"].get(field, 1)) / float(max(dc, 1))
         spec = {"name": name, "avgfl": avgfl,
@@ -1667,7 +1672,7 @@ def score_exhaustive(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
 # SimScorer.score(maxFreq, minNorm) impacts shortcut, ImpactsDISI).
 # lmd/dfi clamp to 0 (zero-score matches ⇒ UB-0 windows would be pruned,
 # dropping legitimate hits) — they stay exhaustive.
-_WAND_SAFE_SIMS = frozenset({"classic", "boolean", "lmjm", "dfr_inl2", "ib_ll"})
+_WAND_SAFE_SIMS = frozenset({"classic", "boolean", "lmjm", "dfr_inl2", "ib_ll", "f2exp"})
 
 
 def _sim_wand_ok(node: dict) -> bool:

@@ -642,6 +642,16 @@ class LuceneSparkSearcher:
             name, param = similarity
         if name in ("classic", "boolean"):
             return {"name": name}
+        if name in ("f2exp", "axiomatic"):
+            sim = {
+                "name": "f2exp",
+                "field_tokens": {
+                    f: int(st["sum_ttf"]) for f, st in self.field_stats.items()
+                },
+            }
+            if param is not None:
+                sim["s"] = float(param)
+            return sim
         if name in ("dfr", "dfr_inl2", "ib", "ib_ll"):
             sim = {
                 "name": "dfr_inl2" if name.startswith("dfr") else "ib_ll",

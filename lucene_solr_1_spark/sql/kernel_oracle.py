@@ -1157,3 +1157,28 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def kernel_f2exp_duck(term: str, s: float = 0.25, k_hyper: float = 0.35,
+                      k: int = 10) -> str:
+    """AxiomaticF2EXP twin (Axiomatic.java:104-113, AxiomaticF2EXP.java:
+    60-88): score = f32(max(0, boost * (tfln * idf))), tfln =
+    freq/(freq + s + s*docLen/avgdl), idf = ((N+1)/df)^k — all double
+    over the quantized docLen, float hyperparams promoted."""
+    s32 = _lit(float(np.float32(s)))
+    k32 = _lit(float(np.float32(k_hyper)))
+    tf_d = "CAST(tf.tf AS REAL)::DOUBLE"
+    tfln = (
+        f"({tf_d} / ({tf_d} + {s32} + {s32} * q.len_f::DOUBLE / "
+        f"(tot.sum_ttf::DOUBLE / tot.n_docs::DOUBLE)))"
+    )
+    idf = f"pow((tot.n_docs + 1.0) / dfr.df, {k32})"
+    return f"""
+WITH {_prelude([term])},
+matched AS (
+  SELECT tf.doc_id,
+         CAST(greatest(0, ({tfln} * {idf}) * {_lit(1.0)}) AS REAL) AS score32
+  FROM tf JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN tot CROSS JOIN dfr
+)
+{_topk_select(k)}
+""".strip()

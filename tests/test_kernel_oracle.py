@@ -38,6 +38,7 @@ KERNEL_ENTRIES = [
     "fts_dfr_inl2",
     "fts_ib_ll",
     "fts_dfi_standardized",
+    "fts_axiomatic_f2exp",
     # FeatureField scoring functions / distance feature
     "fts_feature_saturation",
     "fts_distance_feature",
