@@ -2232,12 +2232,40 @@ def suggest_spell_collate_spark(
     into one conjunction count over the corpus scan."""
     docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
     tok = docs.select("doc_id", F.explode("toks").alias("term"))
-    d = tok.groupBy("term").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    # ONE term-dictionary aggregation feeds every word's suggestion list,
+    # persisted so the N per-word branches (whose pushed-down filters
+    # differ and so can never share an exchange) reuse ONE corpus scan —
+    # the scale shape is: one scan for the dictionary, one for the final
+    # hit count, everything per-word happens on the cached d frame
+    d = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    ).persist()
     fixed = []
     for w in words:
+        qdf = d.where(F.col("term") == w).agg(
+            F.coalesce(F.sum("df"), F.lit(0)).alias("qdf")
+        )
+        lo, hi = len(w) - max_edits, len(w) + max_edits
         top = (
-            suggest_spell_spark(spark, sf_dir, w, max_edits=max_edits,
-                                accuracy=accuracy)
+            d.where(
+                F.length("term").between(lo, hi)
+                & (F.substring("term", 1, 1) == w[0])
+                & (F.col("term") != w)
+                & (F.levenshtein(F.col("term"), F.lit(w)) <= 2 * max_edits)
+            )
+            .withColumn("ed", osa_udf(w)(F.col("term")))
+            .where(F.col("ed") <= max_edits)
+            .withColumn(
+                "score",
+                F.round(
+                    1.0 - F.col("ed") / F.least(F.length("term"), F.lit(len(w))),
+                    4,
+                ),
+            )
+            .where(F.col("score") >= accuracy)
+            .crossJoin(F.broadcast(qdf))
+            .where(F.col("qdf") == 0)
+            .orderBy(F.desc("score"), F.desc("df"), F.asc("term"))
             .limit(1)
             .select(F.col("term").alias(f"w{len(fixed)}"))
         )
