@@ -325,6 +325,35 @@ def parse_function_expr(text: str) -> tuple:
     return out
 
 
+def calculate_min_should_match(optional_count: int, spec) -> int:
+    """Solr mm spec → int (solr/core/src/java/org/apache/solr/util/
+    SolrPluginUtils.java:673-709 calculateMinShouldMatch): plain int
+    (negative = count-back), 'N%' (negative percent = count-back),
+    conditional chains 'U<spec U<spec ...' (first upper bound >= the
+    optional-clause count wins; below every bound -> all optional
+    clauses required)."""
+    if isinstance(spec, int):
+        spec = str(spec)
+    result = optional_count
+    spec = spec.strip()
+    if "<" in spec:
+        spec = re.sub(r"(\s+<\s*)|(\s*<\s+)", "<", spec)
+        for s_ in spec.split(" "):
+            upper, _, sub = s_.partition("<")
+            if optional_count <= int(upper):
+                return result
+            result = calculate_min_should_match(optional_count, sub)
+        return result
+    if spec.endswith("%"):
+        pct = int(spec[:-1])
+        calc = (result * pct) / 100.0
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = int(spec)
+        result = result + calc if calc < 0 else calc
+    return min(optional_count, max(result, 0))
+
+
 _DISMAX_WORD = re.compile(r'([+-]?)("(?:[^"\\]|\\.)*"|\S+)')
 
 
@@ -332,9 +361,11 @@ def parse_dismax(
     text: str,
     qf: dict,
     tie: float = 0.0,
-    mm: int = 0,
+    mm: int | str = 0,
     pf: dict | None = None,
     ps: int = 0,
+    bq: str | Query | None = None,
+    bf: str | None = None,
     cfg: AnalyzerConfig = STANDARD,
     keyword_fields: tuple = KEYWORD_FIELDS,
 ) -> Query:
@@ -354,8 +385,16 @@ def parse_dismax(
     default); keyword fields take the word verbatim. Leading `+` / `-`
     make a word required / prohibited (DisMax's escaped-syntax subset);
     a quoted "..." word is a phrase on analyzed fields and a verbatim
-    term on keyword fields. `mm` counts SHOULD words only (int form; the
-    reference's percent specs reduce to an int at parse time)."""
+    term on keyword fields. `mm` counts SHOULD words only and accepts
+    the full Solr spec grammar (int, negative count-back, 'N%',
+    conditional 'U<spec ...' chains — SolrPluginUtils
+    .calculateMinShouldMatch). `bq` adds a boost QUERY as a SHOULD
+    sibling of the mm bool (DisMaxQParser.addBoostQuery); `bf` is a
+    boost FUNCTION (FunctionQParser syntax) folded as
+    score = f32(main + bf(doc)) via FunctionExpr — the additive
+    boost-function semantics (modern FunctionScoreQuery.boostByValue
+    posture; classic Solr models bf as a match-all function clause,
+    which scores identically on the match set)."""
     kw = frozenset(keyword_fields)
 
     def field_alt(word: str, field: str, boost: float, quoted: bool):
@@ -394,7 +433,9 @@ def parse_dismax(
         clauses.append(Clause(occur, node))
     if not clauses:
         return MatchNone()
-    main = Bool(tuple(clauses), min_should_match=mm)
+    n_opt = sum(1 for c in clauses if c.occur is Occur.SHOULD)
+    msm = calculate_min_should_match(n_opt, mm) if not isinstance(mm, int) or mm else 0
+    main = Bool(tuple(clauses), min_should_match=msm)
     # pf phrases join the main query as SHOULD siblings of the whole
     # mm-constrained user query (DisMaxQParser.addMainQuery: the parsed
     # user query and the phrase query are separate optional clauses of
@@ -410,9 +451,18 @@ def parse_dismax(
             phrase_clauses.append(
                 Clause(Occur.SHOULD, Boost(leaf, b) if b != 1.0 else leaf)
             )
-    if phrase_clauses:
-        main = Bool((Clause(Occur.SHOULD, main), *phrase_clauses))
-    return rewrite(main)
+    extra = list(phrase_clauses)
+    if bq is not None:
+        sub = parse(bq, cfg, keyword_fields) if isinstance(bq, str) else bq
+        extra.append(Clause(Occur.SHOULD, sub))
+    if extra:
+        main = Bool((Clause(Occur.SHOULD, main), *extra))
+    q: Query = main
+    if bf is not None:
+        from .query import FunctionExpr
+
+        q = FunctionExpr(q, ("sum", ("score",), parse_function_expr(bf)))
+    return rewrite(q)
 
 
 def parse(

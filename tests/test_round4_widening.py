@@ -46,9 +46,46 @@ def test_dismax_mm_and_signs():
     assert q.min_should_match == 2
 
 
-def test_dismax_mm_above_should_count_matches_nothing():
-    # BooleanQuery rewrite contract: msm > #SHOULD -> MatchNone
-    assert isinstance(parse_dismax("a b", {"content": 1.0}, mm=3), MatchNone)
+def test_dismax_mm_clamps_like_solr():
+    # SolrPluginUtils.calculateMinShouldMatch clamps to the optional
+    # count: mm=3 over 2 words -> both required (NOT MatchNone — that is
+    # raw BooleanQuery behavior, still available via Bool directly)
+    q = parse_dismax("a b", {"content": 1.0}, mm=3)
+    assert q.min_should_match == 2
+
+    # the full Solr spec grammar
+    from lucene_solr_1_spark.search.parser import calculate_min_should_match
+    assert calculate_min_should_match(5, "3") == 3
+    assert calculate_min_should_match(5, "-2") == 3
+    assert calculate_min_should_match(5, "50%") == 2
+    assert calculate_min_should_match(5, "-25%") == 4
+    assert calculate_min_should_match(10, "3<-25% 9<-3") == 7
+    assert calculate_min_should_match(2, "2<-25%") == 2
+
+
+def test_dismax_bq_bf_composition(spark):
+    from lucene_solr_1_spark.search.query import Boost, FunctionExpr, Term as T
+
+    q = parse_dismax(
+        "query merge", {"content": 1.0}, mm=2,
+        bq="lang:en^2", bf="recip(n_chars, 1, 1000, 1000)",
+    )
+    assert isinstance(q, FunctionExpr)
+    assert q.expr[0] == "sum" and q.expr[1] == ("score",)
+    outer = q.query
+    assert outer.clauses[1].query == Boost(T("en", field="lang"), 2.0)
+    # end-to-end: bf shifts every score by recip(n_chars)
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    base = s.search(parse_dismax("query merge", {"content": 1.0}, mm=2), k=1000)
+    boosted = s.search(
+        parse_dismax("query merge", {"content": 1.0}, mm=2,
+                     bf="recip(n_chars, 1, 1000, 1000)"),
+        k=1000,
+    )
+    assert set(base["global_doc_id"]) == set(boosted["global_doc_id"])
+    assert (boosted["score"].to_numpy() >= 0).all()
 
 
 def test_dismax_pf_phrase_outside_mm_bool():
