@@ -499,6 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_boolean_sim"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Term("query"), k=10, similarity="boolean"
     )
+    q["fts_multi_similarity"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("query"), k=10,
+        similarity=("multi", ("classic", "boolean")),
+    )
     q["fts_axiomatic_f2exp"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Term("query"), k=10, similarity="f2exp"
     )
@@ -980,6 +984,7 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
         "fts_classic_tfidf": KO.kernel_classic_duck(("query", "merge"), k=10),
         "fts_boolean_sim": KO.kernel_boolean_sim_duck("query", k=10),
+        "fts_multi_similarity": KO.kernel_multi_sim_duck("query", k=10),
         "fts_axiomatic_f2exp": KO.kernel_f2exp_duck("query", k=10),
         "fts_lm_dirichlet": KO.kernel_lmdirichlet_duck("query", k=10),
         "fts_lm_jelinek_mercer": KO.kernel_lmjm_duck("merge", k=10),

@@ -139,6 +139,14 @@ def score(spec: dict, freqs, norm_bytes) -> np.ndarray:
     if name == "f2exp":
         return f2exp_score(freqs, norm_bytes, spec["df"], spec["dc"],
                            spec["avgfl"], spec["s"], spec["k"], spec["boost"])
+    if name == "multi":
+        # MultiSimilarity.java:66-71: float sum accumulated PER STEP
+        # (sum += sub.score(freq, norm) in float32)
+        out = None
+        for sub in spec["specs"]:
+            sc = score(sub, freqs, norm_bytes).astype(F32)
+            out = sc if out is None else (out + sc).astype(F32)
+        return out
     raise ValueError(f"unknown similarity {name!r}")
 
 

@@ -96,6 +96,15 @@ def _sim_spec_for(sim: dict, field: str, boost: float,
     one BasicStats per TermStatistics, so multi-term shapes must be
     rejected by the CALLER before reaching here."""
     name = sim["name"]
+    if name == "multi":
+        return {
+            "name": "multi",
+            "specs": [
+                _sim_spec_for(sub, field, boost, df=df, dc=dc,
+                              idf_sum=idf_sum, ttf=ttf)
+                for sub in sim["subs"]
+            ],
+        }
     if name == "classic":
         if idf_sum is None:
             idf_sum = simk.classic_idf(df, dc) if df > 0 else F32(0.0)
@@ -139,6 +148,14 @@ def _multi_term_sim(sim: dict, field: str, boost: float, dfs, dc: int) -> dict:
     float idfs in double (TFIDFSimilarity.idfExplain over stats...);
     boolean is freq-independent; LM sims have no multi-term stats model
     (SimilarityBase: one BasicStats per term) — rejected."""
+    if sim["name"] == "multi":
+        return {
+            "name": "multi",
+            "specs": [
+                _multi_term_sim(sub, field, boost, dfs, dc)
+                for sub in sim["subs"]
+            ],
+        }
     if sim["name"] == "classic":
         idfs = [simk.classic_idf(df, dc) for df in dfs if df > 0]
         idf_sum = simk.classic_idf_sum(idfs) if idfs else F32(0.0)
@@ -1675,9 +1692,17 @@ def score_exhaustive(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
 _WAND_SAFE_SIMS = frozenset({"classic", "boolean", "lmjm", "dfr_inl2", "ib_ll", "f2exp"})
 
 
+def _spec_wand_ok(spec: dict) -> bool:
+    if spec["name"] == "multi":
+        # a float32 sum of per-member monotone positive scores is
+        # monotone positive — safe iff every member is
+        return all(_spec_wand_ok(sub) for sub in spec["specs"])
+    return spec["name"] in _WAND_SAFE_SIMS
+
+
 def _sim_wand_ok(node: dict) -> bool:
     spec = node.get("sim")
-    return spec is None or spec["name"] in _WAND_SAFE_SIMS
+    return spec is None or _spec_wand_ok(spec)
 
 
 def _dismax_wandable(node: dict) -> bool:
@@ -1772,6 +1797,14 @@ def _wand_weight_positive(node: dict) -> bool:
     spec = node.get("sim")
     if spec is None:
         return node["weight"] > 0
+    return _spec_positive(spec)
+
+
+def _spec_positive(spec: dict) -> bool:
+    if spec["name"] == "multi":
+        # every safe sub-sim scores >= 0; ONE strictly positive member
+        # makes the float32 sum strictly positive
+        return any(_spec_positive(sub) for sub in spec["specs"])
     if spec["name"] == "classic":
         return spec["qw"] > 0
     return spec["boost"] > 0

@@ -642,6 +642,12 @@ class LuceneSparkSearcher:
             name, param = similarity
         if name in ("classic", "boolean"):
             return {"name": name}
+        if name == "multi":
+            # MultiSimilarity: similarity=("multi", ("classic", "boolean"))
+            subs = [self._sim_ctx(sub, terms) for sub in (param or ())]
+            if not subs:
+                raise ValueError("multi similarity needs sub-similarities")
+            return {"name": "multi", "subs": subs}
         if name in ("f2exp", "axiomatic"):
             sim = {
                 "name": "f2exp",

@@ -1182,3 +1182,29 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def kernel_multi_sim_duck(term: str, k: int = 10) -> str:
+    """MultiSimilarity(classic, boolean) twin (MultiSimilarity.java:66-71:
+    float sum accumulated PER STEP): per doc
+    s = f32(classic32 + boolean32) — the one float32 add of two float32
+    leaves is exact as a double add + REAL cast."""
+    classic32 = (
+        "CAST(CAST(CAST(sqrt(CAST(tf.tf AS REAL)::DOUBLE) AS REAL)"
+        " * w.qw AS REAL) * q.cn AS REAL)"
+    )
+    return f"""
+WITH {_prelude((term,))},
+{_classic_weights_cte()},
+ct(len_i, cn) AS (VALUES {classic_norm_table_values()}),
+cnq AS (
+  SELECT d.doc_id, arg_max(c.cn, c.len_i) AS cn
+  FROM dl d JOIN ct c ON c.len_i <= d.dl GROUP BY d.doc_id
+),
+matched AS (
+  SELECT tf.doc_id,
+         CAST({classic32}::DOUBLE + {_f32(_lit(1.0))}::DOUBLE AS REAL) AS score32
+  FROM tf JOIN w USING (term) JOIN cnq q ON q.doc_id = tf.doc_id
+)
+{_topk_select(k)}
+""".strip()

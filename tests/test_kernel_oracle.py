@@ -39,6 +39,7 @@ KERNEL_ENTRIES = [
     "fts_ib_ll",
     "fts_dfi_standardized",
     "fts_axiomatic_f2exp",
+    "fts_multi_similarity",
     # FeatureField scoring functions / distance feature
     "fts_feature_saturation",
     "fts_distance_feature",

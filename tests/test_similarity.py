@@ -185,7 +185,7 @@ def test_lm_rejects_multi_term_stats():
 
 SIMS = ["classic", "boolean", "lmd", "lmjm", ("lmd", 500.0), ("lmjm", 0.7),
         "dfr", "ib", ("dfr", 2.0), ("ib", 0.5), "dfi",
-        "f2exp", ("f2exp", 0.5)]
+        "f2exp", ("f2exp", 0.5), ("multi", ("classic", "boolean"))]
 
 
 @pytest.mark.parametrize("sim", SIMS, ids=["we-" + str(s) for s in SIMS])
