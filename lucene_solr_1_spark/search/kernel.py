@@ -1721,7 +1721,7 @@ def _dismax_wandable(node: dict) -> bool:
 
 
 def _clause_wandable(node: dict) -> bool:
-    if node["type"] == "term":
+    if node["type"] in ("term", "synonym"):
         return _sim_wand_ok(node)
     return _dismax_wandable(node)
 
@@ -1737,10 +1737,11 @@ def wand_applicable(plan: dict) -> bool:
     Non-default similarities prune too, with window UBs scored through the
     sim itself (monotone ↑freq/↓dl ⇒ impacts bound every doc in the
     block) — except zero-clamping sims (lmd/dfi), which stay exhaustive."""
-    if plan["type"] in ("term", "synonym") and not _sim_wand_ok(plan):
-        return False
     if plan["type"] in ("term", "synonym"):
-        return True
+        # synonym prunes too: window UBs from MERGED impacts — per window
+        # sum of member max-freqs scored against the member-min norm
+        # (SynonymQuery's impact merging, ImpactsMergingUtils analog)
+        return _sim_wand_ok(plan)
     if plan["type"] == "dismax":
         return _dismax_wandable(plan)
     if plan["type"] == "bool":
@@ -1759,33 +1760,39 @@ def wand_applicable(plan: dict) -> bool:
 
 
 def _wand_groups(plan: dict):
-    """[(required, scoring, tie, [((field, term), node), ...])] — one
-    group per clause. A plain term clause is a singleton group (tie 0,
-    where the combiner degenerates to the identity); a DisjunctionMax
-    clause groups its term alternatives under its tie. required:
-    conjunction member (MUST/FILTER); scoring: contributes to the sum
-    (not FILTER). Nodes ride along so UBs and window scores go through
-    each node's similarity (_score_postings)."""
+    """[(required, scoring, mode, param, [((field, term), node), ...])] —
+    one group per clause. mode "dismax" combines member SCORES under
+    param = tie ((1-tie)·max + tie·sum; a plain term is the tie-0
+    singleton degenerate); mode "syn" merges member IMPACTS (freqs sum,
+    norms agree) and scores ONCE through param = the synonym node
+    (SynonymQuery.java impact merging). required: conjunction member
+    (MUST/FILTER); scoring: contributes to the sum (not FILTER)."""
     def entry(nd):
         return (_node_key(nd, nd["term"]), nd)
 
+    def syn_group(required, scoring, nd):
+        members = [(_node_key(nd, t), nd) for t in nd["terms"]]
+        return (required, scoring, "syn", nd, members)
+
     if plan["type"] == "term":
-        return [(False, True, 0.0, [entry(plan)])]
+        return [(False, True, "dismax", 0.0, [entry(plan)])]
     if plan["type"] == "dismax":
-        return [(False, True, float(plan["tie"]),
+        return [(False, True, "dismax", float(plan["tie"]),
                  [entry(sub) for sub in plan["nodes"]])]
     if plan["type"] == "synonym":
-        return None  # synonym needs freq-merge; fall back
+        return [syn_group(False, True, plan)]
     out = []
     for cl in plan["clauses"]:
         nd = cl["node"]
         required = cl["occur"] in ("MUST", "FILTER")
         scoring = cl["occur"] != "FILTER"
         if nd["type"] == "dismax":
-            out.append((required, scoring, float(nd["tie"]),
+            out.append((required, scoring, "dismax", float(nd["tie"]),
                         [entry(sub) for sub in nd["nodes"]]))
+        elif nd["type"] == "synonym":
+            out.append(syn_group(required, scoring, nd))
         else:
-            out.append((required, scoring, 0.0, [entry(nd)]))
+            out.append((required, scoring, "dismax", 0.0, [entry(nd)]))
     return out
 
 
@@ -1823,7 +1830,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     groups = _wand_groups(plan)
     if groups is None or any(
         not _wand_weight_positive(nd)
-        for req, sc, tie, members in groups if sc
+        for req, sc, mode, param, members in groups if sc
         for _, nd in members
     ):
         # zero-weight scoring terms (boost 0) produce UB-0 windows whose
@@ -1834,9 +1841,13 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
     n_win = max(1, -(-seg.n_docs // window))
     win_ub = np.zeros(n_win, dtype=np.float64)
     group_info = []
-    for required, scoring, tie, members in groups:
+    for required, scoring, mode, param, members in groups:
         present = []
-        gmax = gsum = gcov = None
+        # dismax accumulators (scored member UBs)
+        gmax = gsum = None
+        # synonym accumulators (merged impacts: Σ max-freq, min norm)
+        fsum = nmin = None
+        gcov = None
         for key, node in members:
             r = seg.rows.get(key)
             if r is None:
@@ -1844,51 +1855,81 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
             blk_last = np.asarray(r.block_last_doc, dtype=np.int64)
             blk_maxf = np.asarray(r.block_max_freq, dtype=np.int64)
             blk_minn = np.asarray(r.block_min_norm, dtype=np.int64)
-            # UB scored through the node's OWN similarity over the impact
-            # pair (max freq, min norm): valid because every supported sim
-            # is monotone ↑freq/↓dl and float-rounded compositions of
-            # monotone ops stay monotone (SimScorer.score(maxFreq, minNorm))
-            ub = _score_postings(node, blk_maxf, blk_minn, cache).astype(np.float64)
             # block b covers (blk_last[b-1], blk_last[b]] → window range
             blk_first = np.concatenate(([0], blk_last[:-1] + 1))
             w_lo = blk_first // window
             w_hi = blk_last // window
-            # per-term per-window max block UB — vectorized scatter-max
-            # over window endpoints + (rare) interiors: a hot term's ~78k
-            # blocks/segment must not become a Python loop
-            tmax = np.zeros(n_win, dtype=np.float64)
             covered = np.zeros(n_win, dtype=bool)
-            np.maximum.at(tmax, w_lo, ub)
-            np.maximum.at(tmax, w_hi, ub)
             covered[w_lo] = True
             covered[w_hi] = True
             span = w_hi - w_lo - 1  # interior windows of blocks spanning >= 3
             m = span > 0
-            if m.any():
-                interior = _run_take((w_lo + 1)[m], span[m])
-                np.maximum.at(tmax, interior, np.repeat(ub[m], span[m]))
+            interior = (
+                _run_take((w_lo + 1)[m], span[m]) if m.any() else None
+            )
+            if interior is not None:
                 covered[interior] = True
+
+            def scatter(vals, init, op):
+                # per-term per-window reduce over block values — vectorized
+                # scatter over window endpoints + (rare) interiors: a hot
+                # term's ~78k blocks/segment must not become a Python loop
+                out = np.full(n_win, init, dtype=np.float64)
+                op(out, w_lo, vals)
+                op(out, w_hi, vals)
+                if interior is not None:
+                    op(out, interior, np.repeat(vals[m], span[m]))
+                return out
+
+            if mode == "dismax":
+                # UB scored through the node's OWN similarity over the
+                # impact pair (max freq, min norm): valid because every
+                # supported sim is monotone ↑freq/↓dl and float-rounded
+                # compositions of monotone ops stay monotone
+                # (SimScorer.score(maxFreq, minNorm) analog)
+                ub = _score_postings(node, blk_maxf, blk_minn, cache).astype(
+                    np.float64
+                )
+                tmax = scatter(ub, 0.0, np.maximum.at)
+                if gmax is None:
+                    gmax, gsum = tmax.copy(), tmax.copy()
+                else:
+                    np.maximum(gmax, tmax, out=gmax)
+                    gsum += tmax
+            else:  # "syn": merge impacts, score once afterwards
+                tf_w = scatter(blk_maxf.astype(np.float64), 0.0, np.maximum.at)
+                tn_w = scatter(blk_minn.astype(np.float64), 255.0, np.minimum.at)
+                if fsum is None:
+                    fsum, nmin = tf_w.copy(), tn_w.copy()
+                else:
+                    fsum += tf_w
+                    np.minimum(nmin, tn_w, out=nmin)
             present.append((key, node, r))
-            if gmax is None:
-                gmax, gsum, gcov = tmax.copy(), tmax.copy(), covered.copy()
-            else:
-                np.maximum(gmax, tmax, out=gmax)
-                gsum += tmax
-                gcov |= covered
+            gcov = covered.copy() if gcov is None else (gcov | covered)
         if not present:
             if required:
                 # a MUST group with no member in the segment ⇒ no matches
                 return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
             continue
         if scoring:
-            # group window UB = (1-tie)*max + tie*sum of member UBs —
-            # monotone combiner, so it bounds every doc in the window
-            win_ub += gmax + tie * (gsum - gmax)
+            if mode == "dismax":
+                # group window UB = (1-tie)*max + tie*sum of member UBs —
+                # monotone combiner, so it bounds every doc in the window
+                win_ub += gmax + param * (gsum - gmax)
+            else:
+                # merged-impacts UB: Σ member max-freqs scored against the
+                # member-min norm bounds every doc's summed-freq score
+                # (freq-monotone ↑, dl-monotone ↓)
+                gub = _score_postings(
+                    param, fsum.astype(np.int64), nmin.astype(np.int64), cache
+                ).astype(np.float64)
+                gub[~gcov] = 0.0
+                win_ub += gub
         if required:
             # conjunction member: windows where NO member has a block can
             # never match (BlockMaxConjunctionScorer lead-iterator skip)
             win_ub[~gcov] = 0.0
-        group_info.append((required, scoring, tie, present))
+        group_info.append((required, scoring, mode, param, present))
     if not group_info:
         return _EMPTY_I, np.empty(0, dtype=F32), 0, "EQUAL_TO"
 
@@ -1911,7 +1952,40 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
         # gather (doc, score) within this window across groups
         req_parts, opt_parts = [], []
         window_dead = False
-        for required, scoring, tie, present in group_info:
+        for required, scoring, mode, param, present in group_info:
+            if mode == "syn":
+                # merge member impacts inside the window, score ONCE —
+                # the same unique + freq-sum ops as the exhaustive
+                # synonym eval, so WAND stays bit-identical
+                mdocs, mfreqs, mnorms = [], [], []
+                for key, node, r in present:
+                    docs, freqs, norms = seg.postings(key)
+                    a = np.searchsorted(docs, lo_doc)
+                    b = np.searchsorted(docs, hi_doc)
+                    if a == b:
+                        continue
+                    mdocs.append(docs[a:b])
+                    mfreqs.append(freqs[a:b])
+                    mnorms.append(norms[a:b])
+                if not mdocs:
+                    if required:
+                        window_dead = True
+                        break
+                    continue
+                alld = np.concatenate(mdocs)
+                dd, inv = np.unique(alld, return_inverse=True)
+                fr = np.zeros(len(dd), dtype=np.int64)
+                np.add.at(fr, inv, np.concatenate(mfreqs))
+                nr = np.zeros(len(dd), dtype=np.int64)
+                nr[inv] = np.concatenate(mnorms)  # same doc ⇒ same norm
+                if scoring:
+                    sgrp = _score_postings(param, fr, nr, cache).astype(
+                        np.float64
+                    )
+                else:
+                    sgrp = np.zeros(len(dd), dtype=np.float64)
+                (req_parts if required else opt_parts).append((dd, sgrp))
+                continue
             mdocs, mscores = [], []
             for key, node, r in present:
                 docs, freqs, norms = seg.postings(key)
@@ -1946,7 +2020,7 @@ def score_wand(plan: dict, seg: SegmentData, cache: np.ndarray, k: int,
                 np.maximum.at(mx, inv, alls)
                 sm = np.zeros(len(dd), dtype=np.float64)
                 np.add.at(sm, inv, alls)
-                sgrp = mx + tie * (sm - mx)
+                sgrp = mx + param * (sm - mx)
             (req_parts if required else opt_parts).append((dd, sgrp))
         if window_dead or (not req_parts and not opt_parts):
             continue

@@ -586,3 +586,42 @@ def test_surround_search_equals_span_query(spark):
         a["score"].to_numpy(np.float64), b["score"].to_numpy(np.float64)
     )
     assert len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Synonym impact-merged WAND (SynonymQuery "impacts merged")
+# ---------------------------------------------------------------------------
+
+
+def test_synonym_wand_equals_exhaustive(spark):
+    from lucene_solr_1_spark.search import kernel as K
+    from lucene_solr_1_spark.search.query import Synonym, query_terms
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    shapes = [
+        Synonym(("query", "merge")),
+        Synonym(("fast", "slow", "sort")),
+        Bool.of(
+            (Occur.MUST, Term("data")),
+            (Occur.SHOULD, Synonym(("query", "merge"))),
+        ),
+        Bool.of(
+            (Occur.SHOULD, Synonym(("fast", "slow"))),
+            (Occur.SHOULD, Term("window")),
+        ),
+    ]
+    for q in shapes:
+        qq = s.expand(q)
+        plan = K.compile_plan(qq, s._global_df(query_terms(qq)), s.doc_counts)
+        assert K.wand_applicable(plan), repr(q)  # synonym now prunes
+        for k in (3, 10, 50):
+            a = s.search(q, k=k, use_wand=True, with_stored=False)
+            b = s.search(q, k=k, use_wand=False, with_stored=False)
+            assert a["global_doc_id"].tolist() == b["global_doc_id"].tolist(), repr(q)
+            np.testing.assert_array_equal(
+                a["score"].to_numpy(np.float64), b["score"].to_numpy(np.float64)
+            )
+    # the pruned path actually prunes on a small k (total-hits relation)
+    a = s.search(Synonym(("query", "merge")), k=3, with_stored=False)
+    assert a.attrs["relation"] in ("EQUAL_TO", "GREATER_THAN_OR_EQUAL_TO")
