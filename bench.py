@@ -150,6 +150,10 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
         kernel_qs["covering_search"] = Covering(
             (Term("return"), Term("class"), Term("void")), "dl", scale=0.01
         )
+        # synonym now prunes under merged-impacts WAND
+        from lucene_solr_1_spark.search.query import Synonym
+
+        kernel_qs["synonym_hot_search"] = Synonym(("return", "class"))
         # BASELINE prescribes latency at k = 10 AND 100: k only changes
         # the per-segment heap size + driver merge width, not the scan
         queries["wand_term_hot_k100"] = _timed(
@@ -193,7 +197,7 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
                          "phrase_hot_search", "spannear_search",
                          "sloppy_hot_search", "spanor_near_search",
                          "multiphrase_search", "edismax_search",
-                         "covering_search")
+                         "covering_search", "synonym_hot_search")
         }
         for _ in range(4):
             for q in lat_pool.values():
