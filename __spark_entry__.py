@@ -641,6 +641,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10,
         )
 
+    def _xml_query(s, d):
+        from lucene_solr_1_spark.search.xmlparser import parse_xml
+
+        q = parse_xml("""
+<BooleanQuery fieldName="content">
+  <Clause occurs="must"><TermQuery>query</TermQuery></Clause>
+  <Clause occurs="should"><TermQuery boost="2">merge</TermQuery></Clause>
+  <Clause occurs="filter">
+    <PointRangeQuery fieldName="dl" lowerTerm="30" upperTerm="90"/>
+  </Clause>
+</BooleanQuery>""")
+        return _kernel_hits_df(s, _get_index(s, d), q, k=10)
+
     def _edismax(s, d):
         from lucene_solr_1_spark.search.parser import parse_dismax
 
@@ -700,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_complex_phrase"] = _complex_phrase
     q["fts_boost_function"] = _boost_fn
     q["fts_covering"] = _covering
+    q["fts_xml_query"] = _xml_query
     q["fts_edismax"] = _edismax
     q["fts_edismax_pf"] = _edismax_pf
     q["fts_kernel_phrase"] = _kernel_phrase
@@ -970,6 +984,10 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         "fts_covering": KO.kernel_covering_duck(
             ("query", "merge", "data"), field="n_chars", scale=1.0 / 150.0,
             k=10,
+        ),
+        "fts_xml_query": KO.kernel_bool_duck(
+            must=("query",), should=("merge",), boosts={"merge": 2.0},
+            k=10, filter_sql="dl.dl BETWEEN 30 AND 90",
         ),
         "fts_edismax": KO.kernel_edismax_duck(
             ("de", "data", "merge"), kw_field="lang", content_boost=1.0,

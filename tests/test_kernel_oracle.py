@@ -40,6 +40,7 @@ KERNEL_ENTRIES = [
     "fts_dfi_standardized",
     "fts_axiomatic_f2exp",
     "fts_multi_similarity",
+    "fts_xml_query",
     # FeatureField scoring functions / distance feature
     "fts_feature_saturation",
     "fts_distance_feature",

@@ -625,3 +625,71 @@ def test_synonym_wand_equals_exhaustive(spark):
     # the pruned path actually prunes on a small k (total-hits relation)
     a = s.search(Synonym(("query", "merge")), k=3, with_stored=False)
     assert a.attrs["relation"] in ("EQUAL_TO", "GREATER_THAN_OR_EQUAL_TO")
+
+
+# ---------------------------------------------------------------------------
+# XML query parser (queryparser/xml CoreParser subset)
+# ---------------------------------------------------------------------------
+
+
+def test_xml_parser_goldens():
+    from lucene_solr_1_spark.search.parser import ParseError
+    from lucene_solr_1_spark.search.query import (
+        ConstantScore, NumericRange, SpanFirst, SpanNear, SpanTerm, Term as T,
+        TermRange,
+    )
+    from lucene_solr_1_spark.search.xmlparser import parse_xml
+
+    q = parse_xml("""
+<BooleanQuery fieldName="content" minimumNumberShouldMatch="1">
+  <Clause occurs="must"><TermQuery>query</TermQuery></Clause>
+  <Clause occurs="should"><TermQuery boost="2">merge</TermQuery></Clause>
+  <Clause occurs="mustNot"><TermQuery fieldName="lang">zh</TermQuery></Clause>
+</BooleanQuery>""")
+    assert [c.occur.value for c in q.clauses] == ["MUST", "SHOULD", "MUST_NOT"]
+    assert q.clauses[2].query == T("zh", field="lang")  # nearest fieldName wins
+    assert q.min_should_match == 1
+
+    q = parse_xml('<RangeQuery fieldName="lang" lowerTerm="de" upperTerm="es"/>')
+    assert q == TermRange("de", "es", field="lang")
+    q = parse_xml('<PointRangeQuery fieldName="n_chars" lowerTerm="100"/>')
+    assert q == NumericRange("n_chars", 100, None)
+    q = parse_xml("""
+<SpanFirst end="8"><SpanNear slop="2" inOrder="true">
+  <SpanTerm>fast</SpanTerm><SpanTerm>sort</SpanTerm>
+</SpanNear></SpanFirst>""")
+    assert q == SpanFirst(
+        SpanNear((SpanTerm("fast"), SpanTerm("sort")), slop=2, in_order=True),
+        8,
+    )
+    q = parse_xml('<TermsQuery fieldName="content">Fast, Sort!</TermsQuery>')
+    assert isinstance(q, ConstantScore)
+    assert {c.query.text for c in q.query.clauses} == {"fast", "sort"}
+    with pytest.raises(ParseError):
+        parse_xml("<NoSuchQuery/>")
+    with pytest.raises(ParseError):
+        parse_xml("<BooleanQuery><TermQuery>x</TermQuery></BooleanQuery>")
+
+
+def test_xml_parser_search_equals_programmatic(spark):
+    from lucene_solr_1_spark.search.query import Bool as B, Occur as O, Term as T
+    from lucene_solr_1_spark.search.xmlparser import parse_xml
+    import __spark_entry__ as E
+
+    s = E._get_index(spark, SF001)
+    xml_q = parse_xml("""
+<BooleanQuery fieldName="content">
+  <Clause occurs="must"><TermQuery>query</TermQuery></Clause>
+  <Clause occurs="should"><UserQuery>merge OR spark</UserQuery></Clause>
+</BooleanQuery>""")
+    prog_q = B.of(
+        (O.MUST, T("query")),
+        (O.SHOULD, T("merge")),
+        (O.SHOULD, T("spark")),
+    )
+    a = s.search(xml_q, k=25)
+    b = s.search(prog_q, k=25)
+    assert a["global_doc_id"].tolist() == b["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float64), b["score"].to_numpy(np.float64)
+    )
