@@ -98,14 +98,127 @@ def _merge_bucket(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,
     a bucket (hash(field,term) % P), not a single term, so the per-group
     Arrow/pandas round-trip cost is amortized over many terms: one output
     DataFrame per bucket instead of one per term (the round-1 verdict's
-    'one 1-row DataFrame per term' interpreter tax)."""
-    rows = [
-        _merge_term_rows(g, seg_order, seg_offset, docmaps)
-        for _, g in pdf.groupby(["field", "term"], sort=False)
-    ]
-    if not rows:
+    'one 1-row DataFrame per term' interpreter tax).
+
+    The bucket is sorted ONCE (np.lexsort on the factorized (field,term)
+    key, segment order within a group) and groups are then walked as
+    SLICES over plain NumPy object arrays — no per-group sort_values /
+    itertuples / iloc (profiled at ~95% of merge wall before this).
+    `_merge_term_rows` stays as the pinned per-group contract; a
+    randomized slices==rows test enforces equivalence."""
+    if not len(pdf):
         return pd.DataFrame({c: pd.Series(dtype=object) for c in POSTINGS_COLS})
+    has_pay = "pay_enc" in pdf.columns
+    seg_ord = pdf["segment_id"].map(seg_order).to_numpy()
+    codes, _ = pd.factorize(
+        pdf["field"].astype(str) + "\x00" + pdf["term"].astype(str), sort=False
+    )
+    order = np.lexsort((seg_ord, codes))
+    take = [c for c in POSTINGS_COLS if c in pdf.columns] + ["segment_id"]
+    cols = {c: pdf[c].to_numpy()[order] for c in take}
+    codes = codes[order]
+    cuts = np.flatnonzero(np.diff(codes)) + 1
+    starts = np.concatenate((np.zeros(1, dtype=np.int64), cuts))
+    ends = np.concatenate((cuts, np.asarray([len(codes)], dtype=np.int64)))
+    rows = [
+        _merge_term_slice(cols, int(s), int(e), seg_offset, docmaps, has_pay)
+        for s, e in zip(starts, ends)
+    ]
     return pd.DataFrame(rows, columns=POSTINGS_COLS)
+
+
+def _merge_term_slice(cols: dict, s: int, e: int, seg_offset: dict,
+                      docmaps: dict | None, has_pay: bool) -> tuple:
+    """Merge one (field, term) group given as rows [s, e) of the bucket's
+    segment-ordered column arrays. Semantics identical to
+    `_merge_term_rows` (the pinned contract — see the equivalence test);
+    this form only changes HOW rows are accessed (array slices, not pandas).
+
+    Fast path: a term present in exactly ONE input segment (no reclaim)
+    keeps its freqs/pos/norms/pay streams and block max-freq/min-norm
+    metadata byte-identical — only the doc stream is rebased+re-encoded
+    and block_last_doc shifted. Positions are the bulk of posting bytes,
+    so singleton terms (the majority in a Zipf vocabulary) skip almost
+    all codec work."""
+    field = cols["field"][s]
+    term = cols["term"][s]
+    if e - s == 1 and docmaps is None:
+        off = seg_offset[cols["segment_id"][s]]
+        pay = bytes(cols["pay_enc"][s]) if has_pay and cols["pay_enc"][s] else b""
+        docs_enc, docs_off = bytes(cols["docs_enc"][s]), cols["docs_offsets"][s]
+        if off:
+            d = np.cumsum(decode_all(docs_enc, np.asarray(docs_off))) + off
+            docs_enc, docs_off = encode_doc_deltas(d)
+        return (
+            field, term, int(cols["doc_freq"][s]), int(cols["ttf"][s]),
+            docs_enc, np.asarray(docs_off).tolist(),
+            bytes(cols["freqs_enc"][s]),
+            np.asarray(cols["freqs_offsets"][s]).tolist(),
+            bytes(cols["pos_enc"][s]),
+            np.asarray(cols["pos_offsets"][s]).tolist(),
+            bytes(cols["norms_enc"][s]),
+            (np.asarray(cols["block_last_doc"][s], dtype=np.int64) + off).tolist(),
+            np.asarray(cols["block_max_freq"][s]).tolist(),
+            np.asarray(cols["block_min_norm"][s]).tolist(),
+            pay,
+        )
+    docs_parts, freqs_parts, pos_parts, norm_parts, pay_parts = [], [], [], [], []
+    for i in range(s, e):
+        d_local = np.cumsum(
+            decode_all(bytes(cols["docs_enc"][i]), np.asarray(cols["docs_offsets"][i]))
+        )
+        f = decode_all(bytes(cols["freqs_enc"][i]), np.asarray(cols["freqs_offsets"][i]))
+        p = decode_all(bytes(cols["pos_enc"][i]), np.asarray(cols["pos_offsets"][i]))
+        n = np.frombuffer(bytes(cols["norms_enc"][i]), dtype=np.uint8)
+        pay = (np.frombuffer(bytes(cols["pay_enc"][i]), dtype="<f4")
+               if has_pay and cols["pay_enc"][i] else None)
+        sid = cols["segment_id"][i]
+        if docmaps is None:
+            d = d_local + seg_offset[sid]
+        else:
+            m = docmaps[sid]
+            newd = m[d_local]
+            keep = newd >= 0
+            d = newd[keep]
+            occ_keep = np.repeat(keep, f)
+            p = p[occ_keep]
+            if pay is not None:
+                pay = pay[occ_keep]
+            f = f[keep]
+            n = n[keep]
+        docs_parts.append(d)
+        freqs_parts.append(f)
+        pos_parts.append(p)
+        norm_parts.append(n)
+        if pay is not None:
+            pay_parts.append(pay)
+    docs = np.concatenate(docs_parts)
+    freqs = np.concatenate(freqs_parts)
+    pos_flat = np.concatenate(pos_parts)
+    norms = np.concatenate(norm_parts)
+    pay_enc = (
+        np.concatenate(pay_parts).astype("<f4").tobytes() if pay_parts else b""
+    )
+    if len(docs) == 0:
+        return (field, term, 0, 0,
+                b"", [], b"", [], b"", [], b"", [], [], [], b"")
+    docs_enc, docs_off = encode_doc_deltas(docs)
+    freqs_enc, freqs_off = encode_blocks(freqs)
+    pos_enc, pos_off = encode_blocks(pos_flat)
+    n = len(docs)
+    blk_idx = np.arange(0, n, BLOCK_SIZE)
+    blk_last = docs[np.minimum(blk_idx + BLOCK_SIZE - 1, n - 1)]
+    blk_maxf = np.maximum.reduceat(freqs, blk_idx)
+    blk_minn = np.minimum.reduceat(norms.astype(np.int64), blk_idx)
+    return (
+        field, term, int(len(docs)), int(freqs.sum()),
+        docs_enc, docs_off.tolist(),
+        freqs_enc, freqs_off.tolist(),
+        pos_enc, pos_off.tolist(),
+        norms.tobytes(),
+        blk_last.tolist(), blk_maxf.tolist(), blk_minn.tolist(),
+        pay_enc,
+    )
 
 
 def _merge_term_rows(pdf: pd.DataFrame, seg_order: dict, seg_offset: dict,

@@ -110,3 +110,57 @@ def test_concurrent_merge_matches_sequential(spark, tmp_path_factory):
              h["global_doc_id"].tolist(), h["score"].tolist())
         )
     assert outs[0] == outs[1]
+
+def test_merge_bucket_matches_contract(spark, small_corpus_pdf, tmp_path_factory):
+    """The vectorized slice walker (_merge_bucket → _merge_term_slice) must
+    be row-identical to the pinned per-group contract (_merge_term_rows) —
+    including the singleton fast path (stream pass-through + doc rebase)
+    and reclaim mode (tombstone masking)."""
+    import pandas as pd
+    import pyarrow.dataset as ds
+
+    from lucene_solr_1_spark.index import merge as M
+    from lucene_solr_1_spark.index.builder import _POSTINGS_FILE
+    from lucene_solr_1_spark.index.segment import POSTINGS_COLS
+
+    df = spark.createDataFrame(small_corpus_pdf)
+    d = str(tmp_path_factory.mktemp("idx_bk"))
+    m = build_index(spark, df, d, num_segments=6)
+    segs = sorted(m["segments"], key=lambda s: s["partition_id"])
+    frames = []
+    for s in segs:
+        p = f"{mf.segment_dir(d, s['segment_id'])}/{_POSTINGS_FILE}"
+        f = ds.dataset(p).to_table().to_pandas()
+        f["segment_id"] = s["segment_id"]
+        frames.append(f)
+    pdf = pd.concat(frames, ignore_index=True)
+    seg_order = {s["segment_id"]: i for i, s in enumerate(segs)}
+    offsets, base = {}, 0
+    for s in segs:
+        offsets[s["segment_id"]] = base
+        base += s["doc_count"]
+    rng = np.random.default_rng(7)
+    docmaps = {}
+    cbase = 0
+    for s in segs:
+        n = s["doc_count"]
+        keep = rng.random(n) > 0.2
+        mm = np.full(n, -1, dtype=np.int64)
+        mm[np.flatnonzero(keep)] = cbase + np.arange(int(keep.sum()))
+        docmaps[s["segment_id"]] = mm
+        cbase += int(keep.sum())
+
+    for maps in (None, docmaps):
+        contract = pd.DataFrame(
+            [M._merge_term_rows(g, seg_order, offsets, maps)
+             for _, g in pdf.groupby(["field", "term"], sort=False)],
+            columns=POSTINGS_COLS,
+        )
+        fast = M._merge_bucket(pdf, seg_order, offsets, maps)
+        key = ["field", "term"]
+        contract = contract.sort_values(key, ignore_index=True)
+        fast = fast.sort_values(key, ignore_index=True)
+        assert len(contract) == len(fast)
+        for c in POSTINGS_COLS:
+            a, b = contract[c].tolist(), fast[c].tolist()
+            assert a == b, f"column {c} diverges"
