@@ -36,8 +36,45 @@ from lucene_solr_1_spark.search.query import Bool, Fuzzy, NumericRange, Occur, T
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
 from lucene_solr_1_spark.sql import kernel_oracle as KO
 from lucene_solr_1_spark.sql import relational as R
+from lucene_solr_1_spark.sql import streaming_expr as SE
 
 _INDEX_CACHE: dict[str, str] = {}
+
+# Solr streaming expressions (solrj/io/stream): ONE expression string per
+# entry — both the Spark plan and the DuckDB twin are compiled from the
+# same parsed AST (sql/streaming_expr.py), so the backends cannot drift.
+_STREAM_EXPRS = {
+    "stream_rollup": (
+        'rollup(search(documents, q="data AND query", fl="doc_id,lang,n_chars",'
+        ' sort="doc_id asc"), over="lang", count(*), sum(n_chars),'
+        " avg(n_chars), max(n_chars))"
+    ),
+    "stream_inner_join": (
+        'innerJoin(search(documents, q="data AND query", fl="doc_id,score,lang",'
+        ' sort="doc_id asc"), select(search(documents, q="merge",'
+        ' fl="doc_id,score", sort="doc_id asc"), "doc_id", "score as score_b"),'
+        ' on="doc_id")'
+    ),
+    "stream_top_unique": (
+        'unique(top(n=40, sort="score desc", search(documents, q="fast OR sort",'
+        ' fl="doc_id,score,lang,source", sort="score desc")), over="lang")'
+    ),
+    "stream_having_rollup": (
+        'having(rollup(search(documents, q="data", fl="doc_id,source,n_chars",'
+        ' sort="doc_id asc"), over="source", count(*), avg(n_chars)),'
+        " and(gt(count_star, 19), lt(avg_n_chars, 360)))"
+    ),
+    "stream_complement": (
+        'complement(search(documents, q="data AND query", fl="doc_id,lang",'
+        ' sort="doc_id asc"), search(documents, q="merge", fl="doc_id",'
+        ' sort="doc_id asc"), on="doc_id")'
+    ),
+    "stream_merge_top": (
+        'top(n=25, sort="score desc", merge(search(documents, q="slow",'
+        ' fl="doc_id,score", sort="doc_id asc"), search(documents, q="batch",'
+        ' fl="doc_id,score", sort="doc_id asc"), on="doc_id asc"))'
+    ),
+}
 
 # classification input text (kNN / naive Bayes over the lang class field):
 # common corpus terms so retrieval is non-trivial at every shipped SF
@@ -795,6 +832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_allprobe_exact"] = lambda s, d: similarity.ivf_topk_spark(
         s, d, 0, 20, n_cells=16, n_probe=16
     )
+
+    # Solr streaming expressions (one expression string, two backends)
+    for _name, _expr in _STREAM_EXPRS.items():
+        q[_name] = lambda s, d, _e=_expr: SE.stream_spark(s, d, _e)
     return q
 
 
@@ -1058,4 +1099,5 @@ FROM m ORDER BY rank LIMIT 15
                 ", ".join(str(v) for v in range(30, 61, 3))
             ),
         ),
+        **{name: SE.stream_duck(expr) for name, expr in _STREAM_EXPRS.items()},
     }
