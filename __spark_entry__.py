@@ -639,6 +639,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _kernel_hits_df(s, _get_index(s, d), parse("data AND (query OR merge)"), k=10)
 
+    def _simple_parsed(s, d):
+        # SimpleQueryParser grammar ("+" AND, "|" OR, parens) — same tree
+        # shape as the classic 'fast AND (sort OR merge)', so the nested
+        # and/or kernel twin oracles it
+        from lucene_solr_1_spark.search.parser import parse_simple
+
+        return _kernel_hits_df(
+            s, _get_index(s, d), parse_simple("fast + (sort | merge)"), k=10
+        )
+
     def _field_stats(s, d):
         return s.createDataFrame(_get_index(s, d).index_field_stats())
 
@@ -745,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_kernel_parsed_query"] = _parsed
+    q["fts_simple_query"] = _simple_parsed
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -984,6 +995,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_payload_score": KO.kernel_payload_duck("merge", mod=7, k=10),
         "fts_kernel_parsed_query": KO.kernel_nested_and_or_duck(
             "data", ("query", "merge"), k=10
+        ),
+        "fts_simple_query": KO.kernel_nested_and_or_duck(
+            "fast", ("sort", "merge"), k=10
         ),
         "index_field_stats": """
 WITH tok AS (

@@ -647,3 +647,331 @@ def parse_surround(
     if pos != len(toks):
         raise ParseError(f"trailing surround tokens {toks[pos:]!r}")
     return rewrite(q)
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser (lucene/queryparser/src/java/org/apache/lucene/
+# queryparser/simple/SimpleQueryParser.java) — the "do your best, never
+# throw" end-user grammar: + AND, | OR, - NOT, "..." phrase (~N near),
+# trailing * prefix, ~N fuzzy, ( ) precedence, \ escapes, whitespace as
+# the implicit default operator. Any syntax error is decoded as literally
+# as possible (parseSubQuery:164-223 error-recovery comments).
+# ---------------------------------------------------------------------------
+
+# feature flags (SimpleQueryParser.java:106-124)
+AND_OPERATOR = 1 << 0
+NOT_OPERATOR = 1 << 1
+OR_OPERATOR = 1 << 2
+PREFIX_OPERATOR = 1 << 3
+PHRASE_OPERATOR = 1 << 4
+PRECEDENCE_OPERATORS = 1 << 5
+ESCAPE_OPERATOR = 1 << 6
+WHITESPACE_OPERATOR = 1 << 7
+FUZZY_OPERATOR = 1 << 8
+NEAR_OPERATOR = 1 << 9
+
+_MAX_FUZZY_DISTANCE = 2  # util/automaton/LevenshteinAutomata MAXIMUM_SUPPORTED_DISTANCE
+
+
+class _SimpleState:
+    __slots__ = ("data", "index", "length", "top", "current_op", "previous_op", "not_count")
+
+    def __init__(self, data: str, start: int, length: int):
+        self.data = data
+        self.index = start
+        self.length = length
+        self.top: Query | None = None
+        self.current_op: Occur | None = None
+        self.previous_op: Occur | None = None
+        self.not_count = 0
+
+
+class SimpleParser:
+    """Port of the public SimpleQueryParser algorithm. `weights` maps
+    field → boost (SimpleQueryParser.java:135 multi-field constructor);
+    leaves become per-field SHOULD bools with Boost wrappers, simplified
+    when 0/1 clause (simplify:613-621)."""
+
+    def __init__(
+        self,
+        cfg: AnalyzerConfig = STANDARD,
+        weights: dict | None = None,
+        flags: int = -1,
+        default_operator: Occur = Occur.SHOULD,
+    ):
+        if default_operator not in (Occur.SHOULD, Occur.MUST):
+            raise ValueError("default operator must be SHOULD or MUST")
+        self.cfg = cfg
+        self.weights = weights or {DEFAULT_FIELD: 1.0}
+        self.flags = flags
+        self.default_operator = default_operator
+
+    # -- entry (parse:147-162) --
+    def parse(self, text: str, do_rewrite: bool = True) -> Query:
+        """`do_rewrite=False` returns the raw tree exactly as the reference
+        builds it (golden tests compare against ported expectations);
+        the engine path applies the standard rewrite fixpoint."""
+        if text.strip() == "*":
+            return MatchAll()
+        state = _SimpleState(text, 0, len(text))
+        self._parse_sub(state)
+        if state.top is None:
+            return MatchNone()
+        return rewrite(state.top) if do_rewrite else state.top
+
+    def _flag(self, f: int) -> bool:
+        return bool(self.flags & f)
+
+    # -- main loop (parseSubQuery:164-223) --
+    def _parse_sub(self, st: _SimpleState) -> None:
+        while st.index < st.length:
+            c = st.data[st.index]
+            if c == "(" and self._flag(PRECEDENCE_OPERATORS):
+                self._consume_subquery(st)
+            elif c == ")" and self._flag(PRECEDENCE_OPERATORS):
+                st.index += 1  # extraneous
+            elif c == '"' and self._flag(PHRASE_OPERATOR):
+                self._consume_phrase(st)
+            elif c == "+" and self._flag(AND_OPERATOR):
+                if st.current_op is None and st.top is not None:
+                    st.current_op = Occur.MUST
+                st.index += 1
+            elif c == "|" and self._flag(OR_OPERATOR):
+                if st.current_op is None and st.top is not None:
+                    st.current_op = Occur.SHOULD
+                st.index += 1
+            elif c == "-" and self._flag(NOT_OPERATOR):
+                # two NOTs in a row negate each other; continue so the
+                # count survives to the next token
+                st.not_count += 1
+                st.index += 1
+                continue
+            elif c in " \t\n\r" and self._flag(WHITESPACE_OPERATOR):
+                st.index += 1
+            else:
+                self._consume_token(st)
+            st.not_count = 0
+
+    # -- ( ... ) (consumeSubQuery:225-281) --
+    def _consume_subquery(self, st: _SimpleState) -> None:
+        st.index += 1
+        start = st.index
+        depth = 1
+        escaped = False
+        while st.index < st.length:
+            if not escaped:
+                c = st.data[st.index]
+                if c == "\\" and self._flag(ESCAPE_OPERATOR):
+                    escaped = True
+                    st.index += 1
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            escaped = False
+            st.index += 1
+        if st.index == st.length:
+            # no closing paren: the opening one is extraneous
+            st.index = start
+        elif st.index == start:
+            # "()": the pending operation would have applied to it — reset
+            st.current_op = None
+            st.index += 1
+        else:
+            sub = _SimpleState(st.data, start, st.index)
+            self._parse_sub(sub)
+            self._build_tree(st, sub.top)
+            st.index += 1
+
+    # -- "..." [~N] (consumePhrase:284-350) --
+    def _consume_phrase(self, st: _SimpleState) -> None:
+        st.index += 1
+        start = st.index
+        buf: list[str] = []
+        escaped = False
+        has_slop = False
+        while st.index < st.length:
+            if not escaped:
+                c = st.data[st.index]
+                if c == "\\" and self._flag(ESCAPE_OPERATOR):
+                    escaped = True
+                    st.index += 1
+                    continue
+                if c == '"':
+                    if (
+                        st.length > st.index + 1
+                        and st.data[st.index + 1] == "~"
+                        and self._flag(NEAR_OPERATOR)
+                    ):
+                        st.index += 1
+                        if st.length > st.index + 1:
+                            has_slop = True
+                        break
+                    break
+            escaped = False
+            buf.append(st.data[st.index])
+            st.index += 1
+        if st.index == st.length:
+            st.index = start  # unclosed quote: opening quote extraneous
+        elif st.index == start:
+            st.current_op = None
+            st.index += 1
+        else:
+            phrase = "".join(buf)
+            slop = self._parse_fuzziness(st) if has_slop else 0
+            self._build_tree(st, self._new_phrase(phrase, slop))
+            st.index += 1
+
+    # -- term [~N | *] (consumeToken:354-419) --
+    def _consume_token(self, st: _SimpleState) -> None:
+        buf: list[str] = []
+        escaped = False
+        prefix = False
+        fuzzy = False
+        while st.index < st.length:
+            if not escaped:
+                c = st.data[st.index]
+                if c == "\\" and self._flag(ESCAPE_OPERATOR):
+                    escaped = True
+                    prefix = False
+                    st.index += 1
+                    continue
+                if self._token_finished(st):
+                    break
+                if buf and c == "~" and self._flag(FUZZY_OPERATOR):
+                    fuzzy = True
+                    break
+                prefix = bool(buf) and c == "*" and self._flag(PREFIX_OPERATOR)
+            escaped = False
+            buf.append(st.data[st.index])
+            st.index += 1
+        if not buf:
+            return
+        token = "".join(buf)
+        if fuzzy:
+            edits = min(self._parse_fuzziness(st), _MAX_FUZZY_DISTANCE)
+            branch = (
+                self._new_default(token) if edits == 0
+                else self._new_fuzzy(token, edits)
+            )
+        elif prefix:
+            branch = self._new_prefix(token[:-1])
+        else:
+            branch = self._new_default(token)
+        self._build_tree(st, branch)
+
+    # -- ~N (parseFuzziness:482-518) --
+    def _parse_fuzziness(self, st: _SimpleState) -> int:
+        if st.index >= st.length or st.data[st.index] != "~":
+            return 0
+        chars: list[str] = []
+        while st.index < st.length:
+            st.index += 1
+            if st.index < st.length:
+                if self._token_finished(st):
+                    break
+                chars.append(st.data[st.index])
+        try:
+            val = int("".join(chars)) if chars else 2  # bare ~ = auto ~2
+        except ValueError:
+            val = 0  # swallow, like the NumberFormatException branch
+        return max(val, 0)
+
+    # -- delimiters (tokenFinished:523-536) --
+    def _token_finished(self, st: _SimpleState) -> bool:
+        c = st.data[st.index]
+        return (
+            (c == '"' and self._flag(PHRASE_OPERATOR))
+            or (c == "|" and self._flag(OR_OPERATOR))
+            or (c == "+" and self._flag(AND_OPERATOR))
+            or (c in "()" and self._flag(PRECEDENCE_OPERATORS))
+            or (c in " \t\n\r" and self._flag(WHITESPACE_OPERATOR))
+        )
+
+    # -- tree assembly (buildQueryTree:435-477, addClause:422-429) --
+    def _build_tree(self, st: _SimpleState, branch: Query | None) -> None:
+        if branch is None:
+            return
+        if st.not_count % 2 == 1:
+            branch = Bool.of((Occur.MUST_NOT, branch), (Occur.SHOULD, MatchAll()))
+        if st.top is None:
+            st.top = branch
+        else:
+            if st.current_op is None:
+                st.current_op = self.default_operator
+            if st.previous_op != st.current_op:
+                # operational change: previous tree becomes one clause of a
+                # new parent — this IS the right-to-left precedence rule
+                st.top = Bool.of((st.current_op, st.top))
+            assert isinstance(st.top, Bool)
+            st.top = Bool(
+                st.top.clauses + (Clause(st.current_op, branch),),
+                st.top.min_should_match,
+            )
+            st.previous_op = st.current_op
+        st.current_op = None
+
+    # -- leaf factories (newDefaultQuery:561, newFuzzyQuery:576,
+    #    newPhraseQuery:593, newPrefixQuery:610; simplify:613-621) --
+    def _per_field(self, make) -> Query | None:
+        clauses = []
+        for fld, boost in self.weights.items():
+            q = make(fld)
+            if q is None:
+                continue
+            if boost != 1.0:
+                q = Boost(q, boost)
+            clauses.append(Clause(Occur.SHOULD, q))
+        if not clauses:
+            return None
+        if len(clauses) == 1:
+            return clauses[0].query
+        return Bool(tuple(clauses))
+
+    def _norm(self, raw: str) -> str:
+        # Analyzer.normalize: the chain's per-char filters only (lowercase)
+        return raw.lower() if self.cfg.lowercase else raw
+
+    def _new_default(self, text: str) -> Query | None:
+        def make(fld):
+            terms, _ = tokenize_one(text, self.cfg)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return Term(terms[0], field=fld)
+            # createBooleanQuery: analyzer-split tokens combine under the
+            # DEFAULT operator (QueryBuilder.createBooleanQuery)
+            return Bool.of(*((self.default_operator, Term(t, field=fld)) for t in terms))
+
+        return self._per_field(make)
+
+    def _new_fuzzy(self, text: str, edits: int) -> Query | None:
+        return self._per_field(lambda fld: Fuzzy(self._norm(text), edits, field=fld))
+
+    def _new_prefix(self, text: str) -> Query | None:
+        return self._per_field(lambda fld: Prefix(self._norm(text), field=fld))
+
+    def _new_phrase(self, text: str, slop: int) -> Query | None:
+        def make(fld):
+            terms, _ = tokenize_one(text, self.cfg)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return Term(terms[0], field=fld)
+            return Phrase(tuple(terms), slop=slop, field=fld)
+
+        return self._per_field(make)
+
+
+def parse_simple(
+    text: str,
+    cfg: AnalyzerConfig = STANDARD,
+    weights: dict | None = None,
+    flags: int = -1,
+    default_operator: Occur = Occur.SHOULD,
+) -> Query:
+    """SimpleQueryParser.parse analog — never raises on query syntax."""
+    return SimpleParser(cfg, weights, flags, default_operator).parse(text)
