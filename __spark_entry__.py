@@ -157,6 +157,33 @@ def _get_payload_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_wd_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the CODE analyzer (WordDelimiterGraphFilter with
+    Solr factory defaults) over the deterministically annotated view
+    (kernel_oracle.WD_ANNOTATIONS — both engines apply the same literal
+    replacements, injecting camelCase/snake_case/letter-digit compounds
+    into the all-lowercase corpus)."""
+    from lucene_solr_1_spark.kernels.analyzer import CODE
+
+    key = ("wd", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_wd_")
+        docs = R.load_documents(spark, sf_dir)
+        content = F.col("text")
+        for pat, rep in KO.WD_ANNOTATIONS:
+            content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
+        annotated = docs.select(
+            F.lit("testdata/documents").alias("repo"),
+            F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
+            F.sha2(F.col("text"), 256).alias("commit"),
+            F.col("lang"),
+            content.alias("content"),
+        )
+        build_index(spark, annotated, d, num_segments=4, cfg=CODE)
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_sorted_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with index_sort='n_chars' (IndexWriterConfig
     .setIndexSort analog) — exercised by fts_index_sorted_topk's
@@ -756,6 +783,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_kernel_parsed_query"] = _parsed
     q["fts_simple_query"] = _simple_parsed
+
+    def _worddelim(s, d):
+        # `rowScan` compounds in the annotated view split to row/scan at
+        # index time — Term("scan") must find them with wd-split stats
+        return _kernel_hits_df(s, _get_wd_index(s, d), Term("scan"), k=10)
+
+    q["fts_worddelim_term"] = _worddelim
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -999,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_simple_query": KO.kernel_nested_and_or_duck(
             "fast", ("sort", "merge"), k=10
         ),
+        "fts_worddelim_term": KO.kernel_worddelim_term_duck("scan", k=10),
         "index_field_stats": """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term

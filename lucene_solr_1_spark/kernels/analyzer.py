@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 from .porter import porter_stem, stem_array, strip_possessive
+from .worddelim import WD_DEFAULT, wd_split
 
 # EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (EnglishAnalyzer.java:43-55)
 ENGLISH_STOP_WORDS = frozenset(
@@ -107,6 +108,12 @@ class AnalyzerConfig:
     possessive: bool = False  # EnglishPossessiveFilter.java
     stem: bool = False  # PorterStemFilter.java
     ascii_fold: bool = False  # ASCIIFoldingFilter.java (Latin subset)
+    # WordDelimiterGraphFilter flag bitmask; 0 = filter absent. Chain
+    # order mirrors the Solr code-field idiom: tokenize (CASE-PRESERVING
+    # — splits need it) -> WDGF -> lowercase -> stop -> stem; positions
+    # renumber over the post-split stream (graph semantics: parts take
+    # consecutive positions, catenations/original stack at their start).
+    word_delimiter: int = 0
 
     def with_english_stop(self) -> "AnalyzerConfig":
         return AnalyzerConfig(
@@ -116,6 +123,7 @@ class AnalyzerConfig:
             possessive=self.possessive,
             stem=self.stem,
             ascii_fold=self.ascii_fold,
+            word_delimiter=self.word_delimiter,
         )
 
 
@@ -129,6 +137,10 @@ ENGLISH_STEM = AnalyzerConfig(
 # (fold runs on the lowercased SOURCE, which commutes with tokenization:
 # every folded codepoint is a letter mapping to letters)
 STANDARD_FOLD = AnalyzerConfig(ascii_fold=True)
+# code-identifier chain: WordDelimiterGraphFilter with the Solr factory
+# defaults (camelCase / snake_case / letter-digit splits, per-subword
+# possessive strip) then lowercase — `getFooBar` indexes get/foo/bar
+CODE = AnalyzerConfig(word_delimiter=WD_DEFAULT)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -138,6 +150,7 @@ ANALYZERS: dict = {
     "english": ENGLISH,
     "english_stem": ENGLISH_STEM,
     "standard_fold": STANDARD_FOLD,
+    "code": CODE,
 }
 
 
@@ -153,6 +166,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
     pre-filter token index so stop/overlong removals keep increments."""
     if not text:
         return [], []
+    if cfg.word_delimiter:
+        return _tokenize_one_wd(text, cfg)
     # Lowercase the source, then tokenize: identical result to Lucene's
     # tokenize-then-LowerCaseFilter on ASCII-dominant code text, and keeps
     # this path byte-identical to the vectorized analyze_series path.
@@ -176,12 +191,42 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
     return terms, positions
 
 
+def _tokenize_one_wd(text: str, cfg: AnalyzerConfig) -> tuple[list, list]:
+    """word_delimiter chain: tokenize CASE-PRESERVING source → wd_split →
+    lowercase → stop → stem. Positions renumber over the post-split
+    stream; a token's width shifts everything after it (graph
+    semantics). Scalar twin of the flatten_tokens wd path — the
+    scalar==vectorized test pins agreement."""
+    if cfg.ascii_fold:
+        text = ascii_fold(text)
+    raw = _TOKEN_RE.findall(text)
+    terms, positions = [], []
+    pos = 0
+    for tok in raw:
+        if len(tok) > cfg.max_token_length:
+            pos += 1
+            continue
+        parts, width = wd_split(tok, cfg.word_delimiter)
+        for ptext, pstart, _pend in parts:
+            t = ptext.lower() if cfg.lowercase else ptext
+            if t in cfg.stop_words:
+                continue
+            if cfg.stem:
+                t = porter_stem(t)
+            terms.append(t)
+            positions.append(pos + pstart)
+        pos += width
+    return terms, positions
+
+
 def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Series:
     """Vectorized analysis: Series[str] → Series[list[str]] of terms.
 
     pandas .str.findall runs the regex in C per row — this is the Arrow
     UDF hot path (no Spark-level per-row Python)."""
     src = texts.fillna("")
+    if cfg.word_delimiter:
+        return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
     if cfg.lowercase:
         src = src.str.lower()
     if cfg.ascii_fold:
@@ -225,6 +270,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
      doc_len np.ndarray[int64]) — doc_len is the post-filter token count
     (the norm input). All steps are pandas/NumPy C loops.
     """
+    if cfg.word_delimiter:
+        return _flatten_tokens_wd(texts, cfg)
     n = len(texts)
     src = texts.fillna("")
     if cfg.lowercase:
@@ -259,6 +306,76 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         terms = stem_array(terms)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len
+
+
+def _flatten_tokens_wd(texts: pd.Series, cfg: AnalyzerConfig):
+    """Vectorized inversion prep for the word_delimiter chain: tokenize
+    the CASE-PRESERVING source, split per UNIQUE raw token (Zipf: the
+    vocabulary is far smaller than the token stream — same trick as
+    stemming), then expand the stream with a gather over per-unique part
+    slices. Positions = segmented exclusive cumsum of token widths plus
+    each part's in-token start (graph position semantics). Must stay
+    stream-identical to _tokenize_one_wd (scalar==vectorized test)."""
+    n = len(texts)
+    src = texts.fillna("")
+    if cfg.ascii_fold:
+        src = src.str.translate(_FOLD_TABLE)
+    tok_lists = src.str.findall(_TOKEN_RE)
+    raw_counts = tok_lists.map(len).to_numpy(dtype=np.int64)
+    total = int(raw_counts.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), z, z, np.zeros(n, dtype=np.int64)
+    raw = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+
+    codes, uniq = pd.factorize(pd.Series(raw), sort=False)
+    flags = cfg.word_delimiter
+    part_texts: list[str] = []
+    part_offs: list[int] = []
+    u_start = np.empty(len(uniq), dtype=np.int64)
+    u_count = np.empty(len(uniq), dtype=np.int64)
+    widths_u = np.empty(len(uniq), dtype=np.int64)
+    for i, u in enumerate(uniq):
+        u_start[i] = len(part_texts)
+        if len(u) > cfg.max_token_length:
+            parts, width = (), 1  # overlong raw token: dropped, 1 position
+        else:
+            parts, width = wd_split(u, flags)
+        for ptext, pstart, _pend in parts:
+            part_texts.append(ptext.lower() if cfg.lowercase else ptext)
+            part_offs.append(pstart)
+        u_count[i] = len(part_texts) - u_start[i]
+        widths_u[i] = width
+    all_texts = np.asarray(part_texts, dtype=object)
+    all_offs = np.asarray(part_offs, dtype=np.int64)
+
+    widths = widths_u[codes]
+    counts = u_count[codes]
+    # per-token start position = exclusive cumsum of widths within its doc
+    cum = np.cumsum(widths) - widths
+    doc_first = np.concatenate(([0], np.cumsum(raw_counts)[:-1]))
+    base = np.repeat(cum[np.minimum(doc_first, total - 1)], raw_counts)
+    start_pos = cum - base
+    # gather each token's part slice [u_start, u_start + u_count)
+    n_parts = int(counts.sum())
+    if n_parts == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), z, z, np.zeros(n, dtype=np.int64)
+    seg_base = np.cumsum(counts) - counts
+    within = np.arange(n_parts, dtype=np.int64) - np.repeat(seg_base, counts)
+    gather = np.repeat(u_start[codes], counts) + within
+    terms = all_texts[gather]
+    pos = np.repeat(start_pos, counts) + all_offs[gather]
+    rows = np.repeat(row_idx, counts)
+
+    if cfg.stop_words:
+        keep = ~pd.Series(terms, dtype=object).isin(cfg.stop_words).to_numpy()
+        terms, rows, pos = terms[keep], rows[keep], pos[keep]
+    if cfg.stem:
+        terms = stem_array(terms)
+    doc_len = np.bincount(rows, minlength=n).astype(np.int64)
+    return terms, rows, pos, doc_len
 
 
 def shingle_tokens(

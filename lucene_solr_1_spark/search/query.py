@@ -443,7 +443,15 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
     (per-field KeywordAnalyzer); multi-term queries (Prefix/Wildcard/
     Regexp/Fuzzy/TermRange) are NOT analyzed, matching QueryParser's
     raw-term handling of MTQs. Stop words are left as-is — like a direct
-    TermQuery for a stopped term, they simply match nothing."""
+    TermQuery for a stopped term, they simply match nothing.
+
+    word_delimiter chains split ONE query term into MANY (`RowScan` ->
+    row, scan): a Term leaf becomes an OR of the parts (QueryBuilder
+    createBooleanQuery on a multi-token analysis, same shape the parser
+    emits for analyzer-split tokens); Phrase slots flatten their parts
+    into the sequence (createPhraseQuery). Span text keeps only the
+    FIRST part — spans over split compounds are not representable in a
+    single SpanTerm (compose SpanNear of parts explicitly instead)."""
     from ..kernels.porter import porter_stem, strip_possessive
 
     def one(text: str) -> str:
@@ -458,14 +466,29 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             t = porter_stem(t)
         return t
 
+    def many(text: str) -> list[str]:
+        if not cfg.word_delimiter:
+            return [one(text)]
+        from ..kernels.analyzer import tokenize_one
+
+        return tokenize_one(text, cfg)[0]
+
     def walk(node, field=DEFAULT_FIELD):
         if isinstance(node, str):  # span term sugar
-            return one(node) if field not in keyword_fields else node
+            if field in keyword_fields:
+                return node
+            parts = many(node)
+            return parts[0] if parts else one(node)
         if isinstance(node, Term):
             if node.field in keyword_fields:
                 return node
-            return Term(one(node.text), field=node.field,
-                        df_override=node.df_override)
+            parts = many(node.text)
+            if len(parts) > 1:
+                return Bool.of(
+                    *((Occur.SHOULD, Term(p, field=node.field)) for p in parts)
+                )
+            return Term(parts[0] if parts else one(node.text),
+                        field=node.field, df_override=node.df_override)
         if isinstance(node, MultiPhrase):
             if node.field in keyword_fields:
                 return node
@@ -487,9 +510,9 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
         if isinstance(node, (Synonym, Phrase)):
             if node.field in keyword_fields:
                 return node
-            terms = tuple(one(t) for t in node.terms)
             if isinstance(node, Synonym):
-                return Synonym(terms, field=node.field)
+                return Synonym(tuple(one(t) for t in node.terms), field=node.field)
+            terms = tuple(p for t in node.terms for p in (many(t) or [one(t)]))
             return Phrase(terms, slop=node.slop, field=node.field)
         if isinstance(node, SpanOr):
             return SpanOr(

@@ -1208,3 +1208,129 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter twin (analysis/miscellaneous/
+# WordDelimiterGraphFilter.java) — the shipped corpus is all-lowercase, so
+# the wd entry runs over a deterministically ANNOTATED view: literal
+# replacements that inject camelCase / snake_case / letter-digit compounds.
+# Both engines apply the SAME replacement spec; the split mapping is a
+# VALUES table generated by the SAME wd_split function the engine runs
+# (the stem-table pattern — the splitter itself is pinned by the ported
+# reference goldens in tests/test_worddelim.py).
+# ---------------------------------------------------------------------------
+
+WD_ANNOTATIONS = (
+    ("row scan", "rowScan"),
+    ("fast sort", "fast_sort"),
+    ("merge batch", "merge2batch"),
+)
+
+# case-preserving tokenizer twin (the wd chain tokenizes BEFORE lowercase;
+# annotations only introduce [A-Za-z0-9_] characters)
+WD_RAW_PATTERN = "[a-zA-Z0-9_]+"
+
+
+def wd_annotated_text_sql(col: str = "text") -> str:
+    expr = col
+    for pat, rep in WD_ANNOTATIONS:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return expr
+
+
+def _wd_table_values() -> str:
+    """(raw_token, parts VARCHAR[]) rows for every raw token of the
+    ANNOTATED documents tables whose wd-split+lowercase differs from
+    plain lowercase — generated with the engine's own wd_split."""
+    import os
+
+    import duckdb
+
+    from ..kernels.worddelim import WD_DEFAULT, wd_split
+
+    files = [
+        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
+    ]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        raise FileNotFoundError("no testdata documents tables for wd table")
+    con = duckdb.connect()
+    flist = ", ".join(f"'{f}'" for f in files)
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(regexp_extract_all("
+            f"{wd_annotated_text_sql()}, '{WD_RAW_PATTERN}')) AS t "
+            f"FROM read_parquet([{flist}])"
+        ).fetchall()
+    ]
+    rows = []
+    for t in sorted(set(vocab)):
+        parts = [p[0].lower() for p in wd_split(t, WD_DEFAULT)[0]]
+        if parts != [t.lower()]:
+            rows.append(
+                f"({_sql_str(t)}, [{', '.join(_sql_str(p) for p in parts)}])"
+            )
+    return ", ".join(rows) if rows else "('', [''])"
+
+
+def _worddelim_prelude(all_terms) -> str:
+    """Base + tf/df CTEs for the CODE analyzer chain over the annotated
+    view: case-preserving tokenize -> wd split (mapping table) ->
+    lowercase. dl = emitted part count (FieldInvertState.getLength)."""
+    ann = wd_annotated_text_sql()
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+raw AS (
+  SELECT doc_id, unnest(regexp_extract_all({ann}, '{WD_RAW_PATTERN}')) AS rt
+  FROM documents
+),
+wdm(t, parts) AS (VALUES {_wd_table_values()}),
+tok AS (
+  SELECT r.doc_id, unnest(coalesce(w.parts, [lower(r.rt)])) AS term
+  FROM raw r LEFT JOIN wdm w ON w.t = r.rt
+),
+dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list(all_terms)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+""".strip()
+
+
+def kernel_worddelim_term_duck(term: str, k: int = 10) -> str:
+    """Twin of a TermQuery against a CODE-analyzer index over the
+    annotated view — quantized float32 BM25 with wd-split dl/df/tf."""
+    return f"""
+WITH {_worddelim_prelude((term,))},
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
