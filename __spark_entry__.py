@@ -184,6 +184,33 @@ def _get_wd_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_html_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the HTML analyzer (HTMLStripCharFilter before the
+    standard chain) over a deterministically annotated view
+    (kernel_oracle.HTML_ANNOTATIONS: corpus words wrapped in tags,
+    comments, script blocks and entities — both engines apply the same
+    literal replacements)."""
+    from lucene_solr_1_spark.kernels.analyzer import HTML
+
+    key = ("html", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_html_")
+        docs = R.load_documents(spark, sf_dir)
+        content = F.col("text")
+        for pat, rep in KO.HTML_ANNOTATIONS:
+            content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
+        annotated = docs.select(
+            F.lit("testdata/documents").alias("repo"),
+            F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
+            F.sha2(F.col("text"), 256).alias("commit"),
+            F.col("lang"),
+            content.alias("content"),
+        )
+        build_index(spark, annotated, d, num_segments=4, cfg=HTML)
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_sorted_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with index_sort='n_chars' (IndexWriterConfig
     .setIndexSort analog) — exercised by fts_index_sorted_topk's
@@ -790,6 +817,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kernel_hits_df(s, _get_wd_index(s, d), Term("scan"), k=10)
 
     q["fts_worddelim_term"] = _worddelim
+
+    def _htmlstrip(s, d):
+        # markup/comments/script content vanish before tokenization; the
+        # decoded &amp; entity and the stripped script body shift dl —
+        # "slow" docs gained a "steady" token, "batch" docs lost nothing
+        return _kernel_hits_df(s, _get_html_index(s, d), Term("steady"), k=10)
+
+    q["fts_html_strip_term"] = _htmlstrip
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1034,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
             "fast", ("sort", "merge"), k=10
         ),
         "fts_worddelim_term": KO.kernel_worddelim_term_duck("scan", k=10),
+        "fts_html_strip_term": KO.kernel_htmlstrip_term_duck("steady", k=10),
         "index_field_stats": """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
+from .htmlstrip import html_strip, html_strip_series
 from .porter import porter_stem, stem_array, strip_possessive
 from .worddelim import WD_DEFAULT, wd_split
 
@@ -108,6 +109,10 @@ class AnalyzerConfig:
     possessive: bool = False  # EnglishPossessiveFilter.java
     stem: bool = False  # PorterStemFilter.java
     ascii_fold: bool = False  # ASCIIFoldingFilter.java (Latin subset)
+    # HTMLStripCharFilter (analysis/charfilter/HTMLStripCharFilter.java):
+    # a CHAR filter — markup removed from the source BEFORE tokenization
+    # (kernels/htmlstrip.py pins the behavioral contract).
+    html_strip: bool = False
     # WordDelimiterGraphFilter flag bitmask; 0 = filter absent. Chain
     # order mirrors the Solr code-field idiom: tokenize (CASE-PRESERVING
     # — splits need it) -> WDGF -> lowercase -> stop -> stem; positions
@@ -124,6 +129,7 @@ class AnalyzerConfig:
             stem=self.stem,
             ascii_fold=self.ascii_fold,
             word_delimiter=self.word_delimiter,
+            html_strip=self.html_strip,
         )
 
 
@@ -141,6 +147,8 @@ STANDARD_FOLD = AnalyzerConfig(ascii_fold=True)
 # defaults (camelCase / snake_case / letter-digit splits, per-subword
 # possessive strip) then lowercase — `getFooBar` indexes get/foo/bar
 CODE = AnalyzerConfig(word_delimiter=WD_DEFAULT)
+# StandardAnalyzer behind an HTMLStripCharFilter (the Solr text_html idiom)
+HTML = AnalyzerConfig(html_strip=True)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -151,6 +159,7 @@ ANALYZERS: dict = {
     "english_stem": ENGLISH_STEM,
     "standard_fold": STANDARD_FOLD,
     "code": CODE,
+    "html": HTML,
 }
 
 
@@ -166,6 +175,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
     pre-filter token index so stop/overlong removals keep increments."""
     if not text:
         return [], []
+    if cfg.html_strip:
+        text = html_strip(text)
     if cfg.word_delimiter:
         return _tokenize_one_wd(text, cfg)
     # Lowercase the source, then tokenize: identical result to Lucene's
@@ -225,6 +236,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     pandas .str.findall runs the regex in C per row — this is the Arrow
     UDF hot path (no Spark-level per-row Python)."""
     src = texts.fillna("")
+    if cfg.html_strip:
+        src = html_strip_series(src)
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
     if cfg.lowercase:
@@ -270,6 +283,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
      doc_len np.ndarray[int64]) — doc_len is the post-filter token count
     (the norm input). All steps are pandas/NumPy C loops.
     """
+    if cfg.html_strip:
+        texts = html_strip_series(texts.fillna(""))
     if cfg.word_delimiter:
         return _flatten_tokens_wd(texts, cfg)
     n = len(texts)

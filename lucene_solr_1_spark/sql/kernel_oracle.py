@@ -1334,3 +1334,102 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# HTMLStripCharFilter twin (analysis/charfilter/HTMLStripCharFilter.java)
+# — runs over an annotated view that wraps corpus words in markup; the
+# strip chain is generated from kernels/htmlstrip.STRIP_STEPS (the one
+# shared spec). Numeric entities are a Python-only decode step, so the
+# generator asserts the annotated corpus contains none.
+# ---------------------------------------------------------------------------
+
+HTML_ANNOTATIONS = (
+    ("data", "<b>data</b>"),
+    ("query", '<div class="q">query</div>'),
+    ("merge", "merge<!-- c -->"),
+    ("slow", "slow &amp; steady"),
+    ("batch", "<script>var x = 1;</script>batch"),
+)
+
+
+def html_annotated_text_sql(col: str = "text") -> str:
+    expr = col
+    for pat, rep in HTML_ANNOTATIONS:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return expr
+
+
+def html_strip_sql(expr: str) -> str:
+    """The STRIP_STEPS chain as nested DuckDB regexp_replace calls —
+    generated from the SAME ordered spec the engine executes."""
+    from ..kernels.htmlstrip import STRIP_STEPS, _NUMERIC_ENTITY
+
+    for pat, rep in STRIP_STEPS:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    # Python-only numeric entity decode: assert it cannot fire here
+    import duckdb as _dd
+    import os as _os
+
+    files = [
+        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
+    ]
+    files = [f for f in files if _os.path.exists(f)]
+    if files:
+        flist = ", ".join(f"'{f}'" for f in files)
+        n = _dd.connect().execute(
+            f"SELECT count(*) FROM read_parquet([{flist}]) "
+            f"WHERE regexp_matches({html_annotated_text_sql()}, "
+            f"{_sql_str(_NUMERIC_ENTITY.pattern)})"
+        ).fetchone()[0]
+        if n:
+            raise AssertionError(
+                "annotated corpus contains numeric entities — the SQL twin "
+                "cannot replay the Python-only decode step"
+            )
+    return expr
+
+
+def kernel_htmlstrip_term_duck(term: str, k: int = 10) -> str:
+    """Twin of a TermQuery against an HTML-analyzer index over the
+    annotated view: strip chain -> standard tokenize -> quantized
+    float32 BM25."""
+    stripped = html_strip_sql(html_annotated_text_sql())
+    toks = f"regexp_extract_all(lower({stripped}), '{TOKEN_PATTERN}')"
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list((term,))}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
