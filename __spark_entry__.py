@@ -184,6 +184,23 @@ def _get_wd_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_phonetic_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the PHONETIC analyzer (PhoneticFilter(Soundex,
+    inject=true) after the standard chain) over the PLAIN documents
+    corpus — codes ride in the postings at the base tokens' positions."""
+    from lucene_solr_1_spark.kernels.analyzer import PHONETIC
+
+    key = ("phonetic", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_ph_")
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            cfg=PHONETIC,
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_html_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the HTML analyzer (HTMLStripCharFilter before the
     standard chain) over a deterministically annotated view
@@ -825,6 +842,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kernel_hits_df(s, _get_html_index(s, d), Term("steady"), k=10)
 
     q["fts_html_strip_term"] = _htmlstrip
+
+    def _phonetic(s, d):
+        # "quary" is not a corpus term, but its Soundex q600 is indexed
+        # for every "query" occurrence — the searcher re-analyzes the
+        # Term into SynonymQuery(quary, q600), the did-you-mean-by-sound
+        # recall path
+        return _kernel_hits_df(s, _get_phonetic_index(s, d), Term("quary"), k=10)
+
+    q["fts_phonetic_synonym"] = _phonetic
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1070,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_worddelim_term": KO.kernel_worddelim_term_duck("scan", k=10),
         "fts_html_strip_term": KO.kernel_htmlstrip_term_duck("steady", k=10),
+        "fts_phonetic_synonym": KO.kernel_phonetic_synonym_duck("quary", k=10),
         "index_field_stats": """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term

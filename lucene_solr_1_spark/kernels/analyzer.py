@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 from .htmlstrip import html_strip, html_strip_series
+from .phonetic import phonetic_code
 from .porter import porter_stem, stem_array, strip_possessive
 from .worddelim import WD_DEFAULT, wd_split
 
@@ -119,6 +120,19 @@ class AnalyzerConfig:
     # renumber over the post-split stream (graph semantics: parts take
     # consecutive positions, catenations/original stack at their start).
     word_delimiter: int = 0
+    # PhoneticFilter with inject=true (analysis/phonetic/
+    # PhoneticFilter.java:43-90): each emitted token is followed by its
+    # phonetic code AT THE SAME POSITION (posIncr 0); query-side Term
+    # leaves become SynonymQuery(term, code). Value = encoder name
+    # (kernels/phonetic.ENCODERS), "" = filter absent.
+    phonetic: str = ""
+
+    def __post_init__(self):
+        if self.phonetic and self.word_delimiter:
+            raise ValueError(
+                "phonetic and word_delimiter filters are mutually "
+                "exclusive in this chain"
+            )
 
     def with_english_stop(self) -> "AnalyzerConfig":
         return AnalyzerConfig(
@@ -130,6 +144,7 @@ class AnalyzerConfig:
             ascii_fold=self.ascii_fold,
             word_delimiter=self.word_delimiter,
             html_strip=self.html_strip,
+            phonetic=self.phonetic,
         )
 
 
@@ -149,6 +164,8 @@ STANDARD_FOLD = AnalyzerConfig(ascii_fold=True)
 CODE = AnalyzerConfig(word_delimiter=WD_DEFAULT)
 # StandardAnalyzer behind an HTMLStripCharFilter (the Solr text_html idiom)
 HTML = AnalyzerConfig(html_strip=True)
+# StandardAnalyzer + PhoneticFilter(Soundex, inject=true)
+PHONETIC = AnalyzerConfig(phonetic="soundex")
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -160,6 +177,7 @@ ANALYZERS: dict = {
     "standard_fold": STANDARD_FOLD,
     "code": CODE,
     "html": HTML,
+    "phonetic": PHONETIC,
 }
 
 
@@ -199,6 +217,11 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             tok = porter_stem(tok)
         terms.append(tok)
         positions.append(pos)
+        if cfg.phonetic:
+            code = phonetic_code(tok, cfg.phonetic)
+            if code:
+                terms.append(code)
+                positions.append(pos)  # posIncr 0: stacked at the token
     return terms, positions
 
 
@@ -240,6 +263,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
         src = html_strip_series(src)
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
+    if cfg.phonetic:
+        return src.map(lambda t: tokenize_one(t, cfg)[0])
     if cfg.lowercase:
         src = src.str.lower()
     if cfg.ascii_fold:
@@ -319,8 +344,31 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         # per-UNIQUE-term stemming (Zipf: vocabulary << token stream),
         # then a C-level map back over the token array
         terms = stem_array(terms)
+    if cfg.phonetic:
+        terms, row_idx, pos = _inject_phonetic(terms, row_idx, pos, cfg)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len
+
+
+def _inject_phonetic(terms, row_idx, pos, cfg: AnalyzerConfig):
+    """Vectorized PhoneticFilter inject=true: after each token, its code
+    at the SAME position. Per-unique-term encoding (Zipf) then a segment
+    gather — stream-identical to the scalar tokenize_one ordering."""
+    codes, uniq = pd.factorize(pd.Series(terms, dtype=object), sort=False)
+    u_code = np.asarray(
+        [phonetic_code(u, cfg.phonetic) for u in uniq], dtype=object
+    )
+    has = np.asarray([bool(c) for c in u_code])
+    counts = np.where(has[codes], 2, 1).astype(np.int64)
+    total = int(counts.sum())
+    out_terms = np.empty(total, dtype=object)
+    out_rows = np.repeat(row_idx, counts)
+    out_pos = np.repeat(pos, counts)
+    first = np.cumsum(counts) - counts
+    out_terms[first] = terms
+    extra = first[counts == 2] + 1
+    out_terms[extra] = u_code[codes[counts == 2]]
+    return out_terms, out_rows, out_pos
 
 
 def _flatten_tokens_wd(texts: pd.Series, cfg: AnalyzerConfig):

@@ -487,8 +487,17 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
                 return Bool.of(
                     *((Occur.SHOULD, Term(p, field=node.field)) for p in parts)
                 )
-            return Term(parts[0] if parts else one(node.text),
-                        field=node.field, df_override=node.df_override)
+            t = parts[0] if parts else one(node.text)
+            if cfg.phonetic:
+                # PhoneticFilter inject=true at query time: the analyzer
+                # emits (term, code) at one position -> QueryBuilder
+                # builds a SynonymQuery (PhoneticFilter.java:43-90)
+                from ..kernels.phonetic import phonetic_code
+
+                code = phonetic_code(t, cfg.phonetic)
+                if code:
+                    return Synonym((t, code), field=node.field)
+            return Term(t, field=node.field, df_override=node.df_override)
         if isinstance(node, MultiPhrase):
             if node.field in keyword_fields:
                 return node

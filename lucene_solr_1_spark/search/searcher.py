@@ -203,7 +203,8 @@ class LuceneSparkSearcher:
 
     def _analyze_query(self, q: Query) -> Query:
         cfg = self.analyzer_cfg
-        if not (cfg.stem or cfg.possessive or cfg.ascii_fold or cfg.word_delimiter):
+        if not (cfg.stem or cfg.possessive or cfg.ascii_fold
+                or cfg.word_delimiter or cfg.phonetic):
             # standard/english indexes: today's raw-term behavior, exactly
             return q
         from ..index.segment import KEYWORD_FIELDS
