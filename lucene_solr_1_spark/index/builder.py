@@ -493,3 +493,135 @@ def add_indexes(index_dir: str, *source_dirs: str) -> dict:
     if tombstone_files:
         extra["tombstone_files"] = tombstone_files
     return mf.commit_manifest(index_dir, segments, extra=extra)
+
+
+def split_index(
+    index_dir: str,
+    out_dirs: list[str] | tuple,
+    mode: str = "segments",
+    sequential: bool = False,
+) -> list[dict]:
+    """Split one index into len(out_dirs) independent indexes.
+
+    mode="segments" — IndexSplitter (misc/src/java/org/apache/lucene/
+    index/IndexSplitter.java): whole segments are distributed to the
+    parts (round-robin in partition order, or contiguous runs with
+    sequential=True); segment files are copied verbatim, only manifests
+    and tombstone subsets are rewritten. The inverse of addIndexes.
+
+    mode="docs" — MultiPassIndexSplitter (misc/.../MultiPassIndexSplitter
+    .java:49-108): every part receives ALL segments plus tombstones
+    DELETING the other parts' documents — round-robin "doc n -> part
+    n % numParts", or contiguous global-docID ranges with
+    sequential=True. Exactly the reference's approach ("it works by
+    deleting documents and keeping the rest"): per-part stats stay
+    Lucene-stale until a reclaim merge, like any other delete.
+
+    Sticky index options (analyzer, offsets, index_sort, payloads) carry
+    into every part; global docIDs within a part follow the original
+    partition order, so per-part rankings are deterministic."""
+    import shutil
+
+    import numpy as np
+
+    from .deletes import read_tombstones
+
+    src = mf.read_manifest(index_dir)
+    if src is None:
+        raise ValueError(f"{index_dir} has no committed manifest")
+    n = len(out_dirs)
+    if n < 2:
+        raise ValueError("split needs at least 2 output dirs")
+    if mode not in ("segments", "docs"):
+        raise ValueError(f"unknown split mode {mode!r}")
+    segs = sorted(src["segments"], key=lambda s: s["partition_id"])
+    sticky = {
+        k: src[k]
+        for k in ("analyzer", "offsets", "index_sort", "payloads")
+        if src.get(k) is not None
+    }
+    tombs = read_tombstones(index_dir, src)
+    manifests = []
+
+    def _copy_segment(entry: dict, out_dir: str) -> None:
+        dst = mf.segment_dir(out_dir, entry["segment_id"])
+        if not os.path.isdir(dst):
+            shutil.copytree(
+                mf.segment_dir(index_dir, entry["segment_id"]), dst,
+                ignore=shutil.ignore_patterns("meta.json"),
+            )
+        mf.write_segment_meta(out_dir, entry["segment_id"], dict(entry))
+
+    def _write_tombs(out_dir: str, pairs: pd.DataFrame, extra: dict) -> None:
+        if len(pairs):
+            os.makedirs(os.path.join(out_dir, "deletes"), exist_ok=True)
+            rel = os.path.join("deletes", "split.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pairs[["segment_id", "doc_id"]], preserve_index=False
+                ),
+                os.path.join(out_dir, rel),
+            )
+            extra["tombstone_files"] = [rel]
+
+    if mode == "segments":
+        for i, out_dir in enumerate(out_dirs):
+            if sequential:
+                width = -(-len(segs) // n)
+                mine = segs[i * width:(i + 1) * width]
+            else:
+                mine = segs[i::n]
+            if not mine:
+                raise ValueError(
+                    f"part {i} would be empty ({len(segs)} segments / {n} parts)"
+                )
+            rows = []
+            for s in mine:
+                _copy_segment(s, out_dir)
+                sid = s["segment_id"]
+                if sid in tombs and len(tombs[sid]):
+                    rows.append(pd.DataFrame(
+                        {"segment_id": sid, "doc_id": tombs[sid]}
+                    ))
+            extra = dict(sticky)
+            _write_tombs(
+                out_dir,
+                pd.concat(rows) if rows
+                else pd.DataFrame(columns=["segment_id", "doc_id"]),
+                extra,
+            )
+            manifests.append(
+                mf.commit_manifest(out_dir, [dict(s) for s in mine], extra=extra)
+            )
+        return manifests
+
+    # mode == "docs": every part = all segments + complement tombstones
+    total = sum(s["doc_count"] for s in segs)
+    bounds = np.linspace(0, total, n + 1).astype(np.int64)
+    for i, out_dir in enumerate(out_dirs):
+        rows = []
+        for s in segs:
+            _copy_segment(s, out_dir)
+            sid = s["segment_id"]
+            local = np.arange(s["doc_count"], dtype=np.int64)
+            global_ids = s["doc_base"] + local
+            if sequential:
+                keep = (global_ids >= bounds[i]) & (global_ids < bounds[i + 1])
+            else:
+                keep = (global_ids % n) == i
+            dels = local[~keep]
+            if sid in tombs and len(tombs[sid]):
+                dels = np.union1d(dels, tombs[sid])
+            if len(dels):
+                rows.append(pd.DataFrame({"segment_id": sid, "doc_id": dels}))
+        extra = dict(sticky)
+        _write_tombs(
+            out_dir,
+            pd.concat(rows) if rows
+            else pd.DataFrame(columns=["segment_id", "doc_id"]),
+            extra,
+        )
+        manifests.append(
+            mf.commit_manifest(out_dir, [dict(s) for s in segs], extra=extra)
+        )
+    return manifests
