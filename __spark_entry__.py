@@ -365,6 +365,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "query", 5
     )
     q["facet_ranges"] = lambda s, d: R.range_facets_spark(s, d, "query")
+    # Solr group.facet=true (GroupFacetCollector): each group counts once
+    q["grouping_group_facet"] = lambda s, d: R.group_facets_spark(s, d, "query")
+    # ParentChildrenBlockJoinQuery: matching children of ONE parent block
+    q["fts_block_join_one_parent"] = lambda s, d: R.block_join_one_parent_spark(
+        s, d, "src7", "query", k=10
+    )
     q["facet_taxonomy"] = lambda s, d: R.taxonomy_facets_spark(s, d, "query")
     q["stats_numeric"] = lambda s, d: R.stats_numeric_spark(s, d, "query")
     q["facet_drill_sideways"] = lambda s, d: R.drill_sideways_spark(
@@ -1097,6 +1103,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_worddelim_term": KO.kernel_worddelim_term_duck("scan", k=10),
         "fts_html_strip_term": KO.kernel_htmlstrip_term_duck("steady", k=10),
         "fts_phonetic_synonym": KO.kernel_phonetic_synonym_duck("quary", k=10),
+        "grouping_group_facet": R.group_facets_duck("query"),
+        "fts_block_join_one_parent": R.block_join_one_parent_duck(
+            "src7", "query", k=10
+        ),
         "index_field_stats": """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term

@@ -2445,3 +2445,107 @@ SELECT doc_id::BIGINT AS doc_id, round({_expr_sql_rel(ast)}, 6) AS sort_val
 FROM documents WHERE list_contains({te}, '{term}')
 ORDER BY sort_val DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def group_facets_spark(spark, sf_dir, term: str, group_by: str = "source",
+                       facet_field: str = "lang") -> DataFrame:
+    """Solr group.facet=true / lucene/grouping GroupFacetCollector
+    (grouping/src/java/org/apache/lucene/search/grouping/
+    GroupFacetCollector.java): facet counts where each GROUP counts at
+    most once per facet value — count(DISTINCT group) of groups holding
+    a matching doc with that value, not raw doc counts. One map-side
+    partial agg; the match set is the standard token containment."""
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    matched = docs.where(F.array_contains("toks", term))
+    return (
+        matched.groupBy(facet_field)
+        .agg(F.count_distinct(group_by).cast("bigint").alias("group_count"))
+        .orderBy(F.desc("group_count"), F.asc(facet_field))
+    )
+
+
+def group_facets_duck(term: str, group_by: str = "source",
+                      facet_field: str = "lang") -> str:
+    te = duck_tokens_expr()
+    return f"""
+SELECT {facet_field},
+       count(DISTINCT {group_by})::BIGINT AS group_count
+FROM documents
+WHERE list_contains({te}, '{term}')
+GROUP BY 1
+ORDER BY group_count DESC, {facet_field} ASC
+""".strip()
+
+
+def block_join_one_parent_spark(spark, sf_dir, parent_source: str,
+                                term: str, k: int = 10) -> DataFrame:
+    """ParentChildrenBlockJoinQuery (join/src/java/org/apache/lucene/
+    search/join/ParentChildrenBlockJoinQuery.java:44-60: "return the
+    matching children of a specific parent"): child docs INSIDE one
+    parent block that match the child query, ranked by their OWN BM25
+    scores. The block filter is a parquet-pushed source predicate —
+    only that parent's children are ever scanned."""
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    totals = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("sum_dl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", "source", F.size("toks").cast("double").alias("dl"),
+            F.explode("toks").alias("t"),
+        )
+        .where(F.col("t") == term)
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfv = tf.agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.crossJoin(F.broadcast(dfv))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score_raw",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + K1 * ((1 - B) + B * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))),
+        )
+    )
+    return (
+        scored.where(F.col("source") == parent_source)
+        .orderBy(F.round(F.col("score_raw"), 6).desc(), F.col("doc_id"))
+        .limit(k)
+        .select(
+            F.col("doc_id").cast("bigint"), "source",
+            F.round("score_raw", 4).alias("score"),
+        )
+    )
+
+
+def block_join_one_parent_duck(parent_source: str, term: str, k: int = 10) -> str:
+    te = duck_tokens_expr()
+    return f"""
+WITH tot AS (
+  SELECT count(*)::DOUBLE AS n_docs, sum(len({te}))::DOUBLE AS sum_dl FROM documents
+),
+tf AS (
+  SELECT doc_id, source, len({te})::DOUBLE AS dl,
+         len(list_filter({te}, t -> t = '{term}'))::DOUBLE AS tf
+  FROM documents
+  WHERE list_contains({te}, '{term}')
+),
+dfr AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id, tf.source,
+         ln(1.0 + (tot.n_docs - dfr.df + 0.5)/(dfr.df + 0.5))
+           * tf.tf / (tf.tf + {K1}*((1-{B}) + {B}*tf.dl/(tot.sum_dl/tot.n_docs)))
+           AS score_raw
+  FROM tf CROSS JOIN dfr CROSS JOIN tot
+)
+SELECT doc_id::BIGINT AS doc_id, source, round(score_raw, 4) AS score
+FROM sc WHERE source = '{parent_source}'
+ORDER BY round(score_raw, 6) DESC, doc_id LIMIT {k}
+""".strip()

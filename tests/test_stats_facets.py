@@ -111,3 +111,39 @@ def test_facet_queries_reference(spark):
     for t in ("merge", "spark"):
         want = int((main & toks.map(lambda s: t in s)).sum())
         assert int(got.loc[t, "cnt"]) == want
+
+
+def test_group_facets_each_group_counts_once(spark):
+    """Solr group.facet / GroupFacetCollector: a facet value's count is
+    the number of GROUPS with a matching doc, independent of how many
+    matching docs each group holds (pandas reference)."""
+    import pandas as pd
+
+    from lucene_solr_1_spark.kernels.analyzer import tokenize_one
+    from lucene_solr_1_spark.sql.relational import group_facets_spark
+
+    sf = "/root/testdata/sf0.001"
+    got = group_facets_spark(spark, sf, "query").toPandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    m = docs[docs["text"].map(lambda t: "query" in tokenize_one(t)[0])]
+    ref = (
+        m.groupby("lang")["source"].nunique().reset_index(name="group_count")
+        .sort_values(["group_count", "lang"], ascending=[False, True],
+                     ignore_index=True)
+    )
+    assert got[["lang", "group_count"]].values.tolist() == ref.values.tolist()
+    # groups counted once: raw doc counts differ from group counts
+    raw = m.groupby("lang").size()
+    assert (raw > ref.set_index("lang")["group_count"]).any()
+
+
+def test_block_join_one_parent_scoped_to_block(spark):
+    """ParentChildrenBlockJoinQuery: results come ONLY from the given
+    parent block, scored by the child query."""
+    from lucene_solr_1_spark.sql.relational import block_join_one_parent_spark
+
+    sf = "/root/testdata/sf0.001"
+    got = block_join_one_parent_spark(spark, sf, "src3", "query", k=50).toPandas()
+    assert len(got) > 0
+    assert set(got["source"]) == {"src3"}
+    assert got["score"].is_monotonic_decreasing
