@@ -166,3 +166,24 @@ def test_search_rows_cut_matches_duck(spark):
     sdf = stream_spark(spark, SF, expr).toPandas()
     assert len(sdf) == 12
     _assert_same(sdf, _duck_run(stream_duck(expr)))
+
+
+def test_stream_join_plans_no_cartesian(spark):
+    """Joins/complement/intersect compile to equi-joins — never
+    CartesianProduct / BroadcastNestedLoopJoin (the 100 TB guard)."""
+    exprs = [
+        'innerJoin(search(documents, q="data", fl="doc_id,score", sort="doc_id asc"),'
+        ' select(search(documents, q="query", fl="doc_id,score", sort="doc_id asc"),'
+        ' "doc_id", "score as s2"), on="doc_id")',
+        'complement(search(documents, q="data", fl="doc_id", sort="doc_id asc"),'
+        ' search(documents, q="query", fl="doc_id", sort="doc_id asc"), on="doc_id")',
+        'intersect(search(documents, q="data", fl="doc_id", sort="doc_id asc"),'
+        ' search(documents, q="query", fl="doc_id", sort="doc_id asc"), on="doc_id")',
+    ]
+    for expr in exprs:
+        plan = (
+            stream_spark(spark, SF, expr)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, expr
+        assert "BroadcastNestedLoopJoin" not in plan, expr
