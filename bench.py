@@ -258,12 +258,13 @@ def run_bench(sf_dir: str, cpus: int, n_files: int) -> dict:
 
         # tiered merge stage (north rule): merge the cpus-segment index
         # down to 2 segments — the hash-bucketed (field,term) sort-merge
-        # with rebuilt impacts; measured LAST so every query line above
-        # ran against the original segment layout
+        # with rebuilt impacts, concurrent groups per round (the
+        # ConcurrentMergeScheduler analog); measured LAST so every query
+        # line above ran against the original segment layout
         from lucene_solr_1_spark.index.merge import merge_down as _md
 
         t0 = time.monotonic()
-        _md(spark, index_dir, target_segments=2)
+        _md(spark, index_dir, target_segments=2, concurrent=True)
         queries["merge_down_to_2"] = time.monotonic() - t0
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
