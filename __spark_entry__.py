@@ -331,6 +331,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DirectSpellChecker did-you-mean + weighted analyzed completion
     q["suggest_spell"] = lambda s, d: R.suggest_spell_spark(s, d, "quary", 2, 5)
     q["suggest_spell_collate"] = lambda s, d: R.suggest_spell_collate_spark(s, d, ("quary", "merge"))
+    # DirectSpellChecker with pluggable StringDistance implementations
+    q["suggest_spell_jarowinkler"] = lambda s, d: R.suggest_spell_distance_spark(
+        s, d, "sorte", distance="jaro_winkler", accuracy=0.6
+    )
+    q["suggest_spell_ngram"] = lambda s, d: R.suggest_spell_distance_spark(
+        s, d, "sorte", distance="ngram", accuracy=0.3
+    )
     q["suggest_completion"] = lambda s, d: R.suggest_completion_spark(s, d, "Pa", 10)
     # field-sorted searchAfter: page 2 of fts_sort_by_field (after = page
     # 1's last (lang, n_chars, doc_id) sort key at sf0.01)
@@ -984,6 +991,12 @@ def oracle_sql() -> dict[str, str]:
         "suggest_prefix": R.suggest_prefix_duck("pa"),
         "suggest_spell": R.suggest_spell_duck("quary", 2, 5),
         "suggest_spell_collate": R.suggest_spell_collate_duck(("quary", "merge")),
+        "suggest_spell_jarowinkler": R.suggest_spell_distance_duck(
+            "sorte", distance="jaro_winkler", accuracy=0.6
+        ),
+        "suggest_spell_ngram": R.suggest_spell_distance_duck(
+            "sorte", distance="ngram", accuracy=0.3
+        ),
         "suggest_completion": R.suggest_completion_duck("Pa", 10),
         "fts_sort_by_field_after": R.sort_by_field_after_duck(
             "data", 15, after=_SORT_AFTER

@@ -2549,3 +2549,108 @@ SELECT doc_id::BIGINT AS doc_id, source, round(score_raw, 4) AS score
 FROM sc WHERE source = '{parent_source}'
 ORDER BY round(score_raw, 6) DESC, doc_id LIMIT {k}
 """.strip()
+
+
+def _spell_candidate_filter(text: str, max_len_delta: int = 3):
+    lo, hi = len(text) - max_len_delta, len(text) + max_len_delta
+    return lo, hi
+
+
+def suggest_spell_distance_spark(
+    spark, sf_dir, text: str, distance: str = "jaro_winkler",
+    num_sug: int = 5, accuracy: float = 0.7,
+) -> DataFrame:
+    """DirectSpellChecker with a PLUGGABLE StringDistance
+    (suggest/spell/DirectSpellChecker.java setDistance —
+    JaroWinklerDistance.java / NGramDistance.java instead of the default
+    LuceneLevenshteinDistance): candidates from the live term dictionary
+    sharing the first character (minPrefix=1) within a length window,
+    scored by distance.getDistance (a SIMILARITY in [0,1], used directly
+    as the suggestion score), floored at `accuracy`, ranked (score desc,
+    docFreq desc, term asc), suggest-when-not-in-index. The distance runs
+    as an Arrow-batched pandas UDF over the VOCABULARY frame only (never
+    the token stream)."""
+    from ..kernels.strdist import distance_udf
+
+    _dist = distance_udf(text, distance)
+
+    docs = load_documents(spark, sf_dir).withColumn("toks", F.expr(spark_tokens_expr()))
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    d = tok.groupBy("term").agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    qdf = d.where(F.col("term") == text).agg(
+        F.coalesce(F.sum("df"), F.lit(0)).alias("qdf")
+    )
+    lo, hi = _spell_candidate_filter(text)
+    return (
+        d.where(
+            F.length("term").between(lo, hi)
+            & (F.substring("term", 1, 1) == text[0])
+            & (F.col("term") != text)
+        )
+        .withColumn("score", _dist(F.col("term")))
+        .where(F.col("score") >= accuracy)
+        .crossJoin(F.broadcast(qdf))
+        .where(F.col("qdf") == 0)
+        .select("term", "df", "score")
+        .orderBy(F.desc("score"), F.desc("df"), F.asc("term"))
+        .limit(num_sug)
+    )
+
+
+def _spell_distance_table(text: str, distance: str) -> str:
+    """(term, score) VALUES rows for every prefiltered vocabulary term of
+    the shipped documents tables — scores from the SAME Python distance
+    (rounded like the Spark side), the stem-table twin pattern."""
+    import os
+
+    import duckdb
+
+    from ..kernels.strdist import DISTANCES
+
+    fn = DISTANCES[distance]
+    files = [
+        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
+    ]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        raise FileNotFoundError("no testdata documents tables")
+    con = duckdb.connect()
+    flist = ", ".join(f"'{f}'" for f in files)
+    lo, hi = _spell_candidate_filter(text)
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest({duck_tokens_expr()}) AS t "
+            f"FROM read_parquet([{flist}]) "
+            f"WHERE true"
+        ).fetchall()
+    ]
+    rows = [
+        f"('{t}', {round(fn(t, text), 4)})"
+        for t in sorted(set(vocab))
+        if lo <= len(t) <= hi and t[:1] == text[0] and t != text
+    ]
+    return ", ".join(rows) if rows else "('', 0.0)"
+
+
+def suggest_spell_distance_duck(
+    text: str, distance: str = "jaro_winkler",
+    num_sug: int = 5, accuracy: float = 0.7,
+) -> str:
+    te = duck_tokens_expr()
+    lo, hi = _spell_candidate_filter(text)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({te}) AS term FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+q AS (SELECT coalesce(sum(df), 0) AS qdf FROM d WHERE term = '{text}'),
+dist(term, score) AS (VALUES {_spell_distance_table(text, distance)}),
+cand AS (
+  SELECT d.term, d.df, s.score
+  FROM d JOIN dist s USING (term)
+  WHERE length(d.term) BETWEEN {lo} AND {hi}
+    AND substring(d.term, 1, 1) = '{text[0]}' AND d.term <> '{text}'
+)
+SELECT term, df, score FROM cand CROSS JOIN q
+WHERE score >= {accuracy} AND q.qdf = 0
+ORDER BY score DESC, df DESC, term ASC LIMIT {num_sug}
+""".strip()
