@@ -205,3 +205,71 @@ def check_index(spark: SparkSession, index_dir: str) -> dict:
         "terms_checked": int(agg["terms"].sum()) if len(agg) else 0,
         "errors": errors,
     }
+
+
+def _segment_ok(spark: SparkSession, index_dir: str, seg: dict) -> str:
+    """Validate ONE segment in isolation. Returns "" when sound, else the
+    first error (unreadable files count as errors — the exorcise case)."""
+    import os
+
+    from .builder import _NORMS_FILE, _POSTINGS_FILE
+
+    sdir = mf.segment_dir(index_dir, seg["segment_id"])
+    try:
+        post = spark.read.parquet(os.path.join(sdir, _POSTINGS_FILE))
+        checked = post.mapInPandas(_check_rows, schema=_ROW_DDL)
+        bad = checked.where(F.col("err") != "").select("term", "err").limit(1).collect()
+        if bad:
+            return f"bad posting row ({bad[0]['term']}: {bad[0]['err']})"
+        stats = (
+            checked.where(F.col("field") == "content")
+            .agg(F.sum("ttf").alias("ttf"), F.max("max_doc").alias("max_doc"))
+            .collect()[0]
+        )
+        norms = spark.read.parquet(
+            os.path.join(sdir, seg.get("norms_file", _NORMS_FILE))
+        )
+        n = norms.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        if int(n["n"]) != seg["doc_count"]:
+            return f"norms rows {n['n']} != manifest doc_count {seg['doc_count']}"
+        if stats["ttf"] is not None and int(stats["ttf"]) != int(n["sum_dl"] or 0):
+            return f"postings ttf {stats['ttf']} != norms sum_dl {n['sum_dl']}"
+        if stats["max_doc"] is not None and int(stats["max_doc"]) >= seg["doc_count"]:
+            return f"posting docID {stats['max_doc']} out of range"
+        return ""
+    except Exception as e:  # unreadable parquet, missing files, ...
+        return f"unreadable: {type(e).__name__}"
+
+
+def exorcise(spark: SparkSession, index_dir: str) -> dict:
+    """CheckIndex -exorcise (index/CheckIndex.java doExorcise / the
+    `-exorcise` CLI flag): validate every segment IN ISOLATION and
+    republish the manifest WITHOUT the broken ones. Like the reference,
+    this is a last-resort repair — documents in dropped segments are
+    LOST. Global stats re-aggregate from the surviving segments on the
+    next commit; docID bases recompute, so global docIDs shift exactly
+    as they would after a reference exorcise (segments renumber).
+
+    Returns {"manifest": new_or_unchanged, "dropped": [(sid, err), ...]}.
+    """
+    manifest = mf.read_manifest(index_dir)
+    if manifest is None:
+        raise ValueError(f"{index_dir} has no committed manifest")
+    keep, dropped = [], []
+    for s in sorted(manifest["segments"], key=lambda x: x["partition_id"]):
+        err = _segment_ok(spark, index_dir, s)
+        if err:
+            dropped.append((s["segment_id"], err))
+        else:
+            keep.append(dict(s))
+    if not dropped:
+        return {"manifest": manifest, "dropped": []}
+    if not keep:
+        raise ValueError("exorcise would drop every segment — refusing")
+    new = mf.commit_manifest(
+        index_dir, keep,
+        extra={"exorcised": [sid for sid, _ in dropped]},
+    )
+    return {"manifest": new, "dropped": dropped}

@@ -41,3 +41,45 @@ def test_corruption_detected(spark, tmp_path_factory):
     pq.write_table(pa.Table.from_pandas(t, preserve_index=False), p)
     rep = check_index(spark, d)
     assert rep["errors"], "corruption must be reported"
+
+
+def test_exorcise_drops_broken_segments(spark, small_corpus_pdf, tmp_path_factory):
+    """CheckIndex -exorcise: unreadable or inconsistent segments are
+    dropped from the manifest; the survivors stay searchable with
+    re-aggregated global stats."""
+    import os
+
+    from lucene_solr_1_spark.index import manifest as mf
+    from lucene_solr_1_spark.index.builder import _POSTINGS_FILE, build_index
+    from lucene_solr_1_spark.index.check import check_index, exorcise
+    from lucene_solr_1_spark.search.query import Term
+    from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+    d = str(tmp_path_factory.mktemp("idx_ex"))
+    m0 = build_index(spark, spark.createDataFrame(small_corpus_pdf), d,
+                     num_segments=4)
+    # clean index: exorcise is a no-op (no new generation)
+    r = exorcise(spark, d)
+    assert r["dropped"] == []
+    assert r["manifest"]["generation"] == m0["generation"]
+
+    # corrupt one segment's postings parquet (truncate to garbage)
+    victim = sorted(m0["segments"], key=lambda s: s["partition_id"])[1]
+    pfile = os.path.join(
+        mf.segment_dir(d, victim["segment_id"]), _POSTINGS_FILE
+    )
+    target = pfile if os.path.isfile(pfile) else os.path.join(
+        pfile, sorted(f for f in os.listdir(pfile) if f.endswith(".parquet"))[0]
+    )
+    with open(target, "wb") as f:
+        f.write(b"not a parquet file")
+
+    r = exorcise(spark, d)
+    assert [sid for sid, _ in r["dropped"]] == [victim["segment_id"]]
+    m1 = r["manifest"]
+    assert len(m1["segments"]) == 3
+    assert m1["doc_count"] == m0["doc_count"] - victim["doc_count"]
+    assert check_index(spark, d)["errors"] == []
+    s = LuceneSparkSearcher(spark, d)
+    hits = s.search(Term("return"), k=10, with_stored=False)
+    assert len(hits) == 10
