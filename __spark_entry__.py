@@ -69,6 +69,11 @@ _STREAM_EXPRS = {
         ' sort="doc_id asc"), search(documents, q="merge", fl="doc_id",'
         ' sort="doc_id asc"), on="doc_id")'
     ),
+    "stream_fetch": (
+        'fetch(documents, top(n=15, sort="score desc", search(documents,'
+        ' q="data AND query", fl="doc_id,score", sort="doc_id asc")),'
+        ' on="doc_id", fl="lang,n_chars")'
+    ),
     "stream_merge_top": (
         'top(n=25, sort="score desc", merge(search(documents, q="slow",'
         ' fl="doc_id,score", sort="doc_id asc"), search(documents, q="batch",'

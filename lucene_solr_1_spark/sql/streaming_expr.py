@@ -386,6 +386,16 @@ def _spark(spark, sf_dir, e: SExpr):
     if e.func == "having":
         child, sort = _spark(spark, sf_dir, e.args[0])
         return child.where(F.expr(_having_sql(e.args[1]))), sort
+    if e.func == "fetch":
+        # FetchStream.java: batch-fetch extra fields from the collection
+        # by the `on` key, LEFT-joined so unmatched tuples pass through
+        if not e.args or e.args[0] != "documents":
+            raise StreamSyntaxError("fetch() collection must be 'documents'")
+        child, sort = _spark(spark, sf_dir, e.args[1])
+        on = n.get("on", "doc_id")
+        fl = [c.strip() for c in n["fl"].split(",")]
+        docs = R.load_documents(spark, sf_dir).select(on, *fl)
+        return child.join(docs, on, "left"), sort
     raise StreamSyntaxError(f"unknown stream function {e.func!r}")
 
 
@@ -553,5 +563,15 @@ def _duck(e: SExpr):
         return (
             f"SELECT * FROM ({sub}) t WHERE {_having_sql(e.args[1])}",
             cols, sort,
+        )
+    if e.func == "fetch":
+        sub, cols, sort = _duck(e.args[1])
+        on = n.get("on", "doc_id")
+        fl = [c.strip() for c in n["fl"].split(",")]
+        items = ", ".join([f"t.{c}" for c in cols] + [f"d.{c}" for c in fl])
+        return (
+            f"SELECT {items} FROM ({sub}) t "
+            f"LEFT JOIN documents d ON d.{on} = t.{on}",
+            cols + fl, sort,
         )
     raise StreamSyntaxError(f"unknown stream function {e.func!r}")

@@ -191,3 +191,18 @@ def test_stream_join_plans_no_cartesian(spark):
         assert "CartesianProduct" not in plan, expr
         assert any(j in plan for j in
                    ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")), expr
+
+
+def test_fetch_joins_extra_fields(spark):
+    """FetchStream: extra collection fields batch-joined onto the stream
+    by key; tuple count unchanged (left join)."""
+    expr = (
+        'fetch(documents, top(n=9, sort="score desc", search(documents,'
+        ' q="data", fl="doc_id,score", sort="doc_id asc")),'
+        ' on="doc_id", fl="lang,n_chars")'
+    )
+    sdf = stream_spark(spark, SF, expr).toPandas()
+    assert len(sdf) == 9
+    assert {"doc_id", "score", "lang", "n_chars"} == set(sdf.columns)
+    assert sdf["lang"].notna().all()
+    _assert_same(sdf, _duck_run(stream_duck(expr)))
