@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suggest_spell_ngram"] = lambda s, d: R.suggest_spell_distance_spark(
         s, d, "sorte", distance="ngram", accuracy=0.3
     )
+    # BlendedInfixSuggester: position-decayed suggestion weights
+    q["suggest_blended_infix"] = lambda s, d: R.suggest_blended_infix_spark(
+        s, d, "merge", n=10
+    )
     q["suggest_completion"] = lambda s, d: R.suggest_completion_spark(s, d, "Pa", 10)
     # field-sorted searchAfter: page 2 of fts_sort_by_field (after = page
     # 1's last (lang, n_chars, doc_id) sort key at sf0.01)
@@ -1002,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_spell_ngram": R.suggest_spell_distance_duck(
             "sorte", distance="ngram", accuracy=0.3
         ),
+        "suggest_blended_infix": R.suggest_blended_infix_duck("merge", n=10),
         "suggest_completion": R.suggest_completion_duck("Pa", 10),
         "fts_sort_by_field_after": R.sort_by_field_after_duck(
             "data", 15, after=_SORT_AFTER

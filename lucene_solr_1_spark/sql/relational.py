@@ -2654,3 +2654,62 @@ SELECT term, df, score FROM cand CROSS JOIN q
 WHERE score >= {accuracy} AND q.qdf = 0
 ORDER BY score DESC, df DESC, term ASC LIMIT {num_sug}
 """.strip()
+
+
+def suggest_blended_infix_spark(
+    spark, sf_dir, token: str, n: int = 10, blender: str = "linear",
+) -> DataFrame:
+    """BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester
+    .java:84-93,215-325): infix lookup whose score is the suggestion's
+    weight scaled by a coefficient of the FIRST matched token's position
+    — 1 when the text starts with the query, else 1 - 0.10*position
+    (POSITION_LINEAR) or 1/(position+1) (POSITION_RECIPROCAL); the final
+    score truncates to long exactly like `(long)(weight * coefficient)`.
+    Suggestion entries here are the corpus documents (weight = n_chars,
+    the stored-weight analog)."""
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    t = token.lower()
+    pos0 = F.array_position("toks", t) - 1  # 0-based first occurrence
+    if blender == "linear":
+        coef = F.lit(1.0) - F.lit(0.10) * pos0
+    elif blender == "reciprocal":
+        coef = F.lit(1.0) / (pos0 + 1)
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    coef = F.when(F.lower("text").startswith(t), F.lit(1.0)).otherwise(coef)
+    return (
+        docs.where(F.array_position("toks", t) > 0)
+        .select(
+            F.col("doc_id").cast("bigint"),
+            pos0.cast("bigint").alias("first_pos"),
+            (F.col("n_chars") * coef).cast("bigint").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(n)
+    )
+
+
+def suggest_blended_infix_duck(token: str, n: int = 10,
+                               blender: str = "linear") -> str:
+    te = duck_tokens_expr()
+    t = token.lower()
+    if blender == "linear":
+        coef = "1.0 - 0.10 * pos0"
+    elif blender == "reciprocal":
+        coef = "1.0 / (pos0 + 1)"
+    else:
+        raise ValueError(f"unknown blender {blender!r}")
+    return f"""
+WITH m AS (
+  SELECT doc_id, n_chars, lower(text) AS lt,
+         list_position({te}, '{t}') - 1 AS pos0
+  FROM documents
+  WHERE list_contains({te}, '{t}')
+)
+SELECT doc_id::BIGINT AS doc_id, pos0::BIGINT AS first_pos,
+       CAST(trunc(n_chars * (CASE WHEN starts_with(lt, '{t}')
+                             THEN 1.0 ELSE {coef} END)) AS BIGINT) AS score
+FROM m ORDER BY score DESC, doc_id ASC LIMIT {n}
+""".strip()

@@ -76,3 +76,36 @@ def test_suggest_with_distance_ranks_and_gates(spark):
     assert len(got2) == 0
     with pytest.raises(KeyError):
         suggest_spell_distance_spark(spark, sf, "sorte", distance="nope")
+
+
+def test_blended_infix_position_decay(spark):
+    """BlendedInfixSuggester POSITION_LINEAR: score = trunc(weight *
+    (1 - 0.10*first_pos)), coefficient 1 when the text starts with the
+    query; RECIPROCAL = weight/(pos+1) (pandas reference)."""
+    import pandas as pd
+
+    from lucene_solr_1_spark.kernels.analyzer import tokenize_one
+    from lucene_solr_1_spark.sql.relational import suggest_blended_infix_spark
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    for blender in ("linear", "reciprocal"):
+        got = suggest_blended_infix_spark(spark, sf, "merge", n=15,
+                                          blender=blender).toPandas()
+        rows = []
+        for r in docs.itertuples(index=False):
+            toks = tokenize_one(r.text)[0]
+            if "merge" not in toks:
+                continue
+            p = toks.index("merge")
+            if r.text.lower().startswith("merge"):
+                coef = 1.0
+            elif blender == "linear":
+                coef = 1.0 - 0.10 * p
+            else:
+                coef = 1.0 / (p + 1)
+            rows.append((r.doc_id, p, int(r.n_chars * coef)))
+        ref = pd.DataFrame(rows, columns=["doc_id", "first_pos", "score"])
+        ref = ref.sort_values(["score", "doc_id"], ascending=[False, True],
+                              ignore_index=True).head(15)
+        assert got.values.tolist() == ref.values.tolist(), blender
