@@ -629,6 +629,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_boolean_sim"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Term("query"), k=10, similarity="boolean"
     )
+    # SweetSpotSimilarity with a length plateau [30, 80]: docs inside the
+    # sweet spot take lengthNorm 1.0 instead of classic's 1/sqrt decay
+    q["fts_sweetspot_sim"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Term("query"), k=10,
+        similarity=("sweetspot", (30, 80)),
+    )
     q["fts_multi_similarity"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Term("query"), k=10,
         similarity=("multi", ("classic", "boolean")),
@@ -1187,6 +1193,7 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         "fts_kernel_fuzzy": KO.kernel_fuzzy_duck("quary", 2, 10),
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
         "fts_classic_tfidf": KO.kernel_classic_duck(("query", "merge"), k=10),
+        "fts_sweetspot_sim": KO.kernel_sweetspot_duck("query", 30, 80, k=10),
         "fts_boolean_sim": KO.kernel_boolean_sim_duck("query", k=10),
         "fts_multi_similarity": KO.kernel_multi_sim_duck("query", k=10),
         "fts_axiomatic_f2exp": KO.kernel_f2exp_duck("query", k=10),

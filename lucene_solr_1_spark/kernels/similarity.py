@@ -120,6 +120,9 @@ def score(spec: dict, freqs, norm_bytes) -> np.ndarray:
     name = spec["name"]
     if name == "classic":
         return classic_score(freqs, norm_bytes, spec["qw"])
+    if name == "sweetspot":
+        return sweetspot_score(freqs, norm_bytes, spec["qw"], spec["table"],
+                               spec["tf_base"], spec["tf_min"])
     if name == "lmd":
         return lmd_score(freqs, norm_bytes, spec["p"], spec["mu"], spec["boost"])
     if name == "lmjm":
@@ -232,3 +235,41 @@ def f2exp_score(freqs, norm_bytes, df: int, dc: int, avgfl: float,
     idf = np.power((float(dc) + 1.0) / float(df), F64(F32(k)))
     out = (tfln * idf) * F64(F32(boost))
     return np.maximum(0.0, out).astype(F32)
+
+
+def sweetspot_norm_table(ln_min: int = 1, ln_max: int = 1,
+                         steep: float = 0.5) -> np.ndarray:
+    """SweetSpotSimilarity.lengthNorm (misc/SweetSpotSimilarity.java:
+    117-133): 1/sqrt(steep*(|l-min| + |l-max| - (max-min)) + 1) — a
+    plateau of 1.0 for lengths inside [min, max]. Precomputed per norm
+    byte over the SmallFloat LENGTH_TABLE like the classic normTable;
+    float op order: int sum -> (float) -> f32 mul/add -> double sqrt ->
+    f32. Degrades to the classic 1/sqrt(length) at (1, 1, 0.5)."""
+    lengths = LENGTH_TABLE.astype(np.int64)
+    span = np.abs(lengths - ln_min) + np.abs(lengths - ln_max) - (ln_max - ln_min)
+    inner = (F32(steep) * span.astype(F32)).astype(F32) + F32(1.0)
+    table = (1.0 / np.sqrt(inner.astype(F64))).astype(F32)
+    table[0] = F32(1.0) / table[255]  # slot 0 convention, like classic
+    return table
+
+
+def sweetspot_tf(freqs, tf_base: float = 0.0, tf_min: float = 0.0) -> np.ndarray:
+    """baselineTf (SweetSpotSimilarity.java:158-166): 0 for freq 0,
+    tf_base for freq <= min, else f32(sqrt(freq + base^2 - min)) — the
+    inner sum in FLOAT, sqrt in double. Degrades to sqrt(freq) at
+    (0, 0)."""
+    f = np.asarray(freqs).astype(F32)
+    inner = (f + (F32(tf_base) * F32(tf_base) - F32(tf_min))).astype(F32)
+    out = np.sqrt(inner.astype(F64)).astype(F32)
+    out = np.where(f <= F32(tf_min), F32(tf_base), out)
+    return np.where(f == 0.0, F32(0.0), out).astype(F32)
+
+
+def sweetspot_score(freqs, norm_bytes, qw: np.float32, table: np.ndarray,
+                    tf_base: float, tf_min: float) -> np.ndarray:
+    """raw = baselineTf * queryWeight (f32); raw * normTable[b] — the
+    TFIDFScorer.score shape with SweetSpot's tf and lengthNorm."""
+    tf = sweetspot_tf(freqs, tf_base, tf_min)
+    raw = (tf * F32(qw)).astype(F32)
+    nt = table[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    return (raw * nt).astype(F32)

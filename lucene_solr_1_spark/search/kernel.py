@@ -110,6 +110,19 @@ def _sim_spec_for(sim: dict, field: str, boost: float,
             idf_sum = simk.classic_idf(df, dc) if df > 0 else F32(0.0)
         return {"name": "classic",
                 "qw": simk.classic_query_weight(idf_sum, boost)}
+    if name == "sweetspot":
+        # SweetSpotSimilarity extends ClassicSimilarity: same idf /
+        # queryWeight, its own tf + plateau lengthNorm. NOT WAND-safe:
+        # the plateau makes lengthNorm non-monotone in doc length, so
+        # score(maxFreq, minNormByte) is not an upper bound -> exhaustive.
+        if idf_sum is None:
+            idf_sum = simk.classic_idf(df, dc) if df > 0 else F32(0.0)
+        ln_min, ln_max, steep = sim.get("ln", (1, 1, 0.5))
+        tf_base, tf_min = sim.get("tf", (0.0, 0.0))
+        return {"name": "sweetspot",
+                "qw": simk.classic_query_weight(idf_sum, boost),
+                "table": simk.sweetspot_norm_table(ln_min, ln_max, steep),
+                "tf_base": tf_base, "tf_min": tf_min}
     if name == "boolean":
         return {"name": "boolean", "boost": F32(boost)}
     if name in ("lmd", "lmjm"):
@@ -156,7 +169,7 @@ def _multi_term_sim(sim: dict, field: str, boost: float, dfs, dc: int) -> dict:
                 for sub in sim["subs"]
             ],
         }
-    if sim["name"] == "classic":
+    if sim["name"] in ("classic", "sweetspot"):
         idfs = [simk.classic_idf(df, dc) for df in dfs if df > 0]
         idf_sum = simk.classic_idf_sum(idfs) if idfs else F32(0.0)
         return _sim_spec_for(sim, field, boost, idf_sum=idf_sum)

@@ -643,6 +643,15 @@ class LuceneSparkSearcher:
             name, param = similarity
         if name in ("classic", "boolean"):
             return {"name": name}
+        if name == "sweetspot":
+            # similarity=("sweetspot", (ln_min, ln_max[, steep])) —
+            # SweetSpotSimilarity.setLengthNormFactors; defaults degrade
+            # to classic 1/sqrt(length)
+            sim = {"name": "sweetspot"}
+            if param is not None:
+                ln = tuple(param)
+                sim["ln"] = ln if len(ln) == 3 else (*ln, 0.5)
+            return sim
         if name == "multi":
             # MultiSimilarity: similarity=("multi", ("classic", "boolean"))
             subs = [self._sim_ctx(sub, terms) for sub in (param or ())]

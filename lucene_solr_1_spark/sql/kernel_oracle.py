@@ -1541,3 +1541,45 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def sweetspot_norm_table_values(ln_min: int, ln_max: int,
+                                steep: float = 0.5) -> str:
+    """256 rows (len_i, sn) from the SAME kernels/similarity table —
+    SweetSpotSimilarity.lengthNorm precomputed per SmallFloat length."""
+    from ..kernels.similarity import sweetspot_norm_table
+
+    table = sweetspot_norm_table(ln_min, ln_max, steep)
+    ints = LENGTH_TABLE.astype(np.int64)
+    return ", ".join(
+        f"({int(ints[i])}, {_lit(table[i])})" for i in range(256)
+    )
+
+
+def kernel_sweetspot_duck(term: str, ln_min: int, ln_max: int,
+                          k: int = 10) -> str:
+    """SweetSpotSimilarity twin (misc/SweetSpotSimilarity.java): classic
+    idf/queryWeight, default baselineTf (= sqrt at tf_base=tf_min=0),
+    plateau lengthNorm from the shared table. Exhaustive route (the
+    plateau is non-monotone in length — WAND UBs invalid)."""
+    score32 = (
+        "CAST(CAST(CAST(sqrt(CAST(tf.tf AS REAL)::DOUBLE) AS REAL)"
+        " * w.qw AS REAL) * q.sn AS REAL)"
+    )
+    return f"""
+WITH {_prelude((term,))},
+{_classic_weights_cte()},
+st(len_i, sn) AS (VALUES {sweetspot_norm_table_values(ln_min, ln_max)}),
+snq AS (
+  SELECT d.doc_id, arg_max(s.sn, s.len_i) AS sn
+  FROM dl d JOIN st s ON s.len_i <= d.dl GROUP BY d.doc_id
+),
+s AS (
+  SELECT tf.doc_id, {score32} AS s
+  FROM tf JOIN w USING (term) JOIN snq q ON q.doc_id = tf.doc_id
+),
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()

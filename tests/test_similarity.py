@@ -256,3 +256,57 @@ def test_explain_matches_score_per_sim(sim_setup):
         ex = s.explain(Term("return"), g, similarity=sim)
         assert abs(ex["value"] - float(hits["score"].iloc[0])) < 1e-6, sim
         assert "BM25" not in ex["description"], sim  # model named in the tree
+
+
+def test_sweetspot_degrades_to_classic_at_defaults():
+    """SweetSpotSimilarity with (min=1, max=1, steep=0.5, tf defaults)
+    degrades to ClassicSimilarity exactly (the reference javadoc
+    contracts at lengthNorm:100-106 and baselineTf:150-153)."""
+    import numpy as np
+
+    from lucene_solr_1_spark.kernels.similarity import (
+        CLASSIC_NORM_TABLE,
+        classic_score,
+        sweetspot_norm_table,
+        sweetspot_score,
+    )
+
+    table = sweetspot_norm_table(1, 1, 0.5)
+    np.testing.assert_array_equal(table, CLASSIC_NORM_TABLE)
+    rng = np.random.default_rng(5)
+    freqs = rng.integers(1, 50, 300)
+    norms = rng.integers(0, 256, 300)
+    qw = np.float32(1.73)
+    np.testing.assert_array_equal(
+        sweetspot_score(freqs, norms, qw, table, 0.0, 0.0),
+        classic_score(freqs, norms, qw),
+    )
+
+
+def test_sweetspot_plateau_and_routing(sim_setup):
+    """Lengths inside [min,max] share lengthNorm 1.0 (the sweet spot);
+    the sim routes EXHAUSTIVE (plateau is non-monotone in length so
+    impact UBs are invalid), and wand/exhaustive flags agree."""
+    import numpy as np
+
+    from lucene_solr_1_spark.kernels.similarity import sweetspot_norm_table
+    from lucene_solr_1_spark.kernels.smallfloat import LENGTH_TABLE
+
+    table = sweetspot_norm_table(30, 80, 0.5)
+    inside = [i for i in range(256) if 30 <= LENGTH_TABLE[i] <= 80]
+    assert inside and all(table[i] == np.float32(1.0) for i in inside)
+    # non-monotone: rises to the plateau then falls
+    assert table[inside[0] - 1] < np.float32(1.0)
+    assert table[inside[-1] + 1] < np.float32(1.0)
+
+    s = sim_setup
+    sim = ("sweetspot", (30, 80))
+    a = s.search(Term("return"), k=10, use_wand=True, with_stored=False,
+                 similarity=sim)
+    b = s.search(Term("return"), k=10, use_wand=False, with_stored=False,
+                 similarity=sim)
+    assert a["global_doc_id"].tolist() == b["global_doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+    # differs from classic on this corpus (the plateau changes ranking)
+    c = s.search(Term("return"), k=10, with_stored=False, similarity="classic")
+    assert not np.array_equal(a["score"].to_numpy(), c["score"].to_numpy())
