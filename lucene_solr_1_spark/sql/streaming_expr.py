@@ -195,11 +195,18 @@ def _with_tiebreak(sort: list[tuple[str, str]], cols: list[str]) -> list:
     return sort + [(c, "asc") for c in cols if c not in sorted_cols]
 
 
+def _req(n: dict, name: str, func: str) -> str:
+    try:
+        return n[name]
+    except KeyError:
+        raise StreamSyntaxError(f"{func}() requires the {name!r} parameter")
+
+
 def _search_fl(n: dict) -> list[str]:
     """fl must carry doc_id (the tuple identity + the deterministic
     tie-break for the rows cut), and when rows is set the sort fields
     must be in fl so both backends cut on projected columns."""
-    fl = [c.strip() for c in n["fl"].split(",")]
+    fl = [c.strip() for c in _req(n, "fl", "search").split(",")]
     if "doc_id" not in fl:
         raise StreamSyntaxError("search() fl must include doc_id")
     if "rows" in n and "sort" in n:
@@ -291,7 +298,7 @@ def _spark(spark, sf_dir, e: SExpr):
     if e.func == "search":
         if not e.args or e.args[0] != "documents":
             raise StreamSyntaxError("search() collection must be 'documents'")
-        should, must, must_not, msm = _q_parts(n["q"])
+        should, must, must_not, msm = _q_parts(_req(n, "q", "search"))
         fl = _search_fl(n)
         base = R.bm25_bool_spark(
             spark, sf_dir, should=should, must=must, must_not=must_not,
@@ -313,7 +320,7 @@ def _spark(spark, sf_dir, e: SExpr):
         return child.selectExpr(*[f"{src} AS {alias}" for src, alias in exprs]), sort
     if e.func == "top":
         child, _ = _spark(spark, sf_dir, e.args[0])
-        sort = _parse_sort(n["sort"])
+        sort = _parse_sort(_req(n, "sort", "top"))
         cut = _with_tiebreak(sort, child.columns)
         return child.orderBy(*_order_cols(cut)).limit(int(n["n"])), sort
     if e.func == "sort":
@@ -446,7 +453,7 @@ def _ob(sort) -> str:
 def _duck(e: SExpr):
     n = e.named_dict()
     if e.func == "search":
-        should, must, must_not, msm = _q_parts(n["q"])
+        should, must, must_not, msm = _q_parts(_req(n, "q", "search"))
         fl = _search_fl(n)
         base = R.bm25_bool_duck(
             should=should, must=must, must_not=must_not, msm=msm, k=None
@@ -474,7 +481,7 @@ def _duck(e: SExpr):
         return f"SELECT {items} FROM ({sub}) t", out_cols, sort
     if e.func == "top":
         sub, cols, _ = _duck(e.args[0])
-        sort = _parse_sort(n["sort"])
+        sort = _parse_sort(_req(n, "sort", "top"))
         cut = _with_tiebreak(sort, cols)
         return (
             f"SELECT * FROM ({sub}) t ORDER BY {_ob(cut)} LIMIT {int(n['n'])}",

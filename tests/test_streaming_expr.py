@@ -206,3 +206,13 @@ def test_fetch_joins_extra_fields(spark):
     assert {"doc_id", "score", "lang", "n_chars"} == set(sdf.columns)
     assert sdf["lang"].notna().all()
     _assert_same(sdf, _duck_run(stream_duck(expr)))
+
+
+def test_missing_required_params_raise_syntax_error(spark):
+    for bad in (
+        "search(documents)",                              # no q/fl
+        'search(documents, q="data")',                    # no fl
+        'top(n=3, search(documents, q="a", fl="doc_id"))',  # no sort
+    ):
+        with pytest.raises(StreamSyntaxError):
+            stream_spark(spark, SF, bad)
