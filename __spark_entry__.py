@@ -206,6 +206,22 @@ def _get_phonetic_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_stemkeep_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with STEM_KEEP (KeywordRepeat + Porter +
+    RemoveDuplicates): original AND stem indexed at one position."""
+    from lucene_solr_1_spark.kernels.analyzer import STEM_KEEP
+
+    key = ("stemkeep", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_sk_")
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            cfg=STEM_KEEP,
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_html_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the HTML analyzer (HTMLStripCharFilter before the
     standard chain) over a deterministically annotated view
@@ -879,6 +895,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kernel_hits_df(s, _get_phonetic_index(s, d), Term("quary"), k=10)
 
     q["fts_phonetic_synonym"] = _phonetic
+
+    def _stemkeep(s, d):
+        # "merges" re-analyzes to SynonymQuery(merges, merg): matches both
+        # exact-form docs and every stem-sharing inflection
+        return _kernel_hits_df(s, _get_stemkeep_index(s, d), Term("merges"), k=10)
+
+    q["fts_keep_original_synonym"] = _stemkeep
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1132,6 +1155,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_worddelim_term": KO.kernel_worddelim_term_duck("scan", k=10),
         "fts_html_strip_term": KO.kernel_htmlstrip_term_duck("steady", k=10),
         "fts_phonetic_synonym": KO.kernel_phonetic_synonym_duck("quary", k=10),
+        "fts_keep_original_synonym": KO.kernel_keep_original_synonym_duck(
+            "merges", k=10
+        ),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

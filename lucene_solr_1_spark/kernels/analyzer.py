@@ -126,8 +126,19 @@ class AnalyzerConfig:
     # leaves become SynonymQuery(term, code). Value = encoder name
     # (kernels/phonetic.ENCODERS), "" = filter absent.
     phonetic: str = ""
+    # KeywordRepeatFilter + PorterStemFilter + RemoveDuplicatesTokenFilter
+    # (analysis/miscellaneous/KeywordRepeatFilter.java + RemoveDuplicates
+    # TokenFilter.java — the Solr keep-original stemming idiom): each
+    # token emits ORIGINAL then STEM at ONE position when they differ;
+    # query Terms become SynonymQuery(original, stem). Requires stem.
+    stem_keep_original: bool = False
 
     def __post_init__(self):
+        if self.stem_keep_original and not self.stem:
+            raise ValueError("stem_keep_original requires stem=True")
+        if self.stem_keep_original and self.word_delimiter:
+            raise ValueError("stem_keep_original is not supported with "
+                             "word_delimiter")
         if self.phonetic and self.word_delimiter:
             raise ValueError(
                 "phonetic and word_delimiter filters are mutually "
@@ -145,6 +156,7 @@ class AnalyzerConfig:
             word_delimiter=self.word_delimiter,
             html_strip=self.html_strip,
             phonetic=self.phonetic,
+            stem_keep_original=self.stem_keep_original,
         )
 
 
@@ -166,6 +178,8 @@ CODE = AnalyzerConfig(word_delimiter=WD_DEFAULT)
 HTML = AnalyzerConfig(html_strip=True)
 # StandardAnalyzer + PhoneticFilter(Soundex, inject=true)
 PHONETIC = AnalyzerConfig(phonetic="soundex")
+# KeywordRepeat + Porter + RemoveDuplicates: original AND stem indexed
+STEM_KEEP = AnalyzerConfig(stem=True, stem_keep_original=True)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -178,6 +192,7 @@ ANALYZERS: dict = {
     "code": CODE,
     "html": HTML,
     "phonetic": PHONETIC,
+    "stem_keep": STEM_KEEP,
 }
 
 
@@ -214,7 +229,12 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
         if tok in cfg.stop_words:
             continue  # position consumed (FilteringTokenFilter)
         if cfg.stem:
-            tok = porter_stem(tok)
+            stemmed = porter_stem(tok)
+            if cfg.stem_keep_original and stemmed != tok:
+                # KeywordRepeat order: original first, stem stacked
+                terms.append(tok)
+                positions.append(pos)
+            tok = stemmed
         terms.append(tok)
         positions.append(pos)
         if cfg.phonetic:
@@ -341,13 +361,36 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         keep &= ~term_s.isin(cfg.stop_words).to_numpy()
     terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
     if cfg.stem:
-        # per-UNIQUE-term stemming (Zipf: vocabulary << token stream),
-        # then a C-level map back over the token array
-        terms = stem_array(terms)
+        if cfg.stem_keep_original:
+            terms, row_idx, pos = _inject_keep_original(terms, row_idx, pos)
+        else:
+            # per-UNIQUE-term stemming (Zipf: vocabulary << token stream),
+            # then a C-level map back over the token array
+            terms = stem_array(terms)
     if cfg.phonetic:
         terms, row_idx, pos = _inject_phonetic(terms, row_idx, pos, cfg)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len
+
+
+def _inject_keep_original(terms, row_idx, pos):
+    """Vectorized KeywordRepeat+stem+RemoveDuplicates: ORIGINAL then STEM
+    at one position when they differ (per-unique stemming, then the same
+    segment gather as the phonetic injector)."""
+    codes, uniq = pd.factorize(pd.Series(terms, dtype=object), sort=False)
+    stems_u = stem_array(np.asarray(uniq, dtype=object))
+    differ = stems_u != np.asarray(uniq, dtype=object)
+    counts = np.where(differ[codes], 2, 1).astype(np.int64)
+    total = int(counts.sum())
+    out_terms = np.empty(total, dtype=object)
+    out_rows = np.repeat(row_idx, counts)
+    out_pos = np.repeat(pos, counts)
+    first = np.cumsum(counts) - counts
+    out_terms[first] = terms                      # original (or the stem
+    two = counts == 2                             #  when they are equal)
+    out_terms[first[two] + 1] = stems_u[codes[two]]
+    # single-output tokens where stem == original already hold the stem
+    return out_terms, out_rows, out_pos
 
 
 def _inject_phonetic(terms, row_idx, pos, cfg: AnalyzerConfig):

@@ -488,6 +488,12 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
                     *((Occur.SHOULD, Term(p, field=node.field)) for p in parts)
                 )
             t = parts[0] if parts else one(node.text)
+            if getattr(cfg, "stem_keep_original", False):
+                # KeywordRepeat chain: the query analyzer also emits
+                # (original, stem) at one position -> SynonymQuery
+                base = node.text.lower() if cfg.lowercase else node.text
+                if base != t:
+                    return Synonym((base, t), field=node.field)
             if cfg.phonetic:
                 # PhoneticFilter inject=true at query time: the analyzer
                 # emits (term, code) at one position -> QueryBuilder

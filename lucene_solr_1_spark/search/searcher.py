@@ -204,7 +204,8 @@ class LuceneSparkSearcher:
     def _analyze_query(self, q: Query) -> Query:
         cfg = self.analyzer_cfg
         if not (cfg.stem or cfg.possessive or cfg.ascii_fold
-                or cfg.word_delimiter or cfg.phonetic):
+                or cfg.word_delimiter or cfg.phonetic
+                or cfg.stem_keep_original):
             # standard/english indexes: today's raw-term behavior, exactly
             return q
         from ..index.segment import KEYWORD_FIELDS

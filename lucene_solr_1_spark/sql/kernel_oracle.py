@@ -1583,3 +1583,70 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def kernel_keep_original_synonym_duck(query_text: str, k: int = 10) -> str:
+    """Twin of search(Term(q)) against a STEM_KEEP index (KeywordRepeat +
+    Porter + RemoveDuplicates): the token stream carries ORIGINAL + STEM
+    at one position when they differ (dl counts both); the query Term
+    re-analyzes to SynonymQuery(original, stem) — freq-sum, idf-sum,
+    exactly the phonetic-injection scoring shape."""
+    from ..kernels.porter import porter_stem
+
+    term = query_text.lower()
+    stem = porter_stem(term)
+    members = [term] + ([stem] if stem != term else [])
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+st(t, stem) AS (VALUES {_stem_table_values()}),
+tok AS (
+  SELECT doc_id, term FROM base
+  UNION ALL
+  SELECT b.doc_id, s.stem AS term FROM base b JOIN st s ON s.t = b.term
+),
+dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list(members)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT CAST(sum(CAST({_idf32('dfr.df', 'tot.n_docs')} AS DOUBLE)) AS REAL) AS w
+  FROM dfr CROSS JOIN tot
+),
+ftot AS (SELECT doc_id, sum(tf) AS tf FROM tf GROUP BY 1),
+matched AS (
+  SELECT f.doc_id,
+         CAST(w.w * CAST(CAST(f.tf AS REAL)::DOUBLE /
+              (CAST(f.tf AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)
+           AS score32
+  FROM ftot f CROSS JOIN w JOIN cache c ON c.doc_id = f.doc_id
+)
+{_topk_select(k)}
+""".strip()

@@ -151,3 +151,66 @@ def test_stemmed_index_recall(spark, tmp_path):
     assert s2.manifest["analyzer"] == "english_stem"
     hits2 = s2.search(Term("merge"), k=10, with_stored=False)
     assert len(hits2) == 3
+
+
+def test_keyword_repeat_chain_stream():
+    """KeywordRepeat + Porter + RemoveDuplicates: ORIGINAL then STEM at
+    one position when they differ; equal forms emit once
+    (RemoveDuplicatesTokenFilter)."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_1_spark.kernels.analyzer import (
+        STEM_KEEP,
+        AnalyzerConfig,
+        flatten_tokens,
+        tokenize_one,
+    )
+
+    t, p = tokenize_one("merges the merge quickly", STEM_KEEP)
+    assert t == ["merges", "merg", "the", "merge", "merg", "quickly", "quickli"]
+    assert p == [0, 0, 1, 2, 2, 3, 3]
+    # scalar == vectorized
+    docs = ["merges the merge quickly", "", "running runs run", "plain x"]
+    terms, rows, pos, dl = flatten_tokens(pd.Series(docs), STEM_KEEP)
+    st, sp, sdl = [], [], np.zeros(len(docs), dtype=np.int64)
+    for i, d in enumerate(docs):
+        tt, pp = tokenize_one(d, STEM_KEEP)
+        st.extend(tt)
+        sp.extend(pp)
+        sdl[i] = len(tt)
+    assert list(terms) == st and list(pos) == sp and list(dl) == list(sdl)
+    import pytest
+
+    with pytest.raises(ValueError):
+        AnalyzerConfig(stem_keep_original=True)  # requires stem
+
+
+def test_keyword_repeat_recall_e2e(spark, tmp_path_factory):
+    """A stem-keep index answers BOTH the exact form (boosted by the
+    original token) and stem-sharing inflections."""
+    import pandas as pd
+
+    from lucene_solr_1_spark.index.builder import build_index
+    from lucene_solr_1_spark.kernels.analyzer import STEM_KEEP
+    from lucene_solr_1_spark.search.query import Synonym, Term
+    from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+    rows = [
+        ("r", "p0", "c", "en", "the merges happened"),
+        ("r", "p1", "c", "en", "we merge daily"),
+        ("r", "p2", "c", "en", "nothing relevant"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path_factory.mktemp("idx_sk"))
+    m = build_index(spark, spark.createDataFrame(pdf), d, num_segments=1,
+                    cfg=STEM_KEEP)
+    assert m["analyzer"] == "stem_keep"
+    s = LuceneSparkSearcher(spark, d)
+    assert s._analyze_query(Term("merges")) == Synonym(
+        ("merges", "merg"), field="content"
+    )
+    hits = s.search(Term("merges"), k=10, with_stored=False)
+    assert len(hits) == 2
+    # the exact-form doc outranks the inflection-only doc (freq 2 vs 1)
+    assert hits["score"].iloc[0] > hits["score"].iloc[1]
