@@ -115,3 +115,22 @@ def live_doc_count(index_dir: str) -> int:
     manifest = mf.read_manifest(index_dir)
     dels = read_tombstones(index_dir, manifest)
     return manifest["doc_count"] - sum(len(v) for v in dels.values())
+
+
+def delete_by_query(spark: SparkSession, index_dir: str, q) -> dict:
+    """IndexWriter.deleteDocuments(Query...) (index/IndexWriter.java
+    deleteDocuments(Query) — "Deletes the document(s) matching any of the
+    provided queries"): tombstone the query's FULL match set. The set is
+    collected through the searcher's exhaustive path with scoring intact
+    (k = maxDoc, like DocumentsWriterDeleteQueue resolving a query
+    delete against every segment); only (segment_id, doc_id) pairs reach
+    the driver."""
+    manifest = mf.read_manifest(index_dir)
+    from ..search.searcher import LuceneSparkSearcher
+
+    s = LuceneSparkSearcher(spark, index_dir)
+    hits = s.search(
+        q, k=int(manifest["doc_count"]), use_wand=False, with_stored=False
+    )
+    pairs = hits[["segment_id", "doc_id"]].drop_duplicates()
+    return _publish(index_dir, manifest, pairs, f"query:{q!r}"[:200])

@@ -132,3 +132,33 @@ def test_reclaim_deletes_at_merge(spark, tmp_path_factory):
     after = s1.search(Term("return"), k=30, with_stored=True)
     keys_after = [f"{r.repo}|{r.path}|{r.commit}" for r in after.itertuples(index=False)]
     assert keys_before == keys_after
+
+
+def test_delete_by_query(spark, small_corpus_pdf, tmp_path_factory):
+    """deleteDocuments(Query): the full match set of an arbitrary query
+    tree is tombstoned; other docs stay live; reclaim merge compacts."""
+    from lucene_solr_1_spark.index.deletes import delete_by_query, live_doc_count
+    from lucene_solr_1_spark.index.merge import merge_down
+    from lucene_solr_1_spark.search.parser import parse
+    from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+    d = str(tmp_path_factory.mktemp("idx_dbq"))
+    m0 = build_index(spark, spark.createDataFrame(small_corpus_pdf), d,
+                     num_segments=4)
+    s0 = LuceneSparkSearcher(spark, d)
+    q = parse("return AND class AND static")
+    n_match = len(s0.search(q, k=m0["doc_count"], with_stored=False))
+    assert n_match > 0
+    n_other = len(s0.search(parse("id_0001"), k=10, with_stored=False))
+
+    delete_by_query(spark, d, q)
+    assert live_doc_count(d) == m0["doc_count"] - n_match
+    s1 = LuceneSparkSearcher(spark, d)
+    assert len(s1.search(q, k=50, with_stored=False)) == 0
+    # a doc outside the match set is untouched
+    assert len(s1.search(parse("id_0001"), k=10, with_stored=False)) == n_other
+
+    merge_down(spark, d, target_segments=1, reclaim_deletes=True)
+    s2 = LuceneSparkSearcher(spark, d)
+    assert s2.manifest["doc_count"] == m0["doc_count"] - n_match
+    assert len(s2.search(q, k=50, with_stored=False)) == 0
