@@ -268,8 +268,14 @@ def exorcise(spark: SparkSession, index_dir: str) -> dict:
         return {"manifest": manifest, "dropped": []}
     if not keep:
         raise ValueError("exorcise would drop every segment — refusing")
-    new = mf.commit_manifest(
-        index_dir, keep,
-        extra={"exorcised": [sid for sid, _ in dropped]},
-    )
+    # tombstone_files is NOT in commit_manifest's sticky set (a merge that
+    # reclaims deletes must be able to drop it), so every recommit that
+    # keeps deletes alive must carry it explicitly — exorcise keeps the
+    # surviving segments' masks intact. Rows naming dropped segment_ids
+    # are inert: read_tombstones keys masks by segment_id and searchers
+    # only look up live segments.
+    extra: dict = {"exorcised": [sid for sid, _ in dropped]}
+    if manifest.get("tombstone_files"):
+        extra["tombstone_files"] = manifest["tombstone_files"]
+    new = mf.commit_manifest(index_dir, keep, extra=extra)
     return {"manifest": new, "dropped": dropped}

@@ -40,7 +40,22 @@ def replicate(src_index: str, dst_index: str) -> dict:
         sid = s["segment_id"]
         dst_seg = mf.segment_dir(dst_index, sid)
         if os.path.isdir(dst_seg) and mf.read_segment_meta(dst_index, sid):
-            continue  # immutable per id — already fetched by an earlier cycle
+            # Posting/docmap files are immutable per id, but doc-values
+            # updates write NEW norms generations (norms-g<N>.parquet)
+            # into the existing dir (docvalues.py copy-on-write) — the
+            # revision diff must still fetch any file the manifest entry
+            # references that the replica lacks, or the published entry
+            # points at a norms_file that was never copied.
+            nf = s.get("norms_file")
+            if nf:
+                dst_nf = os.path.join(dst_seg, nf)
+                if not os.path.exists(dst_nf):
+                    shutil.copy2(
+                        os.path.join(mf.segment_dir(src_index, sid), nf),
+                        dst_nf,
+                    )
+                    copied += 1
+            continue
         shutil.copytree(
             mf.segment_dir(src_index, sid), dst_seg, dirs_exist_ok=True
         )

@@ -283,7 +283,10 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
         src = html_strip_series(src)
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
-    if cfg.phonetic:
+    if cfg.phonetic or cfg.stem_keep_original:
+        # stacked-token chains (posIncr-0 injection): route through the
+        # scalar twin so shingle/ngram consumers see BOTH the original
+        # and the injected token — same invariant as the wd branch above
         return src.map(lambda t: tokenize_one(t, cfg)[0])
     if cfg.lowercase:
         src = src.str.lower()

@@ -454,7 +454,12 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
     single SpanTerm (compose SpanNear of parts explicitly instead)."""
     from ..kernels.porter import porter_stem, strip_possessive
 
-    def one(text: str) -> str:
+    def pre_stem(text: str) -> str:
+        """The analyzed token BEFORE stemming (possessive/lower/fold
+        applied) — the form KeywordRepeatFilter indexes as the
+        'original', so stem_keep's Synonym original member must match
+        it (raw lowercase alone diverges once ascii_fold/possessive
+        are in the chain)."""
         from ..kernels.analyzer import ascii_fold
 
         t = strip_possessive(text) if cfg.possessive else text
@@ -462,6 +467,10 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             t = t.lower()
         if cfg.ascii_fold:
             t = ascii_fold(t)
+        return t
+
+    def one(text: str) -> str:
+        t = pre_stem(text)
         if cfg.stem and t not in cfg.stop_words:
             t = porter_stem(t)
         return t
@@ -491,7 +500,7 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             if getattr(cfg, "stem_keep_original", False):
                 # KeywordRepeat chain: the query analyzer also emits
                 # (original, stem) at one position -> SynonymQuery
-                base = node.text.lower() if cfg.lowercase else node.text
+                base = pre_stem(node.text)
                 if base != t:
                     return Synonym((base, t), field=node.field)
             if cfg.phonetic:

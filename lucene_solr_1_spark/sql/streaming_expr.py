@@ -322,10 +322,10 @@ def _spark(spark, sf_dir, e: SExpr):
         child, _ = _spark(spark, sf_dir, e.args[0])
         sort = _parse_sort(_req(n, "sort", "top"))
         cut = _with_tiebreak(sort, child.columns)
-        return child.orderBy(*_order_cols(cut)).limit(int(n["n"])), sort
+        return child.orderBy(*_order_cols(cut)).limit(int(_req(n, "n", "top"))), sort
     if e.func == "sort":
         child, _ = _spark(spark, sf_dir, e.args[0])
-        sort = _parse_sort(n["by"])
+        sort = _parse_sort(_req(n, "by", "sort"))
         return child.orderBy(*_order_cols(sort)), sort
     if e.func == "unique":
         from pyspark.sql import Window
@@ -333,7 +333,7 @@ def _spark(spark, sf_dir, e: SExpr):
         child, sort = _spark(spark, sf_dir, e.args[0])
         if not sort:
             raise StreamSyntaxError("unique() needs a sorted substream")
-        over = [c.strip() for c in n["over"].split(",")]
+        over = [c.strip() for c in _req(n, "over", "unique").split(",")]
         cut = _with_tiebreak(sort, child.columns)
         w = Window.partitionBy(*over).orderBy(*_order_cols(cut))
         return (
@@ -343,7 +343,7 @@ def _spark(spark, sf_dir, e: SExpr):
         ), sort
     if e.func == "rollup":
         child, _ = _spark(spark, sf_dir, e.args[0])
-        over = [c.strip() for c in n["over"].split(",")]
+        over = [c.strip() for c in _req(n, "over", "rollup").split(",")]
         aggs = []
         for m in e.args[1:]:
             if not isinstance(m, SExpr) or m.func not in _METRICS:
@@ -358,7 +358,7 @@ def _spark(spark, sf_dir, e: SExpr):
     if e.func in _JOINS:
         lf, _ = _spark(spark, sf_dir, e.args[0])
         rf, _ = _spark(spark, sf_dir, e.args[1])
-        pairs = _on_pairs(n["on"])
+        pairs = _on_pairs(_req(n, "on", e.func))
         la, ra = lf.alias("l"), rf.alias("r")
         cond = None
         for lcol, rcol in pairs:
@@ -382,13 +382,13 @@ def _spark(spark, sf_dir, e: SExpr):
     if e.func in ("complement", "intersect"):
         lf, lsort = _spark(spark, sf_dir, e.args[0])
         rf, _ = _spark(spark, sf_dir, e.args[1])
-        on = [c.strip() for c in n["on"].split(",")]
+        on = [c.strip() for c in _req(n, "on", e.func).split(",")]
         how = "left_anti" if e.func == "complement" else "left_semi"
         return lf.join(rf.select(*on).distinct(), on, how), lsort
     if e.func == "merge":
         lf, _ = _spark(spark, sf_dir, e.args[0])
         rf, _ = _spark(spark, sf_dir, e.args[1])
-        sort = _parse_sort(n["on"])
+        sort = _parse_sort(_req(n, "on", "merge"))
         return lf.unionByName(rf).orderBy(*_order_cols(sort)), sort
     if e.func == "having":
         child, sort = _spark(spark, sf_dir, e.args[0])
@@ -400,7 +400,7 @@ def _spark(spark, sf_dir, e: SExpr):
             raise StreamSyntaxError("fetch() collection must be 'documents'")
         child, sort = _spark(spark, sf_dir, e.args[1])
         on = n.get("on", "doc_id")
-        fl = [c.strip() for c in n["fl"].split(",")]
+        fl = [c.strip() for c in _req(n, "fl", "fetch").split(",")]
         docs = R.load_documents(spark, sf_dir).select(on, *fl)
         return child.join(docs, on, "left"), sort
     raise StreamSyntaxError(f"unknown stream function {e.func!r}")
@@ -484,18 +484,18 @@ def _duck(e: SExpr):
         sort = _parse_sort(_req(n, "sort", "top"))
         cut = _with_tiebreak(sort, cols)
         return (
-            f"SELECT * FROM ({sub}) t ORDER BY {_ob(cut)} LIMIT {int(n['n'])}",
+            f"SELECT * FROM ({sub}) t ORDER BY {_ob(cut)} LIMIT {int(_req(n, 'n', 'top'))}",
             cols, sort,
         )
     if e.func == "sort":
         sub, cols, _ = _duck(e.args[0])
-        sort = _parse_sort(n["by"])
+        sort = _parse_sort(_req(n, "by", "sort"))
         return f"SELECT * FROM ({sub}) t ORDER BY {_ob(sort)}", cols, sort
     if e.func == "unique":
         sub, cols, sort = _duck(e.args[0])
         if not sort:
             raise StreamSyntaxError("unique() needs a sorted substream")
-        over = [c.strip() for c in n["over"].split(",")]
+        over = [c.strip() for c in _req(n, "over", "unique").split(",")]
         cut = _with_tiebreak(sort, cols)
         return (
             f"SELECT * FROM ({sub}) t "
@@ -505,7 +505,7 @@ def _duck(e: SExpr):
         )
     if e.func == "rollup":
         sub, _cols, _ = _duck(e.args[0])
-        over = [c.strip() for c in n["over"].split(",")]
+        over = [c.strip() for c in _req(n, "over", "rollup").split(",")]
         items = list(over)
         out_cols = list(over)
         for m in e.args[1:]:
@@ -525,7 +525,7 @@ def _duck(e: SExpr):
     if e.func in _JOINS:
         lsub, lcols, _ = _duck(e.args[0])
         rsub, rcols, _ = _duck(e.args[1])
-        pairs = _on_pairs(n["on"])
+        pairs = _on_pairs(_req(n, "on", e.func))
         cond = " AND ".join(f"l.{a} = r.{b}" for a, b in pairs)
         how = "LEFT JOIN" if _JOINS[e.func] == "left" else "JOIN"
         items, out_cols = [], []
@@ -546,7 +546,7 @@ def _duck(e: SExpr):
     if e.func in ("complement", "intersect"):
         lsub, lcols, lsort = _duck(e.args[0])
         rsub, _rcols, _ = _duck(e.args[1])
-        on = [c.strip() for c in n["on"].split(",")]
+        on = [c.strip() for c in _req(n, "on", e.func).split(",")]
         cond = " AND ".join(f"l.{c} = r.{c}" for c in on)
         op = "NOT EXISTS" if e.func == "complement" else "EXISTS"
         return (
@@ -559,7 +559,7 @@ def _duck(e: SExpr):
         rsub, rcols, _ = _duck(e.args[1])
         if set(lcols) != set(rcols):
             raise StreamSyntaxError("merge() streams must share a schema")
-        sort = _parse_sort(n["on"])
+        sort = _parse_sort(_req(n, "on", "merge"))
         cl = ", ".join(lcols)
         return (
             f"SELECT {cl} FROM ({lsub}) a UNION ALL SELECT {cl} FROM ({rsub}) b",
@@ -574,7 +574,7 @@ def _duck(e: SExpr):
     if e.func == "fetch":
         sub, cols, sort = _duck(e.args[1])
         on = n.get("on", "doc_id")
-        fl = [c.strip() for c in n["fl"].split(",")]
+        fl = [c.strip() for c in _req(n, "fl", "fetch").split(",")]
         items = ", ".join([f"t.{c}" for c in cols] + [f"d.{c}" for c in fl])
         return (
             f"SELECT {items} FROM ({sub}) t "

@@ -172,3 +172,18 @@ def test_shingle_series_composes_with_analyzer():
     out = shingle_series(pd.Series(["The quick fox"]), ENGLISH, 2, 2).iloc[0]
     # 'the' is stopped before shingling (filter order: stop -> shingle)
     assert out == ["quick", "quick fox", "fox"]
+
+def test_stem_keep_series_matches_scalar():
+    """stem_keep_original must land in ALL THREE paths: tokenize_one,
+    analyze_series, flatten_tokens — analyze_series (the shingle/ngram
+    feed) must emit BOTH the original and the stacked stem."""
+    from lucene_solr_1_spark.kernels.analyzer import STEM_KEEP
+
+    texts = pd.Series(
+        ["running dogs jumped", "run dog", "", "testing tested tests", None]
+    )
+    got = analyze_series(texts, STEM_KEEP)
+    want = [tokenize_one(t, STEM_KEEP)[0] for t in texts.fillna("")]
+    assert list(got) == want
+    # the original form is actually present alongside the stem
+    assert "running" in want[0] and "run" in want[0]

@@ -83,3 +83,39 @@ def test_exorcise_drops_broken_segments(spark, small_corpus_pdf, tmp_path_factor
     s = LuceneSparkSearcher(spark, d)
     hits = s.search(Term("return"), k=10, with_stored=False)
     assert len(hits) == 10
+
+
+def test_exorcise_preserves_tombstones(spark, small_corpus_pdf, tmp_path_factory):
+    """Deletes + exorcise: tombstone_files is NOT manifest-sticky, so the
+    exorcise recommit must carry it explicitly — prior deletes must NOT
+    resurrect in the surviving segments."""
+    import os
+
+    from lucene_solr_1_spark.index import manifest as mf
+    from lucene_solr_1_spark.index.builder import _POSTINGS_FILE, build_index
+    from lucene_solr_1_spark.index.check import exorcise
+    from lucene_solr_1_spark.index.deletes import delete_by_term
+    from lucene_solr_1_spark.search.query import Term
+    from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+    d = str(tmp_path_factory.mktemp("idx_ex_del"))
+    pdf = small_corpus_pdf.copy()
+    pdf.loc[pdf.index[0], "content"] = pdf.loc[pdf.index[0], "content"] + " zzdoomed"
+    m0 = build_index(spark, spark.createDataFrame(pdf), d, num_segments=4)
+    delete_by_term(spark, d, "zzdoomed")
+    s = LuceneSparkSearcher(spark, d)
+    assert len(s.search(Term("zzdoomed"), k=5, with_stored=False)) == 0
+
+    # corrupt a segment that does NOT hold the deleted doc, then exorcise
+    victim = sorted(m0["segments"], key=lambda x: x["partition_id"])[-1]
+    pfile = os.path.join(mf.segment_dir(d, victim["segment_id"]), _POSTINGS_FILE)
+    target = pfile if os.path.isfile(pfile) else os.path.join(
+        pfile, sorted(f for f in os.listdir(pfile) if f.endswith(".parquet"))[0]
+    )
+    with open(target, "wb") as f:
+        f.write(b"garbage")
+    r = exorcise(spark, d)
+    assert r["dropped"], "corrupt segment must drop"
+    assert r["manifest"].get("tombstone_files"), "deletes must survive exorcise"
+    s = LuceneSparkSearcher(spark, d)
+    assert len(s.search(Term("zzdoomed"), k=5, with_stored=False)) == 0

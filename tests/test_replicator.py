@@ -76,3 +76,40 @@ def test_replica_is_searchable_while_source_advances(spark, tmp_path):
     assert _hits(spark, dst) == before  # replica frozen at its commit
     replicate(src, dst)
     assert _hits(spark, dst) == _hits(spark, src)
+
+
+def test_replicate_fetches_new_norms_generation(spark, tmp_path):
+    """Doc-values updates write a NEW norms generation into an EXISTING
+    segment dir (copy-on-write); the revision diff must still fetch it
+    even though the segment's meta.json is already present on the
+    replica — otherwise the published entry points at a norms_file the
+    replica never copied and every replica search breaks."""
+    from lucene_solr_1_spark.index import manifest as mf
+    from lucene_solr_1_spark.index.docvalues import update_numeric_docvalue
+    from lucene_solr_1_spark.search.query import Bool, NumericRange, Occur
+
+    src, dst = str(tmp_path / "s4"), str(tmp_path / "d4")
+    build_index(spark, spark.createDataFrame(_corpus(6, 20, "dv")), src,
+                num_segments=2)
+    replicate(src, dst)
+    # dv update at the SOURCE: new norms-g<N>.parquet inside existing dirs
+    update_numeric_docvalue(spark, src, term="en", field="n_chars",
+                            value=10_000, term_field="lang")
+    r = replicate(src, dst)
+    assert r["status"] == "replicated"
+    assert r["copied_segments"] >= 1  # the norms generations were fetched
+    man = mf.read_manifest(dst)
+    for s in man["segments"]:
+        nf = s.get("norms_file")
+        if nf:
+            assert os.path.exists(
+                os.path.join(mf.segment_dir(dst, s["segment_id"]), nf)
+            )
+    s = LuceneSparkSearcher(spark, dst)
+    q = Bool.of(
+        (Occur.MUST, Term("ant")),
+        (Occur.FILTER, NumericRange("n_chars", 10_000, None)),
+    )
+    hits = s.search(q, k=100, with_stored=False)
+    assert len(hits) > 0  # replica sees the updated doc-values
+    assert _hits(spark, dst) == _hits(spark, src)  # ranking norms intact

@@ -216,3 +216,29 @@ def test_missing_required_params_raise_syntax_error(spark):
     ):
         with pytest.raises(StreamSyntaxError):
             stream_spark(spark, SF, bad)
+
+
+def test_missing_required_params_raise_syntax_errors_everywhere():
+    """Every required named parameter raises StreamSyntaxError (not bare
+    KeyError/TypeError) in BOTH backends."""
+    import pytest
+
+    from lucene_solr_1_spark.sql.streaming_expr import (
+        StreamSyntaxError, parse_stream_expr, stream_duck,
+    )
+
+    inner = 'search(documents, q="query", fl="doc_id,score_bm25", sort="score_bm25 desc")'
+    bad = [
+        f"top({inner}, sort=\"score_bm25 desc\")",          # top missing n
+        f"top({inner}, n=3)",                                # top missing sort
+        f"sort({inner})",                                    # sort missing by
+        f"unique({inner})",                                  # unique missing over
+        f"rollup({inner}, count(*))",                        # rollup missing over
+        f"innerJoin({inner}, {inner})",                      # join missing on
+        f"complement({inner}, {inner})",                     # complement missing on
+        f"merge({inner}, {inner})",                          # merge missing on
+        f"fetch(documents, {inner})",                        # fetch missing fl
+    ]
+    for expr in bad:
+        with pytest.raises(StreamSyntaxError):
+            stream_duck(parse_stream_expr(expr))
