@@ -90,6 +90,39 @@ _CLS_TEXT = "query merge spark sort data window"
 _SORT_AFTER = ("de", 389, 58)
 
 
+def _driver_check_order(names):
+    """Rotate the driver's 50-entry correctness sample across rounds.
+
+    The driver checks a prefix-biased sample of queries(); emitting the
+    least-recently-driver-verified entries FIRST means each round's sample
+    hits fresh entries until every operator has a driver-verified
+    CORRECTNESS record. History is read from the committed
+    CORRECTNESS_r*.json files next to this module (never-checked entries
+    sort before round-1-checked, then by recency, ties alphabetical)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_round: dict[str, int] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                recs = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(recs, dict):
+            continue
+        for k in recs:
+            last_round[k] = max(last_round.get(k, 0), rnd)
+    return sorted(names, key=lambda n: (last_round.get(n, -1), n))
+
+
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the documents table onto the engine's corpus schema
     (repo, path, commit, lang, content)."""
@@ -993,7 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Solr streaming expressions (one expression string, two backends)
     for _name, _expr in _STREAM_EXPRS.items():
         q[_name] = lambda s, d, _e=_expr: SE.stream_spark(s, d, _e)
-    return q
+    # least-recently-driver-verified first, so the driver's 50-entry
+    # sample rotates onto fresh entries each round (VERDICT r3 item #1)
+    return {k: q[k] for k in _driver_check_order(q)}
 
 
 def oracle_sql() -> dict[str, str]:
