@@ -255,6 +255,25 @@ def _get_stemkeep_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_syn_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the SYNONYM_EN analyzer (SynonymGraphFilter +
+    FlattenGraphFilter over kernels/synonyms.SYN_RULES) on the PLAIN
+    documents corpus — the rules reference existing corpus words
+    (merge/fast sort/window), so no annotation view is needed; the
+    DuckDB twin derives its rewrites/injections from the same tuple."""
+    from lucene_solr_1_spark.kernels.analyzer import SYNONYM_EN
+
+    key = ("synonym", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_syn_")
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            cfg=SYNONYM_EN,
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_html_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the HTML analyzer (HTMLStripCharFilter before the
     standard chain) over a deterministically annotated view
@@ -935,6 +954,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kernel_hits_df(s, _get_stemkeep_index(s, d), Term("merges"), k=10)
 
     q["fts_keep_original_synonym"] = _stemkeep
+
+    def _index_synonym(s, d):
+        # index-time SynonymGraphFilter equivalence class {merge,
+        # consolidate}: "consolidate" is corpus-absent, but every merge
+        # occurrence stacked it at index time; the searcher re-analyzes
+        # the Term to SynonymQuery(merge, consolidate)
+        return _kernel_hits_df(s, _get_syn_index(s, d), Term("consolidate"), k=10)
+
+    def _index_synonym_multiword(s, d):
+        # multi-word INPUT contraction "fast sort => quicksort": the
+        # bigram's occurrences were rewritten to one token (positions
+        # compress — dl shifts); "quicksort" triggers no query-side rule
+        return _kernel_hits_df(s, _get_syn_index(s, d), Term("quicksort"), k=10)
+
+    def _index_synonym_expansion(s, d):
+        # multi-word OUTPUT expansion "window => sliding window": every
+        # window occurrence emitted sliding+window (dl grows); querying
+        # the injected first token is a plain TermQuery
+        return _kernel_hits_df(s, _get_syn_index(s, d), Term("sliding"), k=10)
+
+    q["fts_index_synonym"] = _index_synonym
+    q["fts_index_synonym_multiword"] = _index_synonym_multiword
+    q["fts_index_synonym_expansion"] = _index_synonym_expansion
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1192,6 +1234,15 @@ def oracle_sql() -> dict[str, str]:
         "fts_phonetic_synonym": KO.kernel_phonetic_synonym_duck("quary", k=10),
         "fts_keep_original_synonym": KO.kernel_keep_original_synonym_duck(
             "merges", k=10
+        ),
+        "fts_index_synonym": KO.kernel_synonym_index_synquery_duck(
+            "consolidate", k=10
+        ),
+        "fts_index_synonym_multiword": KO.kernel_synonym_index_term_duck(
+            "quicksort", k=10
+        ),
+        "fts_index_synonym_expansion": KO.kernel_synonym_index_term_duck(
+            "sliding", k=10
         ),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(

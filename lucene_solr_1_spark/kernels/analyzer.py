@@ -32,6 +32,7 @@ import pandas as pd
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
 from .porter import porter_stem, stem_array, strip_possessive
+from .synonyms import SYN_RULES, apply_synonym_graph, rules_map
 from .worddelim import WD_DEFAULT, wd_split
 
 # EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (EnglishAnalyzer.java:43-55)
@@ -132,6 +133,15 @@ class AnalyzerConfig:
     # token emits ORIGINAL then STEM at ONE position when they differ;
     # query Terms become SynonymQuery(original, stem). Requires stem.
     stem_keep_original: bool = False
+    # SynonymGraphFilter + FlattenGraphFilter at index time
+    # (synonym/SynonymGraphFilter.java:426-545, core/FlattenGraphFilter
+    # .java:268-340 — kernels/synonyms.py pins the graph+flatten
+    # contract with reference-mirroring goldens). Value = tuple of
+    # Solr-format rule lines ("a, b" equivalence / "x y => z" explicit);
+    # () = filter absent. Positions renumber DENSELY over the flattened
+    # stream (the flatten sausage); query-side Terms expand to
+    # SynonymQuery (all-single-token paths) or OR-of-Term/Phrase.
+    synonyms: tuple = ()
 
     def __post_init__(self):
         if self.stem_keep_original and not self.stem:
@@ -144,6 +154,17 @@ class AnalyzerConfig:
                 "phonetic and word_delimiter filters are mutually "
                 "exclusive in this chain"
             )
+        if self.synonyms:
+            if self.word_delimiter or self.phonetic or self.stem:
+                raise ValueError(
+                    "synonyms compose only with the standard chain "
+                    "(no word_delimiter/phonetic/stem in this engine)"
+                )
+            if self.stop_words:
+                raise ValueError(
+                    "synonyms require an empty stop set (the graph "
+                    "matcher assumes a dense token stream)"
+                )
 
     def with_english_stop(self) -> "AnalyzerConfig":
         return AnalyzerConfig(
@@ -157,6 +178,7 @@ class AnalyzerConfig:
             html_strip=self.html_strip,
             phonetic=self.phonetic,
             stem_keep_original=self.stem_keep_original,
+            synonyms=self.synonyms,
         )
 
 
@@ -180,6 +202,10 @@ HTML = AnalyzerConfig(html_strip=True)
 PHONETIC = AnalyzerConfig(phonetic="soundex")
 # KeywordRepeat + Porter + RemoveDuplicates: original AND stem indexed
 STEM_KEEP = AnalyzerConfig(stem=True, stem_keep_original=True)
+# StandardAnalyzer + SynonymGraphFilter + FlattenGraphFilter with the
+# shipped SYN_RULES (kernels/synonyms.py — the DuckDB twin generator
+# derives from the SAME tuple)
+SYNONYM_EN = AnalyzerConfig(synonyms=SYN_RULES)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -193,6 +219,7 @@ ANALYZERS: dict = {
     "html": HTML,
     "phonetic": PHONETIC,
     "stem_keep": STEM_KEEP,
+    "synonym_en": SYNONYM_EN,
 }
 
 
@@ -242,6 +269,10 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             if code:
                 terms.append(code)
                 positions.append(pos)  # posIncr 0: stacked at the token
+    if cfg.synonyms:
+        # SynonymGraphFilter + FlattenGraphFilter over the dense token
+        # stream; positions renumber through the flatten node mapping
+        return apply_synonym_graph(terms, rules_map(cfg.synonyms))
     return terms, positions
 
 
@@ -283,10 +314,10 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
         src = html_strip_series(src)
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
-    if cfg.phonetic or cfg.stem_keep_original:
-        # stacked-token chains (posIncr-0 injection): route through the
-        # scalar twin so shingle/ngram consumers see BOTH the original
-        # and the injected token — same invariant as the wd branch above
+    if cfg.phonetic or cfg.stem_keep_original or cfg.synonyms:
+        # stacked-token chains (posIncr-0 injection / graph rewrite):
+        # route through the scalar twin so shingle/ngram consumers see
+        # the full emitted stream — same invariant as the wd branch above
         return src.map(lambda t: tokenize_one(t, cfg)[0])
     if cfg.lowercase:
         src = src.str.lower()
@@ -372,6 +403,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
             terms = stem_array(terms)
     if cfg.phonetic:
         terms, row_idx, pos = _inject_phonetic(terms, row_idx, pos, cfg)
+    if cfg.synonyms:
+        terms, row_idx, pos = _apply_synonyms_flat(terms, row_idx, pos, n, cfg)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len
 
@@ -415,6 +448,50 @@ def _inject_phonetic(terms, row_idx, pos, cfg: AnalyzerConfig):
     extra = first[counts == 2] + 1
     out_terms[extra] = u_code[codes[counts == 2]]
     return out_terms, out_rows, out_pos
+
+
+def _apply_synonyms_flat(terms, row_idx, pos, n: int, cfg: AnalyzerConfig):
+    """Vectorized SynonymGraphFilter+flatten over the flattened token
+    stream: a C-level trigger scan (np.isin against the rule inputs'
+    first tokens) splits docs into a no-match FAST path (positions
+    renumber densely, everything stays NumPy) and a per-doc scalar graph
+    pass for the (typically rare) docs containing a trigger — work is
+    proportional to trigger-doc tokens, not corpus tokens. Must stay
+    stream-identical to tokenize_one (scalar==vectorized test)."""
+    smap = rules_map(cfg.synonyms)
+    if len(terms) == 0 or not smap:
+        return terms, row_idx, pos
+    # dense per-doc renumbering (the synonym stage's position contract —
+    # apply_synonym_graph numbers the flattened stream 0..k-1)
+    counts = np.bincount(row_idx, minlength=n).astype(np.int64)
+    offsets = np.cumsum(counts) - counts
+    dense_pos = np.arange(len(terms), dtype=np.int64) - np.repeat(
+        offsets[counts > 0], counts[counts > 0]
+    )
+    triggers = np.asarray(list(smap.by_first), dtype=object)
+    hit = np.isin(terms, triggers)
+    if not hit.any():
+        return terms, row_idx, dense_pos
+    doc_hit = np.bincount(row_idx[hit], minlength=n) > 0
+    tok_hit = doc_hit[row_idx]
+    out_t = [terms[~tok_hit]]
+    out_r = [row_idx[~tok_hit]]
+    out_p = [dense_pos[~tok_hit]]
+    out_s = [dense_pos[~tok_hit]]  # emission seq == dense pos on fast path
+    for d in np.nonzero(doc_hit)[0]:
+        lo, hi = offsets[d], offsets[d] + counts[d]
+        t, p = apply_synonym_graph(list(terms[lo:hi]), smap)
+        k = len(t)
+        out_t.append(np.asarray(t, dtype=object))
+        out_r.append(np.full(k, d, dtype=np.int64))
+        out_p.append(np.asarray(p, dtype=np.int64))
+        out_s.append(np.arange(k, dtype=np.int64))
+    a_t = np.concatenate(out_t)
+    a_r = np.concatenate(out_r)
+    a_p = np.concatenate(out_p)
+    a_s = np.concatenate(out_s)
+    order = np.lexsort((a_s, a_r))
+    return a_t[order], a_r[order], a_p[order]
 
 
 def _flatten_tokens_wd(texts: pd.Series, cfg: AnalyzerConfig):

@@ -435,6 +435,63 @@ class IntervalsQuery(Query):
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount
 
 
+def _expand_synonym_term(t: str, cfg, field: str):
+    """Query-time SynonymGraphFilter on ONE analyzed token — the
+    QueryBuilder shapes (util/QueryBuilder.java analyzeGraphBoolean):
+    all paths single-token -> SynonymQuery; otherwise an OR of
+    Term/Phrase per path (one bare path returns unwrapped). None when no
+    rule triggers."""
+    from ..kernels.synonyms import expand_query_token, rules_map
+
+    paths = expand_query_token(t, rules_map(cfg.synonyms))
+    if not paths:
+        return None
+    if all(len(p) == 1 for p in paths):
+        members = tuple(dict.fromkeys(p[0] for p in paths))
+        if len(members) == 1:
+            return Term(members[0], field=field)
+        return Synonym(members, field=field)
+    clauses = [
+        Term(p[0], field=field) if len(p) == 1 else Phrase(p, field=field)
+        for p in paths
+    ]
+    if len(clauses) == 1:
+        return clauses[0]
+    return Bool.of(*((Occur.SHOULD, c) for c in clauses))
+
+
+def _expand_synonym_phrase(terms: tuple, cfg, node):
+    """Query-time synonym graph over a PHRASE's token sequence
+    (QueryBuilder.createPhraseQuery over a graph stream): run the same
+    graph+flatten the index ran; if the flattened stream is one token
+    per position -> Phrase of the rewrite (Term for a single position);
+    if positions stack but every slot is single tokens -> MultiPhrase.
+    A multi-word side path inside a phrase is not representable -> None
+    (caller keeps the plain analyzed Phrase)."""
+    from ..kernels.synonyms import apply_synonym_graph, rules_map
+
+    out_terms, out_pos = apply_synonym_graph(list(terms), rules_map(cfg.synonyms))
+    if list(out_terms) == list(terms):
+        return None
+    slots: dict[int, list] = {}
+    for t, p in zip(out_terms, out_pos):
+        slots.setdefault(p, []).append(t)
+    ordered = [tuple(slots[p]) for p in sorted(slots)]
+    if all(len(s) == 1 for s in ordered):
+        if len(ordered) == 1:
+            return Term(ordered[0][0], field=node.field)
+        return Phrase(
+            tuple(s[0] for s in ordered), slop=node.slop, field=node.field
+        )
+    # stacked alternatives: only exact MultiPhrase when the graph had no
+    # multi-word side path spanning >1 slot — the flatten sausage makes
+    # that undetectable here, so only emit MultiPhrase for slop-0 single
+    # stacking shapes produced by pure single-token equivalence classes
+    if all(len(set(s)) == len(s) for s in ordered):
+        return MultiPhrase(tuple(ordered), slop=node.slop, field=node.field)
+    return None
+
+
 def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
     """Re-analyze the TERM leaves of a query tree with the index's
     analyzer chain — what Lucene's QueryParser does with the analyzer it
@@ -512,6 +569,10 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
                 code = phonetic_code(t, cfg.phonetic)
                 if code:
                     return Synonym((t, code), field=node.field)
+            if getattr(cfg, "synonyms", ()):
+                syn = _expand_synonym_term(t, cfg, node.field)
+                if syn is not None:
+                    return syn
             return Term(t, field=node.field, df_override=node.df_override)
         if isinstance(node, MultiPhrase):
             if node.field in keyword_fields:
@@ -537,6 +598,10 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             if isinstance(node, Synonym):
                 return Synonym(tuple(one(t) for t in node.terms), field=node.field)
             terms = tuple(p for t in node.terms for p in (many(t) or [one(t)]))
+            if getattr(cfg, "synonyms", ()):
+                syn = _expand_synonym_phrase(terms, cfg, node)
+                if syn is not None:
+                    return syn
             return Phrase(terms, slop=node.slop, field=node.field)
         if isinstance(node, SpanOr):
             return SpanOr(

@@ -1650,3 +1650,170 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# SynonymGraphFilter twin (synonym/SynonymGraphFilter.java:426-545 +
+# core/FlattenGraphFilter.java:268-340) — the synonym index runs over the
+# PLAIN documents corpus; the twin token stream is GENERATED from the same
+# kernels/synonyms.SYN_RULES the engine analyzes with:
+#   * single-path no-keepOrig entries ("x y => z", "w => u v") are exact
+#     TEXT rewrites (token stream AND positions identical to the flatten);
+#   * single-token equivalence entries ("a, b") are posInc-0 INJECTIONS
+#     (count-exact; positions stack, which Term/Synonym scoring never
+#     reads). Rule shapes the SQL cannot replay raise at generation time.
+# ---------------------------------------------------------------------------
+
+
+def _syn_spec():
+    """(rewrites, injections) derived from the parsed SYN_RULES map.
+
+    rewrites: [(regex, replacement)] ordered longest-input-first (the
+    graph matcher is greedy longest-leftmost; disjoint inputs make the
+    sequential regexp_replace order-equivalent — validated below).
+    injections: {trigger: [stacked members...]} applied to the REWRITTEN
+    stream, never re-scanned (single-pass graph semantics)."""
+    import re as _re
+
+    from ..kernels.synonyms import SYN_RULES, rules_map
+
+    rewrites, injections = [], {}
+    triggers = set()
+    for inp, _e in rules_map(SYN_RULES).entries():
+        triggers.add(inp[0])
+    for inp, ent in rules_map(SYN_RULES).entries():
+        if len(ent.paths) == 1 and not ent.keep_orig:
+            out = ent.paths[0]
+            pat = r"\b" + r"[^a-z0-9_]+".join(_re.escape(t) for t in inp) + r"\b"
+            for t in out:
+                if t in triggers and (t,) != inp and [t] != list(inp):
+                    raise AssertionError(
+                        f"rewrite output token {t!r} triggers another rule "
+                        f"— sequential regexp_replace would re-scan it"
+                    )
+            rewrites.append((len(inp), pat, " ".join(out)))
+        elif len(inp) == 1 and all(len(p) == 1 for p in ent.paths):
+            members = [p[0] for p in ent.paths if p[0] != inp[0]]
+            if members:
+                injections[inp[0]] = members
+        else:
+            raise NotImplementedError(
+                f"synonym rule shape for input {inp!r} has no SQL twin "
+                f"(multi-path multi-word or keepOrig with side paths)"
+            )
+    rewrites.sort(key=lambda r: -r[0])
+    return [(p, r) for _n, p, r in rewrites], injections
+
+
+def syn_rewritten_text_sql(col: str = "lower(text)") -> str:
+    expr = col
+    for pat, rep in _syn_spec()[0]:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return expr
+
+
+def _synonym_prelude(all_terms) -> str:
+    """raw/tok/dl/.../tf/dfr CTEs for the synonym_en chain: rewritten
+    text tokenized, then equivalence members stacked. dl counts every
+    emitted token (FieldInvertState.getLength — the engine's convention
+    for stacked chains, same as the phonetic/stem-keep twins)."""
+    _rw, inj = _syn_spec()
+    toks = f"regexp_extract_all({syn_rewritten_text_sql()}, '{TOKEN_PATTERN}')"
+    inj_rows = ", ".join(
+        f"({_sql_str(t)}, {_sql_str(m)})" for t, ms in inj.items() for m in ms
+    ) or "('', '')"
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+base AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+inj(t, member) AS (VALUES {inj_rows}),
+tok AS (
+  SELECT doc_id, term FROM base
+  UNION ALL
+  SELECT b.doc_id, i.member AS term FROM base b JOIN inj i ON i.t = b.term
+),
+dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list(all_terms)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+""".strip()
+
+
+def kernel_synonym_index_term_duck(term: str, k: int = 10) -> str:
+    """Twin of search(Term(t)) against the synonym_en index where t
+    triggers NO query-side rule (e.g. a rewrite output like 'quicksort'):
+    plain quantized float32 BM25 over the synonym-transformed stream."""
+    from ..kernels.synonyms import SYN_RULES, expand_query_token, rules_map
+
+    if expand_query_token(term.lower(), rules_map(SYN_RULES)) is not None:
+        raise AssertionError(
+            f"{term!r} expands at query time — use "
+            f"kernel_synonym_index_synquery_duck"
+        )
+    return f"""
+WITH {_synonym_prelude((term.lower(),))},
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
+
+
+def kernel_synonym_index_synquery_duck(query_text: str, k: int = 10) -> str:
+    """Twin of search(Term(t)) where t is an equivalence-class member:
+    the searcher re-analyzes to SynonymQuery(members) — freq-sum over
+    members, ONE weight = f32(sum in double of the members' f32 idfs)
+    (SynonymQuery.java / kernels.bm25.synonym_idf), over the synonym
+    token stream. Members come from the ENGINE's own query expansion."""
+    from ..kernels.synonyms import SYN_RULES, expand_query_token, rules_map
+
+    term = query_text.lower()
+    paths = expand_query_token(term, rules_map(SYN_RULES))
+    if not paths or not all(len(p) == 1 for p in paths):
+        raise AssertionError(
+            f"{query_text!r} does not expand to a flat SynonymQuery"
+        )
+    members = list(dict.fromkeys(p[0] for p in paths))
+    return f"""
+WITH {_synonym_prelude(tuple(members))},
+w AS (
+  SELECT CAST(sum(CAST({_idf32('dfr.df', 'tot.n_docs')} AS DOUBLE)) AS REAL) AS w
+  FROM dfr CROSS JOIN tot
+),
+ftot AS (SELECT doc_id, sum(tf) AS tf FROM tf GROUP BY 1),
+matched AS (
+  SELECT f.doc_id,
+         CAST(w.w * CAST(CAST(f.tf AS REAL)::DOUBLE /
+              (CAST(f.tf AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)
+           AS score32
+  FROM ftot f CROSS JOIN w JOIN cache c ON c.doc_id = f.doc_id
+)
+{_topk_select(k)}
+""".strip()
