@@ -274,6 +274,33 @@ def _get_syn_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_german_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the GERMAN analyzer (GermanNormalizationFilter +
+    GermanLightStemFilter after lowercase + snowball-stop, de/
+    GermanAnalyzer.java:132-142) over a deterministically annotated view
+    (kernel_oracle.GERMAN_ANNOTATIONS — both engines map merges/merge/
+    window onto hauses/haeuser/haus, three inflections of ONE lemma)."""
+    from lucene_solr_1_spark.kernels.analyzer import GERMAN
+
+    key = ("german", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_de_")
+        docs = R.load_documents(spark, sf_dir)
+        content = F.col("text")
+        for pat, rep in KO.GERMAN_ANNOTATIONS:
+            content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
+        annotated = docs.select(
+            F.lit("testdata/documents").alias("repo"),
+            F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
+            F.sha2(F.col("text"), 256).alias("commit"),
+            F.col("lang"),
+            content.alias("content"),
+        )
+        build_index(spark, annotated, d, num_segments=4, cfg=GERMAN)
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_html_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the HTML analyzer (HTMLStripCharFilter before the
     standard chain) over a deterministically annotated view
@@ -977,6 +1004,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_index_synonym"] = _index_synonym
     q["fts_index_synonym_multiword"] = _index_synonym_multiword
     q["fts_index_synonym_expansion"] = _index_synonym_expansion
+
+    def _german_stem(s, d):
+        # GermanAnalyzer chain: 'haeuser' normalizes (ae digraph fold +
+        # e-deletion) and light-stems to 'haus', matching all three
+        # annotated inflections (hauses/haeuser/haus)
+        return _kernel_hits_df(s, _get_german_index(s, d), Term("haeuser"),
+                               k=10)
+
+    q["fts_german_stem"] = _german_stem
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1244,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_index_synonym_expansion": KO.kernel_synonym_index_term_duck(
             "sliding", k=10
         ),
+        "fts_german_stem": KO.kernel_german_term_duck("haeuser", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

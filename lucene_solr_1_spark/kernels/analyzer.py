@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
+from .german import GERMAN_STOP_WORDS, german_array, german_term
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
 from .porter import porter_stem, stem_array, strip_possessive
@@ -133,6 +134,13 @@ class AnalyzerConfig:
     # token emits ORIGINAL then STEM at ONE position when they differ;
     # query Terms become SynonymQuery(original, stem). Requires stem.
     stem_keep_original: bool = False
+    # GermanNormalizationFilter + GermanLightStemFilter
+    # (de/GermanAnalyzer.java:132-142 chain; kernels/german.py pins both
+    # stages — the light stemmer against the full 35k canonical
+    # vocabulary). 1:1 token mapping applied AFTER the stop filter;
+    # composes with the standard chain only (the reference's German
+    # stack has no Porter/phonetic/wd variants).
+    german: bool = False
     # SynonymGraphFilter + FlattenGraphFilter at index time
     # (synonym/SynonymGraphFilter.java:426-545, core/FlattenGraphFilter
     # .java:268-340 — kernels/synonyms.py pins the graph+flatten
@@ -153,6 +161,14 @@ class AnalyzerConfig:
             raise ValueError(
                 "phonetic and word_delimiter filters are mutually "
                 "exclusive in this chain"
+            )
+        if self.german and (self.stem or self.phonetic
+                            or self.word_delimiter or self.synonyms
+                            or self.ascii_fold or self.possessive):
+            raise ValueError(
+                "german composes only with the standard chain "
+                "(GermanAnalyzer.java:132-142 has no Porter/phonetic/"
+                "wd/synonym stages)"
             )
         if self.synonyms:
             if self.word_delimiter or self.phonetic or self.stem:
@@ -178,6 +194,7 @@ class AnalyzerConfig:
             html_strip=self.html_strip,
             phonetic=self.phonetic,
             stem_keep_original=self.stem_keep_original,
+            german=self.german,
             synonyms=self.synonyms,
         )
 
@@ -206,6 +223,9 @@ STEM_KEEP = AnalyzerConfig(stem=True, stem_keep_original=True)
 # shipped SYN_RULES (kernels/synonyms.py — the DuckDB twin generator
 # derives from the SAME tuple)
 SYNONYM_EN = AnalyzerConfig(synonyms=SYN_RULES)
+# GermanAnalyzer: lowercase + snowball german stops + normalization +
+# light stem (de/GermanAnalyzer.java:132-142)
+GERMAN = AnalyzerConfig(stop_words=GERMAN_STOP_WORDS, german=True)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -220,6 +240,7 @@ ANALYZERS: dict = {
     "phonetic": PHONETIC,
     "stem_keep": STEM_KEEP,
     "synonym_en": SYNONYM_EN,
+    "german": GERMAN,
 }
 
 
@@ -255,6 +276,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             tok = strip_possessive(tok)
         if tok in cfg.stop_words:
             continue  # position consumed (FilteringTokenFilter)
+        if cfg.german:
+            tok = german_term(tok)  # normalize then light-stem, 1:1
         if cfg.stem:
             stemmed = porter_stem(tok)
             if cfg.stem_keep_original and stemmed != tok:
@@ -326,7 +349,7 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     raw = src.str.findall(_TOKEN_RE)
     max_len = cfg.max_token_length
     stop = cfg.stop_words
-    if cfg.possessive or cfg.stem:
+    if cfg.possessive or cfg.stem or cfg.german:
         return raw.map(lambda toks: _filter_tokens(toks, cfg))
     return raw.map(
         lambda toks: [t for t in toks if len(t) <= max_len and t not in stop]
@@ -342,6 +365,8 @@ def _filter_tokens(toks: list, cfg: AnalyzerConfig) -> list:
             t = strip_possessive(t)
         if t in cfg.stop_words:
             continue
+        if cfg.german:
+            t = german_term(t)
         out.append(porter_stem(t) if cfg.stem else t)
     return out
 
@@ -394,6 +419,9 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
     if cfg.stop_words:
         keep &= ~term_s.isin(cfg.stop_words).to_numpy()
     terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+    if cfg.german:
+        # per-UNIQUE-term normalize+light-stem, C-level gather back
+        terms = german_array(terms)
     if cfg.stem:
         if cfg.stem_keep_original:
             terms, row_idx, pos = _inject_keep_original(terms, row_idx, pos)

@@ -530,6 +530,10 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
         t = pre_stem(text)
         if cfg.stem and t not in cfg.stop_words:
             t = porter_stem(t)
+        if getattr(cfg, "german", False) and t not in cfg.stop_words:
+            from ..kernels.german import german_term
+
+            t = german_term(t)  # normalize + light-stem, like the index
         return t
 
     def many(text: str) -> list[str]:
