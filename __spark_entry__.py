@@ -1013,6 +1013,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                k=10)
 
     q["fts_german_stem"] = _german_stem
+
+    def _span_wildcard_near(s, d):
+        # SpanMultiTermQueryWrapper: Wildcard('s*') expands to a SpanOr
+        # over the dictionary (docFreq-ranked, 1024 cap), then the span
+        # algebra pairs it adjacently with 'join' (ordered, slop 0)
+        from lucene_solr_1_spark.search.query import (
+            SpanMultiTerm, SpanNear, Wildcard,
+        )
+
+        sq = SpanNear((SpanMultiTerm(Wildcard("s*")), "join"),
+                      slop=0, in_order=True)
+        return _kernel_hits_df(s, _get_index(s, d), sq, k=10)
+
+    q["fts_span_wildcard_near"] = _span_wildcard_near
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1281,6 +1295,9 @@ def oracle_sql() -> dict[str, str]:
             "sliding", k=10
         ),
         "fts_german_stem": KO.kernel_german_term_duck("haeuser", k=10),
+        "fts_span_wildcard_near": KO.kernel_span_mtq_near_duck(
+            "s%", "join", k=10
+        ),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

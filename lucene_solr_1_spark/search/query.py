@@ -184,6 +184,21 @@ class SpanWithin(Query):
 
 
 @dataclass(frozen=True)
+class SpanMultiTerm(Query):
+    """SpanMultiTermQueryWrapper
+    (core/.../search/spans/SpanMultiTermQueryWrapper.java:1-247): wraps a
+    multi-term query (Prefix/Wildcard/Regexp/TermRange/Fuzzy) so it can
+    sit anywhere in the span algebra. The searcher's expand() rewrites it
+    to SpanOr(SpanTerm per matched dictionary term) under the 1024
+    TopTermsRewrite cap, ranked by docFreq (the wrapper's
+    SpanRewriteMethod -> SpanOrQuery; spans carry no per-term boosts, so
+    the fuzzy distance boost is intentionally dropped — same as the
+    reference's constant-score span rewrite)."""
+    wrapped: Query
+    field: str = DEFAULT_FIELD
+
+
+@dataclass(frozen=True)
 class PayloadScore(Query):
     """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:50-235):
     wraps a span query over a payload-storing index; every leaf-term

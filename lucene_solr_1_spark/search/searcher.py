@@ -384,6 +384,10 @@ class LuceneSparkSearcher:
                     sub = Boost(Term(t, field=q.field), boost)
                 clauses.append((Occur.SHOULD, sub))
             return Bool.of(*clauses)
+        from .query import SPAN_TYPES as _SPAN, SpanMultiTerm as _SMT
+
+        if isinstance(q, _SPAN + (_SMT,)):
+            return self._expand_span_tree(q)
         if isinstance(q, self._MTQ_TYPES):
             terms = self._expand_terms(self._mtq_cond(q))
         elif isinstance(q, Bool):
@@ -418,12 +422,65 @@ class LuceneSparkSearcher:
                 return _dc_replace(
                     q, queries=tuple(self.expand(s) for s in q.queries)
                 )
+            from .query import PayloadScore as _PS
+
+            if isinstance(q, _PS):
+                from dataclasses import replace as _dc_replace
+
+                return _dc_replace(q, query=self.expand(q.query))
             return q
         if not terms:
             return MatchNone()
         if len(terms) == 1:
             return Term(terms[0], field=q.field)
         return Bool.of(*((Occur.SHOULD, Term(t, field=q.field)) for t in terms))
+
+    def _expand_span_tree(self, q):
+        """SpanMultiTermQueryWrapper rewrite
+        (spans/SpanMultiTermQueryWrapper.java:153-247 SpanRewriteMethod):
+        walk the span algebra, replacing each wrapped MTQ with a SpanOr
+        of SpanTerms expanded from the term dictionary (docFreq-ranked,
+        1024 cap — the same pushdown _expand_terms every MTQ uses). An
+        empty expansion becomes an impossible leaf (a term containing
+        \\x00 can never be indexed), which produces no spans — exactly
+        SpanOrQuery-with-zero-clauses semantics through the existing
+        machinery (a SpanNot exclude side with it passes everything)."""
+        from dataclasses import replace as _dc_replace
+
+        from .query import (
+            SpanContaining, SpanFirst, SpanMultiTerm, SpanNear, SpanNot,
+            SpanOr, SpanPositionRange, SpanTerm, SpanWithin,
+        )
+
+        w = self._expand_span_tree
+        if isinstance(q, (str, SpanTerm)):
+            return q
+        if isinstance(q, SpanMultiTerm):
+            field = getattr(q.wrapped, "field", q.field)
+            terms = self._expand_terms(self._mtq_cond(q.wrapped))
+            if not terms:
+                return SpanTerm("\x00<no-expansion>", field=field)
+            if len(terms) == 1:
+                return SpanTerm(terms[0], field=field)
+            return SpanOr(
+                tuple(SpanTerm(t, field=field) for t in terms), field=field
+            )
+        if isinstance(q, SpanOr):
+            return SpanOr(tuple(w(c) for c in q.clauses), field=q.field)
+        if isinstance(q, SpanNear):
+            return SpanNear(
+                tuple(w(c) for c in q.terms),
+                slop=q.slop, in_order=q.in_order, field=q.field,
+            )
+        if isinstance(q, SpanNot):
+            return SpanNot(w(q.include), w(q.exclude), field=q.field)
+        if isinstance(q, SpanFirst):
+            return SpanFirst(w(q.match), q.end, field=q.field)
+        if isinstance(q, SpanPositionRange):
+            return _dc_replace(q, match=w(q.match))
+        if isinstance(q, (SpanContaining, SpanWithin)):
+            return type(q)(w(q.big), w(q.little), field=q.field)
+        return q
 
     def _rewrite_blended(self, q: Blended) -> Query:
         """BlendedTermQuery.rewrite (search/BlendedTermQuery.java:265-294):

@@ -1939,3 +1939,91 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# SpanMultiTermQueryWrapper twin (core/.../spans/SpanMultiTermQueryWrapper
+# .java:153-247 SpanRewriteMethod -> SpanOrQuery): the entry's shape is
+# SpanNear((SpanMultiTerm(Wildcard/Prefix), follow), slop=0, in_order) —
+# the wrapped pattern expands to dictionary terms, spans of the SpanOr
+# union pair with the follow term at the next position. For THIS shape
+# (expansion disjoint from the follow term, two clauses, slop 0, ordered)
+# the kernel's greedy non-overlapping matcher collects EXACTLY the set of
+# adjacent (expansion, follow) position pairs: pairs are vertex-disjoint
+# because a pair is (p, p+1) with clause-disjoint tokens, so greedy
+# consumption never skips one (pinned in tests/test_spans.py). Weight =
+# f32(sum of double(f32 idf)) over the leaf terms (kernel span path,
+# same shape as Synonym/Phrase), freq saturates through the quantized
+# float32 BM25 with the standard-analyzer dl cache.
+# ---------------------------------------------------------------------------
+
+
+def kernel_span_mtq_near_duck(like_pattern: str, follow: str,
+                              k: int = 10) -> str:
+    """Twin of SpanNear((SpanMultiTerm(mtq), follow), slop=0,
+    in_order=True) where `like_pattern` is the SQL LIKE equivalent of the
+    wrapped MTQ's dictionary predicate (e.g. Wildcard('s*') -> 's%')."""
+    if follow.lower().replace("_", "a").isalnum() is False:
+        raise AssertionError("follow must be a plain token")
+    pat = _sql_str(like_pattern)
+    fol = _sql_str(follow.lower())
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+WITH tokp AS (
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp GROUP BY 1),
+exp AS (
+  -- _expand_terms: docFreq desc then term asc, TopTermsRewrite cap 1024
+  SELECT term, df FROM dict WHERE term LIKE {pat}
+  QUALIFY row_number() OVER (ORDER BY df DESC, term ASC) <= 1024
+),
+leaves AS (
+  SELECT term, df FROM exp
+  UNION
+  SELECT term, df FROM dict WHERE term = {fol}
+),
+w AS (
+  SELECT CAST(sum(CAST({_idf32('l.df', 'tot.n_docs')} AS DOUBLE)) AS REAL)
+           AS w
+  FROM leaves l CROSS JOIN tot
+),
+pairs AS (
+  SELECT a.doc_id, count(*) AS freq
+  FROM tokp a
+  JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN (SELECT term FROM exp) AND b.term = {fol}
+  GROUP BY 1
+),
+matched AS (
+  SELECT p.doc_id,
+         CAST(w.w * CAST(CAST(p.freq AS REAL)::DOUBLE /
+              (CAST(p.freq AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)
+           AS score32
+  FROM pairs p CROSS JOIN w JOIN cache c ON c.doc_id = p.doc_id
+)
+{_topk_select(k)}
+""".strip()

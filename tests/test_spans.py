@@ -271,3 +271,90 @@ def test_span_leaf_sugar_equivalence(span_setup):
         SpanNear((SpanTerm("red"), SpanTerm("blue")), slop=2), k=20, with_stored=False
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---- SpanMultiTermQueryWrapper (spans/SpanMultiTermQueryWrapper.java) -----
+
+
+def test_span_multiterm_expands_to_spanor(span_setup):
+    """SpanNear over a wrapped Prefix must equal the hand-expanded SpanOr
+    (the wrapper's SpanRewriteMethod contract)."""
+    from lucene_solr_1_spark.search.query import Prefix, SpanMultiTerm
+
+    searcher, _ = span_setup
+    wrapped = SpanNear((SpanMultiTerm(Prefix("b")), "red"),
+                       slop=1, in_order=True)
+    manual = SpanNear(
+        (SpanOr((SpanTerm("black"), SpanTerm("blue"))), "red"),
+        slop=1, in_order=True,
+    )
+    a = searcher.search(wrapped, k=30, with_stored=False)
+    b = searcher.search(manual, k=30, with_stored=False)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_span_multiterm_wildcard_and_nesting(span_setup):
+    """Wildcard wrapper nested under SpanFirst; and a fuzzy wrapper."""
+    from lucene_solr_1_spark.search.query import (
+        Fuzzy, SpanMultiTerm, Wildcard,
+    )
+
+    searcher, _ = span_setup
+    a = searcher.search(
+        SpanFirst(SpanMultiTerm(Wildcard("bl*")), end=3),
+        k=30, with_stored=False,
+    )
+    b = searcher.search(
+        SpanFirst(SpanOr((SpanTerm("black"), SpanTerm("blue"))), end=3),
+        k=30, with_stored=False,
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # fuzzy wrapper: 'gren'~1 expands to green (the only in-window term)
+    a = searcher.search(
+        SpanNear((SpanMultiTerm(Fuzzy("gren", max_edits=1)), "red"),
+                 slop=0, in_order=True),
+        k=30, with_stored=False,
+    )
+    b = searcher.search(SpanNear(("green", "red"), slop=0, in_order=True),
+                        k=30, with_stored=False)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_span_multiterm_empty_expansion(span_setup):
+    """No dictionary match: the clause produces no spans — a required
+    NEAR clause kills the query, an excluded clause is a no-op."""
+    from lucene_solr_1_spark.search.query import Prefix, SpanMultiTerm
+
+    searcher, _ = span_setup
+    hits = searcher.search(
+        SpanNear((SpanMultiTerm(Prefix("zz")), "red"), slop=3),
+        k=10, with_stored=False,
+    )
+    assert len(hits) == 0
+    a = searcher.search(
+        SpanNot(SpanTerm("red"), SpanMultiTerm(Prefix("zz"))),
+        k=30, with_stored=False,
+    )
+    b = searcher.search(SpanTerm("red"), k=30, with_stored=False)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_span_mtq_near_greedy_equals_pair_count(span_setup):
+    """Pins the DuckDB twin's claim (kernel_span_mtq_near_duck): for the
+    two-clause ordered slop-0 shape with clause-disjoint tokens, the
+    greedy non-overlapping matcher collects EXACTLY the adjacent
+    (expansion, follow) pairs."""
+    _, oracle = span_setup
+    pdf = _corpus()
+    exp = {"black", "blue"}
+    q = SpanNear((SpanOr((SpanTerm("black"), SpanTerm("blue"))), "red"),
+                 slop=0, in_order=True)
+    for text in pdf["content"]:
+        toks = text.split()
+        greedy = len(ref_spans(q, toks))
+        pairs = sum(
+            1 for p in range(len(toks) - 1)
+            if toks[p] in exp and toks[p + 1] == "red"
+        )
+        assert greedy == pairs, text
