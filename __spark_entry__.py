@@ -667,6 +667,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_common_terms"] = _common_terms
 
+    # mixed split: 'dup' (rare) gates as MUST, 'query' (common) only
+    # boosts — exercises the other branch of buildQuery's df split
+    def _common_terms_mixed(s, d):
+        from lucene_solr_1_spark.search.query import CommonTerms
+
+        return _kernel_hits_df(
+            s, _get_index(s, d),
+            CommonTerms(("dup", "query"), max_term_frequency=0.05), k=10,
+        )
+
+    q["fts_common_terms_mixed"] = _common_terms_mixed
+
     # Index sorting + early-terminated field-sorted top-k: every segment
     # emits only its first k matches in docID order (== sort order)
     def _sorted_topk(s, d):
@@ -1384,8 +1396,8 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         "fts_rescore": KO.kernel_rescore_duck(
             ("query",), ("merge", "spark"), weight=2.0, first_k=50, k=10
         ),
-        "fts_more_like_this": KO.kernel_bool_duck(
-            should=("merge", "query", "spark"), boosts={"merge": 2.0}, k=10
+        "fts_more_like_this": KO.kernel_mlt_duck(
+            "query merge merge zzzunknownzzz spark", k=10
         ),
         "fts_kernel_highlight": KO.kernel_highlight_duck("query", 10, 30),
         "fts_kernel_highlight_offsets": KO.kernel_highlight_duck("query", 10, 30),
@@ -1398,7 +1410,12 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         "fts_bm25_numeric_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="dl.dl BETWEEN 30 AND 60"
         ),
-        "fts_common_terms": KO.kernel_bool_duck(must=("query", "merge"), k=10),
+        "fts_common_terms": KO.kernel_common_terms_duck(
+            ("query", "merge"), 0.05, k=10
+        ),
+        "fts_common_terms_mixed": KO.kernel_common_terms_duck(
+            ("dup", "query"), 0.05, k=10
+        ),
         # field-sorted early-terminated top-k over the sort-built index:
         # match set == docs containing the term, order == (length, doc)
         "fts_index_sorted_topk": f"""
