@@ -301,6 +301,24 @@ def _get_german_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_cgrams_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the COMMON_GRAMS_EN analyzer (CommonGramsFilter
+    over {'the','a'}) on the PLAIN documents corpus — unigrams plus
+    stacked stopword bigrams; the DuckDB twin rebuilds the gram stream
+    from the same set."""
+    from lucene_solr_1_spark.kernels.analyzer import COMMON_GRAMS_EN
+
+    key = ("cgrams", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_cg_")
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            cfg=COMMON_GRAMS_EN,
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_html_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the HTML analyzer (HTMLStripCharFilter before the
     standard chain) over a deterministically annotated view
@@ -1039,6 +1057,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kernel_hits_df(s, _get_index(s, d), sq, k=10)
 
     q["fts_span_wildcard_near"] = _span_wildcard_near
+
+    def _common_grams_phrase(s, d):
+        # CommonGramsQueryFilter rewrite: Phrase("the","fast") -> ONE
+        # gram term lookup against the gram-augmented index — the
+        # phrase-with-stopword performance feature
+        from lucene_solr_1_spark.search.query import Phrase
+
+        return _kernel_hits_df(s, _get_cgrams_index(s, d),
+                               Phrase(("the", "fast")), k=10)
+
+    q["fts_common_grams_phrase"] = _common_grams_phrase
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1309,6 +1338,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_german_stem": KO.kernel_german_term_duck("haeuser", k=10),
         "fts_span_wildcard_near": KO.kernel_span_mtq_near_duck(
             "s%", "join", k=10
+        ),
+        "fts_common_grams_phrase": KO.kernel_common_grams_term_duck(
+            "the_fast", ("the", "a"), k=10
         ),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(

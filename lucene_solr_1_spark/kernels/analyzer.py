@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
+from .commongrams import common_grams_stream
 from .german import GERMAN_STOP_WORDS, german_array, german_term
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
@@ -141,6 +142,15 @@ class AnalyzerConfig:
     # composes with the standard chain only (the reference's German
     # stack has no Porter/phonetic/wd variants).
     german: bool = False
+    # CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java:
+    # 52-180; kernels/commongrams.py pins both stream contracts with the
+    # reference's full s/n golden matrix): unigrams stay, plus a
+    # "prev_cur" gram stacked at the previous token's position whenever
+    # either member is in the set. Query-side Phrases re-analyze through
+    # CommonGramsQueryFilter (grams whenever possible, displaced
+    # unigrams dropped). frozenset() = filter absent. Requires an empty
+    # stop set (the grams ARE the stopword strategy).
+    common_grams: frozenset = frozenset()
     # SynonymGraphFilter + FlattenGraphFilter at index time
     # (synonym/SynonymGraphFilter.java:426-545, core/FlattenGraphFilter
     # .java:268-340 — kernels/synonyms.py pins the graph+flatten
@@ -169,6 +179,14 @@ class AnalyzerConfig:
                 "german composes only with the standard chain "
                 "(GermanAnalyzer.java:132-142 has no Porter/phonetic/"
                 "wd/synonym stages)"
+            )
+        if self.common_grams and (
+            self.stem or self.phonetic or self.word_delimiter
+            or self.synonyms or self.german or self.stop_words
+        ):
+            raise ValueError(
+                "common_grams composes only with the standard chain and "
+                "an empty stop set (the grams ARE the stopword strategy)"
             )
         if self.synonyms:
             if self.word_delimiter or self.phonetic or self.stem:
@@ -226,6 +244,9 @@ SYNONYM_EN = AnalyzerConfig(synonyms=SYN_RULES)
 # GermanAnalyzer: lowercase + snowball german stops + normalization +
 # light stem (de/GermanAnalyzer.java:132-142)
 GERMAN = AnalyzerConfig(stop_words=GERMAN_STOP_WORDS, german=True)
+# StandardAnalyzer + CommonGramsFilter over the corpus's function words
+# (the Solr phrase-performance idiom: no stop filter, grams instead)
+COMMON_GRAMS_EN = AnalyzerConfig(common_grams=frozenset({"the", "a"}))
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -241,6 +262,7 @@ ANALYZERS: dict = {
     "stem_keep": STEM_KEEP,
     "synonym_en": SYNONYM_EN,
     "german": GERMAN,
+    "common_grams_en": COMMON_GRAMS_EN,
 }
 
 
@@ -296,6 +318,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
         # SynonymGraphFilter + FlattenGraphFilter over the dense token
         # stream; positions renumber through the flatten node mapping
         return apply_synonym_graph(terms, rules_map(cfg.synonyms))
+    if cfg.common_grams:
+        return common_grams_stream(terms, cfg.common_grams, positions)
     return terms, positions
 
 
@@ -337,7 +361,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
         src = html_strip_series(src)
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
-    if cfg.phonetic or cfg.stem_keep_original or cfg.synonyms:
+    if (cfg.phonetic or cfg.stem_keep_original or cfg.synonyms
+            or cfg.common_grams):
         # stacked-token chains (posIncr-0 injection / graph rewrite):
         # route through the scalar twin so shingle/ngram consumers see
         # the full emitted stream — same invariant as the wd branch above
@@ -433,6 +458,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         terms, row_idx, pos = _inject_phonetic(terms, row_idx, pos, cfg)
     if cfg.synonyms:
         terms, row_idx, pos = _apply_synonyms_flat(terms, row_idx, pos, n, cfg)
+    if cfg.common_grams:
+        terms, row_idx, pos = _inject_common_grams(terms, row_idx, pos, cfg)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len
 
@@ -518,6 +545,36 @@ def _apply_synonyms_flat(terms, row_idx, pos, n: int, cfg: AnalyzerConfig):
     a_r = np.concatenate(out_r)
     a_p = np.concatenate(out_p)
     a_s = np.concatenate(out_s)
+    order = np.lexsort((a_s, a_r))
+    return a_t[order], a_r[order], a_p[order]
+
+
+def _inject_common_grams(terms, row_idx, pos, cfg: AnalyzerConfig):
+    """Vectorized CommonGramsFilter: gram "t[i]_t[i+1]" stacked at
+    pos[i] for every consecutive same-doc pair where either member is
+    common — shifted-array masks plus one pandas str concat, then the
+    same (row, seq) gather the other injectors use (uni seq 2i, gram
+    seq 2i+1 preserves the filter's emission order)."""
+    n_tok = len(terms)
+    if n_tok < 2:
+        return terms, row_idx, pos
+    ts = pd.Series(terms, dtype=object)
+    common = ts.isin(cfg.common_grams).to_numpy()
+    same_doc = row_idx[:-1] == row_idx[1:]
+    gram_at = same_doc & (common[:-1] | common[1:])  # left-member index
+    if not gram_at.any():
+        return terms, row_idx, pos
+    left = np.nonzero(gram_at)[0]
+    gram_terms = (
+        ts.iloc[left].reset_index(drop=True)
+        + "_"
+        + ts.iloc[left + 1].reset_index(drop=True)
+    ).to_numpy(dtype=object)
+    seq = np.arange(n_tok, dtype=np.int64) * 2
+    a_t = np.concatenate([terms, gram_terms])
+    a_r = np.concatenate([row_idx, row_idx[left]])
+    a_p = np.concatenate([pos, pos[left]])
+    a_s = np.concatenate([seq, seq[left] + 1])
     order = np.lexsort((a_s, a_r))
     return a_t[order], a_r[order], a_p[order]
 

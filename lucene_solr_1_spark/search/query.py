@@ -621,6 +621,16 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
                 syn = _expand_synonym_phrase(terms, cfg, node)
                 if syn is not None:
                     return syn
+            if getattr(cfg, "common_grams", frozenset()):
+                # CommonGramsQueryFilter: grams whenever possible,
+                # displaced unigrams dropped; every emitted token takes
+                # posIncr 1, so the rewritten phrase is consecutive
+                from ..kernels.commongrams import common_grams_query
+
+                toks = common_grams_query(list(terms), cfg.common_grams)
+                if len(toks) == 1:
+                    return Term(toks[0], field=node.field)
+                return Phrase(tuple(toks), slop=node.slop, field=node.field)
             return Phrase(terms, slop=node.slop, field=node.field)
         if isinstance(node, SpanOr):
             return SpanOr(

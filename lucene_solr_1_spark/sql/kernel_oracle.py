@@ -2124,3 +2124,75 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# CommonGramsFilter twin (analysis/commongrams/CommonGramsFilter.java:
+# 52-180 + CommonGramsQueryFilter.java:46-140; kernels/commongrams.py
+# pins both stream contracts with the reference's full golden matrix):
+# the index stream is unigrams + "prev_cur" grams stacked wherever
+# either member is common, dl = emitted count (FieldInvertState counts
+# posIncr-0 tokens). A phrase query through CommonGramsQueryFilter
+# becomes a gram TERM — the classic phrase-performance rewrite — scored
+# by the ordinary quantized float32 BM25 over the augmented stream.
+# ---------------------------------------------------------------------------
+
+
+def kernel_common_grams_term_duck(query_text: str, common: tuple,
+                                  k: int = 10) -> str:
+    """Twin of a (possibly gram) TermQuery against the COMMON_GRAMS_EN
+    index: the gram stream is rebuilt in SQL from the same common-word
+    set (adjacent-pair join), dl counts unigrams + grams."""
+    term = _sql_str(query_text.lower())
+    clist = _sql_list(sorted(set(common)))
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+WITH tokp AS (
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS pos
+  FROM documents
+),
+grams AS (
+  SELECT a.doc_id, a.term || '_' || b.term AS term
+  FROM tokp a JOIN tokp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ({clist}) OR b.term IN ({clist})
+),
+stream AS (
+  SELECT doc_id, term FROM tokp UNION ALL SELECT doc_id, term FROM grams
+),
+dl AS (
+  SELECT d.doc_id, count(s.term) AS dl
+  FROM documents d LEFT JOIN stream s USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM stream
+  WHERE term = {term} GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
