@@ -1840,11 +1840,21 @@ ORDER BY weight DESC, term ASC LIMIT {n}
 
 
 # default registered-query set for percolation (query_id, must, must_not)
+# (query_id, must terms, must_not terms, phrase, (n_chars lo, hi)) —
+# phrase is a space-joined exact token run ("" = none), lo/hi bound the
+# numeric doc-values column (None = unbounded). Round-4 widening
+# (VERDICT r3 next #7): registered queries now carry PHRASE and NUMERIC
+# predicates like the reference MemoryIndex answers
+# (memory/.../MemoryIndex.java:1723), same broadcast/BNLJ plan.
 MONITOR_QUERIES = (
-    (0, ("query", "merge"), ()),
-    (1, ("spark",), ("window",)),
-    (2, ("fast", "sort"), ("slow",)),
-    (3, ("data",), ()),
+    (0, ("query", "merge"), (), "", (None, None)),
+    (1, ("spark",), ("window",), "", (None, None)),
+    (2, ("fast", "sort"), ("slow",), "", (None, None)),
+    (3, ("data",), (), "", (None, None)),
+    (4, (), (), "fast sort", (None, None)),
+    (5, (), ("window",), "hash join", (None, None)),
+    (6, (), (), "", (None, 200)),
+    (7, ("query",), (), "merge join", (250, 450)),
 )
 
 
@@ -1856,8 +1866,12 @@ def monitor_percolate_spark(
     index a single document and run MANY registered queries against
     it"; the later Lucene monitor module productizes it): every incoming
     document is matched against the registered query set; output is the
-    (doc_id, query_id) match pairs. Queries here are boolean
-    must/must_not term sets — the alerting workhorse shape.
+    (doc_id, query_id) match pairs. Registered queries are boolean
+    must/must_not term sets plus an optional exact PHRASE (token-run
+    adjacency tested as delimited-string containment — equivalent to the
+    positional phrase match because tokens contain no separator) and an
+    optional NUMERIC range over the n_chars doc value — the MemoryIndex
+    query surface (memory/.../MemoryIndex.java:1723) minus spans.
 
     Scale shape: the registered queries are config — a tiny literal
     frame BROADCAST against one scan of the document stream; the match
@@ -1866,14 +1880,31 @@ def monitor_percolate_spark(
     (doc_id, query_id)."""
     docs = load_documents(spark, sf_dir).select(
         "doc_id",
+        "n_chars",
         F.array_distinct(F.expr(spark_tokens_expr())).alias("toks"),
+        # exact token-run adjacency as delimited-string containment
+        # (tokens contain no spaces): ' a b ' inside ' ... a b ... '
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.expr(spark_tokens_expr()), " "),
+            F.lit(" "),
+        ).alias("joined"),
     )
     qf = spark.createDataFrame(
-        [(int(i), list(m), list(n)) for i, m, n in queries],
-        "query_id bigint, must array<string>, must_not array<string>",
+        [
+            (int(i), list(m), list(n),
+             f" {ph} " if ph else "", lo, hi)
+            for i, m, n, ph, (lo, hi) in queries
+        ],
+        "query_id bigint, must array<string>, must_not array<string>, "
+        "pph string, lo bigint, hi bigint",
     )
-    cond = (F.size(F.array_except("must", "toks")) == 0) & (
-        F.size(F.array_intersect("must_not", "toks")) == 0
+    cond = (
+        (F.size(F.array_except("must", "toks")) == 0)
+        & (F.size(F.array_intersect("must_not", "toks")) == 0)
+        & ((qf.pph == "") | F.col("joined").contains(qf.pph))
+        & (qf.lo.isNull() | (F.col("n_chars") >= qf.lo))
+        & (qf.hi.isNull() | (F.col("n_chars") <= qf.hi))
     )
     return (
         docs.join(F.broadcast(qf), cond)
@@ -1888,19 +1919,28 @@ def monitor_percolate_duck(queries: tuple = MONITOR_QUERIES) -> str:
     def lst(ts):
         return "[" + ", ".join("'" + t + "'" for t in ts) + "]"
 
+    def sqlnum(v):
+        return "NULL::BIGINT" if v is None else str(int(v))
+
     rows = ", ".join(
-        f"({int(i)}, {lst(m)}::VARCHAR[], {lst(n)}::VARCHAR[])"
-        for i, m, n in queries
+        f"({int(i)}, {lst(m)}::VARCHAR[], {lst(n)}::VARCHAR[], "
+        f"'{f' {ph} ' if ph else ''}', {sqlnum(lo)}, {sqlnum(hi)})"
+        for i, m, n, ph, (lo, hi) in queries
     )
     return f"""
 WITH d AS (
-  SELECT doc_id, list_distinct({te}) AS toks FROM documents
+  SELECT doc_id, n_chars, list_distinct({te}) AS toks,
+         ' ' || array_to_string({te}, ' ') || ' ' AS joined
+  FROM documents
 ),
-q(query_id, must, must_not) AS (VALUES {rows})
+q(query_id, must, must_not, pph, lo, hi) AS (VALUES {rows})
 SELECT d.doc_id, q.query_id::BIGINT AS query_id
 FROM d JOIN q
   ON list_has_all(d.toks, q.must)
  AND NOT list_has_any(d.toks, q.must_not)
+ AND (q.pph = '' OR contains(d.joined, q.pph))
+ AND (q.lo IS NULL OR d.n_chars >= q.lo)
+ AND (q.hi IS NULL OR d.n_chars <= q.hi)
 ORDER BY doc_id, query_id
 """.strip()
 

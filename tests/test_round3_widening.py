@@ -219,13 +219,38 @@ def test_monitor_percolate_reference(spark):
     d = _docs(spark)
     ref = []
     for _, row in d.iterrows():
-        toks = set(_tokens(row["text"]))
-        for qid, must, must_not in R.MONITOR_QUERIES:
-            if set(must) <= toks and not (set(must_not) & toks):
-                ref.append((row["doc_id"], qid))
+        seq = _tokens(row["text"])
+        toks = set(seq)
+        for qid, must, must_not, ph, (lo, hi) in R.MONITOR_QUERIES:
+            if not (set(must) <= toks) or (set(must_not) & toks):
+                continue
+            if ph:
+                words = ph.split()
+                n = len(words)
+                if not any(seq[i:i + n] == words
+                           for i in range(len(seq) - n + 1)):
+                    continue
+            if lo is not None and row["n_chars"] < lo:
+                continue
+            if hi is not None and row["n_chars"] > hi:
+                continue
+            ref.append((row["doc_id"], qid))
     ref.sort()
     assert list(map(tuple, got[["doc_id", "query_id"]].values)) == ref
-    assert len(ref) > 0  # the registered set genuinely fires
+    # every predicate class genuinely fires: term-only, phrase, numeric
+    fired = {qid for _, qid in ref}
+    assert {0, 4, 6, 7} <= fired
+
+
+def test_monitor_percolate_plan_no_shuffle(spark):
+    """The widened predicates must keep the broadcast-config/BNLJ plan:
+    ONE scan of the documents, zero data-side exchanges before the
+    (cosmetic) final sort."""
+    df = R.monitor_percolate_spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    body = plan.split("Sort", 1)[-1]  # everything under the output sort
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in body
 
 
 def test_hybrid_rrf_reference(spark):
