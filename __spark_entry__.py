@@ -640,6 +640,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame(pdf[["doc_id", "rank", "snippet"]])
 
     q["fts_kernel_highlight_offsets"] = _kernel_highlight_offsets
+
+    def _highlight_offsets_phrase(s, d, k=10, width=30):
+        """FVH-grade positional highlighting: the snippet wraps the
+        first ACTUAL phrase match (span start offset .. span end offset)
+        from indexed offsets — not the first occurrence of either leaf
+        term (VERDICT r3 next #10)."""
+        from lucene_solr_1_spark.search.query import Phrase
+
+        searcher = _get_index(s, d)
+        hits = searcher.highlight_offsets(Phrase(("fast", "sort")),
+                                          k=k, width=width)
+        pdf = hits[["path", "rank", "snippet"]].copy()
+        pdf["doc_id"] = pdf["path"].str.removeprefix("doc/").astype("int64")
+        pdf["rank"] = pdf["rank"].astype("int64")
+        return s.createDataFrame(pdf[["doc_id", "rank", "snippet"]])
+
+    q["fts_highlight_offsets_phrase"] = _highlight_offsets_phrase
     # multi-field engine: field-qualified keyword term, metadata FILTER and
     # numeric doc-values FILTER combined with scored BM25 (round-2 ops)
     q["fts_field_term"] = lambda s, d: _kernel_hits_df(
@@ -1433,6 +1450,9 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         ),
         "fts_kernel_highlight": KO.kernel_highlight_duck("query", 10, 30),
         "fts_kernel_highlight_offsets": KO.kernel_highlight_duck("query", 10, 30),
+        "fts_highlight_offsets_phrase": KO.kernel_phrase_highlight_offsets_duck(
+            "fast", "sort", k=10, width=30
+        ),
         "fts_bm25_metadata_filter": KO.kernel_bool_duck(
             must=("query",), k=10, filter_sql="doc.lang = 'en'"
         ),

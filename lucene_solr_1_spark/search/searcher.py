@@ -1509,9 +1509,47 @@ class LuceneSparkSearcher:
             .toPandas()
             .set_index(["segment_id", "doc_id"])
         )
+        # FastVectorHighlighter-grade positional highlighting
+        # (highlighter/.../vectorhighlight/FastVectorHighlighter.java:277
+        # posture): for phrase/span queries the highlighted region is the
+        # FIRST ACTUAL MATCH SPAN — positions identify the matching
+        # occurrence, indexed offsets give its character extent — never
+        # just the first occurrence of any leaf term. Exact phrases map
+        # onto the ordered slop-0 span stream (identical match spans);
+        # sloppy phrases keep the leaf fallback (documented).
+        from .query import SPAN_TYPES as _ST
+        from .query import Phrase as _Ph
+        from .query import SpanNear as _SN
+
+        span_dict = None
+        if isinstance(aq, _Ph) and aq.slop == 0 and len(aq.terms) > 1:
+            span_dict = K._span_tree(
+                _SN(aq.terms, slop=0, in_order=True, field=aq.field), aq.field
+            )
+        elif isinstance(aq, _ST):
+            span_dict = K._span_tree(aq, getattr(aq, "field", "content"))
         starts_out, snips = [], []
         for r in hits.itertuples(index=False):
             seg = seg_data.get(r.segment_id)
+            row = stored.loc[(r.segment_id, r.doc_id)]
+            if span_dict is not None:
+                spans = (
+                    K._doc_spans(span_dict, seg, int(r.doc_id))
+                    if seg is not None else []
+                )
+                if not spans:
+                    starts_out.append(-1)
+                    snips.append("")
+                    continue
+                s_pos, e_pos = spans[0]
+                off_s = np.frombuffer(row["off_starts"], dtype=np.int32)
+                off_e = np.frombuffer(row["off_ends"], dtype=np.int32)
+                start = int(off_s[s_pos])
+                end_c = int(off_e[e_pos - 1])
+                s0 = max(start + 1 - width, 1) - 1
+                starts_out.append(start)
+                snips.append(row["content"][s0:end_c + width])
+                continue
             first_pos = None
             if seg is not None:
                 for key in terms:
@@ -1524,7 +1562,6 @@ class LuceneSparkSearcher:
                         cand = int(pos_i[int(starts_i[j])])
                         if first_pos is None or cand < first_pos:
                             first_pos = cand
-            row = stored.loc[(r.segment_id, r.doc_id)]
             if first_pos is None:
                 starts_out.append(-1)
                 snips.append("")

@@ -2196,3 +2196,101 @@ matched AS (
 )
 {_topk_select(k)}
 """.strip()
+
+
+def kernel_phrase_highlight_offsets_duck(t1: str, t2: str, k: int = 10,
+                                         width: int = 30) -> str:
+    """Twin of searcher.highlight_offsets(Phrase((t1, t2))) — the
+    FastVectorHighlighter-grade positional path: the engine highlights
+    the FIRST ACTUAL PHRASE MATCH using indexed offsets; this twin
+    RE-TOKENIZES, reconstructing every token's character offset from the
+    token/separator split (char_start(i) = Σ gaps+tokens before it), and
+    cuts the same [max(start+1-width,1)-1, end_char+width) window.
+    Scoring: exact two-term phrase freq == adjacent-pair count, weight =
+    f32(sum of double(f32 idf)) over both terms (kernel phrase path)."""
+    a, b = _sql_str(t1.lower()), _sql_str(t2.lower())
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    gaps = f"regexp_split_to_array(lower(text), '{TOKEN_PATTERN}')"
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+WITH tokp AS (
+  SELECT doc_id, unnest({toks}) AS term,
+         generate_subscripts({toks}, 1) - 1 AS pos
+  FROM documents
+),
+gapp AS (
+  SELECT doc_id, unnest({gaps}) AS g,
+         generate_subscripts({gaps}, 1) - 1 AS gi
+  FROM documents
+),
+offs AS (
+  SELECT t.doc_id, t.pos, t.term, len(t.term) AS tlen, len(g.g) AS glen
+  FROM tokp t JOIN gapp g ON g.doc_id = t.doc_id AND g.gi = t.pos
+),
+coff AS (
+  SELECT doc_id, pos, term, tlen,
+         COALESCE(sum(glen + tlen) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + glen
+           AS cstart
+  FROM offs
+),
+dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp GROUP BY 1),
+w AS (
+  SELECT CAST(sum(CAST({_idf32('d.df', 'tot.n_docs')} AS DOUBLE)) AS REAL)
+           AS w
+  FROM dict d CROSS JOIN tot WHERE d.term IN ({a}, {b})
+),
+pairs AS (
+  SELECT x.doc_id, count(*) AS freq, min(x.pos) AS first_pos
+  FROM tokp x JOIN tokp y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+  WHERE x.term = {a} AND y.term = {b}
+  GROUP BY 1
+),
+matched AS (
+  SELECT p.doc_id, p.first_pos,
+         CAST(w.w * CAST(CAST(p.freq AS REAL)::DOUBLE /
+              (CAST(p.freq AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)
+           AS score32
+  FROM pairs p CROSS JOIN w JOIN cache c ON c.doc_id = p.doc_id
+),
+topk AS (
+  SELECT doc_id, first_pos,
+         CAST(row_number() OVER (ORDER BY score32 DESC, doc_id ASC) - 1
+              AS BIGINT) AS rank
+  FROM matched
+  ORDER BY score32 DESC, doc_id ASC LIMIT {k}
+)
+SELECT t.doc_id::BIGINT AS doc_id, t.rank,
+       substring(
+         d.text,
+         CAST(greatest(c1.cstart + 1 - {width}, 1) AS BIGINT),
+         CAST((c2.cstart + c2.tlen + {width})
+           - (greatest(c1.cstart + 1 - {width}, 1) - 1) AS BIGINT)
+       ) AS snippet
+FROM topk t
+JOIN documents d USING (doc_id)
+JOIN coff c1 ON c1.doc_id = t.doc_id AND c1.pos = t.first_pos
+JOIN coff c2 ON c2.doc_id = t.doc_id AND c2.pos = t.first_pos + 1
+ORDER BY t.rank
+""".strip()

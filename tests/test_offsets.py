@@ -104,3 +104,52 @@ def test_offsets_requires_option(spark, tmp_path):
     s = LuceneSparkSearcher(spark, d)
     with pytest.raises(ValueError, match="store_offsets"):
         s.highlight_offsets(Term("alpha"))
+
+
+def test_phrase_highlight_uses_actual_match(spark, tmp_path):
+    """FVH-grade positional highlighting: the snippet wraps the first
+    ACTUAL phrase match, not the first occurrence of a leaf term."""
+    from lucene_solr_1_spark.search.query import Phrase
+
+    rows = [
+        # 'fast' appears alone first; the phrase match is later
+        ("r", "p/0", "c0", "en",
+         "fast car then much later a fast sort happens"),
+        ("r", "p/1", "c1", "en", "no match material"),
+    ]
+    pdf = pd.DataFrame(rows,
+                       columns=["repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path / "offph")
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=1,
+                store_offsets=True)
+    s = LuceneSparkSearcher(spark, d)
+    out = s.highlight_offsets(Phrase(("fast", "sort")), k=5, width=8)
+    got = out.set_index("path")
+    text = rows[0][4]
+    assert int(got.loc["p/0", "match_start"]) == text.index("fast sort")
+    assert "fast sort" in got.loc["p/0", "snippet"]
+    # and the early lone 'fast' was NOT the anchor
+    assert int(got.loc["p/0", "match_start"]) != text.index("fast")
+
+
+def test_span_highlight_offsets(spark, tmp_path):
+    """Span queries highlight their first matching span's full extent."""
+    from lucene_solr_1_spark.search.query import SpanNear
+
+    rows = [
+        ("r", "p/0", "c0", "en", "alpha filler filler beta tail words"),
+    ]
+    pdf = pd.DataFrame(rows,
+                       columns=["repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path / "offsp")
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=1,
+                store_offsets=True)
+    s = LuceneSparkSearcher(spark, d)
+    out = s.highlight_offsets(
+        SpanNear(("alpha", "beta"), slop=2, in_order=True), k=5, width=3
+    )
+    text = rows[0][4]
+    assert int(out["match_start"].iloc[0]) == text.index("alpha")
+    # snippet covers the WHOLE span: from near 'alpha' through 'beta'
+    assert "beta" in out["snippet"].iloc[0]
+    assert "tail" not in out["snippet"].iloc[0].replace(" tai", "")  # +width only
