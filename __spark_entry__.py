@@ -301,6 +301,32 @@ def _get_german_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_french_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the FRENCH analyzer (elision + snowball stop +
+    FrenchLightStemFilter) over a deterministically annotated view
+    (kernel_oracle.FRENCH_ANNOTATIONS — merges/merge/window become
+    adorateur/adoration/adore, three inflections of ONE lemma)."""
+    from lucene_solr_1_spark.kernels.analyzer import FRENCH
+
+    key = ("french", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_fr_")
+        docs = R.load_documents(spark, sf_dir)
+        content = F.col("text")
+        for pat, rep in KO.FRENCH_ANNOTATIONS:
+            content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
+        annotated = docs.select(
+            F.lit("testdata/documents").alias("repo"),
+            F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
+            F.sha2(F.col("text"), 256).alias("commit"),
+            F.col("lang"),
+            content.alias("content"),
+        )
+        build_index(spark, annotated, d, num_segments=4, cfg=FRENCH)
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_cgrams_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the COMMON_GRAMS_EN analyzer (CommonGramsFilter
     over {'the','a'}) on the PLAIN documents corpus — unigrams plus
@@ -1085,6 +1111,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                Phrase(("the", "fast")), k=10)
 
     q["fts_common_grams_phrase"] = _common_grams_phrase
+
+    def _french_stem(s, d):
+        # FrenchAnalyzer chain: 'adoratrices' light-stems to 'ador',
+        # matching all three annotated inflections
+        return _kernel_hits_df(s, _get_french_index(s, d),
+                               Term("adoratrices"), k=10)
+
+    q["fts_french_stem"] = _french_stem
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1359,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_common_grams_phrase": KO.kernel_common_grams_term_duck(
             "the_fast", ("the", "a"), k=10
         ),
+        "fts_french_stem": KO.kernel_french_term_duck("adoratrices", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

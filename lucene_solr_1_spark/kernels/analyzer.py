@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 from .commongrams import common_grams_stream
+from .french import FRENCH_STOP_WORDS, elide, french_array, french_term
 from .german import GERMAN_STOP_WORDS, german_array, german_term
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
@@ -142,6 +143,12 @@ class AnalyzerConfig:
     # composes with the standard chain only (the reference's German
     # stack has no Porter/phonetic/wd variants).
     german: bool = False
+    # ElisionFilter(DEFAULT_ARTICLES) + FrenchLightStemFilter
+    # (fr/FrenchAnalyzer.java:136-146 chain; kernels/french.py pins the
+    # stemmer against the full 20k canonical vocabulary). Elision strips
+    # "l'avion" -> "avion" pre-stop; the stemmer is a 1:1 post-stop
+    # stage. Composes with the standard chain only.
+    french: bool = False
     # CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java:
     # 52-180; kernels/commongrams.py pins both stream contracts with the
     # reference's full s/n golden matrix): unigrams stay, plus a
@@ -174,10 +181,19 @@ class AnalyzerConfig:
             )
         if self.german and (self.stem or self.phonetic
                             or self.word_delimiter or self.synonyms
-                            or self.ascii_fold or self.possessive):
+                            or self.ascii_fold or self.possessive
+                            or self.french):
             raise ValueError(
                 "german composes only with the standard chain "
                 "(GermanAnalyzer.java:132-142 has no Porter/phonetic/"
+                "wd/synonym stages)"
+            )
+        if self.french and (self.stem or self.phonetic
+                            or self.word_delimiter or self.synonyms
+                            or self.ascii_fold or self.possessive):
+            raise ValueError(
+                "french composes only with the standard chain "
+                "(FrenchAnalyzer.java:136-146 has no Porter/phonetic/"
                 "wd/synonym stages)"
             )
         if self.common_grams and (
@@ -213,6 +229,7 @@ class AnalyzerConfig:
             phonetic=self.phonetic,
             stem_keep_original=self.stem_keep_original,
             german=self.german,
+            french=self.french,
             synonyms=self.synonyms,
         )
 
@@ -247,6 +264,9 @@ GERMAN = AnalyzerConfig(stop_words=GERMAN_STOP_WORDS, german=True)
 # StandardAnalyzer + CommonGramsFilter over the corpus's function words
 # (the Solr phrase-performance idiom: no stop filter, grams instead)
 COMMON_GRAMS_EN = AnalyzerConfig(common_grams=frozenset({"the", "a"}))
+# FrenchAnalyzer: elision + lowercase + snowball french stops + light
+# stem (fr/FrenchAnalyzer.java:136-146)
+FRENCH = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS, french=True)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -263,6 +283,7 @@ ANALYZERS: dict = {
     "synonym_en": SYNONYM_EN,
     "german": GERMAN,
     "common_grams_en": COMMON_GRAMS_EN,
+    "french": FRENCH,
 }
 
 
@@ -296,8 +317,12 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             continue  # dropped but position consumed (StandardTokenizer.java:154-164)
         if cfg.possessive:
             tok = strip_possessive(tok)
+        if cfg.french:
+            tok = elide(tok)  # ElisionFilter BEFORE the stop check
         if tok in cfg.stop_words:
             continue  # position consumed (FilteringTokenFilter)
+        if cfg.french:
+            tok = french_term(tok)  # light stem, 1:1
         if cfg.german:
             tok = german_term(tok)  # normalize then light-stem, 1:1
         if cfg.stem:
@@ -374,7 +399,7 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     raw = src.str.findall(_TOKEN_RE)
     max_len = cfg.max_token_length
     stop = cfg.stop_words
-    if cfg.possessive or cfg.stem or cfg.german:
+    if cfg.possessive or cfg.stem or cfg.german or cfg.french:
         return raw.map(lambda toks: _filter_tokens(toks, cfg))
     return raw.map(
         lambda toks: [t for t in toks if len(t) <= max_len and t not in stop]
@@ -388,10 +413,14 @@ def _filter_tokens(toks: list, cfg: AnalyzerConfig) -> list:
             continue
         if cfg.possessive:
             t = strip_possessive(t)
+        if cfg.french:
+            t = elide(t)
         if t in cfg.stop_words:
             continue
         if cfg.german:
             t = german_term(t)
+        if cfg.french:
+            t = french_term(t)
         out.append(porter_stem(t) if cfg.stem else t)
     return out
 
@@ -441,9 +470,20 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         # strip BEFORE the stop check (chain order: possessive -> stop)
         term_s = term_s.str.replace(r"['’＇][sS]$", "", regex=True)
         terms = term_s.to_numpy(dtype=object)
+    if cfg.french:
+        # ElisionFilter BEFORE the stop check: apostrophes are rare —
+        # rewrite only the tokens that carry one
+        has_apos = term_s.str.contains("['’]", regex=True).to_numpy()
+        if has_apos.any():
+            terms = term_s.to_numpy(dtype=object).copy()
+            idx = np.nonzero(has_apos)[0]
+            terms[idx] = [elide(t) for t in terms[idx]]
+            term_s = pd.Series(terms, dtype=object)
     if cfg.stop_words:
         keep &= ~term_s.isin(cfg.stop_words).to_numpy()
     terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+    if cfg.french:
+        terms = french_array(terms)
     if cfg.german:
         # per-UNIQUE-term normalize+light-stem, C-level gather back
         terms = german_array(terms)

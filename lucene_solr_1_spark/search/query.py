@@ -549,6 +549,12 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             from ..kernels.german import german_term
 
             t = german_term(t)  # normalize + light-stem, like the index
+        if getattr(cfg, "french", False):
+            from ..kernels.french import elide, french_term
+
+            t = elide(t)
+            if t not in cfg.stop_words:
+                t = french_term(t)
         return t
 
     def many(text: str) -> list[str]:

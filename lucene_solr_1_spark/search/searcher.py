@@ -206,6 +206,7 @@ class LuceneSparkSearcher:
         if not (cfg.stem or cfg.possessive or cfg.ascii_fold
                 or cfg.word_delimiter or cfg.phonetic
                 or cfg.stem_keep_original or getattr(cfg, "german", False)
+                or getattr(cfg, "french", False)
                 or getattr(cfg, "synonyms", ())
                 or getattr(cfg, "common_grams", frozenset())):
             # standard/english indexes: today's raw-term behavior, exactly

@@ -2294,3 +2294,121 @@ JOIN coff c1 ON c1.doc_id = t.doc_id AND c1.pos = t.first_pos
 JOIN coff c2 ON c2.doc_id = t.doc_id AND c2.pos = t.first_pos + 1
 ORDER BY t.rank
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# FrenchAnalyzer twin (fr/FrenchAnalyzer.java:136-146 chain; kernels/
+# french.py pins FrenchLightStemmer against the reference's 20k-word
+# canonical vocabulary) — annotated view maps three corpus words onto
+# French inflections of ONE lemma (merges->adorateur [ateur->er rule],
+# merge->adoration [ation cut], window->adore [norm e-strip]; all reduce
+# to 'ador'). Elision never fires on this ASCII corpus (the token
+# pattern admits no apostrophes) — pinned engine-side by unit tests.
+# ---------------------------------------------------------------------------
+
+FRENCH_ANNOTATIONS = (
+    (r"\bmerges\b", "adorateur"),
+    (r"\bmerge\b", "adoration"),
+    (r"\bwindow\b", "adore"),
+)
+
+
+def french_annotated_text_sql(col: str = "text") -> str:
+    expr = col
+    for pat, rep in FRENCH_ANNOTATIONS:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return expr
+
+
+def _french_stem_table_values() -> str:
+    """(term, french_light_stem(term)) rows over the ANNOTATED corpus
+    vocabulary wherever the stemmer changes the token."""
+    import os
+
+    import duckdb
+
+    from ..kernels.french import french_light_stem
+
+    dirs = [
+        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
+    ]
+    dirs = [d for d in dirs if os.path.exists(d)]
+    if not dirs:
+        raise FileNotFoundError("no testdata documents tables for stem table")
+    con = duckdb.connect()
+    files = ", ".join(f"'{d}'" for d in dirs)
+    annotated = french_annotated_text_sql("lower(text)")
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(regexp_extract_all({annotated}, "
+            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{files}])"
+        ).fetchall()
+    ]
+    rows = [
+        f"({_sql_str(t)}, {_sql_str(french_light_stem(t))})"
+        for t in sorted(set(vocab))
+        if french_light_stem(t) != t
+    ]
+    return ", ".join(rows) if rows else "('', '')"
+
+
+def kernel_french_term_duck(query_text: str, k: int = 10) -> str:
+    """Twin of a TermQuery against the FRENCH index over the annotated
+    view: the query term runs the same light stem the searcher applies;
+    the corpus replays annotate -> tokenize -> french stop -> stem-table
+    before the quantized float32 BM25 (dl = post-stop count)."""
+    from ..kernels.french import FRENCH_STOP_WORDS, french_light_stem
+
+    stemmed = french_light_stem(query_text.lower())
+    toks = (
+        f"regexp_extract_all({french_annotated_text_sql('lower(text)')}, "
+        f"'{TOKEN_PATTERN}')"
+    )
+    stop_list = _sql_list(sorted(w for w in FRENCH_STOP_WORDS if w.isascii()))
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest({toks}) AS rt FROM documents
+),
+kept AS (SELECT doc_id, rt FROM raw WHERE rt NOT IN ({stop_list})),
+st(t, stem) AS (VALUES {_french_stem_table_values()}),
+tok AS (
+  SELECT k.doc_id, coalesce(s.stem, k.rt) AS term
+  FROM kept k LEFT JOIN st s ON s.t = k.rt
+),
+dl AS (
+  SELECT d.doc_id, count(k.rt) AS dl
+  FROM documents d LEFT JOIN kept k USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list((stemmed,))}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
