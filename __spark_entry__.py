@@ -327,6 +327,25 @@ def _get_french_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_compound_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the COMPOUND analyzer (DictionaryCompoundWord
+    TokenFilter over kernels/analyzer.COMPOUND_DICT) on the PLAIN
+    documents corpus — subwords ride in the postings at the base
+    tokens' positions; the DuckDB twin derives its mapping table from
+    the same decompose over the testdata vocabulary."""
+    from lucene_solr_1_spark.kernels.analyzer import COMPOUND
+
+    key = ("compound", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_cw_")
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            cfg=COMPOUND,
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_cgrams_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the COMMON_GRAMS_EN analyzer (CommonGramsFilter
     over {'the','a'}) on the PLAIN documents corpus — unigrams plus
@@ -1119,6 +1138,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                Term("adoratrices"), k=10)
 
     q["fts_french_stem"] = _french_stem
+
+    def _compound_recall(s, d):
+        # DictionaryCompoundWordTokenFilter: 'customer' re-analyzes to
+        # SynonymQuery(customer, custom, tom) against the subword-
+        # injected index — the Germanic compound-recall idiom
+        return _kernel_hits_df(s, _get_compound_index(s, d),
+                               Term("customer"), k=10)
+
+    q["fts_compound_word"] = _compound_recall
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1394,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
             "the_fast", ("the", "a"), k=10
         ),
         "fts_french_stem": KO.kernel_french_term_duck("adoratrices", k=10),
+        "fts_compound_word": KO.kernel_compound_synonym_duck("customer", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

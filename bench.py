@@ -438,14 +438,22 @@ def run_scaling(n_files: int, partitions: int = 512) -> dict:
     spark.stop()
 
     have_taskset = shutil.which("taskset") is not None
+    # best-of-R fresh processes per cluster size (default 2; r3 VERDICT #8
+    # prescribes 3): single-box turbo / thermal state makes individual runs
+    # swing ±30%; the best run is the steady-state capability of that
+    # "cluster". Legs INTERLEAVE across sizes (8,32,8,32,...) so slow host
+    # drift (co-tenant load) is sampled by both sizes over the same window
+    # instead of biasing the ratio, and /proc/loadavg is recorded before
+    # every leg so a contaminated leg is identifiable after the fact.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     out: dict = {}
+    legs: dict = {cpus: [] for cpus in sizes}
+    loads: dict = {cpus: [] for cpus in sizes}
     try:
-        for cpus in sizes:
-            # best-of-2 fresh processes per cluster size: single-box turbo /
-            # thermal state makes individual runs swing ±30%; the best run
-            # is the steady-state capability of that "cluster"
-            times = []
-            for _ in range(2):
+        for _ in range(repeats):
+            for cpus in sizes:
+                with open("/proc/loadavg") as fh:
+                    loads[cpus].append(fh.read().split()[0])
                 cmd = [
                     sys.executable, os.path.abspath(__file__),
                     "--scaling-run", corpus_dir, str(cpus), str(partitions),
@@ -453,22 +461,32 @@ def run_scaling(n_files: int, partitions: int = 512) -> dict:
                 if have_taskset:
                     cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
                 r = subprocess.run(cmd, capture_output=True, text=True, check=True)
-                times.append(json.loads(r.stdout.strip().splitlines()[-1])["build_sec"])
-            build_s = min(times)
+                legs[cpus].append(
+                    json.loads(r.stdout.strip().splitlines()[-1])["build_sec"]
+                )
+        for cpus in sizes:
+            build_s = min(legs[cpus])
             out[f"local[{cpus}]"] = {
                 "build_sec": round(build_s, 3),
                 "files_per_sec": round(n_files / build_s, 1),
-                "runs": [round(t, 3) for t in times],
+                "runs": [round(t, 3) for t in legs[cpus]],
+                "loadavg_before": loads[cpus],
             }
     finally:
         shutil.rmtree(os.path.dirname(corpus_dir), ignore_errors=True)
     out["pairs"] = {}
+    out["pairs_per_repeat"] = {}
     for n_small, n_large in pairs:
         t_n = out[f"local[{n_small}]"]["build_sec"]
         t_4n = out[f"local[{n_large}]"]["build_sec"]
-        out["pairs"][f"local[{n_small}]->local[{n_large}]"] = round(
-            (t_n / t_4n) / (n_large / n_small), 3
-        )
+        key = f"local[{n_small}]->local[{n_large}]"
+        out["pairs"][key] = round((t_n / t_4n) / (n_large / n_small), 3)
+        # adjacent-in-time legs: repeat i of both sizes ran back-to-back,
+        # so the per-repeat ratio is the drift-controlled band
+        out["pairs_per_repeat"][key] = [
+            round((a / b) / (n_large / n_small), 3)
+            for a, b in zip(legs[n_small], legs[n_large])
+        ]
     # headline = the first configured pair (default: the prescribed 8->32)
     first = pairs[0]
     out["pair"] = f"local[{first[0]}] -> local[{first[1]}]"

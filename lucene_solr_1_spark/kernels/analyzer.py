@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 
 from .commongrams import common_grams_stream
+from .compound import decompose as compound_decompose
 from .french import FRENCH_STOP_WORDS, elide, french_array, french_term
 from .german import GERMAN_STOP_WORDS, german_array, german_term
 from .htmlstrip import html_strip, html_strip_series
@@ -158,6 +159,14 @@ class AnalyzerConfig:
     # unigrams dropped). frozenset() = filter absent. Requires an empty
     # stop set (the grams ARE the stopword strategy).
     common_grams: frozenset = frozenset()
+    # DictionaryCompoundWordTokenFilter (compound/DictionaryCompoundWord
+    # TokenFilter.java:73-100 over CompoundWordTokenFilterBase.java:90-116
+    # defaults min_word=5/min_sub=2/max_sub=15; kernels/compound.py pins
+    # the decompose contract): every token >= 5 chars additionally emits
+    # its dictionary subwords AT THE SAME POSITION (posIncr 0, original
+    # kept) — the Germanic compound-recall idiom. Query-side Terms become
+    # SynonymQuery(term, *subwords). frozenset() = filter absent.
+    compound_dict: frozenset = frozenset()
     # SynonymGraphFilter + FlattenGraphFilter at index time
     # (synonym/SynonymGraphFilter.java:426-545, core/FlattenGraphFilter
     # .java:268-340 — kernels/synonyms.py pins the graph+flatten
@@ -204,6 +213,16 @@ class AnalyzerConfig:
                 "common_grams composes only with the standard chain and "
                 "an empty stop set (the grams ARE the stopword strategy)"
             )
+        if self.compound_dict and (
+            self.stem or self.phonetic or self.word_delimiter
+            or self.synonyms or self.german or self.french
+            or self.common_grams or self.stem_keep_original
+        ):
+            raise ValueError(
+                "compound_dict composes only with the standard chain "
+                "(+ stop words): DictionaryCompoundWordTokenFilter sits "
+                "directly after the stop filter in the reference chains"
+            )
         if self.synonyms:
             if self.word_delimiter or self.phonetic or self.stem:
                 raise ValueError(
@@ -231,6 +250,7 @@ class AnalyzerConfig:
             german=self.german,
             french=self.french,
             synonyms=self.synonyms,
+            compound_dict=self.compound_dict,
         )
 
 
@@ -267,6 +287,15 @@ COMMON_GRAMS_EN = AnalyzerConfig(common_grams=frozenset({"the", "a"}))
 # FrenchAnalyzer: elision + lowercase + snowball french stops + light
 # stem (fr/FrenchAnalyzer.java:136-146)
 FRENCH = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS, french=True)
+# StandardAnalyzer + DictionaryCompoundWordTokenFilter over a dictionary
+# tuned to the testdata documents vocabulary (the Germanic
+# compound-recall idiom: `customer` additionally indexes
+# `custom`+`tom`, `window` indexes `wind`; `stream` exercises the
+# whole-token-in-dictionary duplicate the reference also emits). The
+# DuckDB twin generator derives its mapping table from the SAME
+# decompose over the testdata vocabulary.
+COMPOUND_DICT = frozenset({"custom", "tom", "wind", "col", "tab", "stream"})
+COMPOUND = AnalyzerConfig(compound_dict=COMPOUND_DICT)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -284,6 +313,7 @@ ANALYZERS: dict = {
     "german": GERMAN,
     "common_grams_en": COMMON_GRAMS_EN,
     "french": FRENCH,
+    "compound": COMPOUND,
 }
 
 
@@ -339,6 +369,13 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             if code:
                 terms.append(code)
                 positions.append(pos)  # posIncr 0: stacked at the token
+        if cfg.compound_dict:
+            # original passed through above; subwords stack at its
+            # position in discovery order (CompoundWordTokenFilterBase
+            # .java:90-116)
+            for sub in compound_decompose(tok, cfg.compound_dict):
+                terms.append(sub)
+                positions.append(pos)
     if cfg.synonyms:
         # SynonymGraphFilter + FlattenGraphFilter over the dense token
         # stream; positions renumber through the flatten node mapping
@@ -387,7 +424,7 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
     if (cfg.phonetic or cfg.stem_keep_original or cfg.synonyms
-            or cfg.common_grams):
+            or cfg.common_grams or cfg.compound_dict):
         # stacked-token chains (posIncr-0 injection / graph rewrite):
         # route through the scalar twin so shingle/ngram consumers see
         # the full emitted stream — same invariant as the wd branch above
@@ -500,8 +537,37 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         terms, row_idx, pos = _apply_synonyms_flat(terms, row_idx, pos, n, cfg)
     if cfg.common_grams:
         terms, row_idx, pos = _inject_common_grams(terms, row_idx, pos, cfg)
+    if cfg.compound_dict:
+        terms, row_idx, pos = _inject_compound(terms, row_idx, pos, cfg)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len
+
+
+def _inject_compound(terms, row_idx, pos, cfg: AnalyzerConfig):
+    """Vectorized DictionaryCompoundWordTokenFilter: after each token, its
+    dictionary subwords at the SAME position (original kept). Per-unique
+    decomposition (Zipf) then a variable-width segment gather —
+    stream-identical to the scalar tokenize_one ordering."""
+    codes, uniq = pd.factorize(pd.Series(terms, dtype=object), sort=False)
+    subs_u = [compound_decompose(u, cfg.compound_dict) for u in uniq]
+    counts_u = np.fromiter((1 + len(s) for s in subs_u), dtype=np.int64,
+                           count=len(subs_u))
+    counts = counts_u[codes]
+    total = int(counts.sum())
+    if total == len(terms):  # nothing decomposed
+        return terms, row_idx, pos
+    out_terms = np.empty(total, dtype=object)
+    out_rows = np.repeat(row_idx, counts)
+    out_pos = np.repeat(pos, counts)
+    first = np.cumsum(counts) - counts
+    out_terms[first] = terms
+    # scatter per (unique term, subword slot): loops vocabulary x
+    # subwords (tiny), each fill vectorized over that term's occurrences
+    for u in np.nonzero(counts_u > 1)[0]:
+        occ = first[codes == u]
+        for j, sub in enumerate(subs_u[u]):
+            out_terms[occ + 1 + j] = sub
+    return out_terms, out_rows, out_pos
 
 
 def _inject_keep_original(terms, row_idx, pos):

@@ -598,6 +598,18 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
                 syn = _expand_synonym_term(t, cfg, node.field)
                 if syn is not None:
                     return syn
+            if getattr(cfg, "compound_dict", frozenset()):
+                # DictionaryCompoundWordTokenFilter at query time emits
+                # (term, *subwords) at one position -> SynonymQuery;
+                # members dedupe (a dictionary hit equal to the whole
+                # token must not double-count the freq sum)
+                from ..kernels.compound import decompose
+
+                subs = decompose(t, cfg.compound_dict)
+                if subs:
+                    members = tuple(dict.fromkeys((t, *subs)))
+                    if len(members) > 1:
+                        return Synonym(members, field=node.field)
             return Term(t, field=node.field, df_override=node.df_override)
         if isinstance(node, MultiPhrase):
             if node.field in keyword_fields:
@@ -637,6 +649,18 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
                 if len(toks) == 1:
                     return Term(toks[0], field=node.field)
                 return Phrase(tuple(toks), slop=node.slop, field=node.field)
+            if getattr(cfg, "compound_dict", frozenset()):
+                # stacked subwords at a slot -> MultiPhrase alternatives
+                # (QueryBuilder.createPhraseQuery over a stream with
+                # posIncr-0 tokens yields a MultiPhraseQuery)
+                from ..kernels.compound import decompose
+
+                slots = tuple(
+                    tuple(dict.fromkeys((t, *decompose(t, cfg.compound_dict))))
+                    for t in terms
+                )
+                if any(len(s) > 1 for s in slots):
+                    return MultiPhrase(slots, slop=node.slop, field=node.field)
             return Phrase(terms, slop=node.slop, field=node.field)
         if isinstance(node, SpanOr):
             return SpanOr(

@@ -208,7 +208,8 @@ class LuceneSparkSearcher:
                 or cfg.stem_keep_original or getattr(cfg, "german", False)
                 or getattr(cfg, "french", False)
                 or getattr(cfg, "synonyms", ())
-                or getattr(cfg, "common_grams", frozenset())):
+                or getattr(cfg, "common_grams", frozenset())
+                or getattr(cfg, "compound_dict", frozenset())):
             # standard/english indexes: today's raw-term behavior, exactly
             return q
         from ..index.segment import KEYWORD_FIELDS

@@ -1653,6 +1653,117 @@ matched AS (
 
 
 # ---------------------------------------------------------------------------
+# DictionaryCompoundWordTokenFilter twin (compound/DictionaryCompoundWord
+# TokenFilter.java:73-100 + CompoundWordTokenFilterBase.java:90-116) — the
+# injected stream is base tokens plus their dictionary SUBWORDS at the same
+# positions (1:many); a query Term becomes SynonymQuery(term, *subwords).
+# The mapping table is generated with the engine's own decompose over the
+# testdata vocabulary (the decompose contract itself is pinned by
+# reference-mirroring goldens in tests/test_compound.py).
+# ---------------------------------------------------------------------------
+
+
+def _compound_table_values() -> str:
+    """(term, sub) VALUES rows — one row per (corpus token, emitted
+    subword), duplicates preserved in discovery order (the injected
+    stream repeats a subword hit the reference repeats)."""
+    import os
+
+    import duckdb
+
+    from ..kernels.analyzer import COMPOUND_DICT
+    from ..kernels.compound import decompose
+
+    files = [
+        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
+    ]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        raise FileNotFoundError("no testdata documents tables for compound table")
+    con = duckdb.connect()
+    flist = ", ".join(f"'{f}'" for f in files)
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
+            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{flist}])"
+        ).fetchall()
+    ]
+    rows = []
+    for t in sorted(set(vocab)):
+        for sub in decompose(t, COMPOUND_DICT):
+            rows.append(f"({_sql_str(t)}, {_sql_str(sub)})")
+    return ", ".join(rows) if rows else "('', '')"
+
+
+def kernel_compound_synonym_duck(query_text: str, k: int = 10) -> str:
+    """Twin of search(Term(query_text)) against a COMPOUND index: the
+    searcher's re-analysis yields SynonymQuery(term, *subwords) — freqs
+    summed over DISTINCT members, ONE weight = f32(sum in double of the
+    members' f32 idfs), over the injected token stream (dl includes the
+    subwords)."""
+    from ..kernels.analyzer import COMPOUND_DICT
+    from ..kernels.compound import decompose
+
+    term = query_text.lower()
+    members = list(dict.fromkeys([term] + decompose(term, COMPOUND_DICT)))
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+cp(t, sub) AS (VALUES {_compound_table_values()}),
+tok AS (
+  SELECT doc_id, term FROM base
+  UNION ALL
+  SELECT b.doc_id, c.sub AS term FROM base b JOIN cp c ON c.t = b.term
+),
+dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list(members)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT CAST(sum(CAST({_idf32('dfr.df', 'tot.n_docs')} AS DOUBLE)) AS REAL) AS w
+  FROM dfr CROSS JOIN tot
+),
+ftot AS (SELECT doc_id, sum(tf) AS tf FROM tf GROUP BY 1),
+matched AS (
+  SELECT f.doc_id,
+         CAST(w.w * CAST(CAST(f.tf AS REAL)::DOUBLE /
+              (CAST(f.tf AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)
+           AS score32
+  FROM ftot f CROSS JOIN w JOIN cache c ON c.doc_id = f.doc_id
+)
+{_topk_select(k)}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # SynonymGraphFilter twin (synonym/SynonymGraphFilter.java:426-545 +
 # core/FlattenGraphFilter.java:268-340) — the synonym index runs over the
 # PLAIN documents corpus; the twin token stream is GENERATED from the same
