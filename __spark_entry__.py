@@ -1010,6 +1010,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10,
         )
 
+    def _flex_parser(s, d):
+        from lucene_solr_1_spark.search.flexparser import StandardQueryParser
+
+        # flexible parser, AND default operator: 'query' required, the OR
+        # demotes merge^2 to optional alongside data, '-spark' prohibited
+        p = StandardQueryParser()
+        p.set_default_operator("AND")
+        q = p.parse("query merge^2 OR data -spark", default_field="content")
+        return _kernel_hits_df(s, _get_index(s, d), q, k=10)
+
     def _kernel_phrase(s, d):
         from lucene_solr_1_spark.search.query import Phrase
 
@@ -1153,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_boost_function"] = _boost_fn
     q["fts_covering"] = _covering
     q["fts_xml_query"] = _xml_query
+    q["fts_flex_parser"] = _flex_parser
     q["fts_edismax"] = _edismax
     q["fts_edismax_pf"] = _edismax_pf
     q["fts_kernel_phrase"] = _kernel_phrase
@@ -1471,6 +1482,10 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         "fts_xml_query": KO.kernel_bool_duck(
             must=("query",), should=("merge",), boosts={"merge": 2.0},
             k=10, filter_sql="dl.dl BETWEEN 30 AND 90",
+        ),
+        "fts_flex_parser": KO.kernel_bool_duck(
+            must=("query",), should=("merge", "data"), must_not=("spark",),
+            boosts={"merge": 2.0}, k=10,
         ),
         "fts_edismax": KO.kernel_edismax_duck(
             ("de", "data", "merge"), kw_field="lang", content_boost=1.0,

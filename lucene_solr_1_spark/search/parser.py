@@ -104,6 +104,14 @@ class _Parser:
         self.i = 0
         self.cfg = cfg
         self.keyword_fields = frozenset(keyword_fields)
+        # config points the flexible parser (flexparser.StandardQueryParser)
+        # overrides; these defaults ARE classic QueryParser behavior
+        self.default_occur = Occur.SHOULD      # OR_OPERATOR
+        self.default_phrase_slop = 0           # setPhraseSlop
+        self.fuzzy_max_edits = 2               # FuzzyQuery default
+        self.allow_leading_wildcard = True     # classic parse() kept lenient
+        self.default_field = DEFAULT_FIELD
+        self.numeric_fields = NUMERIC_FIELDS   # + PointsConfig map in flex
 
     def peek(self) -> str | None:
         return self.toks[self.i][0] if self.i < len(self.toks) else None
@@ -123,6 +131,7 @@ class _Parser:
         a default-field parse silently lowercased keyword values)."""
         clauses: list[Clause] = []
         pending_and = False
+        pending_or = False
         while self.peek() not in (None, "RPAREN"):
             kind = self.peek()
             if kind == "AND":
@@ -132,19 +141,35 @@ class _Parser:
                 if clauses and clauses[-1].occur == Occur.SHOULD:
                     clauses[-1] = Clause(Occur.MUST, clauses[-1].query)
                 pending_and = True
+                pending_or = False
                 continue
             if kind == "OR":
                 self.next()
                 pending_and = False
+                # AND-default mode (QueryParserBase.addClause): OR demotes
+                # the previous non-prohibited clause AND the next one
+                if self.default_occur == Occur.MUST:
+                    if clauses and clauses[-1].occur != Occur.MUST_NOT:
+                        clauses[-1] = Clause(Occur.SHOULD, clauses[-1].query)
+                    pending_or = True
                 continue
-            occur = Occur.MUST if pending_and else Occur.SHOULD
-            pending_and = False
+            if pending_and:
+                occur = Occur.MUST
+            elif pending_or:
+                occur = Occur.SHOULD
+            else:
+                occur = self.default_occur
+            was_or = pending_or
+            pending_and = pending_or = False
             if kind in ("NOT", "MINUS"):
                 self.next()
                 occur = Occur.MUST_NOT
             elif kind == "PLUS":
                 self.next()
-                occur = Occur.MUST
+                # AND-default + CONJ_OR ignores the `+` (addClause:
+                # required = !prohibited && conj != CONJ_OR)
+                if self.default_occur == Occur.SHOULD or not was_or:
+                    occur = Occur.MUST
             q = self.parse_clause(field=field)
             if q is not None:
                 clauses.append(Clause(occur, q))
@@ -162,7 +187,7 @@ class _Parser:
             if self.peek() is None:
                 raise ParseError("dangling field prefix")
             return self.parse_clause(field=text[:-1])
-        eff_field = field or DEFAULT_FIELD
+        eff_field = field or self.default_field
         if kind == "LPAREN":
             # the pending field THREADS into the group so every leaf is
             # built with the target field's keyword/analyzed rule
@@ -179,7 +204,7 @@ class _Parser:
                 terms, _ = tokenize_one(body, self.cfg)
             if not terms:
                 return None
-            slop = 0
+            slop = self.default_phrase_slop
             if self.peek() == "TILDE":
                 _, tv = self.next()
                 slop = int(float(tv[1:])) if len(tv) > 1 else 0
@@ -205,7 +230,7 @@ class _Parser:
             kind = self.peek()
             if kind == "TILDE" and allow_fuzzy and isinstance(q, Term):
                 _, tv = self.next()
-                max_e = int(float(tv[1:])) if len(tv) > 1 else 2
+                max_e = int(float(tv[1:])) if len(tv) > 1 else self.fuzzy_max_edits
                 q = Fuzzy(q.text, max_edits=max_e, field=q.field)
             elif kind == "CARAT":
                 _, bv = self.next()
@@ -219,7 +244,7 @@ class _Parser:
         m = re.match(r"(\S+)\s+TO\s+(\S+)$", body)
         if not m:
             raise ParseError(f"bad range syntax: {text!r}")
-        if field in NUMERIC_FIELDS:
+        if field in self.numeric_fields:
             # getRangeQuery on a points field (QueryParserBase +
             # IntPoint.newRangeQuery): numeric doc-values range; exclusive
             # brackets tighten the integer bound by one
@@ -245,12 +270,17 @@ class _Parser:
     def _term(self, raw: str, field: str | None) -> Query | None:
         if raw == "*:*" and field is None:
             return MatchAll()
-        eff_field = field or DEFAULT_FIELD
+        eff_field = field or self.default_field
         if raw == "*" and field is not None:
             # field:* — FieldExistsQuery analog; every doc has every field
             return MatchAll()
         keyword = eff_field in self.keyword_fields
         if "*" in raw or "?" in raw:
+            if not self.allow_leading_wildcard and raw[0] in "*?":
+                raise ParseError(
+                    "'*' or '?' not allowed as first character in "
+                    "WildcardQuery (setAllowLeadingWildcard)"
+                )
             pat = self._norm(raw, keyword)
             body = pat.rstrip("*")
             if "*" not in body and "?" not in body and pat.endswith("*") and body:
