@@ -327,6 +327,38 @@ def _get_french_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_light_index(spark: SparkSession, sf_dir: str,
+                     lang: str) -> LuceneSparkSearcher:
+    """Index built with the SPANISH/PORTUGUESE/ITALIAN analyzer (snowball
+    stops + UniNE light stemmer) over a deterministically annotated view
+    (kernel_oracle.LIGHT_ANNOTATIONS — merges/merge/window become three
+    inflections of ONE lemma per language)."""
+    from lucene_solr_1_spark.kernels.analyzer import (
+        ITALIAN,
+        PORTUGUESE,
+        SPANISH,
+    )
+
+    cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN}[lang]
+    key = ("light", lang, sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix=f"sgidx_{lang}_")
+        docs = R.load_documents(spark, sf_dir)
+        content = F.col("text")
+        for pat, rep in KO.LIGHT_ANNOTATIONS[lang]:
+            content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
+        annotated = docs.select(
+            F.lit("testdata/documents").alias("repo"),
+            F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
+            F.sha2(F.col("text"), 256).alias("commit"),
+            F.col("lang"),
+            content.alias("content"),
+        )
+        build_index(spark, annotated, d, num_segments=4, cfg=cfg)
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_compound_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the COMPOUND analyzer (DictionaryCompoundWord
     TokenFilter over kernels/analyzer.COMPOUND_DICT) on the PLAIN
@@ -1149,6 +1181,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_french_stem"] = _french_stem
 
+    def _spanish_stem(s, d):
+        # 'libras' light-stems to 'libr', matching all three annotated
+        # inflections (libros/libro/libra)
+        return _kernel_hits_df(s, _get_light_index(s, d, "es"),
+                               Term("libras"), k=10)
+
+    def _portuguese_stem(s, d):
+        # 'livras' -> 'livr' (livros/livro/livra annotated)
+        return _kernel_hits_df(s, _get_light_index(s, d, "pt"),
+                               Term("livras"), k=10)
+
+    def _italian_stem(s, d):
+        # 'ragazze' -> 'ragazz' (ragazzi/ragazzo/ragazza annotated)
+        return _kernel_hits_df(s, _get_light_index(s, d, "it"),
+                               Term("ragazze"), k=10)
+
+    q["fts_spanish_stem"] = _spanish_stem
+    q["fts_portuguese_stem"] = _portuguese_stem
+    q["fts_italian_stem"] = _italian_stem
+
     def _compound_recall(s, d):
         # DictionaryCompoundWordTokenFilter: 'customer' re-analyzes to
         # SynonymQuery(customer, custom, tom) against the subword-
@@ -1434,6 +1486,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_french_stem": KO.kernel_french_term_duck("adoratrices", k=10),
         "fts_compound_word": KO.kernel_compound_synonym_duck("customer", k=10),
+        "fts_spanish_stem": KO.kernel_light_term_duck("es", "libras", k=10),
+        "fts_portuguese_stem": KO.kernel_light_term_duck("pt", "livras", k=10),
+        "fts_italian_stem": KO.kernel_light_term_duck("it", "ragazze", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

@@ -31,8 +31,12 @@ import pandas as pd
 
 from .commongrams import common_grams_stream
 from .compound import decompose as compound_decompose
-from .french import FRENCH_STOP_WORDS, elide, french_array, french_term
+from .french import (FRENCH_ARTICLES, FRENCH_STOP_WORDS, elide,
+                     french_array, french_term)
 from .german import GERMAN_STOP_WORDS, german_array, german_term
+from .romance import (ITALIAN_ARTICLES, ITALIAN_STOP_WORDS,
+                      PORTUGUESE_STOP_WORDS, SPANISH_STOP_WORDS,
+                      light_stem, light_stem_array)
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
 from .porter import porter_stem, stem_array, strip_possessive
@@ -150,6 +154,13 @@ class AnalyzerConfig:
     # "l'avion" -> "avion" pre-stop; the stemmer is a 1:1 post-stop
     # stage. Composes with the standard chain only.
     french: bool = False
+    # Spanish / Portuguese / Italian light chains ({es,pt,it}/*Analyzer
+    # .java: tokenize -> [it: ElisionFilter] -> lowercase -> snowball
+    # stops -> UniNE light stem; kernels/romance.py pins all three
+    # stemmers against the full canonical vocabularies). Value = "es" /
+    # "pt" / "it", "" = absent. 1:1 post-stop stage; composes with the
+    # standard chain only, like german/french.
+    light_lang: str = ""
     # CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java:
     # 52-180; kernels/commongrams.py pins both stream contracts with the
     # reference's full s/n golden matrix): unigrams stay, plus a
@@ -205,6 +216,15 @@ class AnalyzerConfig:
                 "(FrenchAnalyzer.java:136-146 has no Porter/phonetic/"
                 "wd/synonym stages)"
             )
+        if self.light_lang and (self.stem or self.phonetic
+                                or self.word_delimiter or self.synonyms
+                                or self.ascii_fold or self.possessive
+                                or self.german or self.french):
+            raise ValueError(
+                "light_lang composes only with the standard chain "
+                "({es,pt,it} analyzers have no Porter/phonetic/wd/"
+                "synonym stages)"
+            )
         if self.common_grams and (
             self.stem or self.phonetic or self.word_delimiter
             or self.synonyms or self.german or self.stop_words
@@ -249,6 +269,7 @@ class AnalyzerConfig:
             stem_keep_original=self.stem_keep_original,
             german=self.german,
             french=self.french,
+            light_lang=self.light_lang,
             synonyms=self.synonyms,
             compound_dict=self.compound_dict,
         )
@@ -287,6 +308,13 @@ COMMON_GRAMS_EN = AnalyzerConfig(common_grams=frozenset({"the", "a"}))
 # FrenchAnalyzer: elision + lowercase + snowball french stops + light
 # stem (fr/FrenchAnalyzer.java:136-146)
 FRENCH = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS, french=True)
+# SpanishAnalyzer / PortugueseAnalyzer / ItalianAnalyzer: snowball
+# stops + UniNE light stemmers ({es,pt,it}/*Analyzer.java chains;
+# Italian includes its ElisionFilter article set)
+SPANISH = AnalyzerConfig(stop_words=SPANISH_STOP_WORDS, light_lang="es")
+PORTUGUESE = AnalyzerConfig(stop_words=PORTUGUESE_STOP_WORDS,
+                            light_lang="pt")
+ITALIAN = AnalyzerConfig(stop_words=ITALIAN_STOP_WORDS, light_lang="it")
 # StandardAnalyzer + DictionaryCompoundWordTokenFilter over a dictionary
 # tuned to the testdata documents vocabulary (the Germanic
 # compound-recall idiom: `customer` additionally indexes
@@ -314,6 +342,9 @@ ANALYZERS: dict = {
     "common_grams_en": COMMON_GRAMS_EN,
     "french": FRENCH,
     "compound": COMPOUND,
+    "spanish": SPANISH,
+    "portuguese": PORTUGUESE,
+    "italian": ITALIAN,
 }
 
 
@@ -349,12 +380,16 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             tok = strip_possessive(tok)
         if cfg.french:
             tok = elide(tok)  # ElisionFilter BEFORE the stop check
+        if cfg.light_lang == "it":
+            tok = elide(tok, ITALIAN_ARTICLES)  # ItalianAnalyzer.java:128
         if tok in cfg.stop_words:
             continue  # position consumed (FilteringTokenFilter)
         if cfg.french:
             tok = french_term(tok)  # light stem, 1:1
         if cfg.german:
             tok = german_term(tok)  # normalize then light-stem, 1:1
+        if cfg.light_lang:
+            tok = light_stem(cfg.light_lang, tok)  # UniNE light, 1:1
         if cfg.stem:
             stemmed = porter_stem(tok)
             if cfg.stem_keep_original and stemmed != tok:
@@ -436,7 +471,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     raw = src.str.findall(_TOKEN_RE)
     max_len = cfg.max_token_length
     stop = cfg.stop_words
-    if cfg.possessive or cfg.stem or cfg.german or cfg.french:
+    if (cfg.possessive or cfg.stem or cfg.german or cfg.french
+            or cfg.light_lang):
         return raw.map(lambda toks: _filter_tokens(toks, cfg))
     return raw.map(
         lambda toks: [t for t in toks if len(t) <= max_len and t not in stop]
@@ -452,12 +488,16 @@ def _filter_tokens(toks: list, cfg: AnalyzerConfig) -> list:
             t = strip_possessive(t)
         if cfg.french:
             t = elide(t)
+        if cfg.light_lang == "it":
+            t = elide(t, ITALIAN_ARTICLES)
         if t in cfg.stop_words:
             continue
         if cfg.german:
             t = german_term(t)
         if cfg.french:
             t = french_term(t)
+        if cfg.light_lang:
+            t = light_stem(cfg.light_lang, t)
         out.append(porter_stem(t) if cfg.stem else t)
     return out
 
@@ -507,14 +547,15 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         # strip BEFORE the stop check (chain order: possessive -> stop)
         term_s = term_s.str.replace(r"['’＇][sS]$", "", regex=True)
         terms = term_s.to_numpy(dtype=object)
-    if cfg.french:
+    if cfg.french or cfg.light_lang == "it":
         # ElisionFilter BEFORE the stop check: apostrophes are rare —
         # rewrite only the tokens that carry one
+        arts = FRENCH_ARTICLES if cfg.french else ITALIAN_ARTICLES
         has_apos = term_s.str.contains("['’]", regex=True).to_numpy()
         if has_apos.any():
             terms = term_s.to_numpy(dtype=object).copy()
             idx = np.nonzero(has_apos)[0]
-            terms[idx] = [elide(t) for t in terms[idx]]
+            terms[idx] = [elide(t, arts) for t in terms[idx]]
             term_s = pd.Series(terms, dtype=object)
     if cfg.stop_words:
         keep &= ~term_s.isin(cfg.stop_words).to_numpy()
@@ -524,6 +565,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
     if cfg.german:
         # per-UNIQUE-term normalize+light-stem, C-level gather back
         terms = german_array(terms)
+    if cfg.light_lang:
+        terms = light_stem_array(cfg.light_lang, terms)
     if cfg.stem:
         if cfg.stem_keep_original:
             terms, row_idx, pos = _inject_keep_original(terms, row_idx, pos)

@@ -1,0 +1,290 @@
+"""Romance-language light analysis chains — Spanish, Portuguese and
+Italian analyzers' filter stacks re-implemented from the published
+algorithms (NOT a port):
+
+  - SpanishAnalyzer / PortugueseAnalyzer / ItalianAnalyzer chains
+    (analysis/common/src/java/org/apache/lucene/analysis/{es,pt,it}/
+    *Analyzer.java): StandardTokenizer -> LowerCaseFilter ->
+    StopFilter(snowball stop list) -> *LightStemFilter. (The Italian
+    reference chain also runs ElisionFilter; the engine reuses the
+    shared elision helper with the Italian article set.)
+  - The stemmers are Jacques Savoy's UniNE LIGHT stemmers ("Light
+    Stemming Approaches for the French, Portuguese, German and
+    Hungarian Languages", SAC 2006, and the UniNE report for
+    Spanish/Italian): accent folding + final-vowel / plural /
+    feminine-form reduction. Reference twins: es/SpanishLightStemmer
+    .java:35-80, pt/PortugueseLightStemmer.java:35-215,
+    it/ItalianLightStemmer.java:35-95.
+
+The full canonical vocabularies (the reference's eslighttestdata.zip /
+ptlighttestdata.zip / itlighttestdata.zip) pin all three stemmers in
+tests/test_romance.py. Stop lists are the published snowball lists the
+reference ships verbatim (snowball/{spanish,portuguese,italian}_stop
+.txt).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SPANISH_STOP_WORDS = frozenset({
+    "a", "al", "algo", "algunas", "algunos", "ante", "antes", "como",
+    "con", "contra", "cual", "cuando", "de", "del", "desde", "donde",
+    "durante", "e", "el", "ella", "ellas", "ellos", "en", "entre",
+    "era", "erais", "eran", "eras", "eres", "es", "esa", "esas", "ese",
+    "eso", "esos", "esta", "estaba", "estabais", "estaban", "estabas",
+    "estad", "estada", "estadas", "estado", "estados", "estamos",
+    "estando", "estar", "estaremos", "estará", "estarán", "estarás",
+    "estaré", "estaréis", "estaría", "estaríais", "estaríamos",
+    "estarían", "estarías", "estas", "este", "estemos", "esto", "estos",
+    "estoy", "estuve", "estuviera", "estuvierais", "estuvieran",
+    "estuvieras", "estuvieron", "estuviese", "estuvieseis",
+    "estuviesen", "estuvieses", "estuvimos", "estuviste", "estuvisteis",
+    "estuviéramos", "estuviésemos", "estuvo", "está", "estábamos",
+    "estáis", "están", "estás", "esté", "estéis", "estén", "estés",
+    "fue", "fuera", "fuerais", "fueran", "fueras", "fueron", "fuese",
+    "fueseis", "fuesen", "fueses", "fui", "fuimos", "fuiste",
+    "fuisteis", "fuéramos", "fuésemos", "ha", "habida", "habidas",
+    "habido", "habidos", "habiendo", "habremos", "habrá", "habrán",
+    "habrás", "habré", "habréis", "habría", "habríais", "habríamos",
+    "habrían", "habrías", "habéis", "había", "habíais", "habíamos",
+    "habían", "habías", "han", "has", "hasta", "hay", "haya", "hayamos",
+    "hayan", "hayas", "hayáis", "he", "hemos", "hube", "hubiera",
+    "hubierais", "hubieran", "hubieras", "hubieron", "hubiese",
+    "hubieseis", "hubiesen", "hubieses", "hubimos", "hubiste",
+    "hubisteis", "hubiéramos", "hubiésemos", "hubo", "la", "las", "le",
+    "les", "lo", "los", "me", "mi", "mis", "mucho", "muchos", "muy",
+    "más", "mí", "mía", "mías", "mío", "míos", "nada", "ni", "no",
+    "nos", "nosotras", "nosotros", "nuestra", "nuestras", "nuestro",
+    "nuestros", "o", "os", "otra", "otras", "otro", "otros", "para",
+    "pero", "poco", "por", "porque", "que", "quien", "quienes", "qué",
+    "se", "sea", "seamos", "sean", "seas", "seremos", "será", "serán",
+    "serás", "seré", "seréis", "sería", "seríais", "seríamos", "serían",
+    "serías", "seáis", "sido", "siendo", "sin", "sobre", "sois",
+    "somos", "son", "soy", "su", "sus", "suya", "suyas", "suyo",
+    "suyos", "sí", "también", "tanto", "te", "tendremos", "tendrá",
+    "tendrán", "tendrás", "tendré", "tendréis", "tendría", "tendríais",
+    "tendríamos", "tendrían", "tendrías", "tened", "tenemos", "tenga",
+    "tengamos", "tengan", "tengas", "tengo", "tengáis", "tenida",
+    "tenidas", "tenido", "tenidos", "teniendo", "tenéis", "tenía",
+    "teníais", "teníamos", "tenían", "tenías", "ti", "tiene", "tienen",
+    "tienes", "todo", "todos", "tu", "tus", "tuve", "tuviera",
+    "tuvierais", "tuvieran", "tuvieras", "tuvieron", "tuviese",
+    "tuvieseis", "tuviesen", "tuvieses", "tuvimos", "tuviste",
+    "tuvisteis", "tuviéramos", "tuviésemos", "tuvo", "tuya", "tuyas",
+    "tuyo", "tuyos", "tú", "un", "una", "uno", "unos", "vosotras",
+    "vosotros", "vuestra", "vuestras", "vuestro", "vuestros", "y", "ya",
+    "yo", "él", "éramos",
+})
+
+PORTUGUESE_STOP_WORDS = frozenset({
+    "a", "ao", "aos", "aquela", "aquelas", "aquele", "aqueles",
+    "aquilo", "as", "até", "com", "como", "da", "das", "de", "dela",
+    "delas", "dele", "deles", "depois", "do", "dos", "e", "ela", "elas",
+    "ele", "eles", "em", "entre", "era", "eram", "essa", "essas",
+    "esse", "esses", "esta", "estamos", "estas", "estava", "estavam",
+    "este", "esteja", "estejam", "estejamos", "estes", "esteve",
+    "estive", "estivemos", "estiver", "estivera", "estiveram",
+    "estiverem", "estivermos", "estivesse", "estivessem", "estivéramos",
+    "estivéssemos", "estou", "está", "estávamos", "estão", "eu", "foi",
+    "fomos", "for", "fora", "foram", "forem", "formos", "fosse",
+    "fossem", "fui", "fôramos", "fôssemos", "haja", "hajam", "hajamos",
+    "havemos", "hei", "houve", "houvemos", "houver", "houvera",
+    "houveram", "houverei", "houverem", "houveremos", "houveria",
+    "houveriam", "houvermos", "houverá", "houverão", "houveríamos",
+    "houvesse", "houvessem", "houvéramos", "houvéssemos", "há", "hão",
+    "isso", "isto", "já", "lhe", "lhes", "mais", "mas", "me", "mesmo",
+    "meu", "meus", "minha", "minhas", "muito", "na", "nas", "nem", "no",
+    "nos", "nossa", "nossas", "nosso", "nossos", "num", "numa", "não",
+    "nós", "o", "os", "ou", "para", "pela", "pelas", "pelo", "pelos",
+    "por", "qual", "quando", "que", "quem", "se", "seja", "sejam",
+    "sejamos", "sem", "serei", "seremos", "seria", "seriam", "será",
+    "serão", "seríamos", "seu", "seus", "somos", "sou", "sua", "suas",
+    "são", "só", "também", "te", "tem", "temos", "tenha", "tenham",
+    "tenhamos", "tenho", "terei", "teremos", "teria", "teriam", "terá",
+    "terão", "teríamos", "teu", "teus", "teve", "tinha", "tinham",
+    "tive", "tivemos", "tiver", "tivera", "tiveram", "tiverem",
+    "tivermos", "tivesse", "tivessem", "tivéramos", "tivéssemos", "tu",
+    "tua", "tuas", "tém", "tínhamos", "um", "uma", "você", "vocês",
+    "vos", "à", "às", "éramos",
+})
+
+ITALIAN_STOP_WORDS = frozenset({
+    "a", "abbia", "abbiamo", "abbiano", "abbiate", "ad", "agl", "agli",
+    "ai", "al", "all", "alla", "alle", "allo", "anche", "avemmo",
+    "avendo", "avesse", "avessero", "avessi", "avessimo", "aveste",
+    "avesti", "avete", "aveva", "avevamo", "avevano", "avevate",
+    "avevi", "avevo", "avrai", "avranno", "avrebbe", "avrebbero",
+    "avrei", "avremmo", "avremo", "avreste", "avresti", "avrete",
+    "avrà", "avrò", "avuta", "avute", "avuti", "avuto", "c", "che",
+    "chi", "ci", "coi", "col", "come", "con", "contro", "cui", "da",
+    "dagl", "dagli", "dai", "dal", "dall", "dalla", "dalle", "dallo",
+    "degl", "degli", "dei", "del", "dell", "della", "delle", "dello",
+    "di", "dov", "dove", "e", "ebbe", "ebbero", "ebbi", "ed", "era",
+    "erano", "eravamo", "eravate", "eri", "ero", "essendo", "faccia",
+    "facciamo", "facciano", "facciate", "faccio", "facemmo", "facendo",
+    "facesse", "facessero", "facessi", "facessimo", "faceste",
+    "facesti", "faceva", "facevamo", "facevano", "facevate", "facevi",
+    "facevo", "fai", "fanno", "farai", "faranno", "farebbe",
+    "farebbero", "farei", "faremmo", "faremo", "fareste", "faresti",
+    "farete", "farà", "farò", "fece", "fecero", "feci", "fosse",
+    "fossero", "fossi", "fossimo", "foste", "fosti", "fu", "fui",
+    "fummo", "furono", "gli", "ha", "hai", "hanno", "ho", "i", "il",
+    "in", "io", "l", "la", "le", "lei", "li", "lo", "loro", "lui", "ma",
+    "mi", "mia", "mie", "miei", "mio", "ne", "negl", "negli", "nei",
+    "nel", "nell", "nella", "nelle", "nello", "noi", "non", "nostra",
+    "nostre", "nostri", "nostro", "o", "per", "perché", "più", "quale",
+    "quanta", "quante", "quanti", "quanto", "quella", "quelle",
+    "quelli", "quello", "questa", "queste", "questi", "questo", "sarai",
+    "saranno", "sarebbe", "sarebbero", "sarei", "saremmo", "saremo",
+    "sareste", "saresti", "sarete", "sarà", "sarò", "se", "sei", "si",
+    "sia", "siamo", "siano", "siate", "siete", "sono", "sta", "stai",
+    "stando", "stanno", "starai", "staranno", "starebbe", "starebbero",
+    "starei", "staremmo", "staremo", "stareste", "staresti", "starete",
+    "starà", "starò", "stava", "stavamo", "stavano", "stavate", "stavi",
+    "stavo", "stemmo", "stesse", "stessero", "stessi", "stessimo",
+    "steste", "stesti", "stette", "stettero", "stetti", "stia",
+    "stiamo", "stiano", "stiate", "sto", "su", "sua", "sue", "sugl",
+    "sugli", "sui", "sul", "sull", "sulla", "sulle", "sullo", "suo",
+    "suoi", "ti", "tra", "tu", "tua", "tue", "tuo", "tuoi", "tutti",
+    "tutto", "un", "una", "uno", "vi", "voi", "vostra", "vostre",
+    "vostri", "vostro", "è",
+})
+
+_ES_IT_FOLD = str.maketrans(
+    "àáâäòóôöèéêëùúûüìíîï",
+    "aaaaoooo" "eeee" "uuuu" "iiii",
+)
+# Portuguese folds the nasal/cedilla letters too, AFTER suffix removal
+_PT_FOLD = str.maketrans(
+    "àáâäãòóôöõèéêëùúûüìíîïç",
+    "aaaaa" "ooooo" "eeee" "uuuu" "iiii" "c",
+)
+
+
+def spanish_light_stem(s: str) -> str:
+    """es/SpanishLightStemmer.java:35-80 — fold accents, strip one final
+    o/a/e, or the plural forms -eses/-ces(->z)/-os/-as/-es."""
+    if len(s) < 5:
+        return s
+    s = s.translate(_ES_IT_FOLD)
+    if s[-1] in "oae":
+        return s[:-1]
+    if s[-1] == "s":
+        if s[-4:-1] == "ese":
+            return s[:-2]
+        if s[-3:-1] == "ce":
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+def italian_light_stem(s: str) -> str:
+    """it/ItalianLightStemmer.java:35-95 — fold accents, then strip the
+    final vowel (two chars for the -ie/-he/-hi/-ii/-ia/-io plural and
+    hard-consonant forms)."""
+    if len(s) < 6:
+        return s
+    s = s.translate(_ES_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+def _pt_remove_suffix(s: str) -> str:
+    """pt/PortugueseLightStemmer.java:64-120 removeSuffix."""
+    n = len(s)
+    if n > 4 and s.endswith("es") and s[-3] in "rslz":
+        return s[:-2]
+    if n > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if n > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if n > 4 and s.endswith("ais"):
+        return s[:-3] + "al"
+    if n > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if n > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if n > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if n > 6 and s.endswith("mente"):
+        return s[:-5]
+    if n > 3 and s.endswith("s"):
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    """pt/PortugueseLightStemmer.java:122-170 normFeminine."""
+    n = len(s)
+    if n > 7 and (s.endswith("inha") or s.endswith("iaca")
+                  or s.endswith("eira")):
+        return s[:-1] + "o"
+    if n > 6:
+        if (s.endswith("osa") or s.endswith("ica") or s.endswith("ida")
+                or s.endswith("ada") or s.endswith("iva")
+                or s.endswith("ama")):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(s: str) -> str:
+    """pt/PortugueseLightStemmer.java:35-62 — suffix removal, feminine
+    normalization, final-vowel strip, THEN accent/nasal/cedilla fold
+    (the fold runs last in the reference, over the truncated stem)."""
+    if len(s) < 4:
+        return s
+    s = _pt_remove_suffix(s)
+    if len(s) > 3 and s.endswith("a"):
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return s.translate(_PT_FOLD)
+
+
+# Italian DEFAULT_ARTICLES (it/ItalianAnalyzer.java:47-50) for the
+# shared elision helper
+ITALIAN_ARTICLES = frozenset({
+    "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+    "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+    "v", "d",
+})
+
+LIGHT_STEMMERS = {
+    "es": spanish_light_stem,
+    "pt": portuguese_light_stem,
+    "it": italian_light_stem,
+}
+
+
+def light_stem(lang: str, word: str) -> str:
+    return LIGHT_STEMMERS[lang](word)
+
+
+def light_stem_array(lang: str, terms: np.ndarray) -> np.ndarray:
+    """Per-UNIQUE-term stem, C-level gather back (porter.stem_array
+    shape)."""
+    if len(terms) == 0:
+        return terms
+    fn = LIGHT_STEMMERS[lang]
+    codes, uniq = pd.factorize(pd.Series(terms, dtype=object), sort=False)
+    mapped = np.asarray([fn(t) for t in uniq], dtype=object)
+    return mapped[codes]

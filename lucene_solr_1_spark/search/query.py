@@ -555,6 +555,15 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
             t = elide(t)
             if t not in cfg.stop_words:
                 t = french_term(t)
+        lang = getattr(cfg, "light_lang", "")
+        if lang:
+            from ..kernels.french import elide
+            from ..kernels.romance import ITALIAN_ARTICLES, light_stem
+
+            if lang == "it":
+                t = elide(t, ITALIAN_ARTICLES)
+            if t not in cfg.stop_words:
+                t = light_stem(lang, t)
         return t
 
     def many(text: str) -> list[str]:

@@ -207,6 +207,7 @@ class LuceneSparkSearcher:
                 or cfg.word_delimiter or cfg.phonetic
                 or cfg.stem_keep_original or getattr(cfg, "german", False)
                 or getattr(cfg, "french", False)
+                or getattr(cfg, "light_lang", "")
                 or getattr(cfg, "synonyms", ())
                 or getattr(cfg, "common_grams", frozenset())
                 or getattr(cfg, "compound_dict", frozenset())):

@@ -2417,6 +2417,132 @@ ORDER BY t.rank
 # pattern admits no apostrophes) — pinned engine-side by unit tests.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Spanish / Portuguese / Italian light-chain twins ({es,pt,it}/*Analyzer
+# .java chains; kernels/romance.py pins the UniNE stemmers against the
+# full canonical vocabularies). Same annotated-view posture as the
+# German/French twins: three inflections of ONE lemma planted on corpus
+# words, the stem table generated by the ENGINE'S OWN stemmer over the
+# annotated vocabulary.
+# ---------------------------------------------------------------------------
+
+LIGHT_ANNOTATIONS = {
+    "es": ((r"\bmerges\b", "libros"), (r"\bmerge\b", "libro"),
+           (r"\bwindow\b", "libra")),
+    "pt": ((r"\bmerges\b", "livros"), (r"\bmerge\b", "livro"),
+           (r"\bwindow\b", "livra")),
+    "it": ((r"\bmerges\b", "ragazzi"), (r"\bmerge\b", "ragazzo"),
+           (r"\bwindow\b", "ragazza")),
+}
+
+
+def light_annotated_text_sql(lang: str, col: str = "text") -> str:
+    expr = col
+    for pat, rep in LIGHT_ANNOTATIONS[lang]:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return expr
+
+
+def _light_stem_table_values(lang: str) -> str:
+    """(term, light_stem(term)) rows over the ANNOTATED corpus vocabulary
+    wherever the stemmer changes the token."""
+    import os
+
+    import duckdb
+
+    from ..kernels.romance import light_stem
+
+    dirs = [
+        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
+    ]
+    dirs = [d for d in dirs if os.path.exists(d)]
+    if not dirs:
+        raise FileNotFoundError("no testdata documents tables for stem table")
+    con = duckdb.connect()
+    files = ", ".join(f"'{d}'" for d in dirs)
+    annotated = light_annotated_text_sql(lang, "lower(text)")
+    vocab = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(regexp_extract_all({annotated}, "
+            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{files}])"
+        ).fetchall()
+    ]
+    rows = [
+        f"({_sql_str(t)}, {_sql_str(light_stem(lang, t))})"
+        for t in sorted(set(vocab))
+        if light_stem(lang, t) != t
+    ]
+    return ", ".join(rows) if rows else "('', '')"
+
+
+def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
+    """Twin of a TermQuery against a SPANISH/PORTUGUESE/ITALIAN index over
+    the annotated view: the query term runs the same light stem the
+    searcher applies; the corpus replays annotate -> tokenize -> snowball
+    stop -> stem-table before the quantized float32 BM25 (dl = post-stop
+    count). ASCII-only corpus, so the Italian elision stage is a no-op
+    here (the engine test suite covers apostrophes)."""
+    from ..kernels.romance import (ITALIAN_STOP_WORDS,
+                                   PORTUGUESE_STOP_WORDS,
+                                   SPANISH_STOP_WORDS, light_stem)
+
+    stops = {"es": SPANISH_STOP_WORDS, "pt": PORTUGUESE_STOP_WORDS,
+             "it": ITALIAN_STOP_WORDS}[lang]
+    stemmed = light_stem(lang, query_text.lower())
+    toks = (
+        f"regexp_extract_all({light_annotated_text_sql(lang, 'lower(text)')}, "
+        f"'{TOKEN_PATTERN}')"
+    )
+    stop_list = _sql_list(sorted(w for w in stops if w.isascii()))
+    cache_expr = _f32(
+        f"{_f32(_lit(K1))} * "
+        + _f32(
+            f"{_f32(_lit(1 - B))} + "
+            + _f32(
+                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
+                + " / av.a"
+            )
+        )
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest({toks}) AS rt FROM documents
+),
+kept AS (SELECT doc_id, rt FROM raw WHERE rt NOT IN ({stop_list})),
+st(t, stem) AS (VALUES {_light_stem_table_values(lang)}),
+tok AS (
+  SELECT k.doc_id, coalesce(s.stem, k.rt) AS term
+  FROM kept k LEFT JOIN st s ON s.t = k.rt
+),
+dl AS (
+  SELECT d.doc_id, count(k.rt) AS dl
+  FROM documents d LEFT JOIN kept k USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list((stemmed,))}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
+
+
 FRENCH_ANNOTATIONS = (
     (r"\bmerges\b", "adorateur"),
     (r"\bmerge\b", "adoration"),
