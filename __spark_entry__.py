@@ -837,6 +837,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, _get_stem_index(s, d), Term("merges"), k=10
     )
 
+    def _stem_exclusion(s, d):
+        # SetKeywordMarkerFilter: 'customer' excluded from stemming —
+        # the index keeps it verbatim and the query-side analysis does
+        # too, so this matches exactly the raw-surface occurrences
+        from lucene_solr_1_spark.kernels.analyzer import ENGLISH_STEM_EXCL
+
+        key = ("stem_excl", d)
+        if key not in _INDEX_CACHE:
+            idx = tempfile.mkdtemp(prefix="sgidx_sx_")
+            build_index(s, _docs_as_corpus(s, d), idx,
+                        num_segments=4, cfg=ENGLISH_STEM_EXCL)
+            _INDEX_CACHE[key] = idx
+        return _kernel_hits_df(
+            s, LuceneSparkSearcher(s, _INDEX_CACHE[key]),
+            Term("customer"), k=10,
+        )
+
+    q["fts_stem_exclusion"] = _stem_exclusion
+
     # Pluggable similarities (IndexSearcher.setSimilarity): the SAME
     # index serves every scorer — only query-time scoring changes
     # (kernels/similarity.py; unified SmallFloat norm encoding)
@@ -1553,6 +1572,9 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         "fts_field_term": KO.kernel_keyword_term_duck("lang", "en", k=10),
         "fts_kernel_fuzzy": KO.kernel_fuzzy_duck("quary", 2, 10),
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
+        "fts_stem_exclusion": KO.kernel_stem_exclusion_duck(
+            "customer", frozenset({"customer"}), k=10,
+        ),
         "fts_classic_tfidf": KO.kernel_classic_duck(("query", "merge"), k=10),
         "fts_sweetspot_sim": KO.kernel_sweetspot_duck("query", 30, 80, k=10),
         "fts_boolean_sim": KO.kernel_boolean_sim_duck("query", k=10),

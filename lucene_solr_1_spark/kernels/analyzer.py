@@ -33,7 +33,8 @@ from .commongrams import common_grams_stream
 from .compound import decompose as compound_decompose
 from .french import (FRENCH_ARTICLES, FRENCH_STOP_WORDS, elide,
                      french_array, french_term)
-from .german import GERMAN_STOP_WORDS, german_array, german_term
+from .german import (GERMAN_STOP_WORDS, german_array, german_normalize,
+                     german_term)
 from .romance import (ITALIAN_ARTICLES, ITALIAN_STOP_WORDS,
                       PORTUGUESE_STOP_WORDS, SPANISH_STOP_WORDS,
                       light_stem, light_stem_array)
@@ -161,6 +162,15 @@ class AnalyzerConfig:
     # "pt" / "it", "" = absent. 1:1 post-stop stage; composes with the
     # standard chain only, like german/french.
     light_lang: str = ""
+    # SetKeywordMarkerFilter stem exclusion set (analysis/miscellaneous/
+    # SetKeywordMarkerFilter.java; every language analyzer's
+    # stemExclusionSet constructor arg): tokens in the set bypass the
+    # stemming stage (Porter / German light / French light / UniNE
+    # light). Position: AFTER the stop filter, exactly the reference
+    # chain slot. GermanNormalizationFilter is NOT keyword-aware
+    # (de/GermanNormalizationFilter.java has no KeywordAttribute) —
+    # excluded German tokens still normalize, only the stem is skipped.
+    stem_exclusions: frozenset = frozenset()
     # CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java:
     # 52-180; kernels/commongrams.py pins both stream contracts with the
     # reference's full s/n golden matrix): unigrams stay, plus a
@@ -225,6 +235,20 @@ class AnalyzerConfig:
                 "({es,pt,it} analyzers have no Porter/phonetic/wd/"
                 "synonym stages)"
             )
+        if self.stem_exclusions and not (
+            self.stem or self.german or self.french or self.light_lang
+        ):
+            raise ValueError("stem_exclusions require a stemming stage")
+        if self.stem_exclusions and (
+            self.stem_keep_original or self.phonetic
+            or self.word_delimiter or self.synonyms or self.common_grams
+            or self.compound_dict
+        ):
+            raise ValueError(
+                "stem_exclusions compose with the plain stemming chains "
+                "only (KeywordRepeat/phonetic/wd/synonym/gram/compound "
+                "chains are out of the reference's exclusion slot)"
+            )
         if self.common_grams and (
             self.stem or self.phonetic or self.word_delimiter
             or self.synonyms or self.german or self.stop_words
@@ -270,6 +294,7 @@ class AnalyzerConfig:
             german=self.german,
             french=self.french,
             light_lang=self.light_lang,
+            stem_exclusions=self.stem_exclusions,
             synonyms=self.synonyms,
             compound_dict=self.compound_dict,
         )
@@ -308,6 +333,13 @@ COMMON_GRAMS_EN = AnalyzerConfig(common_grams=frozenset({"the", "a"}))
 # FrenchAnalyzer: elision + lowercase + snowball french stops + light
 # stem (fr/FrenchAnalyzer.java:136-146)
 FRENCH = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS, french=True)
+# EnglishAnalyzer with a stemExclusionSet (EnglishAnalyzer.java:117
+# stemExclusionSet constructor arg -> SetKeywordMarkerFilter before the
+# Porter stem): 'customer' stays verbatim while everything else stems
+ENGLISH_STEM_EXCL = AnalyzerConfig(
+    stop_words=ENGLISH_STOP_WORDS, possessive=True, stem=True,
+    stem_exclusions=frozenset({"customer"}),
+)
 # SpanishAnalyzer / PortugueseAnalyzer / ItalianAnalyzer: snowball
 # stops + UniNE light stemmers ({es,pt,it}/*Analyzer.java chains;
 # Italian includes its ElisionFilter article set)
@@ -345,6 +377,7 @@ ANALYZERS: dict = {
     "spanish": SPANISH,
     "portuguese": PORTUGUESE,
     "italian": ITALIAN,
+    "english_stem_excl": ENGLISH_STEM_EXCL,
 }
 
 
@@ -384,13 +417,15 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             tok = elide(tok, ITALIAN_ARTICLES)  # ItalianAnalyzer.java:128
         if tok in cfg.stop_words:
             continue  # position consumed (FilteringTokenFilter)
-        if cfg.french:
+        excluded = tok in cfg.stem_exclusions  # SetKeywordMarkerFilter
+        if cfg.french and not excluded:
             tok = french_term(tok)  # light stem, 1:1
         if cfg.german:
-            tok = german_term(tok)  # normalize then light-stem, 1:1
-        if cfg.light_lang:
+            # normalization is not keyword-aware; the light stem is
+            tok = german_normalize(tok) if excluded else german_term(tok)
+        if cfg.light_lang and not excluded:
             tok = light_stem(cfg.light_lang, tok)  # UniNE light, 1:1
-        if cfg.stem:
+        if cfg.stem and not excluded:
             stemmed = porter_stem(tok)
             if cfg.stem_keep_original and stemmed != tok:
                 # KeywordRepeat order: original first, stem stacked
@@ -492,13 +527,14 @@ def _filter_tokens(toks: list, cfg: AnalyzerConfig) -> list:
             t = elide(t, ITALIAN_ARTICLES)
         if t in cfg.stop_words:
             continue
+        excluded = t in cfg.stem_exclusions
         if cfg.german:
-            t = german_term(t)
-        if cfg.french:
+            t = german_normalize(t) if excluded else german_term(t)
+        if cfg.french and not excluded:
             t = french_term(t)
-        if cfg.light_lang:
+        if cfg.light_lang and not excluded:
             t = light_stem(cfg.light_lang, t)
-        out.append(porter_stem(t) if cfg.stem else t)
+        out.append(porter_stem(t) if cfg.stem and not excluded else t)
     return out
 
 
@@ -560,6 +596,18 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
     if cfg.stop_words:
         keep &= ~term_s.isin(cfg.stop_words).to_numpy()
     terms, row_idx, pos = terms[keep], row_idx[keep], pos[keep]
+    excl_mask = None
+    if cfg.stem_exclusions:
+        # SetKeywordMarkerFilter slot: mark post-stop tokens, restore
+        # them after the (vectorized) stem stages run
+        excl_mask = (
+            pd.Series(terms, dtype=object).isin(cfg.stem_exclusions)
+            .to_numpy()
+        )
+        if excl_mask.any():
+            excl_orig = terms[excl_mask].copy()
+        else:
+            excl_mask = None
     if cfg.french:
         terms = french_array(terms)
     if cfg.german:
@@ -574,6 +622,12 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
             # per-UNIQUE-term stemming (Zipf: vocabulary << token stream),
             # then a C-level map back over the token array
             terms = stem_array(terms)
+    if excl_mask is not None:
+        terms = terms.copy()
+        if cfg.german:  # normalization still applies to keywords
+            terms[excl_mask] = [german_normalize(t) for t in excl_orig]
+        else:
+            terms[excl_mask] = excl_orig
     if cfg.phonetic:
         terms, row_idx, pos = _inject_phonetic(terms, row_idx, pos, cfg)
     if cfg.synonyms:

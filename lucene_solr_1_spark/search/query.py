@@ -543,17 +543,19 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
 
     def one(text: str) -> str:
         t = pre_stem(text)
-        if cfg.stem and t not in cfg.stop_words:
+        excl = getattr(cfg, "stem_exclusions", frozenset())
+        if cfg.stem and t not in cfg.stop_words and t not in excl:
             t = porter_stem(t)
         if getattr(cfg, "german", False) and t not in cfg.stop_words:
-            from ..kernels.german import german_term
+            from ..kernels.german import german_normalize, german_term
 
-            t = german_term(t)  # normalize + light-stem, like the index
+            # SetKeywordMarkerFilter skips the stem, not the normalization
+            t = german_normalize(t) if t in excl else german_term(t)
         if getattr(cfg, "french", False):
             from ..kernels.french import elide, french_term
 
             t = elide(t)
-            if t not in cfg.stop_words:
+            if t not in cfg.stop_words and t not in excl:
                 t = french_term(t)
         lang = getattr(cfg, "light_lang", "")
         if lang:
@@ -562,7 +564,7 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
 
             if lang == "it":
                 t = elide(t, ITALIAN_ARTICLES)
-            if t not in cfg.stop_words:
+            if t not in cfg.stop_words and t not in excl:
                 t = light_stem(lang, t)
         return t
 

@@ -422,7 +422,7 @@ ORDER BY t.rank
 """.strip()
 
 
-def _stem_table_values(extra_terms=()) -> str:
+def _stem_table_values(extra_terms=(), exclusions=frozenset()) -> str:
     """(term, stem) VALUES rows for every token of the testdata documents
     tables whose Porter stem differs from the token — the oracle's
     'fixed-vocabulary stem table' (VERDICT r3 item: a twin generated from
@@ -454,12 +454,12 @@ def _stem_table_values(extra_terms=()) -> str:
     rows = [
         f"({_sql_str(t)}, {_sql_str(porter_stem(t))})"
         for t in sorted(set(vocab))
-        if porter_stem(t) != t
+        if porter_stem(t) != t and t not in exclusions
     ]
     return ", ".join(rows) if rows else "('', '')"
 
 
-def _stemmed_prelude(all_terms, stop_words) -> str:
+def _stemmed_prelude(all_terms, stop_words, exclusions=frozenset()) -> str:
     """Base + tf/df CTEs for the ENGLISH_STEM analyzer chain: stop filter
     then Porter stem (EnglishAnalyzer.java:107-117 order; possessive is a
     no-op under the ASCII-word token pattern). dl = post-stop token count
@@ -482,7 +482,7 @@ raw AS (
   SELECT doc_id, unnest({toks}) AS rt FROM documents
 ),
 kept AS (SELECT doc_id, rt FROM raw WHERE rt NOT IN ({stop_list})),
-st(t, stem) AS (VALUES {_stem_table_values(all_terms)}),
+st(t, stem) AS (VALUES {_stem_table_values(all_terms, exclusions)}),
 tok AS (
   SELECT k.doc_id, coalesce(s.stem, k.rt) AS term
   FROM kept k LEFT JOIN st s ON s.t = k.rt
@@ -506,6 +506,30 @@ tf AS (
   WHERE term IN ({_sql_list(all_terms)}) GROUP BY 1, 2
 ),
 dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+""".strip()
+
+
+def kernel_stem_exclusion_duck(query_text: str, exclusions,
+                               k: int = 10) -> str:
+    """Twin of a TermQuery against an ENGLISH_STEM index built with a
+    stemExclusionSet (SetKeywordMarkerFilter after the stop filter,
+    EnglishAnalyzer.java:117): excluded tokens keep their surface form
+    in the index AND in the query-side analysis; everything else
+    Porter-stems."""
+    from ..kernels.analyzer import ENGLISH_STOP_WORDS
+    from ..kernels.porter import porter_stem
+
+    exclusions = frozenset(exclusions)
+    t = query_text.lower()
+    stemmed = t if t in exclusions else porter_stem(t)
+    return f"""
+WITH {_stemmed_prelude((stemmed,), ENGLISH_STOP_WORDS, exclusions)},
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
 """.strip()
 
 

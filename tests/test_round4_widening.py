@@ -693,3 +693,74 @@ def test_xml_parser_search_equals_programmatic(spark):
     np.testing.assert_array_equal(
         a["score"].to_numpy(np.float64), b["score"].to_numpy(np.float64)
     )
+
+
+# ---------------------------------------------------------------------------
+# SetKeywordMarkerFilter stem exclusions (analysis/miscellaneous/
+# SetKeywordMarkerFilter.java; every language analyzer's stemExclusionSet)
+# ---------------------------------------------------------------------------
+
+
+def test_stem_exclusion_chain():
+    from lucene_solr_1_spark.kernels.analyzer import (
+        ENGLISH_STEM_EXCL,
+        AnalyzerConfig,
+        GERMAN,
+        analyze_series,
+        flatten_tokens,
+        tokenize_one,
+    )
+
+    t, p = tokenize_one("the customer merges data", ENGLISH_STEM_EXCL)
+    assert t == ["customer", "merg", "data"]  # excluded keeps surface form
+    # German: normalization is NOT keyword-aware, only the stem is
+    gex = AnalyzerConfig(stop_words=GERMAN.stop_words, german=True,
+                         stem_exclusions=frozenset({"häuser"}))
+    t, _ = tokenize_one("die häuser kategorie", gex)
+    assert t == ["hauser", "kategori"]
+    # exclusions without a stemming stage are rejected
+    with pytest.raises(ValueError):
+        AnalyzerConfig(stem_exclusions=frozenset({"x"}))
+    with pytest.raises(ValueError):
+        AnalyzerConfig(stem=True, stem_keep_original=True,
+                       stem_exclusions=frozenset({"x"}))
+    # scalar == vectorized under exclusions
+    import random
+
+    rng = random.Random(29)
+    frag = ["customer", "customers", "merges", "merge", "the", "running"]
+    docs = [" ".join(rng.choice(frag) for _ in range(rng.randint(0, 8)))
+            for _ in range(120)]
+    s = pd.Series(docs)
+    terms, rows, pos, dl = flatten_tokens(s, ENGLISH_STEM_EXCL)
+    st = []
+    for text in docs:
+        st.extend(tokenize_one(text, ENGLISH_STEM_EXCL)[0])
+    assert list(terms) == st
+    assert [x for lst in analyze_series(s, ENGLISH_STEM_EXCL) for x in lst] == st
+
+
+def test_stem_exclusion_search(spark, tmp_path_factory):
+    from lucene_solr_1_spark.kernels.analyzer import ENGLISH_STEM_EXCL
+    from lucene_solr_1_spark.search.query import Term
+
+    rows = [
+        ("r", "p0", "c", "x", "the customer record"),
+        ("r", "p1", "c", "x", "many customers here"),
+        ("r", "p2", "c", "x", "customizing everything"),
+    ]
+    pdf = pd.DataFrame(rows,
+                       columns=["repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path_factory.mktemp("idx_sx"))
+    m = build_index(spark, spark.createDataFrame(pdf), d, num_segments=2,
+                    cfg=ENGLISH_STEM_EXCL)
+    assert m["analyzer"] == "english_stem_excl"
+    s = LuceneSparkSearcher(spark, d)
+    # excluded query term stays verbatim -> only the verbatim doc
+    assert s._analyze_query(Term("customer")) == Term("customer",
+                                                      field="content")
+    assert set(s.search(Term("customer"), k=10)["path"]) == {"p0"}
+    # non-excluded inflection stems ('customers' -> 'custom') and matches
+    # the stemmed forms, NOT the excluded surface form
+    got = set(s.search(Term("customers"), k=10)["path"])
+    assert "p0" not in got and "p1" in got
