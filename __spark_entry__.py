@@ -856,6 +856,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_stem_exclusion"] = _stem_exclusion
 
+    def _pattern_index(s, d, name, annotations, cfg):
+        key = (name, d)
+        if key not in _INDEX_CACHE:
+            idx = tempfile.mkdtemp(prefix=f"sgidx_{name}_")
+            docs = R.load_documents(s, d)
+            content = F.lower(F.col("text"))
+            for pat, rep in annotations:
+                content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
+            annotated = docs.select(
+                F.lit("testdata/documents").alias("repo"),
+                F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
+                F.sha2(F.col("text"), 256).alias("commit"),
+                F.col("lang"),
+                content.alias("content"),
+            )
+            build_index(s, annotated, idx, num_segments=4, cfg=cfg)
+            _INDEX_CACHE[key] = idx
+        return LuceneSparkSearcher(s, _INDEX_CACHE[key])
+
+    def _pattern_charfilter(s, d):
+        # PatternReplaceCharFilter joins the annotated hyphenated
+        # compound: 'data-driven' indexes as ONE token 'datadriven'
+        from lucene_solr_1_spark.kernels.analyzer import PATTERN_CF
+
+        idx = _pattern_index(s, d, "pcf", KO.PATTERN_CF_ANNOTATIONS,
+                             PATTERN_CF)
+        return _kernel_hits_df(s, idx, Term("datadriven"), k=10)
+
+    def _pattern_tokenizer(s, d):
+        # PatternTokenizer [a-z]+: the annotated 'v2data' splits into
+        # v + data — 'v' exists only from the split
+        from lucene_solr_1_spark.kernels.analyzer import PATTERN_TOK
+
+        idx = _pattern_index(s, d, "ptok", KO.PATTERN_TOK_ANNOTATIONS,
+                             PATTERN_TOK)
+        return _kernel_hits_df(s, idx, Term("v"), k=10)
+
+    q["fts_pattern_charfilter"] = _pattern_charfilter
+    q["fts_pattern_tokenizer"] = _pattern_tokenizer
+
     # Pluggable similarities (IndexSearcher.setSimilarity): the SAME
     # index serves every scorer — only query-time scoring changes
     # (kernels/similarity.py; unified SmallFloat norm encoding)
@@ -1574,6 +1614,14 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
         "fts_stem_exclusion": KO.kernel_stem_exclusion_duck(
             "customer", frozenset({"customer"}), k=10,
+        ),
+        "fts_pattern_charfilter": KO.kernel_pattern_term_duck(
+            "datadriven", k=10, annotations=KO.PATTERN_CF_ANNOTATIONS,
+            char_filters=(("-", ""),),
+        ),
+        "fts_pattern_tokenizer": KO.kernel_pattern_term_duck(
+            "v", k=10, annotations=KO.PATTERN_TOK_ANNOTATIONS,
+            token_regex="[a-z]+",
         ),
         "fts_classic_tfidf": KO.kernel_classic_duck(("query", "merge"), k=10),
         "fts_sweetspot_sim": KO.kernel_sweetspot_duck("query", 30, 80, k=10),

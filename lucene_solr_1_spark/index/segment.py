@@ -217,15 +217,18 @@ def build_segment_frames(
     8 bytes/token of storage).
     """
     t0 = time.monotonic()
-    if (cfg.word_delimiter or cfg.html_strip) and (store_offsets or store_payloads):
+    if (cfg.word_delimiter or cfg.html_strip
+            or getattr(cfg, "char_filters", ())
+            or getattr(cfg, "token_pattern", "")) and (
+            store_offsets or store_payloads):
         # offsets/payloads align 1:1 with RAW token positions in the
         # ORIGINAL content; the word-delimiter graph renumbers positions
         # and the HTML char filter changes the character stream, so these
         # IndexOptions are mutually exclusive with them (the reference
         # pairs these filters with offset-correction state we don't store)
         raise ValueError(
-            "word_delimiter/html_strip analyzers do not support "
-            "store_offsets/store_payloads"
+            "word_delimiter/html_strip/char_filters/token_pattern "
+            "analyzers do not support store_offsets/store_payloads"
         )
     if not presorted:
         pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)

@@ -124,6 +124,17 @@ class AnalyzerConfig:
     # a CHAR filter — markup removed from the source BEFORE tokenization
     # (kernels/htmlstrip.py pins the behavioral contract).
     html_strip: bool = False
+    # PatternReplaceCharFilter chain (analysis/pattern/
+    # PatternReplaceCharFilter.java:49-80; the Solr charFilter idiom):
+    # tuple of (regex, replacement) applied IN ORDER to the source
+    # before tokenization (after html_strip when both are set, matching
+    # Solr's declaration-order charFilter stack). () = absent.
+    char_filters: tuple = ()
+    # PatternTokenizer in match mode, group 0 (analysis/pattern/
+    # PatternTokenizer.java:54-130; the Solr pattern-tokenizer idiom):
+    # when set, this regex REPLACES the standard UAX#29 approximation —
+    # every match is one token. "" = standard tokenizer.
+    token_pattern: str = ""
     # WordDelimiterGraphFilter flag bitmask; 0 = filter absent. Chain
     # order mirrors the Solr code-field idiom: tokenize (CASE-PRESERVING
     # — splits need it) -> WDGF -> lowercase -> stop -> stem; positions
@@ -249,6 +260,11 @@ class AnalyzerConfig:
                 "only (KeywordRepeat/phonetic/wd/synonym/gram/compound "
                 "chains are out of the reference's exclusion slot)"
             )
+        if self.token_pattern and self.word_delimiter:
+            raise ValueError(
+                "token_pattern replaces the tokenizer; word_delimiter "
+                "re-tokenizes the case-preserving source — exclusive"
+            )
         if self.common_grams and (
             self.stem or self.phonetic or self.word_delimiter
             or self.synonyms or self.german or self.stop_words
@@ -289,6 +305,8 @@ class AnalyzerConfig:
             ascii_fold=self.ascii_fold,
             word_delimiter=self.word_delimiter,
             html_strip=self.html_strip,
+            char_filters=self.char_filters,
+            token_pattern=self.token_pattern,
             phonetic=self.phonetic,
             stem_keep_original=self.stem_keep_original,
             german=self.german,
@@ -333,6 +351,12 @@ COMMON_GRAMS_EN = AnalyzerConfig(common_grams=frozenset({"the", "a"}))
 # FrenchAnalyzer: elision + lowercase + snowball french stops + light
 # stem (fr/FrenchAnalyzer.java:136-146)
 FRENCH = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS, french=True)
+# StandardAnalyzer behind a PatternReplaceCharFilter that joins
+# hyphenated compounds ("data-driven" -> one token "datadriven")
+PATTERN_CF = AnalyzerConfig(char_filters=(("-", ""),))
+# PatternTokenizer in match mode: letters-only tokens (digits split,
+# the Solr pattern-tokenizer idiom)
+PATTERN_TOK = AnalyzerConfig(token_pattern="[a-z]+")
 # EnglishAnalyzer with a stemExclusionSet (EnglishAnalyzer.java:117
 # stemExclusionSet constructor arg -> SetKeywordMarkerFilter before the
 # Porter stem): 'customer' stays verbatim while everything else stems
@@ -378,6 +402,8 @@ ANALYZERS: dict = {
     "portuguese": PORTUGUESE,
     "italian": ITALIAN,
     "english_stem_excl": ENGLISH_STEM_EXCL,
+    "pattern_charfilter": PATTERN_CF,
+    "pattern_letters": PATTERN_TOK,
 }
 
 
@@ -395,6 +421,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
         return [], []
     if cfg.html_strip:
         text = html_strip(text)
+    for pat, rep in cfg.char_filters:
+        text = re.sub(pat, rep, text)
     if cfg.word_delimiter:
         return _tokenize_one_wd(text, cfg)
     # Lowercase the source, then tokenize: identical result to Lucene's
@@ -404,7 +432,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
         text = text.lower()
     if cfg.ascii_fold:
         text = ascii_fold(text)
-    raw = _TOKEN_RE.findall(text)
+    tok_re = re.compile(cfg.token_pattern) if cfg.token_pattern else _TOKEN_RE
+    raw = tok_re.findall(text)
     terms, positions = [], []
     for pos, tok in enumerate(raw):
         if len(tok) > cfg.max_token_length:
@@ -491,6 +520,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     src = texts.fillna("")
     if cfg.html_strip:
         src = html_strip_series(src)
+    for pat, rep in cfg.char_filters:
+        src = src.str.replace(pat, rep, regex=True)
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
     if (cfg.phonetic or cfg.stem_keep_original or cfg.synonyms
@@ -503,7 +534,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
         src = src.str.lower()
     if cfg.ascii_fold:
         src = src.str.translate(_FOLD_TABLE)
-    raw = src.str.findall(_TOKEN_RE)
+    tok_re = re.compile(cfg.token_pattern) if cfg.token_pattern else _TOKEN_RE
+    raw = src.str.findall(tok_re)
     max_len = cfg.max_token_length
     stop = cfg.stop_words
     if (cfg.possessive or cfg.stem or cfg.german or cfg.french
@@ -556,6 +588,10 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
     """
     if cfg.html_strip:
         texts = html_strip_series(texts.fillna(""))
+    if cfg.char_filters:
+        texts = texts.fillna("")
+        for pat, rep in cfg.char_filters:
+            texts = texts.str.replace(pat, rep, regex=True)
     if cfg.word_delimiter:
         return _flatten_tokens_wd(texts, cfg)
     n = len(texts)
@@ -564,7 +600,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         src = src.str.lower()
     if cfg.ascii_fold:
         src = src.str.translate(_FOLD_TABLE)
-    tok_lists = src.str.findall(_TOKEN_RE)
+    tok_re = re.compile(cfg.token_pattern) if cfg.token_pattern else _TOKEN_RE
+    tok_lists = src.str.findall(tok_re)
     raw_counts = tok_lists.map(len).to_numpy(dtype=np.int64)
     total = int(raw_counts.sum())
     if total == 0:

@@ -65,10 +65,11 @@ def length_table_values() -> str:
     )
 
 
-def _base_ctes() -> str:
+def _base_ctes(toks: str | None = None) -> str:
     """Corpus-level CTEs: tokens, per-doc quantized-dl norm cache
-    (float32) — shared by every kernel twin."""
-    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    (float32) — shared by every kernel twin. `toks` overrides the token
+    source expression (char-filter / pattern-tokenizer twins)."""
+    toks = toks or f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
     # cache[i] = f32(k1 * (f32(1-b) + f32(f32(b * len_f) / avgdl)))
     # — same op order as bm25.norm_cache
     cache_expr = _f32(
@@ -99,10 +100,10 @@ cache AS (
 """.strip()
 
 
-def _prelude(all_terms) -> str:
+def _prelude(all_terms, toks: str | None = None) -> str:
     """Base CTEs + per-term tf/df over the query terms."""
     return f"""
-{_base_ctes()},
+{_base_ctes(toks)},
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tok
   WHERE term IN ({_sql_list(all_terms)}) GROUP BY 1, 2
@@ -1671,6 +1672,51 @@ matched AS (
               (CAST(f.tf AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)
            AS score32
   FROM ftot f CROSS JOIN w JOIN cache c ON c.doc_id = f.doc_id
+)
+{_topk_select(k)}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Pattern analysis twins (analysis/pattern/PatternReplaceCharFilter.java +
+# PatternTokenizer.java): the char filter replays as regexp_replace over
+# the (annotated) source; the pattern tokenizer replays as a custom
+# regexp_extract_all pattern. Both reuse the standard kernel BM25 CTEs
+# with the token-source expression swapped.
+# ---------------------------------------------------------------------------
+
+# annotated views planting the shapes the pattern features act on
+# (merge -> a hyphenated compound; window -> a digit-infixed token)
+PATTERN_CF_ANNOTATIONS = ((r"\bmerge\b", "data-driven"),)
+PATTERN_TOK_ANNOTATIONS = ((r"\bwindow\b", "v2data"),)
+
+
+def _annotated_sql(annotations, col: str = "lower(text)") -> str:
+    expr = col
+    for pat, rep in annotations:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return expr
+
+
+def kernel_pattern_term_duck(query_text: str, k: int = 10, *,
+                             annotations=(), char_filters=(),
+                             token_regex: str | None = None) -> str:
+    """Twin of a TermQuery against an index whose analyzer carries
+    PatternReplaceCharFilter rules (`char_filters`, replayed as chained
+    regexp_replace over the source) and/or a PatternTokenizer
+    (`token_regex` replaces the standard token pattern). Standard
+    quantized-float32 BM25 over the resulting stream."""
+    src = _annotated_sql(annotations)
+    for pat, rep in char_filters:
+        src = f"regexp_replace({src}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    toks = f"regexp_extract_all({src}, '{token_regex or TOKEN_PATTERN}')"
+    term = query_text.lower()
+    return f"""
+WITH {_prelude((term,), toks)},
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
 )
 {_topk_select(k)}
 """.strip()

@@ -764,3 +764,79 @@ def test_stem_exclusion_search(spark, tmp_path_factory):
     # the stemmed forms, NOT the excluded surface form
     got = set(s.search(Term("customers"), k=10)["path"])
     assert "p0" not in got and "p1" in got
+
+
+# ---------------------------------------------------------------------------
+# Pattern analysis (analysis/pattern/): PatternReplaceCharFilter chain +
+# PatternTokenizer (match mode, group 0)
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_analysis_chain():
+    from lucene_solr_1_spark.kernels.analyzer import (
+        PATTERN_CF,
+        PATTERN_TOK,
+        AnalyzerConfig,
+        analyze_series,
+        flatten_tokens,
+        tokenize_one,
+    )
+
+    t, _ = tokenize_one("the data-driven approach", PATTERN_CF)
+    assert t == ["the", "datadriven", "approach"]
+    t, p = tokenize_one("v2data and x42", PATTERN_TOK)
+    assert t == ["v", "data", "and", "x"]
+    assert p == [0, 1, 2, 3]  # each regex match is one position
+    # char filters apply in declaration order
+    two = AnalyzerConfig(char_filters=(("-", "_"), ("_", "")))
+    assert tokenize_one("a-b", two)[0] == ["ab"]
+    with pytest.raises(ValueError):
+        AnalyzerConfig(token_pattern="[a-z]+", word_delimiter=1)
+    # scalar == vectorized
+    import random
+
+    rng = random.Random(37)
+    frag = ["data-driven", "v2data", "plain", "x42", "a-b-c", "the"]
+    docs = [" ".join(rng.choice(frag) for _ in range(rng.randint(0, 8)))
+            for _ in range(120)]
+    s = pd.Series(docs)
+    for cfg in (PATTERN_CF, PATTERN_TOK, two):
+        terms, rows, pos, dl = flatten_tokens(s, cfg)
+        st = []
+        for text in docs:
+            st.extend(tokenize_one(text, cfg)[0])
+        assert list(terms) == st
+        assert [x for lst in analyze_series(s, cfg) for x in lst] == st
+
+
+def test_pattern_analysis_offsets_rejected(spark, tmp_path_factory):
+    from lucene_solr_1_spark.kernels.analyzer import PATTERN_CF
+
+    pdf = pd.DataFrame(
+        [("r", "p0", "c", "x", "data-driven work")],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    d = str(tmp_path_factory.mktemp("idx_pcf"))
+    with pytest.raises(Exception):
+        build_index(spark, spark.createDataFrame(pdf), d, num_segments=1,
+                    cfg=PATTERN_CF, store_offsets=True)
+
+
+def test_pattern_analysis_search(spark, tmp_path_factory):
+    from lucene_solr_1_spark.kernels.analyzer import PATTERN_CF
+    from lucene_solr_1_spark.search.query import Term
+
+    rows = [
+        ("r", "p0", "c", "x", "a data-driven pipeline"),
+        ("r", "p1", "c", "x", "plain data driven apart"),
+    ]
+    pdf = pd.DataFrame(rows,
+                       columns=["repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path_factory.mktemp("idx_pat"))
+    m = build_index(spark, spark.createDataFrame(pdf), d, num_segments=1,
+                    cfg=PATTERN_CF)
+    assert m["analyzer"] == "pattern_charfilter"
+    s = LuceneSparkSearcher(spark, d)
+    # the joined compound is one token; the separated words stay apart
+    assert set(s.search(Term("datadriven"), k=10)["path"]) == {"p0"}
+    assert set(s.search(Term("driven"), k=10)["path"]) == {"p1"}
