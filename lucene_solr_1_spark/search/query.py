@@ -569,7 +569,12 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
         return t
 
     def many(text: str) -> list[str]:
-        if not cfg.word_delimiter:
+        # chains that re-tokenize (wd) or change the token boundaries
+        # (char filters / pattern tokenizer) run the full analyzer —
+        # one query term may become several ('data-driven' under a
+        # hyphen-joining char filter becomes 'datadriven')
+        if not (cfg.word_delimiter or getattr(cfg, "char_filters", ())
+                or getattr(cfg, "token_pattern", "")):
             return [one(text)]
         from ..kernels.analyzer import tokenize_one
 

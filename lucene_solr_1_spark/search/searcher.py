@@ -210,7 +210,9 @@ class LuceneSparkSearcher:
                 or getattr(cfg, "light_lang", "")
                 or getattr(cfg, "synonyms", ())
                 or getattr(cfg, "common_grams", frozenset())
-                or getattr(cfg, "compound_dict", frozenset())):
+                or getattr(cfg, "compound_dict", frozenset())
+                or getattr(cfg, "char_filters", ())
+                or getattr(cfg, "token_pattern", "")):
             # standard/english indexes: today's raw-term behavior, exactly
             return q
         from ..index.segment import KEYWORD_FIELDS

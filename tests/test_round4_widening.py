@@ -840,3 +840,7 @@ def test_pattern_analysis_search(spark, tmp_path_factory):
     # the joined compound is one token; the separated words stay apart
     assert set(s.search(Term("datadriven"), k=10)["path"]) == {"p0"}
     assert set(s.search(Term("driven"), k=10)["path"]) == {"p1"}
+    # query-side re-analysis applies the char filter to raw query text
+    assert s._analyze_query(Term("data-driven")) == Term("datadriven",
+                                                         field="content")
+    assert set(s.search(Term("data-driven"), k=10)["path"]) == {"p0"}
