@@ -329,17 +329,21 @@ def _get_french_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
 
 def _get_light_index(spark: SparkSession, sf_dir: str,
                      lang: str) -> LuceneSparkSearcher:
-    """Index built with the SPANISH/PORTUGUESE/ITALIAN analyzer (snowball
-    stops + UniNE light stemmer) over a deterministically annotated view
-    (kernel_oracle.LIGHT_ANNOTATIONS — merges/merge/window become three
-    inflections of ONE lemma per language)."""
+    """Index built with the SPANISH/PORTUGUESE/ITALIAN/SWEDISH/HUNGARIAN
+    analyzer (snowball stops + UniNE light stemmer) over a
+    deterministically annotated view (kernel_oracle.LIGHT_ANNOTATIONS —
+    data/merge/window become three inflections of ONE lemma per
+    language)."""
     from lucene_solr_1_spark.kernels.analyzer import (
+        HUNGARIAN,
         ITALIAN,
         PORTUGUESE,
         SPANISH,
+        SWEDISH,
     )
 
-    cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN}[lang]
+    cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN,
+           "sv": SWEDISH, "hu": HUNGARIAN}[lang]
     key = ("light", lang, sf_dir)
     if key not in _INDEX_CACHE:
         d = tempfile.mkdtemp(prefix=f"sgidx_{lang}_")
@@ -1260,6 +1264,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_portuguese_stem"] = _portuguese_stem
     q["fts_italian_stem"] = _italian_stem
 
+    def _swedish_stem(s, d):
+        # 'flickors' -> 'flick' (flickor/flickorna/flicka annotated)
+        return _kernel_hits_df(s, _get_light_index(s, d, "sv"),
+                               Term("flickors"), k=10)
+
+    def _hungarian_stem(s, d):
+        # 'hazert' -> 'haz' (hazak/hazban/hazat annotated)
+        return _kernel_hits_df(s, _get_light_index(s, d, "hu"),
+                               Term("hazert"), k=10)
+
+    q["fts_swedish_stem"] = _swedish_stem
+    q["fts_hungarian_stem"] = _hungarian_stem
+
     def _compound_recall(s, d):
         # DictionaryCompoundWordTokenFilter: 'customer' re-analyzes to
         # SynonymQuery(customer, custom, tom) against the subword-
@@ -1548,6 +1565,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_spanish_stem": KO.kernel_light_term_duck("es", "libras", k=10),
         "fts_portuguese_stem": KO.kernel_light_term_duck("pt", "livras", k=10),
         "fts_italian_stem": KO.kernel_light_term_duck("it", "ragazze", k=10),
+        "fts_swedish_stem": KO.kernel_light_term_duck("sv", "flickors", k=10),
+        "fts_hungarian_stem": KO.kernel_light_term_duck("hu", "hazert", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

@@ -35,8 +35,9 @@ from .french import (FRENCH_ARTICLES, FRENCH_STOP_WORDS, elide,
                      french_array, french_term)
 from .german import (GERMAN_STOP_WORDS, german_array, german_normalize,
                      german_term)
-from .romance import (ITALIAN_ARTICLES, ITALIAN_STOP_WORDS,
-                      PORTUGUESE_STOP_WORDS, SPANISH_STOP_WORDS,
+from .romance import (HUNGARIAN_STOP_WORDS, ITALIAN_ARTICLES,
+                      ITALIAN_STOP_WORDS, PORTUGUESE_STOP_WORDS,
+                      SPANISH_STOP_WORDS, SWEDISH_STOP_WORDS,
                       light_stem, light_stem_array)
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
@@ -170,7 +171,8 @@ class AnalyzerConfig:
     # .java: tokenize -> [it: ElisionFilter] -> lowercase -> snowball
     # stops -> UniNE light stem; kernels/romance.py pins all three
     # stemmers against the full canonical vocabularies). Value = "es" /
-    # "pt" / "it", "" = absent. 1:1 post-stop stage; composes with the
+    # "pt" / "it" / "sv" / "hu", "" = absent. 1:1 post-stop stage (it
+    # adds elision pre-stop); composes with the
     # standard chain only, like german/french.
     light_lang: str = ""
     # SetKeywordMarkerFilter stem exclusion set (analysis/miscellaneous/
@@ -371,6 +373,11 @@ SPANISH = AnalyzerConfig(stop_words=SPANISH_STOP_WORDS, light_lang="es")
 PORTUGUESE = AnalyzerConfig(stop_words=PORTUGUESE_STOP_WORDS,
                             light_lang="pt")
 ITALIAN = AnalyzerConfig(stop_words=ITALIAN_STOP_WORDS, light_lang="it")
+# SwedishAnalyzer / HungarianAnalyzer: snowball stops + UniNE light
+# stemmers ({sv,hu}/*Analyzer.java chains)
+SWEDISH = AnalyzerConfig(stop_words=SWEDISH_STOP_WORDS, light_lang="sv")
+HUNGARIAN = AnalyzerConfig(stop_words=HUNGARIAN_STOP_WORDS,
+                           light_lang="hu")
 # StandardAnalyzer + DictionaryCompoundWordTokenFilter over a dictionary
 # tuned to the testdata documents vocabulary (the Germanic
 # compound-recall idiom: `customer` additionally indexes
@@ -404,6 +411,8 @@ ANALYZERS: dict = {
     "english_stem_excl": ENGLISH_STEM_EXCL,
     "pattern_charfilter": PATTERN_CF,
     "pattern_letters": PATTERN_TOK,
+    "swedish": SWEDISH,
+    "hungarian": HUNGARIAN,
 }
 
 

@@ -1,5 +1,5 @@
-"""Romance-language light analysis chains — Spanish, Portuguese and
-Italian analyzers' filter stacks re-implemented from the published
+"""Light analysis chains — Spanish, Portuguese, Italian, Swedish and
+Hungarian analyzers' filter stacks re-implemented from the published
 algorithms (NOT a port):
 
   - SpanishAnalyzer / PortugueseAnalyzer / ItalianAnalyzer chains
@@ -152,6 +152,53 @@ ITALIAN_STOP_WORDS = frozenset({
     "vostri", "vostro", "è",
 })
 
+SWEDISH_STOP_WORDS = frozenset({
+    "alla", "allt", "att", "av", "blev", "bli", "blir", "blivit", "de",
+    "dem", "den", "denna", "deras", "dess", "dessa", "det", "detta",
+    "dig", "din", "dina", "ditt", "du", "där", "då", "efter", "ej",
+    "eller", "en", "er", "era", "ert", "ett", "från", "för", "ha",
+    "hade", "han", "hans", "har", "henne", "hennes", "hon", "honom",
+    "hur", "här", "i", "icke", "ingen", "inom", "inte", "jag", "ju",
+    "kan", "kunde", "man", "med", "mellan", "men", "mig", "min", "mina",
+    "mitt", "mot", "mycket", "ni", "nu", "när", "någon", "något",
+    "några", "och", "om", "oss", "på", "samma", "sedan", "sig", "sin",
+    "sina", "sitta", "själv", "skulle", "som", "så", "sådan", "sådana",
+    "sådant", "till", "under", "upp", "ut", "utan", "vad", "var",
+    "vara", "varför", "varit", "varje", "vars", "vart", "vem", "vi",
+    "vid", "vilka", "vilkas", "vilken", "vilket", "vår", "våra", "vårt",
+    "än", "är", "åt", "över",
+})
+
+HUNGARIAN_STOP_WORDS = frozenset({
+    "a", "abban", "ahhoz", "ahogy", "ahol", "aki", "akik", "akkor",
+    "alatt", "amely", "amelyek", "amelyekben", "amelyeket", "amelyet",
+    "amelynek", "ami", "amikor", "amit", "amolyan", "amíg", "annak",
+    "arra", "arról", "az", "azok", "azon", "azonban", "azt", "aztán",
+    "azután", "azzal", "azért", "be", "belül", "benne", "bár", "cikk",
+    "cikkek", "cikkeket", "csak", "de", "e", "ebben", "eddig", "egy",
+    "egyes", "egyetlen", "egyik", "egyre", "egyéb", "egész", "ehhez",
+    "ekkor", "el", "ellen", "első", "elég", "elő", "először", "előtt",
+    "emilyen", "ennek", "erre", "ez", "ezek", "ezen", "ezt", "ezzel",
+    "ezért", "fel", "felé", "hanem", "hiszen", "hogy", "hogyan", "igen",
+    "ill", "ill.", "illetve", "ilyen", "ilyenkor", "ismét", "ison",
+    "itt", "jobban", "jó", "jól", "kell", "kellett", "keressünk",
+    "keresztül", "ki", "kívül", "között", "közül", "legalább", "legyen",
+    "lehet", "lehetett", "lenne", "lenni", "lesz", "lett", "maga",
+    "magát", "majd", "meg", "mellett", "mely", "melyek", "mert", "mi",
+    "mikor", "milyen", "minden", "mindenki", "mindent", "mindig",
+    "mint", "mintha", "mit", "mivel", "miért", "most", "már", "más",
+    "másik", "még", "míg", "nagy", "nagyobb", "nagyon", "ne", "nekem",
+    "neki", "nem", "nincs", "néha", "néhány", "nélkül", "olyan", "ott",
+    "pedig", "persze", "rá", "s", "saját", "sem", "semmi", "sok",
+    "sokat", "sokkal", "szemben", "szerint", "szinte", "számára",
+    "talán", "tehát", "teljes", "tovább", "továbbá", "több", "ugyanis",
+    "utolsó", "után", "utána", "vagy", "vagyis", "vagyok", "valaki",
+    "valami", "valamint", "való", "van", "vannak", "vele", "vissza",
+    "viszont", "volna", "volt", "voltak", "voltam", "voltunk", "által",
+    "általában", "át", "én", "éppen", "és", "így", "össze", "úgy", "új",
+    "újabb", "újra", "ő", "ők", "őket",
+})
+
 _ES_IT_FOLD = str.maketrans(
     "àáâäòóôöèéêëùúûüìíîï",
     "aaaaoooo" "eeee" "uuuu" "iiii",
@@ -268,10 +315,111 @@ ITALIAN_ARTICLES = frozenset({
     "v", "d",
 })
 
+
+
+def swedish_light_stem(s: str) -> str:
+    """sv/SwedishLightStemmer.java:35-80 — definite-article / plural /
+    comparative suffix strips, longest class first (no accent folding:
+    the reference keeps Swedish å/ä/ö)."""
+    if len(s) > 4 and s.endswith("s"):
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("arne", "erna", "ande", "else", "aste",
+                            "orna", "aren"):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("are", "ast", "het"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:-2]
+    if n > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeei" + "oooo" + "uuuuu")
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:
+    """hu/HungarianLightStemmer.java:55-105 removeCase."""
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s[-3:] in ("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                      "ben", "bol", "nal", "nel", "hoz", "hez", "tol"):
+            return s[:-3]
+        if s[-2:] in ("al", "el"):
+            if s[-3] not in _HU_VOWELS and s[-3] == s[-4]:
+                return s[:-3]
+    if n > 4:
+        if s[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                      "be", "ul", "ig"):
+            return s[:-2]
+        if s[-2:] in ("on", "en") and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        if s[-1] in "tn":
+            return s[:-1]
+        if s[-1] in "ae" and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    """hu/HungarianLightStemmer.java:107-160 removePossessive."""
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWELS and s[-4:] in ("atok", "otok", "etek"):
+            return s[:-4]
+        if s[-4:] in ("itek", "itok"):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWELS and s[-3:] in ("unk", "tok", "tek"):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s.endswith("juk"):
+            return s[:-3]
+        if s.endswith("ink"):
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWELS and s[-2:] in ("am", "em", "om", "ad",
+                                                  "ed", "od", "uk"):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s[-2:] in ("nk", "ja", "je"):
+            return s[:-2]
+        if s[-2:] in ("im", "id", "ik"):
+            return s[:-2]
+    if n > 3:
+        if s[-1] in "ae" and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] in "md" and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] == "i":
+            return s[:-1]
+    return s
+
+
+def hungarian_light_stem(s: str) -> str:
+    """hu/HungarianLightStemmer.java:36-53 — fold accents, remove case
+    ending, possessive, plural (-k with the a/o/e fallthrough), then a
+    final-vowel normalize."""
+    s = s.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    if len(s) > 3 and s.endswith("k"):  # removePlural
+        s = s[:-2] if s[-2] in "aoe" and len(s) > 4 else s[:-1]
+    if len(s) > 3 and s[-1] in "aeio":  # normalize
+        s = s[:-1]
+    return s
+
+
 LIGHT_STEMMERS = {
     "es": spanish_light_stem,
     "pt": portuguese_light_stem,
     "it": italian_light_stem,
+    "sv": swedish_light_stem,
+    "hu": hungarian_light_stem,
 }
 
 

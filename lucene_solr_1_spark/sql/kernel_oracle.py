@@ -2497,12 +2497,16 @@ ORDER BY t.rank
 # ---------------------------------------------------------------------------
 
 LIGHT_ANNOTATIONS = {
-    "es": ((r"\bmerges\b", "libros"), (r"\bmerge\b", "libro"),
+    "es": ((r"\bdata\b", "libros"), (r"\bmerge\b", "libro"),
            (r"\bwindow\b", "libra")),
-    "pt": ((r"\bmerges\b", "livros"), (r"\bmerge\b", "livro"),
+    "pt": ((r"\bdata\b", "livros"), (r"\bmerge\b", "livro"),
            (r"\bwindow\b", "livra")),
-    "it": ((r"\bmerges\b", "ragazzi"), (r"\bmerge\b", "ragazzo"),
+    "it": ((r"\bdata\b", "ragazzi"), (r"\bmerge\b", "ragazzo"),
            (r"\bwindow\b", "ragazza")),
+    "sv": ((r"\bdata\b", "flickor"), (r"\bmerge\b", "flickorna"),
+           (r"\bwindow\b", "flicka")),
+    "hu": ((r"\bdata\b", "hazak"), (r"\bmerge\b", "hazban"),
+           (r"\bwindow\b", "hazat")),
 }
 
 
@@ -2553,12 +2557,15 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
     stop -> stem-table before the quantized float32 BM25 (dl = post-stop
     count). ASCII-only corpus, so the Italian elision stage is a no-op
     here (the engine test suite covers apostrophes)."""
-    from ..kernels.romance import (ITALIAN_STOP_WORDS,
+    from ..kernels.romance import (HUNGARIAN_STOP_WORDS,
+                                   ITALIAN_STOP_WORDS,
                                    PORTUGUESE_STOP_WORDS,
-                                   SPANISH_STOP_WORDS, light_stem)
+                                   SPANISH_STOP_WORDS,
+                                   SWEDISH_STOP_WORDS, light_stem)
 
     stops = {"es": SPANISH_STOP_WORDS, "pt": PORTUGUESE_STOP_WORDS,
-             "it": ITALIAN_STOP_WORDS}[lang]
+             "it": ITALIAN_STOP_WORDS, "sv": SWEDISH_STOP_WORDS,
+             "hu": HUNGARIAN_STOP_WORDS}[lang]
     stemmed = light_stem(lang, query_text.lower())
     toks = (
         f"regexp_extract_all({light_annotated_text_sql(lang, 'lower(text)')}, "

@@ -1,5 +1,5 @@
-"""Romance light analysis chains (kernels/romance.py + the SPANISH /
-PORTUGUESE / ITALIAN analyzers) — mirrors the reference's
+"""UniNE light analysis chains (kernels/romance.py + the SPANISH /
+PORTUGUESE / ITALIAN / SWEDISH / HUNGARIAN analyzers) — mirrors the reference's
 Test{Spanish,Portuguese,Italian}LightStemFilter.testVocabulary (the full
 canonical vocabulary zips) and the analyzer chain expectations
 (elision[it] + snowball stop + light stem)."""
@@ -24,13 +24,17 @@ from lucene_solr_1_spark.kernels.analyzer import (  # noqa: E402
     tokenize_one,
 )
 from lucene_solr_1_spark.kernels.romance import (  # noqa: E402
+    HUNGARIAN_STOP_WORDS,
     ITALIAN_STOP_WORDS,
     PORTUGUESE_STOP_WORDS,
     SPANISH_STOP_WORDS,
+    SWEDISH_STOP_WORDS,
+    hungarian_light_stem,
     italian_light_stem,
     light_stem_array,
     portuguese_light_stem,
     spanish_light_stem,
+    swedish_light_stem,
 )
 
 _BASE = (
@@ -43,6 +47,8 @@ _BASE = (
     ("es/eslighttestdata.zip", "eslight.txt", spanish_light_stem),
     ("pt/ptlighttestdata.zip", "ptlight.txt", portuguese_light_stem),
     ("it/itlighttestdata.zip", "itlight.txt", italian_light_stem),
+    ("sv/svlighttestdata.zip", "svlight.txt", swedish_light_stem),
+    ("hu/hulighttestdata.zip", "hulight.txt", hungarian_light_stem),
 ])
 def test_light_stem_canonical_vocabulary(zname, inner, fn):
     with zipfile.ZipFile(_BASE + zname) as z:
@@ -71,6 +77,13 @@ def test_inflection_collapse():
         assert portuguese_light_stem(w) == "livr", w
     for w in ("ragazzi", "ragazzo", "ragazza", "ragazze"):
         assert italian_light_stem(w) == "ragazz", w
+    for w in ("flickor", "flickorna", "flicka", "flickors"):
+        assert swedish_light_stem(w) == "flick", w
+    # a stem ENDING in -k is itself clipped by the plural pass — pick a
+    # k-free lemma (the reference behaves identically: banknak -> ban)
+    assert hungarian_light_stem("banknak") == "ban"
+    for w in ("hazak", "hazban", "hazat", "hazert"):
+        assert hungarian_light_stem(w) == "haz", w
 
 
 def test_portuguese_fold_runs_last():
@@ -125,6 +138,8 @@ def test_stop_sets_are_snowball():
     assert "que" in SPANISH_STOP_WORDS and len(SPANISH_STOP_WORDS) > 300
     assert "não" in PORTUGUESE_STOP_WORDS and len(PORTUGUESE_STOP_WORDS) > 200
     assert "che" in ITALIAN_STOP_WORDS and len(ITALIAN_STOP_WORDS) > 270
+    assert "och" in SWEDISH_STOP_WORDS and len(SWEDISH_STOP_WORDS) > 110
+    assert "hogy" in HUNGARIAN_STOP_WORDS and len(HUNGARIAN_STOP_WORDS) > 190
 
 
 def test_query_side_and_recall(spark, tmp_path_factory):
