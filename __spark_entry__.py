@@ -342,8 +342,10 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
         SWEDISH,
     )
 
+    from lucene_solr_1_spark.kernels.analyzer import FINNISH
+
     cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN,
-           "sv": SWEDISH, "hu": HUNGARIAN}[lang]
+           "sv": SWEDISH, "hu": HUNGARIAN, "fi": FINNISH}[lang]
     key = ("light", lang, sf_dir)
     if key not in _INDEX_CACHE:
         d = tempfile.mkdtemp(prefix=f"sgidx_{lang}_")
@@ -1274,8 +1276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kernel_hits_df(s, _get_light_index(s, d, "hu"),
                                Term("hazert"), k=10)
 
+    def _finnish_stem(s, d):
+        # 'talolla' -> 'talo' (talossa/taloja/taloon annotated)
+        return _kernel_hits_df(s, _get_light_index(s, d, "fi"),
+                               Term("talolla"), k=10)
+
     q["fts_swedish_stem"] = _swedish_stem
     q["fts_hungarian_stem"] = _hungarian_stem
+    q["fts_finnish_stem"] = _finnish_stem
 
     def _compound_recall(s, d):
         # DictionaryCompoundWordTokenFilter: 'customer' re-analyzes to
@@ -1567,6 +1575,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_italian_stem": KO.kernel_light_term_duck("it", "ragazze", k=10),
         "fts_swedish_stem": KO.kernel_light_term_duck("sv", "flickors", k=10),
         "fts_hungarian_stem": KO.kernel_light_term_duck("hu", "hazert", k=10),
+        "fts_finnish_stem": KO.kernel_light_term_duck("fi", "talolla", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

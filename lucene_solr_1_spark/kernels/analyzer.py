@@ -35,10 +35,10 @@ from .french import (FRENCH_ARTICLES, FRENCH_STOP_WORDS, elide,
                      french_array, french_term)
 from .german import (GERMAN_STOP_WORDS, german_array, german_normalize,
                      german_term)
-from .romance import (HUNGARIAN_STOP_WORDS, ITALIAN_ARTICLES,
-                      ITALIAN_STOP_WORDS, PORTUGUESE_STOP_WORDS,
-                      SPANISH_STOP_WORDS, SWEDISH_STOP_WORDS,
-                      light_stem, light_stem_array)
+from .romance import (FINNISH_STOP_WORDS, HUNGARIAN_STOP_WORDS,
+                      ITALIAN_ARTICLES, ITALIAN_STOP_WORDS,
+                      PORTUGUESE_STOP_WORDS, SPANISH_STOP_WORDS,
+                      SWEDISH_STOP_WORDS, light_stem, light_stem_array)
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
 from .porter import porter_stem, stem_array, strip_possessive
@@ -378,6 +378,9 @@ ITALIAN = AnalyzerConfig(stop_words=ITALIAN_STOP_WORDS, light_lang="it")
 SWEDISH = AnalyzerConfig(stop_words=SWEDISH_STOP_WORDS, light_lang="sv")
 HUNGARIAN = AnalyzerConfig(stop_words=HUNGARIAN_STOP_WORDS,
                            light_lang="hu")
+# FinnishAnalyzer: snowball stops + UniNE light stemmer
+# (fi/FinnishAnalyzer.java chain)
+FINNISH = AnalyzerConfig(stop_words=FINNISH_STOP_WORDS, light_lang="fi")
 # StandardAnalyzer + DictionaryCompoundWordTokenFilter over a dictionary
 # tuned to the testdata documents vocabulary (the Germanic
 # compound-recall idiom: `customer` additionally indexes
@@ -413,6 +416,7 @@ ANALYZERS: dict = {
     "pattern_letters": PATTERN_TOK,
     "swedish": SWEDISH,
     "hungarian": HUNGARIAN,
+    "finnish": FINNISH,
 }
 
 

@@ -414,12 +414,159 @@ def hungarian_light_stem(s: str) -> str:
     return s
 
 
+
+
+FINNISH_STOP_WORDS = frozenset({
+    "ei", "eivät", "emme", "en", "et", "ette", "että", "he", "heidän",
+    "heidät", "heihin", "heille", "heillä", "heiltä", "heissä",
+    "heistä", "heitä", "hän", "häneen", "hänelle", "hänellä", "häneltä",
+    "hänen", "hänessä", "hänestä", "hänet", "häntä", "itse", "ja",
+    "johon", "joiden", "joihin", "joiksi", "joilla", "joille", "joilta",
+    "joina", "joissa", "joista", "joita", "joka", "joksi", "jolla",
+    "jolle", "jolta", "jona", "jonka", "jos", "jossa", "josta", "jota",
+    "jotka", "kanssa", "keiden", "keihin", "keiksi", "keille", "keillä",
+    "keiltä", "keinä", "keissä", "keistä", "keitä", "keneen", "keneksi",
+    "kenelle", "kenellä", "keneltä", "kenen", "kenenä", "kenessä",
+    "kenestä", "kenet", "ketkä", "ketä", "koska", "kuin", "kuka", "kun",
+    "me", "meidän", "meidät", "meihin", "meille", "meillä", "meiltä",
+    "meissä", "meistä", "meitä", "mihin", "miksi", "mikä", "mille",
+    "millä", "miltä", "minkä", "minua", "minulla", "minulle", "minulta",
+    "minun", "minussa", "minusta", "minut", "minuun", "minä", "missä",
+    "mistä", "mitkä", "mitä", "mukaan", "mutta", "ne", "niiden",
+    "niihin", "niiksi", "niille", "niillä", "niiltä", "niin", "niinä",
+    "niissä", "niistä", "niitä", "noiden", "noihin", "noiksi", "noilla",
+    "noille", "noilta", "noin", "noina", "noissa", "noista", "noita",
+    "nuo", "nyt", "näiden", "näihin", "näiksi", "näille", "näillä",
+    "näiltä", "näinä", "näissä", "näistä", "näitä", "nämä", "ole",
+    "olemme", "olen", "olet", "olette", "oli", "olimme", "olin",
+    "olisi", "olisimme", "olisin", "olisit", "olisitte", "olisivat",
+    "olit", "olitte", "olivat", "olla", "olleet", "ollut", "on", "ovat",
+    "poikki", "se", "sekä", "sen", "siihen", "siinä", "siitä", "siksi",
+    "sille", "sillä", "siltä", "sinua", "sinulla", "sinulle", "sinulta",
+    "sinun", "sinussa", "sinusta", "sinut", "sinuun", "sinä", "sitä",
+    "tai", "tallä", "te", "teidän", "teidät", "teihin", "teille",
+    "teillä", "teiltä", "teissä", "teistä", "teitä", "tuo", "tuohon",
+    "tuoksi", "tuolla", "tuolle", "tuolta", "tuon", "tuona", "tuossa",
+    "tuosta", "tuotä", "tähän", "täksi", "tälle", "tältä", "tämä",
+    "tämän", "tänä", "tässä", "tästä", "tätä", "vaan", "vai", "vaikka",
+    "yli",
+})
+
+
+_FI_FOLD = str.maketrans("äåö", "aao")
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: str) -> str:
+    """fi/FinnishLightStemmer.java:55-70 step1 (recursive -kin/-ko)."""
+    if len(s) > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[:-3])
+        if s.endswith("ko"):
+            return _fi_step1(s[:-2])
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    n = len(s)
+    if n > 5:
+        if s[-3:] in ("lla", "tse", "sti"):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s[-3:] in ("ssa", "sta", "lla", "lta", "tta", "ksi", "lle"):
+            return s[:-3]
+    if n > 5:
+        if s[-2:] in ("na", "ne"):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("ja", "ta"):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWELS:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"  # in-place rewrite, the checks below continue
+    if len(s) > 4 and (s.endswith("ei") or s.endswith("at")):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse consecutive duplicate k/p/t anywhere in the stem
+            out = [s[0]]
+            for c in s[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            s = "".join(out)
+    return s
+
+
+def finnish_light_stem(s: str) -> str:
+    """fi/FinnishLightStemmer.java:35-53 — fold a-umlauts, recursive
+    clitic strip, adverb/case endings, then two normalize passes (incl.
+    the kpt-gemination collapse)."""
+    if len(s) < 4:
+        return s
+    s = s.translate(_FI_FOLD)
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+
+
 LIGHT_STEMMERS = {
     "es": spanish_light_stem,
     "pt": portuguese_light_stem,
     "it": italian_light_stem,
     "sv": swedish_light_stem,
     "hu": hungarian_light_stem,
+    "fi": finnish_light_stem,
 }
 
 

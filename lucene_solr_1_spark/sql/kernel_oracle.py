@@ -2507,6 +2507,8 @@ LIGHT_ANNOTATIONS = {
            (r"\bwindow\b", "flicka")),
     "hu": ((r"\bdata\b", "hazak"), (r"\bmerge\b", "hazban"),
            (r"\bwindow\b", "hazat")),
+    "fi": ((r"\bdata\b", "talossa"), (r"\bmerge\b", "taloja"),
+           (r"\bwindow\b", "taloon")),
 }
 
 
@@ -2563,9 +2565,11 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
                                    SPANISH_STOP_WORDS,
                                    SWEDISH_STOP_WORDS, light_stem)
 
+    from ..kernels.romance import FINNISH_STOP_WORDS
+
     stops = {"es": SPANISH_STOP_WORDS, "pt": PORTUGUESE_STOP_WORDS,
              "it": ITALIAN_STOP_WORDS, "sv": SWEDISH_STOP_WORDS,
-             "hu": HUNGARIAN_STOP_WORDS}[lang]
+             "hu": HUNGARIAN_STOP_WORDS, "fi": FINNISH_STOP_WORDS}[lang]
     stemmed = light_stem(lang, query_text.lower())
     toks = (
         f"regexp_extract_all({light_annotated_text_sql(lang, 'lower(text)')}, "

@@ -29,6 +29,8 @@ from lucene_solr_1_spark.kernels.romance import (  # noqa: E402
     PORTUGUESE_STOP_WORDS,
     SPANISH_STOP_WORDS,
     SWEDISH_STOP_WORDS,
+    FINNISH_STOP_WORDS,
+    finnish_light_stem,
     hungarian_light_stem,
     italian_light_stem,
     light_stem_array,
@@ -49,6 +51,7 @@ _BASE = (
     ("it/itlighttestdata.zip", "itlight.txt", italian_light_stem),
     ("sv/svlighttestdata.zip", "svlight.txt", swedish_light_stem),
     ("hu/hulighttestdata.zip", "hulight.txt", hungarian_light_stem),
+    ("fi/filighttestdata.zip", "filight.txt", finnish_light_stem),
 ])
 def test_light_stem_canonical_vocabulary(zname, inner, fn):
     with zipfile.ZipFile(_BASE + zname) as z:
@@ -84,6 +87,8 @@ def test_inflection_collapse():
     assert hungarian_light_stem("banknak") == "ban"
     for w in ("hazak", "hazban", "hazat", "hazert"):
         assert hungarian_light_stem(w) == "haz", w
+    for w in ("talossa", "taloja", "taloon", "talolla"):
+        assert finnish_light_stem(w) == "talo", w
 
 
 def test_portuguese_fold_runs_last():
@@ -140,6 +145,7 @@ def test_stop_sets_are_snowball():
     assert "che" in ITALIAN_STOP_WORDS and len(ITALIAN_STOP_WORDS) > 270
     assert "och" in SWEDISH_STOP_WORDS and len(SWEDISH_STOP_WORDS) > 110
     assert "hogy" in HUNGARIAN_STOP_WORDS and len(HUNGARIAN_STOP_WORDS) > 190
+    assert "mutta" in FINNISH_STOP_WORDS and len(FINNISH_STOP_WORDS) > 220
 
 
 def test_query_side_and_recall(spark, tmp_path_factory):
