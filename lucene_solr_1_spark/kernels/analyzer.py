@@ -37,8 +37,9 @@ from .german import (GERMAN_STOP_WORDS, german_array, german_normalize,
                      german_term)
 from .romance import (FINNISH_STOP_WORDS, HUNGARIAN_STOP_WORDS,
                       ITALIAN_ARTICLES, ITALIAN_STOP_WORDS,
-                      PORTUGUESE_STOP_WORDS, SPANISH_STOP_WORDS,
-                      SWEDISH_STOP_WORDS, light_stem, light_stem_array)
+                      PORTUGUESE_STOP_WORDS, RUSSIAN_STOP_WORDS,
+                      SPANISH_STOP_WORDS, SWEDISH_STOP_WORDS,
+                      light_stem, light_stem_array)
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
 from .porter import porter_stem, stem_array, strip_possessive
@@ -381,6 +382,9 @@ HUNGARIAN = AnalyzerConfig(stop_words=HUNGARIAN_STOP_WORDS,
 # FinnishAnalyzer: snowball stops + UniNE light stemmer
 # (fi/FinnishAnalyzer.java chain)
 FINNISH = AnalyzerConfig(stop_words=FINNISH_STOP_WORDS, light_lang="fi")
+# RussianAnalyzer: snowball stops + UniNE light stemmer — Cyrillic
+# end-to-end (the \w+ tokenizer handles it natively)
+RUSSIAN = AnalyzerConfig(stop_words=RUSSIAN_STOP_WORDS, light_lang="ru")
 # StandardAnalyzer + DictionaryCompoundWordTokenFilter over a dictionary
 # tuned to the testdata documents vocabulary (the Germanic
 # compound-recall idiom: `customer` additionally indexes
@@ -417,6 +421,7 @@ ANALYZERS: dict = {
     "swedish": SWEDISH,
     "hungarian": HUNGARIAN,
     "finnish": FINNISH,
+    "russian": RUSSIAN,
 }
 
 

@@ -560,6 +560,60 @@ def finnish_light_stem(s: str) -> str:
     return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
 
 
+
+
+RUSSIAN_STOP_WORDS = frozenset({
+    "а", "без", "более", "больше", "будет", "будто", "бы", "был",
+    "была", "были", "было", "быть", "в", "вам", "вас", "вдруг", "ведь",
+    "во", "вот", "впрочем", "все", "всегда", "всего", "всех", "всю",
+    "вы", "где", "говорил", "да", "даже", "два", "для", "до", "другой",
+    "его", "ее", "ей", "ему", "если", "есть", "еще", "ж", "же", "жизнь",
+    "за", "зачем", "здесь", "и", "из", "или", "им", "иногда", "их", "к",
+    "кажется", "как", "какая", "какой", "когда", "конечно", "кто",
+    "куда", "ли", "лучше", "между", "меня", "мне", "много", "может",
+    "можно", "мой", "моя", "мы", "на", "над", "надо", "наконец", "нас",
+    "не", "него", "нее", "ней", "нельзя", "нет", "ни", "нибудь",
+    "никогда", "ним", "них", "ничего", "но", "ну", "о", "об", "один",
+    "он", "она", "они", "опять", "от", "перед", "по", "под", "после",
+    "потом", "потому", "почти", "при", "про", "раз", "разве", "с",
+    "сам", "свою", "себе", "себя", "сегодня", "сейчас", "сказал",
+    "сказала", "сказать", "со", "совсем", "так", "такой", "там", "тебя",
+    "тем", "теперь", "то", "тогда", "того", "тоже", "только", "том",
+    "тот", "три", "тут", "ты", "у", "уж", "уже", "хорошо", "хоть",
+    "чего", "человек", "чем", "через", "что", "чтоб", "чтобы", "чуть",
+    "эти", "этого", "этой", "этом", "этот", "эту", "я",
+})
+
+_RU_CASE3 = ("иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его",
+             "ему", "ери", "ими", "ого", "ому", "ыми", "оев")
+_RU_CASE2 = ("ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв",
+             "ою", "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев",
+             "ий", "им", "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми")
+
+
+def russian_light_stem(s: str) -> str:
+    """ru/RussianLightStemmer.java:35-120 — case-ending removal then a
+    soft-sign / -и / doubled-н normalize. Cyrillic end-to-end: the
+    engine tokenizer (\\w+) handles it natively; the ASCII-only DuckDB
+    token pattern cannot, so this chain is pinned by the canonical
+    vocabulary + pytest e2e rather than a driver oracle entry."""
+    n = len(s)
+    if n > 6 and (s.endswith("иями") or s.endswith("оями")):
+        s = s[:-4]
+    elif n > 5 and s[-3:] in _RU_CASE3:
+        s = s[:-3]
+    elif n > 4 and s[-2:] in _RU_CASE2:
+        s = s[:-2]
+    elif n > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    if len(s) > 3:  # normalize
+        if s[-1] in "ьи":
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
+    return s
+
+
 LIGHT_STEMMERS = {
     "es": spanish_light_stem,
     "pt": portuguese_light_stem,
@@ -567,6 +621,7 @@ LIGHT_STEMMERS = {
     "sv": swedish_light_stem,
     "hu": hungarian_light_stem,
     "fi": finnish_light_stem,
+    "ru": russian_light_stem,
 }
 
 

@@ -30,7 +30,9 @@ from lucene_solr_1_spark.kernels.romance import (  # noqa: E402
     SPANISH_STOP_WORDS,
     SWEDISH_STOP_WORDS,
     FINNISH_STOP_WORDS,
+    RUSSIAN_STOP_WORDS,
     finnish_light_stem,
+    russian_light_stem,
     hungarian_light_stem,
     italian_light_stem,
     light_stem_array,
@@ -52,6 +54,7 @@ _BASE = (
     ("sv/svlighttestdata.zip", "svlight.txt", swedish_light_stem),
     ("hu/hulighttestdata.zip", "hulight.txt", hungarian_light_stem),
     ("fi/filighttestdata.zip", "filight.txt", finnish_light_stem),
+    ("ru/rulighttestdata.zip", "rulight.txt", russian_light_stem),
 ])
 def test_light_stem_canonical_vocabulary(zname, inner, fn):
     with zipfile.ZipFile(_BASE + zname) as z:
@@ -146,6 +149,7 @@ def test_stop_sets_are_snowball():
     assert "och" in SWEDISH_STOP_WORDS and len(SWEDISH_STOP_WORDS) > 110
     assert "hogy" in HUNGARIAN_STOP_WORDS and len(HUNGARIAN_STOP_WORDS) > 190
     assert "mutta" in FINNISH_STOP_WORDS and len(FINNISH_STOP_WORDS) > 220
+    assert "для" in RUSSIAN_STOP_WORDS and len(RUSSIAN_STOP_WORDS) > 150
 
 
 def test_query_side_and_recall(spark, tmp_path_factory):
@@ -172,3 +176,32 @@ def test_query_side_and_recall(spark, tmp_path_factory):
     a = s.search(Term("libros"), k=5, use_wand=True, with_stored=False)
     b = s.search(Term("libros"), k=5, use_wand=False, with_stored=False)
     assert a.equals(b)
+
+
+def test_russian_cyrillic_end_to_end(spark, tmp_path_factory):
+    """Cyrillic flows through the whole engine: tokenizer (\\w+), stop
+    filter, light stem, index, query re-analysis. No driver oracle (the
+    SQL twin token pattern is ASCII) — the canonical-vocabulary golden
+    plus this e2e pin the chain."""
+    from lucene_solr_1_spark.index.builder import build_index
+    from lucene_solr_1_spark.kernels.analyzer import RUSSIAN
+    from lucene_solr_1_spark.search.query import Term
+    from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
+
+    t, p = tokenize_one("и школа для детей", RUSSIAN)
+    assert t == ["школ", "дет"]  # и/для stopped; школа/детей stem
+    rows = [
+        ("r", "p0", "c", "ru", "новая школа для детей"),
+        ("r", "p1", "c", "ru", "старые школы города"),
+        ("r", "p2", "c", "ru", "ничего похожего"),
+    ]
+    pdf = pd.DataFrame(rows,
+                       columns=["repo", "path", "commit", "lang", "content"])
+    d = str(tmp_path_factory.mktemp("idx_ru"))
+    m = build_index(spark, spark.createDataFrame(pdf), d, num_segments=2,
+                    cfg=RUSSIAN)
+    assert m["analyzer"] == "russian"
+    s = LuceneSparkSearcher(spark, d)
+    assert s._analyze_query(Term("школами")) == Term("школ", field="content")
+    hits = s.search(Term("школами"), k=10)
+    assert set(hits["path"]) == {"p0", "p1"}
