@@ -342,10 +342,15 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
         SWEDISH,
     )
 
-    from lucene_solr_1_spark.kernels.analyzer import FINNISH
+    from lucene_solr_1_spark.kernels.analyzer import (
+        FINNISH,
+        FRENCH_MINIMAL,
+        GERMAN_MINIMAL,
+    )
 
     cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN,
-           "sv": SWEDISH, "hu": HUNGARIAN, "fi": FINNISH}[lang]
+           "sv": SWEDISH, "hu": HUNGARIAN, "fi": FINNISH,
+           "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL}[lang]
     key = ("light", lang, sf_dir)
     if key not in _INDEX_CACHE:
         d = tempfile.mkdtemp(prefix=f"sgidx_{lang}_")
@@ -1281,9 +1286,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kernel_hits_df(s, _get_light_index(s, d, "fi"),
                                Term("talolla"), k=10)
 
+    def _german_minimal(s, d):
+        # 'kinder' minimal-stems to 'kind' (kinder/kindes/kinde planted)
+        return _kernel_hits_df(s, _get_light_index(s, d, "de_min"),
+                               Term("kinder"), k=10)
+
+    def _french_minimal(s, d):
+        # 'portes' -> 'port' (portes/porter/porters planted)
+        return _kernel_hits_df(s, _get_light_index(s, d, "fr_min"),
+                               Term("portes"), k=10)
+
     q["fts_swedish_stem"] = _swedish_stem
     q["fts_hungarian_stem"] = _hungarian_stem
     q["fts_finnish_stem"] = _finnish_stem
+    q["fts_german_minimal_stem"] = _german_minimal
+    q["fts_french_minimal_stem"] = _french_minimal
 
     def _compound_recall(s, d):
         # DictionaryCompoundWordTokenFilter: 'customer' re-analyzes to
@@ -1576,6 +1593,10 @@ def oracle_sql() -> dict[str, str]:
         "fts_swedish_stem": KO.kernel_light_term_duck("sv", "flickors", k=10),
         "fts_hungarian_stem": KO.kernel_light_term_duck("hu", "hazert", k=10),
         "fts_finnish_stem": KO.kernel_light_term_duck("fi", "talolla", k=10),
+        "fts_german_minimal_stem": KO.kernel_light_term_duck(
+            "de_min", "kinder", k=10),
+        "fts_french_minimal_stem": KO.kernel_light_term_duck(
+            "fr_min", "portes", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

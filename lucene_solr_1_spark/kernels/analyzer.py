@@ -385,6 +385,13 @@ FINNISH = AnalyzerConfig(stop_words=FINNISH_STOP_WORDS, light_lang="fi")
 # RussianAnalyzer: snowball stops + UniNE light stemmer — Cyrillic
 # end-to-end (the \w+ tokenizer handles it natively)
 RUSSIAN = AnalyzerConfig(stop_words=RUSSIAN_STOP_WORDS, light_lang="ru")
+# The UniNE MINIMAL stemmer variants (GermanMinimalStemFilter /
+# FrenchMinimalStemFilter — one-pass plural strips, a lighter touch
+# than the light stemmers) behind the same snowball stop sets
+GERMAN_MINIMAL = AnalyzerConfig(stop_words=GERMAN_STOP_WORDS,
+                                light_lang="de_min")
+FRENCH_MINIMAL = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS,
+                                light_lang="fr_min")
 # StandardAnalyzer + DictionaryCompoundWordTokenFilter over a dictionary
 # tuned to the testdata documents vocabulary (the Germanic
 # compound-recall idiom: `customer` additionally indexes
@@ -422,6 +429,8 @@ ANALYZERS: dict = {
     "hungarian": HUNGARIAN,
     "finnish": FINNISH,
     "russian": RUSSIAN,
+    "german_minimal": GERMAN_MINIMAL,
+    "french_minimal": FRENCH_MINIMAL,
 }
 
 

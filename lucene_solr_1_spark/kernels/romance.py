@@ -614,6 +614,50 @@ def russian_light_stem(s: str) -> str:
     return s
 
 
+_DE_MIN_FOLD = str.maketrans("äöü", "aou")
+
+
+def german_minimal_stem(s: str) -> str:
+    """de/GermanMinimalStemmer.java:35-70 (the UniNE MINIMAL variant —
+    one plural-suffix pass, distinct from kernels/german.py's light
+    chain): fold umlauts, strip -nen / -en/-se/-es/-er / single
+    n/e/s/r."""
+    if len(s) < 5:
+        return s
+    s = s.translate(_DE_MIN_FOLD)
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:-3]
+    if n > 5 and s[-2:] in ("en", "se", "es", "er"):
+        return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
+def french_minimal_stem(s: str) -> str:
+    """fr/FrenchMinimalStemmer.java:30-50 (UniNE minimal variant): the
+    -aux -> -al rewrite, then at most one strip each of s/r/e/é and a
+    final duplicate-letter collapse."""
+    if len(s) < 6:
+        return s
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            return s[:-3] + "al"
+        return s[:-1]
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if s[-1] == s[-2]:
+        s = s[:-1]
+    return s
+
+
 LIGHT_STEMMERS = {
     "es": spanish_light_stem,
     "pt": portuguese_light_stem,
@@ -622,6 +666,8 @@ LIGHT_STEMMERS = {
     "hu": hungarian_light_stem,
     "fi": finnish_light_stem,
     "ru": russian_light_stem,
+    "de_min": german_minimal_stem,
+    "fr_min": french_minimal_stem,
 }
 
 

@@ -32,6 +32,8 @@ from lucene_solr_1_spark.kernels.romance import (  # noqa: E402
     FINNISH_STOP_WORDS,
     RUSSIAN_STOP_WORDS,
     finnish_light_stem,
+    french_minimal_stem,
+    german_minimal_stem,
     russian_light_stem,
     hungarian_light_stem,
     italian_light_stem,
@@ -55,12 +57,14 @@ _BASE = (
     ("hu/hulighttestdata.zip", "hulight.txt", hungarian_light_stem),
     ("fi/filighttestdata.zip", "filight.txt", finnish_light_stem),
     ("ru/rulighttestdata.zip", "rulight.txt", russian_light_stem),
+    ("de/deminimaltestdata.zip", "deminimal.txt", german_minimal_stem),
+    ("fr/frminimaltestdata.zip", "frminimal.txt", french_minimal_stem),
 ])
 def test_light_stem_canonical_vocabulary(zname, inner, fn):
     with zipfile.ZipFile(_BASE + zname) as z:
         lines = z.read(inner).decode("utf-8").splitlines()
     pairs = [ln.split("\t") for ln in lines if ln.strip()]
-    assert len(pairs) > 25000
+    assert len(pairs) > 20000
     bad = [(w, fn(w), e) for w, e in pairs if fn(w) != e]
     assert bad == []
 
@@ -92,6 +96,11 @@ def test_inflection_collapse():
         assert hungarian_light_stem(w) == "haz", w
     for w in ("talossa", "taloja", "taloon", "talolla"):
         assert finnish_light_stem(w) == "talo", w
+    for w in ("kinder", "kindes", "kinde"):
+        assert german_minimal_stem(w) == "kind", w
+    for w in ("portes", "porter", "porters"):
+        assert french_minimal_stem(w) == "port", w
+    assert french_minimal_stem("chevaux") == "cheval"  # -aux -> -al
 
 
 def test_portuguese_fold_runs_last():
