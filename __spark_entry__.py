@@ -274,20 +274,19 @@ def _get_syn_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
-def _get_german_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
-    """Index built with the GERMAN analyzer (GermanNormalizationFilter +
-    GermanLightStemFilter after lowercase + snowball-stop, de/
-    GermanAnalyzer.java:132-142) over a deterministically annotated view
-    (kernel_oracle.GERMAN_ANNOTATIONS — both engines map merges/merge/
-    window onto hauses/haeuser/haus, three inflections of ONE lemma)."""
-    from lucene_solr_1_spark.kernels.analyzer import GERMAN
-
-    key = ("german", sf_dir)
+def _annotated_index(spark: SparkSession, sf_dir: str, name: str,
+                     annotations, cfg) -> LuceneSparkSearcher:
+    """ONE builder for every annotated-view index: annotations apply to
+    lower(text) — EXACTLY the expression the DuckDB twins use
+    (kernel_oracle *_annotated_text_sql over lower(text)), so the two
+    engines' annotation specs can never drift on capitalization
+    (CLAUDE.md invariant; was a latent raw-vs-lower divergence)."""
+    key = (name, sf_dir)
     if key not in _INDEX_CACHE:
-        d = tempfile.mkdtemp(prefix="sgidx_de_")
+        d = tempfile.mkdtemp(prefix=f"sgidx_{name}_")
         docs = R.load_documents(spark, sf_dir)
-        content = F.col("text")
-        for pat, rep in KO.GERMAN_ANNOTATIONS:
+        content = F.lower(F.col("text"))
+        for pat, rep in annotations:
             content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
         annotated = docs.select(
             F.lit("testdata/documents").alias("repo"),
@@ -296,9 +295,21 @@ def _get_german_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
             F.col("lang"),
             content.alias("content"),
         )
-        build_index(spark, annotated, d, num_segments=4, cfg=GERMAN)
+        build_index(spark, annotated, d, num_segments=4, cfg=cfg)
         _INDEX_CACHE[key] = d
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
+def _get_german_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the GERMAN analyzer (GermanNormalizationFilter +
+    GermanLightStemFilter after lowercase + snowball-stop, de/
+    GermanAnalyzer.java:132-142) over a deterministically annotated view
+    (kernel_oracle.GERMAN_ANNOTATIONS — both engines map merges/merge/
+    window onto hauses/haeuser/haus, three inflections of ONE lemma)."""
+    from lucene_solr_1_spark.kernels.analyzer import GERMAN
+
+    return _annotated_index(spark, sf_dir, "german",
+                            KO.GERMAN_ANNOTATIONS, GERMAN)
 
 
 def _get_french_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
@@ -308,23 +319,8 @@ def _get_french_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     adorateur/adoration/adore, three inflections of ONE lemma)."""
     from lucene_solr_1_spark.kernels.analyzer import FRENCH
 
-    key = ("french", sf_dir)
-    if key not in _INDEX_CACHE:
-        d = tempfile.mkdtemp(prefix="sgidx_fr_")
-        docs = R.load_documents(spark, sf_dir)
-        content = F.col("text")
-        for pat, rep in KO.FRENCH_ANNOTATIONS:
-            content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
-        annotated = docs.select(
-            F.lit("testdata/documents").alias("repo"),
-            F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
-            F.sha2(F.col("text"), 256).alias("commit"),
-            F.col("lang"),
-            content.alias("content"),
-        )
-        build_index(spark, annotated, d, num_segments=4, cfg=FRENCH)
-        _INDEX_CACHE[key] = d
-    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+    return _annotated_index(spark, sf_dir, "french",
+                            KO.FRENCH_ANNOTATIONS, FRENCH)
 
 
 def _get_light_index(spark: SparkSession, sf_dir: str,
@@ -351,23 +347,8 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
     cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN,
            "sv": SWEDISH, "hu": HUNGARIAN, "fi": FINNISH,
            "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL}[lang]
-    key = ("light", lang, sf_dir)
-    if key not in _INDEX_CACHE:
-        d = tempfile.mkdtemp(prefix=f"sgidx_{lang}_")
-        docs = R.load_documents(spark, sf_dir)
-        content = F.col("text")
-        for pat, rep in KO.LIGHT_ANNOTATIONS[lang]:
-            content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
-        annotated = docs.select(
-            F.lit("testdata/documents").alias("repo"),
-            F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
-            F.sha2(F.col("text"), 256).alias("commit"),
-            F.col("lang"),
-            content.alias("content"),
-        )
-        build_index(spark, annotated, d, num_segments=4, cfg=cfg)
-        _INDEX_CACHE[key] = d
-    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+    return _annotated_index(spark, sf_dir, f"light_{lang}",
+                            KO.LIGHT_ANNOTATIONS[lang], cfg)
 
 
 def _get_compound_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
@@ -868,23 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_stem_exclusion"] = _stem_exclusion
 
     def _pattern_index(s, d, name, annotations, cfg):
-        key = (name, d)
-        if key not in _INDEX_CACHE:
-            idx = tempfile.mkdtemp(prefix=f"sgidx_{name}_")
-            docs = R.load_documents(s, d)
-            content = F.lower(F.col("text"))
-            for pat, rep in annotations:
-                content = F.regexp_replace(content, F.lit(pat), F.lit(rep))
-            annotated = docs.select(
-                F.lit("testdata/documents").alias("repo"),
-                F.format_string("doc/%08d", F.col("doc_id")).alias("path"),
-                F.sha2(F.col("text"), 256).alias("commit"),
-                F.col("lang"),
-                content.alias("content"),
-            )
-            build_index(s, annotated, idx, num_segments=4, cfg=cfg)
-            _INDEX_CACHE[key] = idx
-        return LuceneSparkSearcher(s, _INDEX_CACHE[key])
+        return _annotated_index(s, d, name, annotations, cfg)
 
     def _pattern_charfilter(s, d):
         # PatternReplaceCharFilter joins the annotated hyphenated

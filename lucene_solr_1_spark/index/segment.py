@@ -219,7 +219,14 @@ def build_segment_frames(
     t0 = time.monotonic()
     if (cfg.word_delimiter or cfg.html_strip
             or getattr(cfg, "char_filters", ())
-            or getattr(cfg, "token_pattern", "")) and (
+            or getattr(cfg, "token_pattern", "")
+            # synonym graph flatten RENUMBERS positions and multi-word
+            # insertion EXTENDS them past the raw token count, so the
+            # per-raw-token offset/payload arrays no longer align
+            # (stacked-injection chains — phonetic/stem_keep/compound/
+            # common_grams — keep positions within the raw range and
+            # stay aligned)
+            or getattr(cfg, "synonyms", ())) and (
             store_offsets or store_payloads):
         # offsets/payloads align 1:1 with RAW token positions in the
         # ORIGINAL content; the word-delimiter graph renumbers positions
@@ -227,8 +234,9 @@ def build_segment_frames(
         # IndexOptions are mutually exclusive with them (the reference
         # pairs these filters with offset-correction state we don't store)
         raise ValueError(
-            "word_delimiter/html_strip/char_filters/token_pattern "
-            "analyzers do not support store_offsets/store_payloads"
+            "word_delimiter/html_strip/char_filters/token_pattern/"
+            "synonyms analyzers do not support "
+            "store_offsets/store_payloads"
         )
     if not presorted:
         pdf = pdf.sort_values(DOC_KEY, kind="mergesort").reset_index(drop=True)

@@ -545,18 +545,20 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     pandas .str.findall runs the regex in C per row — this is the Arrow
     UDF hot path (no Spark-level per-row Python)."""
     src = texts.fillna("")
+    if (cfg.phonetic or cfg.stem_keep_original or cfg.synonyms
+            or cfg.common_grams or cfg.compound_dict):
+        # stacked-token chains (posIncr-0 injection / graph rewrite):
+        # route through the scalar twin so shingle/ngram consumers see
+        # the full emitted stream — on the RAW source (tokenize_one
+        # applies html_strip/char_filters itself; applying them here
+        # first would run a non-idempotent char filter twice)
+        return src.map(lambda t: tokenize_one(t, cfg)[0])
     if cfg.html_strip:
         src = html_strip_series(src)
     for pat, rep in cfg.char_filters:
         src = src.str.replace(pat, rep, regex=True)
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
-    if (cfg.phonetic or cfg.stem_keep_original or cfg.synonyms
-            or cfg.common_grams or cfg.compound_dict):
-        # stacked-token chains (posIncr-0 injection / graph rewrite):
-        # route through the scalar twin so shingle/ngram consumers see
-        # the full emitted stream — same invariant as the wd branch above
-        return src.map(lambda t: tokenize_one(t, cfg)[0])
     if cfg.lowercase:
         src = src.str.lower()
     if cfg.ascii_fold:

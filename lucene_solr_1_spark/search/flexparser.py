@@ -35,7 +35,8 @@ import dataclasses
 
 from ..index.segment import KEYWORD_FIELDS
 from ..kernels.analyzer import STANDARD, AnalyzerConfig
-from .parser import NUMERIC_FIELDS, ParseError, _lex, _Parser
+from .parser import (NUMERIC_FIELDS, ParseError, _lex, _Parser,
+                     float_to_edits)
 from .query import (
     Bool,
     Boost,
@@ -58,17 +59,6 @@ _MULTI_SENTINEL = "\x00multi"
 _FIELDED_LEAVES = (Term, Phrase, Prefix, Wildcard, Fuzzy, Regexp, TermRange)
 
 
-def float_to_edits(min_sim: float, term_len: int) -> int:
-    """FuzzyQuery.floatToEdits (core/search/FuzzyQuery.java): >= 1 is an
-    edit count; a (0, 1) similarity maps to scaled edits, capped at the
-    maximum supported distance (2)."""
-    if min_sim >= 1.0:
-        return min(int(min_sim), 2)
-    if min_sim == 0.0:
-        return 0
-    return min(int((1.0 - min_sim) * term_len), 2)
-
-
 class _FlexParser(_Parser):
     """Classic grammar with the flexible pipeline's fuzzy semantics."""
 
@@ -82,7 +72,9 @@ class _FlexParser(_Parser):
             if kind == "TILDE" and allow_fuzzy and isinstance(q, Term):
                 _, tv = self.next()
                 if len(tv) > 1:
-                    max_e = int(float(tv[1:]))
+                    # FuzzyQueryNodeBuilder: every explicit similarity
+                    # runs through floatToEdits (fractional scales by len)
+                    max_e = float_to_edits(float(tv[1:]), len(q.text))
                 elif self.fuzzy_min_sim is not None:
                     max_e = float_to_edits(self.fuzzy_min_sim, len(q.text))
                 else:
@@ -100,7 +92,7 @@ class StandardQueryParser:
 
     >>> p = StandardQueryParser()
     >>> p.set_default_operator("AND")
-    >>> p.set_multi_fields(("content", "path"))
+    >>> p.set_multi_fields(("content", "title"))
     >>> q = p.parse("fast window")   # no default field -> multi-field OR
     """
 
@@ -129,7 +121,19 @@ class StandardQueryParser:
         self._allow_leading_wildcard = bool(allowed)
 
     def set_multi_fields(self, fields) -> None:
-        self._multi_fields = tuple(fields)
+        fields = tuple(fields)
+        kw = [f for f in fields if f in self.keyword_fields]
+        if kw:
+            # field-less leaves parse through the ANALYZER; re-fielding
+            # an analyzed (lowercased) copy onto a verbatim keyword
+            # field silently never matches — the reference avoids this
+            # with PerFieldAnalyzerWrapper, which this engine models as
+            # explicit `field:` prefixes instead
+            raise ValueError(
+                f"multi_fields must be analyzed fields; keyword fields "
+                f"{kw} need an explicit 'field:' prefix (verbatim terms)"
+            )
+        self._multi_fields = fields
 
     def set_fields_boost(self, boosts: dict) -> None:
         self._fields_boost = dict(boosts)

@@ -56,6 +56,18 @@ class ParseError(ValueError):
     pass
 
 
+def float_to_edits(min_sim: float, term_len: int) -> int:
+    """FuzzyQuery.floatToEdits (core/search/FuzzyQuery.java): >= 1 is an
+    edit count; a (0, 1) similarity maps to scaled edits, capped at the
+    maximum supported distance (2). QueryParserBase.handleBareFuzzy runs
+    every explicit fractional `~0.8` through this."""
+    if min_sim >= 1.0:
+        return min(int(min_sim), 2)
+    if min_sim == 0.0:
+        return 0
+    return min(int((1.0 - min_sim) * term_len), 2)
+
+
 _TOKEN_SPEC = [
     ("SPACE", r"\s+"),
     ("AND", r"AND(?=[\s(\"]|$)|&&"),
@@ -230,7 +242,12 @@ class _Parser:
             kind = self.peek()
             if kind == "TILDE" and allow_fuzzy and isinstance(q, Term):
                 _, tv = self.next()
-                max_e = int(float(tv[1:])) if len(tv) > 1 else self.fuzzy_max_edits
+                if len(tv) > 1:
+                    # QueryParserBase.handleBareFuzzy: fractional
+                    # similarities scale by term length (floatToEdits)
+                    max_e = float_to_edits(float(tv[1:]), len(q.text))
+                else:
+                    max_e = self.fuzzy_max_edits
                 q = Fuzzy(q.text, max_edits=max_e, field=q.field)
             elif kind == "CARAT":
                 _, bv = self.next()

@@ -65,14 +65,38 @@ def length_table_values() -> str:
     )
 
 
-def _base_ctes(toks: str | None = None) -> str:
-    """Corpus-level CTEs: tokens, per-doc quantized-dl norm cache
-    (float32) — shared by every kernel twin. `toks` overrides the token
-    source expression (char-filter / pattern-tokenizer twins)."""
-    toks = toks or f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
-    # cache[i] = f32(k1 * (f32(1-b) + f32(f32(b * len_f) / avgdl)))
-    # — same op order as bm25.norm_cache
-    cache_expr = _f32(
+def _corpus_vocab(annotated_col: str = "lower(text)") -> list:
+    """DISTINCT tokens of the testdata documents tables (all shipped SFs
+    unioned so a mapping is valid wherever the driver points the views),
+    optionally over an annotated source expression — the ONE vocab scan
+    every mapping-table generator (stem/phonetic/compound/light) uses."""
+    import os
+
+    import duckdb
+
+    files = [
+        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
+    ]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        raise FileNotFoundError("no testdata documents tables for vocab scan")
+    con = duckdb.connect()
+    flist = ", ".join(f"'{f}'" for f in files)
+    return [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT unnest(regexp_extract_all({annotated_col}, "
+            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{flist}])"
+        ).fetchall()
+    ]
+
+
+def _norm_cache_expr() -> str:
+    """cache[i] = f32(k1 * (f32(1-b) + f32(f32(b * len_f) / avgdl))) —
+    the ONE statement of kernels/bm25.norm_cache's float32 op order
+    every twin's `cache` CTE must use (bit-exactness invariant: any
+    K1/B/op-order change edits exactly one place)."""
+    return _f32(
         f"{_f32(_lit(K1))} * "
         + _f32(
             f"{_f32(_lit(1 - B))} + "
@@ -82,6 +106,16 @@ def _base_ctes(toks: str | None = None) -> str:
             )
         )
     )
+
+
+def _base_ctes(toks: str | None = None) -> str:
+    """Corpus-level CTEs: tokens, per-doc quantized-dl norm cache
+    (float32) — shared by every kernel twin. `toks` overrides the token
+    source expression (char-filter / pattern-tokenizer twins)."""
+    toks = toks or f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    # cache[i] = f32(k1 * (f32(1-b) + f32(f32(b * len_f) / avgdl)))
+    # — same op order as bm25.norm_cache
+    cache_expr = _norm_cache_expr()
     return f"""
 tok AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -430,27 +464,9 @@ def _stem_table_values(extra_terms=(), exclusions=frozenset()) -> str:
     the same spec, here literally the same porter_stem function). All
     three shipped SFs are unioned so the mapping is valid wherever the
     driver points the views."""
-    import os
-
-    import duckdb
-
     from ..kernels.porter import porter_stem
 
-    dirs = [
-        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
-    ]
-    dirs = [d for d in dirs if os.path.exists(d)]
-    if not dirs:
-        raise FileNotFoundError("no testdata documents tables for stem table")
-    con = duckdb.connect()
-    files = ", ".join(f"'{d}'" for d in dirs)
-    vocab = [
-        r[0]
-        for r in con.execute(
-            f"SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
-            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{files}])"
-        ).fetchall()
-    ]
+    vocab = _corpus_vocab()
     vocab.extend(extra_terms)
     rows = [
         f"({_sql_str(t)}, {_sql_str(porter_stem(t))})"
@@ -468,16 +484,7 @@ def _stemmed_prelude(all_terms, stop_words, exclusions=frozenset()) -> str:
     CTE names match _base_ctes so _weights_cte/_scores_cte compose."""
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
     stop_list = _sql_list(sorted(stop_words)) or "''"
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 raw AS (
   SELECT doc_id, unnest({toks}) AS rt FROM documents
@@ -1305,16 +1312,7 @@ def _worddelim_prelude(all_terms) -> str:
     view: case-preserving tokenize -> wd split (mapping table) ->
     lowercase. dl = emitted part count (FieldInvertState.getLength)."""
     ann = wd_annotated_text_sql()
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 raw AS (
   SELECT doc_id, unnest(regexp_extract_all({ann}, '{WD_RAW_PATTERN}')) AS rt
@@ -1421,16 +1419,7 @@ def kernel_htmlstrip_term_duck(term: str, k: int = 10) -> str:
     float32 BM25."""
     stripped = html_strip_sql(html_annotated_text_sql())
     toks = f"regexp_extract_all(lower({stripped}), '{TOKEN_PATTERN}')"
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -1472,27 +1461,9 @@ matched AS (
 def _phonetic_table_values() -> str:
     """(term, code) VALUES rows for every corpus token with a nonempty,
     distinct Soundex code."""
-    import os
-
-    import duckdb
-
     from ..kernels.phonetic import phonetic_code
 
-    files = [
-        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
-    ]
-    files = [f for f in files if os.path.exists(f)]
-    if not files:
-        raise FileNotFoundError("no testdata documents tables for phonetic table")
-    con = duckdb.connect()
-    flist = ", ".join(f"'{f}'" for f in files)
-    vocab = [
-        r[0]
-        for r in con.execute(
-            f"SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
-            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{flist}])"
-        ).fetchall()
-    ]
+    vocab = _corpus_vocab()
     rows = []
     for t in sorted(set(vocab)):
         code = phonetic_code(t)
@@ -1512,16 +1483,7 @@ def kernel_phonetic_synonym_duck(query_text: str, k: int = 10) -> str:
     term = query_text.lower()
     code = phonetic_code(term)
     members = [term] + ([code] if code else [])
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
     return f"""
 WITH base AS (
@@ -1621,16 +1583,7 @@ def kernel_keep_original_synonym_duck(query_text: str, k: int = 10) -> str:
     term = query_text.lower()
     stem = porter_stem(term)
     members = [term] + ([stem] if stem != term else [])
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
     return f"""
 WITH base AS (
@@ -1737,28 +1690,10 @@ def _compound_table_values() -> str:
     """(term, sub) VALUES rows — one row per (corpus token, emitted
     subword), duplicates preserved in discovery order (the injected
     stream repeats a subword hit the reference repeats)."""
-    import os
-
-    import duckdb
-
     from ..kernels.analyzer import COMPOUND_DICT
     from ..kernels.compound import decompose
 
-    files = [
-        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
-    ]
-    files = [f for f in files if os.path.exists(f)]
-    if not files:
-        raise FileNotFoundError("no testdata documents tables for compound table")
-    con = duckdb.connect()
-    flist = ", ".join(f"'{f}'" for f in files)
-    vocab = [
-        r[0]
-        for r in con.execute(
-            f"SELECT DISTINCT unnest(regexp_extract_all(lower(text), "
-            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{flist}])"
-        ).fetchall()
-    ]
+    vocab = _corpus_vocab()
     rows = []
     for t in sorted(set(vocab)):
         for sub in decompose(t, COMPOUND_DICT):
@@ -1777,16 +1712,7 @@ def kernel_compound_synonym_duck(query_text: str, k: int = 10) -> str:
 
     term = query_text.lower()
     members = list(dict.fromkeys([term] + decompose(term, COMPOUND_DICT)))
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
     return f"""
 WITH base AS (
@@ -1903,16 +1829,7 @@ def _synonym_prelude(all_terms) -> str:
     inj_rows = ", ".join(
         f"({_sql_str(t)}, {_sql_str(m)})" for t, ms in inj.items() for m in ms
     ) or "('', '')"
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 base AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -2029,28 +1946,9 @@ def _german_stem_table_values() -> str:
     """(term, german_term(term)) VALUES rows over the ANNOTATED corpus
     vocabulary wherever the chain changes the token (the fixed-vocabulary
     stem-table pattern, kernels/german.german_term as the one spec)."""
-    import os
-
-    import duckdb
-
     from ..kernels.german import german_term
 
-    dirs = [
-        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
-    ]
-    dirs = [d for d in dirs if os.path.exists(d)]
-    if not dirs:
-        raise FileNotFoundError("no testdata documents tables for stem table")
-    con = duckdb.connect()
-    files = ", ".join(f"'{d}'" for d in dirs)
-    annotated = german_annotated_text_sql("lower(text)")
-    vocab = [
-        r[0]
-        for r in con.execute(
-            f"SELECT DISTINCT unnest(regexp_extract_all({annotated}, "
-            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{files}])"
-        ).fetchall()
-    ]
+    vocab = _corpus_vocab(german_annotated_text_sql("lower(text)"))
     rows = [
         f"({_sql_str(t)}, {_sql_str(german_term(t))})"
         for t in sorted(set(vocab))
@@ -2074,16 +1972,7 @@ def kernel_german_term_duck(query_text: str, k: int = 10) -> str:
     # non-ASCII stop words can never match ASCII tokens — keep the SQL
     # list ASCII-only (DuckDB string literals stay clean either way)
     stop_list = _sql_list(sorted(w for w in GERMAN_STOP_WORDS if w.isascii()))
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 WITH raw AS (
   SELECT doc_id, unnest({toks}) AS rt FROM documents
@@ -2149,16 +2038,7 @@ def kernel_span_mtq_near_duck(like_pattern: str, follow: str,
     pat = _sql_str(like_pattern)
     fol = _sql_str(follow.lower())
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 WITH tokp AS (
   SELECT doc_id, unnest({toks}) AS term,
@@ -2327,16 +2207,7 @@ def kernel_common_grams_term_duck(query_text: str, common: tuple,
     term = _sql_str(query_text.lower())
     clist = _sql_list(sorted(set(common)))
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 WITH tokp AS (
   SELECT doc_id, unnest({toks}) AS term,
@@ -2392,16 +2263,7 @@ def kernel_phrase_highlight_offsets_duck(t1: str, t2: str, k: int = 10,
     a, b = _sql_str(t1.lower()), _sql_str(t2.lower())
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
     gaps = f"regexp_split_to_array(lower(text), '{TOKEN_PATTERN}')"
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 WITH tokp AS (
   SELECT doc_id, unnest({toks}) AS term,
@@ -2526,28 +2388,9 @@ def light_annotated_text_sql(lang: str, col: str = "text") -> str:
 def _light_stem_table_values(lang: str) -> str:
     """(term, light_stem(term)) rows over the ANNOTATED corpus vocabulary
     wherever the stemmer changes the token."""
-    import os
-
-    import duckdb
-
     from ..kernels.romance import light_stem
 
-    dirs = [
-        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
-    ]
-    dirs = [d for d in dirs if os.path.exists(d)]
-    if not dirs:
-        raise FileNotFoundError("no testdata documents tables for stem table")
-    con = duckdb.connect()
-    files = ", ".join(f"'{d}'" for d in dirs)
-    annotated = light_annotated_text_sql(lang, "lower(text)")
-    vocab = [
-        r[0]
-        for r in con.execute(
-            f"SELECT DISTINCT unnest(regexp_extract_all({annotated}, "
-            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{files}])"
-        ).fetchall()
-    ]
+    vocab = _corpus_vocab(light_annotated_text_sql(lang, "lower(text)"))
     rows = [
         f"({_sql_str(t)}, {_sql_str(light_stem(lang, t))})"
         for t in sorted(set(vocab))
@@ -2584,16 +2427,7 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
         f"'{TOKEN_PATTERN}')"
     )
     stop_list = _sql_list(sorted(w for w in stops if w.isascii()))
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 WITH raw AS (
   SELECT doc_id, unnest({toks}) AS rt FROM documents
@@ -2649,28 +2483,9 @@ def french_annotated_text_sql(col: str = "text") -> str:
 def _french_stem_table_values() -> str:
     """(term, french_light_stem(term)) rows over the ANNOTATED corpus
     vocabulary wherever the stemmer changes the token."""
-    import os
-
-    import duckdb
-
     from ..kernels.french import french_light_stem
 
-    dirs = [
-        f"/root/testdata/sf{s}/documents.parquet" for s in ("0.001", "0.01", "0.1")
-    ]
-    dirs = [d for d in dirs if os.path.exists(d)]
-    if not dirs:
-        raise FileNotFoundError("no testdata documents tables for stem table")
-    con = duckdb.connect()
-    files = ", ".join(f"'{d}'" for d in dirs)
-    annotated = french_annotated_text_sql("lower(text)")
-    vocab = [
-        r[0]
-        for r in con.execute(
-            f"SELECT DISTINCT unnest(regexp_extract_all({annotated}, "
-            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{files}])"
-        ).fetchall()
-    ]
+    vocab = _corpus_vocab(french_annotated_text_sql("lower(text)"))
     rows = [
         f"({_sql_str(t)}, {_sql_str(french_light_stem(t))})"
         for t in sorted(set(vocab))
@@ -2692,16 +2507,7 @@ def kernel_french_term_duck(query_text: str, k: int = 10) -> str:
         f"'{TOKEN_PATTERN}')"
     )
     stop_list = _sql_list(sorted(w for w in FRENCH_STOP_WORDS if w.isascii()))
-    cache_expr = _f32(
-        f"{_f32(_lit(K1))} * "
-        + _f32(
-            f"{_f32(_lit(1 - B))} + "
-            + _f32(
-                _f32(f"{_f32(_lit(B))} * {_f32('q.len_f')}")
-                + " / av.a"
-            )
-        )
-    )
+    cache_expr = _norm_cache_expr()
     return f"""
 WITH raw AS (
   SELECT doc_id, unnest({toks}) AS rt FROM documents

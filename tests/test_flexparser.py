@@ -88,27 +88,31 @@ def test_classic_parse_unchanged():
 
 def test_multi_fields_and_boosts():
     p = StandardQueryParser()
-    p.set_multi_fields(("content", "path"))
-    p.set_fields_boost({"path": 2.0})
+    p.set_multi_fields(("content", "title"))
+    p.set_fields_boost({"title": 2.0})
     q = p.parse("fast")
     assert occurs(q) == [
         (Occur.SHOULD, Term("fast", field="content")),
-        (Occur.SHOULD, Boost(Term("fast", field="path"), 2.0)),
+        (Occur.SHOULD, Boost(Term("fast", field="title"), 2.0)),
     ]
     # an explicit field prefix is NOT expanded
     q = p.parse("content:fast window")
     kinds = [c for _, c in occurs(q)]
     assert Term("fast", field="content") in kinds
-    assert Boost(Term("window", field="path"), 2.0) in kinds
-    assert Boost(Term("fast", field="path"), 2.0) not in kinds
+    assert Boost(Term("window", field="title"), 2.0) in kinds
+    assert Boost(Term("fast", field="title"), 2.0) not in kinds
     # multi-term leaves expand too
     q = p.parse("wind*")
     assert occurs(q) == [
         (Occur.SHOULD, Prefix("wind", field="content")),
-        (Occur.SHOULD, Boost(Prefix("wind", field="path"), 2.0)),
+        (Occur.SHOULD, Boost(Prefix("wind", field="title"), 2.0)),
     ]
     # a default_field argument bypasses multi-field expansion
     assert p.parse("fast", default_field="path") == Term("fast", field="path")
+    # keyword fields are verbatim — analyzed copies would silently never
+    # match, so multi_fields rejects them up front
+    with pytest.raises(ValueError):
+        p.set_multi_fields(("content", "path"))
 
 
 def test_phrase_slop_default():
@@ -154,6 +158,12 @@ def test_fuzzy_min_sim():
     # explicit edit counts win
     assert p.parse("windowing~2") == Fuzzy("windowing", max_edits=2,
                                            field="content")
+    # explicit FRACTIONAL similarities also scale by term length
+    # (FuzzyQueryNodeBuilder -> floatToEdits), in flex AND classic
+    assert p.parse("organization~0.7") == Fuzzy("organization",
+                                                max_edits=2, field="content")
+    assert parse("organization~0.7") == Fuzzy("organization", max_edits=2,
+                                              field="content")
 
 
 def test_points_config_map():

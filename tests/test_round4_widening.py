@@ -844,3 +844,42 @@ def test_pattern_analysis_search(spark, tmp_path_factory):
     assert s._analyze_query(Term("data-driven")) == Term("datadriven",
                                                          field="content")
     assert set(s.search(Term("data-driven"), k=10)["path"]) == {"p0"}
+
+
+def test_synonym_offsets_payloads_rejected(spark, tmp_path_factory):
+    """Review fix: the synonym graph flatten RENUMBERS and can EXTEND
+    positions past the raw token count, so the per-raw-token offset and
+    payload arrays no longer align — build must refuse."""
+    from lucene_solr_1_spark.kernels.analyzer import SYNONYM_EN
+
+    pdf = pd.DataFrame(
+        [("r", "p0", "c", "x", "fast sort and window data")],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    for kw in ({"store_offsets": True}, {"store_payloads": True}):
+        d = str(tmp_path_factory.mktemp("idx_synoff"))
+        with pytest.raises(Exception):
+            build_index(spark, spark.createDataFrame(pdf), d,
+                        num_segments=1, cfg=SYNONYM_EN, **kw)
+
+
+def test_char_filter_applied_once_in_stacked_series():
+    """Review fix: analyze_series used to apply html_strip/char_filters
+    and then route stacked chains through tokenize_one which applied
+    them AGAIN — a non-idempotent char filter diverged from the scalar
+    and flatten paths."""
+    from lucene_solr_1_spark.kernels.analyzer import (
+        AnalyzerConfig,
+        analyze_series,
+        flatten_tokens,
+        tokenize_one,
+    )
+
+    cfg = AnalyzerConfig(char_filters=(("ab", "ba"),),
+                         compound_dict=frozenset({"ba"}))
+    # 'ababa' -> one filter pass gives 'babaa' (a second pass would give
+    # 'bbaaa'); the compound stage then injects both 'ba' subwords
+    scalar = tokenize_one("ababa", cfg)[0]
+    series = list(analyze_series(pd.Series(["ababa"]), cfg))[0]
+    flat = list(flatten_tokens(pd.Series(["ababa"]), cfg)[0])
+    assert scalar == series == flat == ["babaa", "ba", "ba"]
