@@ -342,11 +342,13 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
         FINNISH,
         FRENCH_MINIMAL,
         GERMAN_MINIMAL,
+        NORWEGIAN,
     )
 
     cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN,
            "sv": SWEDISH, "hu": HUNGARIAN, "fi": FINNISH,
-           "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL}[lang]
+           "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL,
+           "nb": NORWEGIAN}[lang]
     return _annotated_index(spark, sf_dir, f"light_{lang}",
                             KO.LIGHT_ANNOTATIONS[lang], cfg)
 
@@ -1264,8 +1266,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_swedish_stem"] = _swedish_stem
     q["fts_hungarian_stem"] = _hungarian_stem
     q["fts_finnish_stem"] = _finnish_stem
+    def _norwegian_stem(s, d):
+        # 'husets' (genitive) -> 'hus' (huset/husene/husa planted)
+        return _kernel_hits_df(s, _get_light_index(s, d, "nb"),
+                               Term("husets"), k=10)
+
     q["fts_german_minimal_stem"] = _german_minimal
     q["fts_french_minimal_stem"] = _french_minimal
+    q["fts_norwegian_stem"] = _norwegian_stem
 
     def _compound_recall(s, d):
         # DictionaryCompoundWordTokenFilter: 'customer' re-analyzes to
@@ -1562,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
             "de_min", "kinder", k=10),
         "fts_french_minimal_stem": KO.kernel_light_term_duck(
             "fr_min", "portes", k=10),
+        "fts_norwegian_stem": KO.kernel_light_term_duck("nb", "husets", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

@@ -37,9 +37,9 @@ from .german import (GERMAN_STOP_WORDS, german_array, german_normalize,
                      german_term)
 from .romance import (FINNISH_STOP_WORDS, HUNGARIAN_STOP_WORDS,
                       ITALIAN_ARTICLES, ITALIAN_STOP_WORDS,
-                      PORTUGUESE_STOP_WORDS, RUSSIAN_STOP_WORDS,
-                      SPANISH_STOP_WORDS, SWEDISH_STOP_WORDS,
-                      light_stem, light_stem_array)
+                      NORWEGIAN_STOP_WORDS, PORTUGUESE_STOP_WORDS,
+                      RUSSIAN_STOP_WORDS, SPANISH_STOP_WORDS,
+                      SWEDISH_STOP_WORDS, light_stem, light_stem_array)
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
 from .porter import porter_stem, stem_array, strip_possessive
@@ -385,6 +385,15 @@ FINNISH = AnalyzerConfig(stop_words=FINNISH_STOP_WORDS, light_lang="fi")
 # RussianAnalyzer: snowball stops + UniNE light stemmer — Cyrillic
 # end-to-end (the \w+ tokenizer handles it natively)
 RUSSIAN = AnalyzerConfig(stop_words=RUSSIAN_STOP_WORDS, light_lang="ru")
+# NorwegianAnalyzer (no/NorwegianAnalyzer.java: snowball stops +
+# NorwegianLightStemmer with the BOKMAAL flag); the Nynorsk and
+# minimal variants ride the same registry
+NORWEGIAN = AnalyzerConfig(stop_words=NORWEGIAN_STOP_WORDS,
+                           light_lang="nb")
+NORWEGIAN_NYNORSK = AnalyzerConfig(stop_words=NORWEGIAN_STOP_WORDS,
+                                   light_lang="nn")
+NORWEGIAN_MINIMAL = AnalyzerConfig(stop_words=NORWEGIAN_STOP_WORDS,
+                                   light_lang="nb_min")
 # The UniNE MINIMAL stemmer variants (GermanMinimalStemFilter /
 # FrenchMinimalStemFilter — one-pass plural strips, a lighter touch
 # than the light stemmers) behind the same snowball stop sets
@@ -431,6 +440,9 @@ ANALYZERS: dict = {
     "russian": RUSSIAN,
     "german_minimal": GERMAN_MINIMAL,
     "french_minimal": FRENCH_MINIMAL,
+    "norwegian": NORWEGIAN,
+    "norwegian_nynorsk": NORWEGIAN_NYNORSK,
+    "norwegian_minimal": NORWEGIAN_MINIMAL,
 }
 
 

@@ -658,6 +658,99 @@ def french_minimal_stem(s: str) -> str:
     return s
 
 
+NORWEGIAN_STOP_WORDS = frozenset({
+    "alle", "at", "av", "bare", "begge", "ble", "blei", "bli", "blir",
+    "blitt", "både", "båe", "da", "de", "deg", "dei", "deim", "deira",
+    "deires", "dem", "den", "denne", "der", "dere", "deres", "det",
+    "dette", "di", "din", "disse", "ditt", "du", "dykk", "dykkar", "då",
+    "eg", "ein", "eit", "eitt", "eller", "elles", "en", "enn", "er",
+    "et", "ett", "etter", "for", "fordi", "fra", "før", "ha", "hadde",
+    "han", "hans", "har", "hennar", "henne", "hennes", "her", "hjå",
+    "ho", "hoe", "honom", "hoss", "hossen", "hun", "hva", "hvem",
+    "hver", "hvilke", "hvilken", "hvis", "hvor", "hvordan", "hvorfor",
+    "i", "ikke", "ikkje", "ingen", "ingi", "inkje", "inn", "inni", "ja",
+    "jeg", "kan", "kom", "korleis", "korso", "kun", "kunne", "kva",
+    "kvar", "kvarhelst", "kven", "kvi", "kvifor", "man", "mange", "me",
+    "med", "medan", "meg", "meget", "mellom", "men", "mi", "min",
+    "mine", "mitt", "mot", "mykje", "ned", "no", "noe", "noen", "noka",
+    "noko", "nokon", "nokor", "nokre", "nå", "når", "og", "også", "om",
+    "opp", "oss", "over", "på", "samme", "seg", "selv", "si", "sia",
+    "sidan", "siden", "sin", "sine", "sitt", "sjøl", "skal", "skulle",
+    "slik", "so", "som", "somme", "somt", "så", "sånn", "til", "um",
+    "upp", "ut", "uten", "var", "vart", "varte", "ved", "vere", "verte",
+    "vi", "vil", "ville", "vore", "vors", "vort", "vår", "være", "vært",
+    "å",
+})
+
+
+def norwegian_light_stem(s: str, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """no/NorwegianLightStemmer.java:55-150 — genitive strip then one
+    suffix pass with Bokmål/Nynorsk-conditional endings."""
+    if len(s) > 4 and s.endswith("s"):
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and ((bokmaal and (s.endswith("heter") or s.endswith("heten")))
+                  or (nynorsk and s.endswith("heita"))):
+        return s[:-5]
+    if n > 8 and nynorsk and s[-6:] in ("heiter", "leiken", "leikar"):
+        return s[:-6]
+    if n > 5 and (s.endswith("dom") or (bokmaal and s.endswith("het"))):
+        return s[:-3]
+    if n > 6 and nynorsk and s[-4:] in ("heit", "semd", "leik"):
+        return s[:-4]
+    if n > 7 and s[-5:] in ("elser", "elsen"):
+        return s[:-5]
+    if n > 6 and ((bokmaal and s[-4:] in ("ende", "este", "eren"))
+                  or (nynorsk and s[-4:] in ("ande", "aste", "aren"))
+                  or s.endswith("else")):
+        return s[:-4]
+    if n > 5 and ((bokmaal and s[-3:] in ("ere", "est"))
+                  or (nynorsk and s[-3:] in ("are", "ast", "ane"))
+                  or s.endswith("ene")):
+        return s[:-3]
+    if n > 4 and (s[-2:] in ("er", "en", "et", "te")
+                  or (nynorsk and s.endswith("ar"))
+                  or (bokmaal and s.endswith("st"))):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+def norwegian_minimal_stem(s: str, bokmaal: bool = True,
+                           nynorsk: bool = False) -> str:
+    """no/NorwegianMinimalStemmer.java:40-75 — genitive strip + the
+    noun-declension subset of the light pass."""
+    if len(s) > 4 and s.endswith("s"):
+        s = s[:-1]
+    n = len(s)
+    if n > 5 and (s.endswith("ene") or (nynorsk and s.endswith("ane"))):
+        return s[:-3]
+    if n > 4 and (s[-2:] in ("er", "en", "et")
+                  or (nynorsk and s.endswith("ar"))):
+        return s[:-2]
+    if n > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s
+
+
+def _nb_light(s: str) -> str:
+    return norwegian_light_stem(s, bokmaal=True, nynorsk=False)
+
+
+def _nn_light(s: str) -> str:
+    return norwegian_light_stem(s, bokmaal=False, nynorsk=True)
+
+
+def _nb_minimal(s: str) -> str:
+    return norwegian_minimal_stem(s, bokmaal=True, nynorsk=False)
+
+
+def _nn_minimal(s: str) -> str:
+    return norwegian_minimal_stem(s, bokmaal=False, nynorsk=True)
+
+
 LIGHT_STEMMERS = {
     "es": spanish_light_stem,
     "pt": portuguese_light_stem,
@@ -668,6 +761,10 @@ LIGHT_STEMMERS = {
     "ru": russian_light_stem,
     "de_min": german_minimal_stem,
     "fr_min": french_minimal_stem,
+    "nb": _nb_light,
+    "nn": _nn_light,
+    "nb_min": _nb_minimal,
+    "nn_min": _nn_minimal,
 }
 
 

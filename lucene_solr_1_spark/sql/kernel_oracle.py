@@ -2375,6 +2375,8 @@ LIGHT_ANNOTATIONS = {
                (r"\bwindow\b", "kinde")),
     "fr_min": ((r"\bdata\b", "portes"), (r"\bmerge\b", "porter"),
                (r"\bwindow\b", "porters")),
+    "nb": ((r"\bdata\b", "huset"), (r"\bmerge\b", "husene"),
+           (r"\bwindow\b", "husa")),
 }
 
 
@@ -2414,13 +2416,14 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
 
     from ..kernels.french import FRENCH_STOP_WORDS
     from ..kernels.german import GERMAN_STOP_WORDS
-    from ..kernels.romance import FINNISH_STOP_WORDS
+    from ..kernels.romance import FINNISH_STOP_WORDS, NORWEGIAN_STOP_WORDS
 
     stops = {"es": SPANISH_STOP_WORDS, "pt": PORTUGUESE_STOP_WORDS,
              "it": ITALIAN_STOP_WORDS, "sv": SWEDISH_STOP_WORDS,
              "hu": HUNGARIAN_STOP_WORDS, "fi": FINNISH_STOP_WORDS,
              "de_min": GERMAN_STOP_WORDS,
-             "fr_min": FRENCH_STOP_WORDS}[lang]
+             "fr_min": FRENCH_STOP_WORDS,
+             "nb": NORWEGIAN_STOP_WORDS}[lang]
     stemmed = light_stem(lang, query_text.lower())
     toks = (
         f"regexp_extract_all({light_annotated_text_sql(lang, 'lower(text)')}, "

@@ -30,6 +30,7 @@ from lucene_solr_1_spark.kernels.romance import (  # noqa: E402
     SPANISH_STOP_WORDS,
     SWEDISH_STOP_WORDS,
     FINNISH_STOP_WORDS,
+    NORWEGIAN_STOP_WORDS,
     RUSSIAN_STOP_WORDS,
     finnish_light_stem,
     french_minimal_stem,
@@ -39,6 +40,8 @@ from lucene_solr_1_spark.kernels.romance import (  # noqa: E402
     italian_light_stem,
     light_stem_array,
     portuguese_light_stem,
+    norwegian_light_stem,
+    norwegian_minimal_stem,
     spanish_light_stem,
     swedish_light_stem,
 )
@@ -101,6 +104,13 @@ def test_inflection_collapse():
     for w in ("portes", "porter", "porters"):
         assert french_minimal_stem(w) == "port", w
     assert french_minimal_stem("chevaux") == "cheval"  # -aux -> -al
+    for w in ("huset", "husene", "husa", "husets"):
+        assert norwegian_light_stem(w) == "hus", w
+    # Nynorsk-only endings strip only under the nynorsk flag
+    assert norwegian_light_stem("gutane") == "gutan"
+    assert norwegian_light_stem("gutane", bokmaal=False, nynorsk=True) == "gut"
+    assert norwegian_minimal_stem("husene") == "hus"
+    assert norwegian_minimal_stem("hemmeligheten") == "hemmelighet"
 
 
 def test_portuguese_fold_runs_last():
@@ -159,6 +169,7 @@ def test_stop_sets_are_snowball():
     assert "hogy" in HUNGARIAN_STOP_WORDS and len(HUNGARIAN_STOP_WORDS) > 190
     assert "mutta" in FINNISH_STOP_WORDS and len(FINNISH_STOP_WORDS) > 220
     assert "для" in RUSSIAN_STOP_WORDS and len(RUSSIAN_STOP_WORDS) > 150
+    assert "ikke" in NORWEGIAN_STOP_WORDS and len(NORWEGIAN_STOP_WORDS) > 150
 
 
 def test_query_side_and_recall(spark, tmp_path_factory):
@@ -214,3 +225,26 @@ def test_russian_cyrillic_end_to_end(spark, tmp_path_factory):
     assert s._analyze_query(Term("школами")) == Term("школ", field="content")
     hits = s.search(Term("школами"), k=10)
     assert set(hits["path"]) == {"p0", "p1"}
+
+
+def test_norwegian_reference_vocabularies():
+    """All four reference vocabulary files (nb/nn x light/minimal) —
+    TestNorwegian{Light,Minimal}StemFilter.testVocabulary data."""
+    from lucene_solr_1_spark.kernels.romance import (
+        _nb_light, _nb_minimal, _nn_light, _nn_minimal)
+
+    base = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            "lucene/analysis/no/")
+    for fname, fn in (("nb_light.txt", _nb_light),
+                      ("nn_light.txt", _nn_light),
+                      ("nb_minimal.txt", _nb_minimal),
+                      ("nn_minimal.txt", _nn_minimal)):
+        pairs = []
+        for ln in open(base + fname, encoding="utf-8"):
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            pairs.append(ln.split("\t"))
+        assert len(pairs) > 50
+        bad = [(w, fn(w), e) for w, e in pairs if fn(w) != e]
+        assert bad == [], fname
