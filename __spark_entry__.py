@@ -679,6 +679,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_kernel_fuzzy"] = lambda s, d: _kernel_hits_df(
         s, _get_index(s, d), Fuzzy("quary", max_edits=2), k=10
     )
+    # r5: non-fuzzy prefixLength (FuzzyQuery.java:133-138) — first 2 chars
+    # locked ("qu", a pushed-down startswith), edits measured on suffixes
+    q["fts_kernel_fuzzy_prefix"] = lambda s, d: _kernel_hits_df(
+        s, _get_index(s, d), Fuzzy("quary", max_edits=2, prefix_length=2), k=10
+    )
 
     def _kernel_highlight(s, d, term="query", k=10, width=30):
         """Kernel-path highlighting: snippets cut from the index's STORED
@@ -1634,6 +1639,9 @@ FROM documents WHERE doc_id IN (3, 17, 42) ORDER BY doc_id
         ),
         "fts_field_term": KO.kernel_keyword_term_duck("lang", "en", k=10),
         "fts_kernel_fuzzy": KO.kernel_fuzzy_duck("quary", 2, 10),
+        "fts_kernel_fuzzy_prefix": KO.kernel_fuzzy_duck(
+            "quary", 2, 10, prefix_length=2
+        ),
         "fts_stemmed_term": KO.kernel_stemmed_term_duck("merges", k=10),
         "fts_stem_exclusion": KO.kernel_stem_exclusion_duck(
             "customer", frozenset({"customer"}), k=10,

@@ -24,9 +24,11 @@ queryparser/flexible/standard/):
   * :295 setPointsConfigMap — processors/PointQueryNodeProcessor: ranges
     on configured fields become numeric range queries instead of
     lexicographic term ranges.
-  Not modeled: setFuzzyPrefixLength (the engine's FuzzyQuery always uses
-  the reference default prefixLength=0), locale/timezone/date resolution
-  (no date fields in this engine's schema).
+  * :419 setFuzzyPrefixLength — FuzzyConfig.prefixLength feeding
+    FuzzyQueryNodeBuilder: the non-fuzzy prefix locks the first N chars
+    (Fuzzy.prefix_length; the expansion becomes a pushed-down startswith).
+  Not modeled: locale/timezone/date resolution (no date fields in this
+  engine's schema).
 """
 
 from __future__ import annotations
@@ -79,7 +81,8 @@ class _FlexParser(_Parser):
                     max_e = float_to_edits(self.fuzzy_min_sim, len(q.text))
                 else:
                     max_e = self.fuzzy_max_edits
-                q = Fuzzy(q.text, max_edits=max_e, field=q.field)
+                q = Fuzzy(q.text, max_edits=max_e, field=q.field,
+                          prefix_length=self.fuzzy_prefix_length)
             elif kind == "CARAT":
                 _, bv = self.next()
                 q = Boost(q, float(bv[1:]))
@@ -106,6 +109,7 @@ class StandardQueryParser:
         self._fields_boost: dict = {}
         self._phrase_slop = 0
         self._fuzzy_min_sim: float | None = None
+        self._fuzzy_prefix_length = 0
         self._points_fields: frozenset = frozenset()
 
     # --- config handler surface (StandardQueryParser.java setters) --------
@@ -144,6 +148,13 @@ class StandardQueryParser:
     def set_fuzzy_min_sim(self, min_sim: float) -> None:
         self._fuzzy_min_sim = float(min_sim)
 
+    def set_fuzzy_prefix_length(self, prefix_length: int) -> None:
+        """StandardQueryParser.java:419 — non-fuzzy prefix for every
+        fuzzy leaf this parser produces."""
+        if prefix_length < 0:
+            raise ValueError("prefixLength cannot be negative")
+        self._fuzzy_prefix_length = int(prefix_length)
+
     def set_points_config_map(self, fields) -> None:
         """Fields whose [a TO b] ranges parse as numeric ranges (the
         engine's PointsConfig carries no number format: the corpus's
@@ -162,6 +173,7 @@ class StandardQueryParser:
         p.default_phrase_slop = self._phrase_slop
         p.allow_leading_wildcard = self._allow_leading_wildcard
         p.fuzzy_min_sim = self._fuzzy_min_sim
+        p.fuzzy_prefix_length = self._fuzzy_prefix_length
         p.numeric_fields = frozenset(NUMERIC_FIELDS) | self._points_fields
         if multi:
             p.default_field = _MULTI_SENTINEL

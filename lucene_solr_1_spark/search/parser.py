@@ -121,6 +121,7 @@ class _Parser:
         self.default_occur = Occur.SHOULD      # OR_OPERATOR
         self.default_phrase_slop = 0           # setPhraseSlop
         self.fuzzy_max_edits = 2               # FuzzyQuery default
+        self.fuzzy_prefix_length = 0           # setFuzzyPrefixLength default
         self.allow_leading_wildcard = True     # classic parse() kept lenient
         self.default_field = DEFAULT_FIELD
         self.numeric_fields = NUMERIC_FIELDS   # + PointsConfig map in flex
@@ -248,7 +249,8 @@ class _Parser:
                     max_e = float_to_edits(float(tv[1:]), len(q.text))
                 else:
                     max_e = self.fuzzy_max_edits
-                q = Fuzzy(q.text, max_edits=max_e, field=q.field)
+                q = Fuzzy(q.text, max_edits=max_e, field=q.field,
+                          prefix_length=self.fuzzy_prefix_length)
             elif kind == "CARAT":
                 _, bv = self.next()
                 q = Boost(q, float(bv[1:]))

@@ -363,9 +363,19 @@ class Regexp(Query):
 
 @dataclass(frozen=True)
 class Fuzzy(Query):
+    """FuzzyQuery (core/search/FuzzyQuery.java:82-108). prefix_length is
+    the non-fuzzy prefix (FuzzyQuery.java:133-138): candidate terms must
+    share the first min(prefix_length, |text|) chars VERBATIM and the
+    edit distance is computed over the remaining suffixes only
+    (FuzzyTermsEnum.java:129-141 builds the Levenshtein automaton on the
+    post-prefix substring and concatenates the exact prefix in front);
+    the rewrite boost stays 1 - ed/min(FULL lengths)
+    (FuzzyTermsEnum.java:231-237). max_edits == 0 or prefix_length >=
+    |text| can only match the exact term (FuzzyQuery.java:151)."""
     text: str
     max_edits: int = 2
     field: str = DEFAULT_FIELD
+    prefix_length: int = 0
 
 
 @dataclass(frozen=True)

@@ -283,14 +283,26 @@ class LuceneSparkSearcher:
         if isinstance(q, Fuzzy):
             # Transpositions count ONE edit (FuzzyQuery.java:58
             # defaultTranspositions=true): exact OSA distance via an
-            # Arrow-batched UDF behind two Catalyst-pushable prefilters —
-            # the length window and levenshtein <= 2*max_edits (sound:
-            # osa <= e implies levenshtein <= 2e) reach the scan, the
-            # Python stage sees only the survivors.
+            # Arrow-batched UDF behind Catalyst-pushable prefilters —
+            # the length window, the non-fuzzy prefix startswith, and
+            # levenshtein <= 2*max_edits (sound: osa <= e implies
+            # levenshtein <= 2e) reach the scan, the Python stage sees
+            # only the survivors.
+            pl, suffix, exact_only = self._fuzzy_parts(q)
+            if exact_only:
+                # FuzzyQuery.java:151 — maxEdits 0 or prefix covers the
+                # whole text: can only match the exact term
+                return in_field & (col == q.text)
+            cond = in_field
+            if pl:
+                # non-fuzzy prefix (FuzzyTermsEnum.java:129-141): exact
+                # prefix pushed down; edits measured on the suffixes
+                cond = cond & col.startswith(q.text[:pl])
+            suf_col = F.expr(f"substring(term, {pl + 1})") if pl else col
             lo, hi = len(q.text) - q.max_edits, len(q.text) + q.max_edits
-            return in_field & (F.length(col).between(lo, hi)) & (
-                F.levenshtein(col, F.lit(q.text)) <= 2 * q.max_edits
-            ) & (osa_udf(q.text)(col) <= q.max_edits)
+            return cond & (F.length(col).between(lo, hi)) & (
+                F.levenshtein(suf_col, F.lit(suffix)) <= 2 * q.max_edits
+            ) & (osa_udf(suffix)(suf_col) <= q.max_edits)
         if isinstance(q, TermRange):
             cond = in_field
             if q.lower is not None:
@@ -301,6 +313,16 @@ class LuceneSparkSearcher:
         return None
 
     _MTQ_TYPES = (Prefix, Wildcard, Regexp, Fuzzy, TermRange)
+
+    @staticmethod
+    def _fuzzy_parts(q: Fuzzy) -> tuple[int, str, bool]:
+        """(effective prefix length, fuzzy suffix, exact-only?) for a
+        Fuzzy query — FuzzyTermsEnum.java:129 clamps the prefix to the
+        term length; FuzzyQuery.java:151 degrades to exact-term match
+        when maxEdits == 0 or the prefix covers the whole text."""
+        pl = min(max(q.prefix_length, 0), len(q.text))
+        exact_only = q.max_edits == 0 or pl >= len(q.text)
+        return pl, q.text[pl:], exact_only
 
     def _expand_fuzzy(self, q: Fuzzy, cap: int = MAX_CLAUSE_COUNT) -> list:
         """[(term, edit_distance)] for a fuzzy query — distance computed in
@@ -315,9 +337,20 @@ class LuceneSparkSearcher:
         t = self._postings.groupBy("field", "term").agg(
             F.sum("doc_freq").alias("df")
         )
+        # with a non-fuzzy prefix the reported distance is the SUFFIX
+        # edit distance (FuzzyTermsEnum's automata are prefix+lev(suffix));
+        # the boost denominator below stays the FULL-length min
+        # (FuzzyTermsEnum.java:231-237)
+        pl, suffix, exact_only = self._fuzzy_parts(q)
+        if exact_only:
+            dist_col = F.lit(0)
+        elif pl:
+            dist_col = osa_udf(suffix)(F.expr(f"substring(term, {pl + 1})"))
+        else:
+            dist_col = osa_udf(q.text)(F.col("term"))
         rows = (
             t.where(self._mtq_cond(q))
-            .withColumn("dist", osa_udf(q.text)(F.col("term")))
+            .withColumn("dist", dist_col)
             .withColumn(
                 "boost",
                 1.0

@@ -391,7 +391,8 @@ matched AS (
 """.strip()
 
 
-def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10) -> str:
+def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10,
+                      prefix_length: int = 0) -> str:
     """Twin of the kernel fuzzy SCORING rewrite (FuzzyQuery top-terms
     rewrite): dictionary terms within max_edits expand to a SHOULD
     disjunction, each weighted f32(f32(boost) * idf32) with
@@ -401,9 +402,26 @@ def kernel_fuzzy_duck(text: str, max_edits: int = 2, k: int = 10) -> str:
     defaultTranspositions=true). DuckDB's damerau_levenshtein is the
     UNRESTRICTED variant vs the engine's OSA (kernels/osa.py);
     tests/test_osa.py asserts they agree over every in-window
-    dictionary pair of the pinned corpora."""
+    dictionary pair of the pinned corpora.
+
+    prefix_length > 0 (FuzzyQuery.java:133-138) requires the first
+    min(prefix_length, |text|) chars verbatim and measures ed over the
+    SUFFIXES only (FuzzyTermsEnum.java:129-141); the boost denominator
+    stays the FULL-length min — keep this aligned with
+    searcher._fuzzy_parts/_expand_fuzzy."""
+    pl = min(max(prefix_length, 0), len(text))
+    suffix = text[pl:]
     lo, hi = len(text) - max_edits, len(text) + max_edits
     qt = _sql_str(text)
+    if max_edits == 0 or pl >= len(text):
+        # FuzzyQuery.java:151 — exact-term only
+        dict_cond, ed_expr = f"term = {qt}", "0"
+    else:
+        term_suf = f"substring(term, {pl + 1})" if pl else "term"
+        ed_expr = f"damerau_levenshtein({term_suf}, {_sql_str(suffix)})"
+        dict_cond = f"length(term) BETWEEN {lo} AND {hi} AND {ed_expr} <= {max_edits}"
+        if pl:
+            dict_cond = f"starts_with(term, {_sql_str(text[:pl])}) AND " + dict_cond
     boost32 = (
         f"CASE WHEN ed = 0 THEN {_f32(_lit(1.0))} "
         f"ELSE CAST(1.0 - ed::DOUBLE / least(length(term), {len(text)})::DOUBLE AS REAL) END"
@@ -415,11 +433,10 @@ exp AS (
   -- TopTermsRewrite cap (TopTermsRewrite.java:106): the 1024 survivors
   -- are the top by BOOST (1 - ed/min-len) then term, matching the
   -- engine's _expand_fuzzy — close-but-rare beats popular-but-far
-  SELECT term, df, damerau_levenshtein(term, {qt}) AS ed FROM dict
-  WHERE length(term) BETWEEN {lo} AND {hi}
-    AND damerau_levenshtein(term, {qt}) <= {max_edits}
+  SELECT term, df, {ed_expr} AS ed FROM dict
+  WHERE {dict_cond}
   QUALIFY row_number() OVER (
-    ORDER BY 1.0 - damerau_levenshtein(term, {qt})::DOUBLE
+    ORDER BY 1.0 - ({ed_expr})::DOUBLE
                  / least(length(term), {len(text)}) DESC, term ASC
   ) <= 1024
 ),

@@ -117,18 +117,32 @@ class OracleIndex:
                 out[doc_id] = w * f / denom
         return out
 
-    def fuzzy_scores(self, text: str, max_edits: int = 2) -> dict:
+    def fuzzy_scores(self, text: str, max_edits: int = 2,
+                     prefix_length: int = 0) -> dict:
         """FuzzyQuery scoring-rewrite oracle: every dictionary term within
         max_edits contributes with boost 1 - ed/min(|term|, |text|)
         (FuzzyTermsEnum.java:218-238), summed as a SHOULD disjunction.
-        ed is OSA (transpositions=true, FuzzyQuery.java:58)."""
+        ed is OSA (transpositions=true, FuzzyQuery.java:58). With a
+        non-fuzzy prefix (FuzzyQuery.java:133-138) candidates must carry
+        the first min(prefix_length, |text|) chars verbatim and ed is
+        measured over the SUFFIXES; maxEdits 0 or a prefix covering the
+        whole text matches only the exact term (FuzzyQuery.java:151)."""
+        pl = min(max(prefix_length, 0), len(text))
+        exact_only = max_edits == 0 or pl >= len(text)
         out: dict = {}
         for term in self.df:
-            if abs(len(term) - len(text)) > max_edits:
-                continue
-            d = osa_distance(term, text)
-            if d > max_edits:
-                continue
+            if exact_only:
+                if term != text:
+                    continue
+                d = 0
+            else:
+                if pl and not term.startswith(text[:pl]):
+                    continue
+                if abs(len(term) - len(text)) > max_edits:
+                    continue
+                d = osa_distance(term[pl:], text[pl:])
+                if d > max_edits:
+                    continue
             boost = 1.0 if d == 0 else 1.0 - d / min(len(term), len(text))
             for doc, s in self.term_scores(term, boost=boost).items():
                 out[doc] = out.get(doc, 0.0) + s

@@ -245,6 +245,57 @@ def test_fuzzy_scoring_rewrite(searcher, oracle):
         )
 
 
+def test_fuzzy_prefix_length(searcher, oracle):
+    """Non-fuzzy prefixLength (FuzzyQuery.java:133-138): candidates carry
+    the first min(prefix_length, |text|) chars verbatim, ed is measured
+    over the SUFFIXES (FuzzyTermsEnum.java:129-141 builds the automaton
+    on the post-prefix substring), boost denominator stays the FULL
+    length min; prefix >= |text| or maxEdits 0 matches only the exact
+    term (FuzzyQuery.java:151). Rank+score vs the brute-force oracle."""
+    cases = [
+        ("returm", 1, 1), ("returm", 2, 3), ("clasz", 2, 2),
+        ("reutrn", 1, 2),      # transposition INSIDE the suffix
+        ("return", 2, 99),     # prefix covers the text -> exact only
+        ("return", 0, 0),      # maxEdits 0 -> exact only
+    ]
+    for text, me, pl in cases:
+        hits = searcher.search(
+            Fuzzy(text, max_edits=me, prefix_length=pl), k=10,
+            with_stored=False,
+        )
+        want = oracle.top_k(oracle.fuzzy_scores(text, me, prefix_length=pl), 10)
+        got = hits["global_doc_id"].tolist()
+        assert got == [d for d, _ in want], (text, me, pl)
+        np.testing.assert_allclose(
+            hits["score"].to_numpy(np.float64),
+            [s for _, s in want],
+            rtol=3e-5,
+        )
+    # the prefix changes the expansion SET, not just cost: 'reutrn'~1 with
+    # prefix 2 locks 're' so the transposed vocab term 'return' (suffix ed
+    # 'utrn'->'turn' = 1) still matches, while any 1-edit term not starting
+    # 're' is excluded vs prefix 0
+    hits_p0 = searcher.search(Fuzzy("reutrn", max_edits=1), k=10,
+                              with_stored=False)
+    assert len(hits_p0) > 0
+
+
+def test_fuzzy_prefix_parser_threading():
+    """setFuzzyPrefixLength threads through the classic-config and
+    flexible parsers (StandardQueryParser.java:419)."""
+    from lucene_solr_1_spark.search.flexparser import StandardQueryParser
+
+    p = StandardQueryParser()
+    p.set_fuzzy_prefix_length(2)
+    q = p.parse("returm~1", "content", do_rewrite=False)
+    assert isinstance(q, Fuzzy) and q.prefix_length == 2 and q.max_edits == 1
+    # classic default stays 0 (reference default prefixLength=0)
+    from lucene_solr_1_spark.search.parser import parse
+
+    q0 = parse("returm~1")
+    assert isinstance(q0, Fuzzy) and q0.prefix_length == 0
+
+
 def _lev(a, b):
     if abs(len(a) - len(b)) > 2:
         return 99
