@@ -343,12 +343,13 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
         FRENCH_MINIMAL,
         GERMAN_MINIMAL,
         NORWEGIAN,
+        RUSSIAN,
     )
 
     cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN,
            "sv": SWEDISH, "hu": HUNGARIAN, "fi": FINNISH,
            "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL,
-           "nb": NORWEGIAN}[lang]
+           "nb": NORWEGIAN, "ru": RUSSIAN}[lang]
     return _annotated_index(spark, sf_dir, f"light_{lang}",
                             KO.LIGHT_ANNOTATIONS[lang], cfg)
 
@@ -1276,9 +1277,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kernel_hits_df(s, _get_light_index(s, d, "nb"),
                                Term("husets"), k=10)
 
+    def _russian_stem(s, d):
+        # Cyrillic END-TO-END (r5, closes r4 'What's wrong' #3): 'книгах'
+        # light-stems to 'книг' (книга/книги/книгу planted); the twin
+        # tokenizes with the Unicode-capable RU_TOKEN_PATTERN
+        return _kernel_hits_df(s, _get_light_index(s, d, "ru"),
+                               Term("книгах"), k=10)
+
     q["fts_german_minimal_stem"] = _german_minimal
     q["fts_french_minimal_stem"] = _french_minimal
     q["fts_norwegian_stem"] = _norwegian_stem
+    q["fts_russian_stem"] = _russian_stem
 
     def _compound_recall(s, d):
         # DictionaryCompoundWordTokenFilter: 'customer' re-analyzes to
@@ -1576,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_french_minimal_stem": KO.kernel_light_term_duck(
             "fr_min", "portes", k=10),
         "fts_norwegian_stem": KO.kernel_light_term_duck("nb", "husets", k=10),
+        "fts_russian_stem": KO.kernel_light_term_duck("ru", "книгах", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

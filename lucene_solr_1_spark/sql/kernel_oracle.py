@@ -65,11 +65,14 @@ def length_table_values() -> str:
     )
 
 
-def _corpus_vocab(annotated_col: str = "lower(text)") -> list:
+def _corpus_vocab(annotated_col: str = "lower(text)",
+                  token_pattern: str | None = None) -> list:
     """DISTINCT tokens of the testdata documents tables (all shipped SFs
     unioned so a mapping is valid wherever the driver points the views),
     optionally over an annotated source expression — the ONE vocab scan
-    every mapping-table generator (stem/phonetic/compound/light) uses."""
+    every mapping-table generator (stem/phonetic/compound/light) uses.
+    `token_pattern` overrides the ASCII default (the Russian twin scans
+    with a Cyrillic-capable class)."""
     import os
 
     import duckdb
@@ -86,7 +89,7 @@ def _corpus_vocab(annotated_col: str = "lower(text)") -> list:
         r[0]
         for r in con.execute(
             f"SELECT DISTINCT unnest(regexp_extract_all({annotated_col}, "
-            f"'{TOKEN_PATTERN}')) AS t FROM read_parquet([{flist}])"
+            f"'{token_pattern or TOKEN_PATTERN}')) AS t FROM read_parquet([{flist}])"
         ).fetchall()
     ]
 
@@ -2394,7 +2397,18 @@ LIGHT_ANNOTATIONS = {
                (r"\bwindow\b", "porters")),
     "nb": ((r"\bdata\b", "huset"), (r"\bmerge\b", "husene"),
            (r"\bwindow\b", "husa")),
+    # Cyrillic end-to-end (r4 'What's wrong' #3): three inflections of
+    # книг- — the twin runs a Unicode-capable token pattern for this
+    # language (RU_TOKEN_PATTERN) since the shared ASCII TOKEN_PATTERN
+    # cannot host Cyrillic
+    "ru": ((r"\bdata\b", "книга"), (r"\bmerge\b", "книги"),
+           (r"\bwindow\b", "книгу")),
 }
+
+# DuckDB RE2 class covering the engine's \w+ tokenizer over the ASCII
+# corpus plus the Cyrillic annotation vocabulary; lower() in DuckDB is
+# Unicode-aware, matching the engine's str.lower()
+RU_TOKEN_PATTERN = "[a-zа-яё0-9_]+"
 
 
 def light_annotated_text_sql(lang: str, col: str = "text") -> str:
@@ -2409,7 +2423,10 @@ def _light_stem_table_values(lang: str) -> str:
     wherever the stemmer changes the token."""
     from ..kernels.romance import light_stem
 
-    vocab = _corpus_vocab(light_annotated_text_sql(lang, "lower(text)"))
+    vocab = _corpus_vocab(
+        light_annotated_text_sql(lang, "lower(text)"),
+        token_pattern=RU_TOKEN_PATTERN if lang == "ru" else TOKEN_PATTERN,
+    )
     rows = [
         f"({_sql_str(t)}, {_sql_str(light_stem(lang, t))})"
         for t in sorted(set(vocab))
@@ -2424,10 +2441,14 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
     searcher applies; the corpus replays annotate -> tokenize -> snowball
     stop -> stem-table before the quantized float32 BM25 (dl = post-stop
     count). ASCII-only corpus, so the Italian elision stage is a no-op
-    here (the engine test suite covers apostrophes)."""
+    here (the engine test suite covers apostrophes). Russian runs the
+    Unicode-capable RU_TOKEN_PATTERN (Cyrillic annotations plus the full
+    Cyrillic stop list) — the one language the ASCII pattern cannot host
+    (r4 'What's wrong' #3)."""
     from ..kernels.romance import (HUNGARIAN_STOP_WORDS,
                                    ITALIAN_STOP_WORDS,
                                    PORTUGUESE_STOP_WORDS,
+                                   RUSSIAN_STOP_WORDS,
                                    SPANISH_STOP_WORDS,
                                    SWEDISH_STOP_WORDS, light_stem)
 
@@ -2440,13 +2461,19 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
              "hu": HUNGARIAN_STOP_WORDS, "fi": FINNISH_STOP_WORDS,
              "de_min": GERMAN_STOP_WORDS,
              "fr_min": FRENCH_STOP_WORDS,
-             "nb": NORWEGIAN_STOP_WORDS}[lang]
+             "nb": NORWEGIAN_STOP_WORDS,
+             "ru": RUSSIAN_STOP_WORDS}[lang]
+    tok_pat = RU_TOKEN_PATTERN if lang == "ru" else TOKEN_PATTERN
     stemmed = light_stem(lang, query_text.lower())
     toks = (
         f"regexp_extract_all({light_annotated_text_sql(lang, 'lower(text)')}, "
-        f"'{TOKEN_PATTERN}')"
+        f"'{tok_pat}')"
     )
-    stop_list = _sql_list(sorted(w for w in stops if w.isascii()))
+    # the ASCII pattern can never emit a non-ASCII stopword, so filtering
+    # those out keeps the IN-list small; the Russian pattern CAN, so its
+    # list ships whole (Cyrillic literals are plain UTF-8 to DuckDB)
+    keep = stops if lang == "ru" else (w for w in stops if w.isascii())
+    stop_list = _sql_list(sorted(keep))
     cache_expr = _norm_cache_expr()
     return f"""
 WITH raw AS (
