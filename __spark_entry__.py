@@ -354,6 +354,17 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
                             KO.LIGHT_ANNOTATIONS[lang], cfg)
 
 
+def _get_cjk_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the CJK analyzer (CJKWidthFilter + lowercase +
+    CJKBigramFilter + stop, cjk/CJKAnalyzer.java:89-96) over a
+    deterministically annotated view (kernel_oracle.CJK_ANNOTATIONS —
+    data/merge/window become 会社員/会社/図: a 3-char Han run, its 2-char
+    prefix, and a lone ideograph)."""
+    from lucene_solr_1_spark.kernels.analyzer import CJK
+
+    return _annotated_index(spark, sf_dir, "cjk", KO.CJK_ANNOTATIONS, CJK)
+
+
 def _get_compound_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the COMPOUND analyzer (DictionaryCompoundWord
     TokenFilter over kernels/analyzer.COMPOUND_DICT) on the PLAIN
@@ -1289,6 +1300,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_norwegian_stem"] = _norwegian_stem
     q["fts_russian_stem"] = _russian_stem
 
+    def _cjk_bigram(s, d):
+        # r5: CJKBigramFilter — '会社' analyzes to ONE bigram; docs that
+        # planted 会社員 contribute the 会社 bigram too (overlap)
+        return _kernel_hits_df(s, _get_cjk_index(s, d), Term("会社"), k=10)
+
+    def _cjk_bigram_or(s, d):
+        # 3-char query -> OR of two bigrams (QueryBuilder
+        # analyzeMultiBoolean shape; the searcher re-analyzes through
+        # the manifest's cjk chain)
+        return _kernel_hits_df(s, _get_cjk_index(s, d), Term("会社員"),
+                               k=10)
+
+    q["fts_cjk_bigram"] = _cjk_bigram
+    q["fts_cjk_bigram_or"] = _cjk_bigram_or
+
     def _compound_recall(s, d):
         # DictionaryCompoundWordTokenFilter: 'customer' re-analyzes to
         # SynonymQuery(customer, custom, tom) against the subword-
@@ -1586,6 +1612,8 @@ def oracle_sql() -> dict[str, str]:
             "fr_min", "portes", k=10),
         "fts_norwegian_stem": KO.kernel_light_term_duck("nb", "husets", k=10),
         "fts_russian_stem": KO.kernel_light_term_duck("ru", "книгах", k=10),
+        "fts_cjk_bigram": KO.kernel_cjk_duck("会社", k=10),
+        "fts_cjk_bigram_or": KO.kernel_cjk_duck("会社員", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),
         "fts_block_join_one_parent": R.block_join_one_parent_duck(
             "src7", "query", k=10

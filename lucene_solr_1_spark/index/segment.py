@@ -226,7 +226,10 @@ def build_segment_frames(
             # (stacked-injection chains — phonetic/stem_keep/compound/
             # common_grams — keep positions within the raw range and
             # stay aligned)
-            or getattr(cfg, "synonyms", ())) and (
+            or getattr(cfg, "synonyms", ())
+            # the CJK bigram expansion renumbers positions over the
+            # expanded stream (a run's width != its raw token count)
+            or getattr(cfg, "cjk_bigram", 0)) and (
             store_offsets or store_payloads):
         # offsets/payloads align 1:1 with RAW token positions in the
         # ORIGINAL content; the word-delimiter graph renumbers positions
@@ -235,7 +238,7 @@ def build_segment_frames(
         # pairs these filters with offset-correction state we don't store)
         raise ValueError(
             "word_delimiter/html_strip/char_filters/token_pattern/"
-            "synonyms analyzers do not support "
+            "synonyms/cjk_bigram analyzers do not support "
             "store_offsets/store_payloads"
         )
     if not presorted:

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
+from .cjk import CJK_ALL, CJK_STOP_WORDS, cjk_expand, cjk_width_fold
 from .commongrams import common_grams_stream
 from .compound import decompose as compound_decompose
 from .french import (FRENCH_ARTICLES, FRENCH_STOP_WORDS, elide,
@@ -211,6 +212,18 @@ class AnalyzerConfig:
     # stream (the flatten sausage); query-side Terms expand to
     # SynonymQuery (all-single-token paths) or OR-of-Term/Phrase.
     synonyms: tuple = ()
+    # CJKBigramFilter flag bitmask (cjk/CJKBigramFilter.java:59-66 —
+    # kernels/cjk.py pins the stream contract with reference-mirroring
+    # goldens); 0 = filter absent. The chain is CJKAnalyzer.java:89-96:
+    # width fold -> lowercase -> tokenize+bigram -> stop; positions
+    # renumber over the expanded stream (a CJK run's width differs from
+    # its raw token count), so offsets/payloads are rejected at index
+    # time like the wd/html chains.
+    cjk_bigram: int = 0
+    # CJKBigramFilter outputUnigrams (the combined unigram+bigram
+    # index): bigrams stack at their first unigram's position
+    # (posInc 0, CJKBigramFilter.java:300-308).
+    cjk_output_unigrams: bool = False
 
     def __post_init__(self):
         if self.stem_keep_original and not self.stem:
@@ -297,6 +310,21 @@ class AnalyzerConfig:
                     "synonyms require an empty stop set (the graph "
                     "matcher assumes a dense token stream)"
                 )
+        if self.cjk_output_unigrams and not self.cjk_bigram:
+            raise ValueError("cjk_output_unigrams requires cjk_bigram")
+        if self.cjk_bigram and (
+            self.stem or self.german or self.french or self.light_lang
+            or self.word_delimiter or self.phonetic or self.synonyms
+            or self.common_grams or self.compound_dict or self.token_pattern
+            or self.char_filters or self.html_strip or self.ascii_fold
+            or self.possessive or self.stem_keep_original
+            or self.stem_exclusions
+        ):
+            raise ValueError(
+                "cjk_bigram composes only with lowercase + stop words "
+                "(CJKAnalyzer.java:89-96 is width -> lower -> bigram -> "
+                "stop; no other stages in the reference chain)"
+            )
 
     def with_english_stop(self) -> "AnalyzerConfig":
         return AnalyzerConfig(
@@ -318,6 +346,8 @@ class AnalyzerConfig:
             stem_exclusions=self.stem_exclusions,
             synonyms=self.synonyms,
             compound_dict=self.compound_dict,
+            cjk_bigram=self.cjk_bigram,
+            cjk_output_unigrams=self.cjk_output_unigrams,
         )
 
 
@@ -410,6 +440,11 @@ FRENCH_MINIMAL = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS,
 # decompose over the testdata vocabulary.
 COMPOUND_DICT = frozenset({"custom", "tom", "wind", "col", "tab", "stream"})
 COMPOUND = AnalyzerConfig(compound_dict=COMPOUND_DICT)
+# CJKAnalyzer.java:89-96 chain (width -> lower -> bigram -> stopwords.txt)
+CJK = AnalyzerConfig(stop_words=CJK_STOP_WORDS, cjk_bigram=CJK_ALL)
+# the combined unigram+bigram index (CJKBigramFilter outputUnigrams=true)
+CJK_UNIBI = AnalyzerConfig(stop_words=CJK_STOP_WORDS, cjk_bigram=CJK_ALL,
+                           cjk_output_unigrams=True)
 
 # named registry: the manifest persists the analyzer by name so the
 # searcher analyzes query terms with the INDEX's chain (a stemmed index
@@ -443,6 +478,8 @@ ANALYZERS: dict = {
     "norwegian": NORWEGIAN,
     "norwegian_nynorsk": NORWEGIAN_NYNORSK,
     "norwegian_minimal": NORWEGIAN_MINIMAL,
+    "cjk": CJK,
+    "cjk_unibi": CJK_UNIBI,
 }
 
 
@@ -464,6 +501,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
         text = re.sub(pat, rep, text)
     if cfg.word_delimiter:
         return _tokenize_one_wd(text, cfg)
+    if cfg.cjk_bigram:
+        return _tokenize_one_cjk(text, cfg)
     # Lowercase the source, then tokenize: identical result to Lucene's
     # tokenize-then-LowerCaseFilter on ASCII-dominant code text, and keeps
     # this path byte-identical to the vectorized analyze_series path.
@@ -523,6 +562,35 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
     return terms, positions
 
 
+def _tokenize_one_cjk(text: str, cfg: AnalyzerConfig) -> tuple[list, list]:
+    """CJK chain (CJKAnalyzer.java:89-96): width fold -> lowercase ->
+    tokenize -> per-token bigram expansion -> stop filter. Positions
+    renumber over the expanded stream (each raw token consumes its
+    expansion width); the stop filter runs AFTER bigramming, exactly
+    the reference order — stop words are ASCII so they can only be
+    pass-through tokens, never bigram members. Scalar twin of the
+    _flatten_tokens_cjk vectorized path."""
+    text = cjk_width_fold(text)
+    if cfg.lowercase:
+        text = text.lower()
+    raw = _TOKEN_RE.findall(text)
+    terms, positions = [], []
+    pos = 0
+    for tok in raw:
+        if len(tok) > cfg.max_token_length:
+            pos += 1
+            continue
+        parts, width = cjk_expand(tok, cfg.cjk_bigram,
+                                  cfg.cjk_output_unigrams)
+        for ptext, prel in parts:
+            if ptext in cfg.stop_words:
+                continue  # position consumed (FilteringTokenFilter)
+            terms.append(ptext)
+            positions.append(pos + prel)
+        pos += width
+    return terms, positions
+
+
 def _tokenize_one_wd(text: str, cfg: AnalyzerConfig) -> tuple[list, list]:
     """word_delimiter chain: tokenize CASE-PRESERVING source → wd_split →
     lowercase → stop → stem. Positions renumber over the post-split
@@ -571,6 +639,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
         src = src.str.replace(pat, rep, regex=True)
     if cfg.word_delimiter:
         return src.map(lambda t: _tokenize_one_wd(t, cfg)[0])
+    if cfg.cjk_bigram:
+        return src.map(lambda t: _tokenize_one_cjk(t, cfg)[0])
     if cfg.lowercase:
         src = src.str.lower()
     if cfg.ascii_fold:
@@ -635,6 +705,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
             texts = texts.str.replace(pat, rep, regex=True)
     if cfg.word_delimiter:
         return _flatten_tokens_wd(texts, cfg)
+    if cfg.cjk_bigram:
+        return _flatten_tokens_cjk(texts, cfg)
     n = len(texts)
     src = texts.fillna("")
     if cfg.lowercase:
@@ -858,6 +930,76 @@ def _inject_common_grams(terms, row_idx, pos, cfg: AnalyzerConfig):
     a_s = np.concatenate([seq, seq[left] + 1])
     order = np.lexsort((a_s, a_r))
     return a_t[order], a_r[order], a_p[order]
+
+
+def _flatten_tokens_cjk(texts: pd.Series, cfg: AnalyzerConfig):
+    """Vectorized inversion prep for the CJK bigram chain: width-fold +
+    lowercase the source, tokenize, expand per UNIQUE raw token (Zipf —
+    same trick as the wd flatten), then gather over per-unique part
+    slices. Positions = segmented exclusive cumsum of expansion widths
+    plus each part's in-token relative position. Must stay
+    stream-identical to _tokenize_one_cjk (scalar==vectorized test)."""
+    n = len(texts)
+    src = texts.fillna("")
+    # width folding is rare on this corpus: rewrite only rows carrying a
+    # halfwidth/fullwidth-forms char
+    has_wide = src.str.contains("[＀-￯]", regex=True)
+    if has_wide.any():
+        src = src.where(~has_wide, src[has_wide].map(cjk_width_fold))
+    if cfg.lowercase:
+        src = src.str.lower()
+    tok_lists = src.str.findall(_TOKEN_RE)
+    raw_counts = tok_lists.map(len).to_numpy(dtype=np.int64)
+    total = int(raw_counts.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), z, z, np.zeros(n, dtype=np.int64)
+    raw = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+
+    codes, uniq = pd.factorize(pd.Series(raw), sort=False)
+    part_texts: list[str] = []
+    part_rel: list[int] = []
+    u_start = np.empty(len(uniq), dtype=np.int64)
+    u_count = np.empty(len(uniq), dtype=np.int64)
+    widths_u = np.empty(len(uniq), dtype=np.int64)
+    for i, u in enumerate(uniq):
+        u_start[i] = len(part_texts)
+        if len(u) > cfg.max_token_length:
+            parts, width = (), 1  # overlong raw token: dropped, 1 position
+        else:
+            parts, width = cjk_expand(u, cfg.cjk_bigram,
+                                      cfg.cjk_output_unigrams)
+        for ptext, prel in parts:
+            part_texts.append(ptext)
+            part_rel.append(prel)
+        u_count[i] = len(part_texts) - u_start[i]
+        widths_u[i] = width
+    all_texts = np.asarray(part_texts, dtype=object)
+    all_rel = np.asarray(part_rel, dtype=np.int64)
+
+    widths = widths_u[codes]
+    counts = u_count[codes]
+    cum = np.cumsum(widths) - widths
+    doc_first = np.concatenate(([0], np.cumsum(raw_counts)[:-1]))
+    base = np.repeat(cum[np.minimum(doc_first, total - 1)], raw_counts)
+    start_pos = cum - base
+    n_parts = int(counts.sum())
+    if n_parts == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), z, z, np.zeros(n, dtype=np.int64)
+    seg_base = np.cumsum(counts) - counts
+    within = np.arange(n_parts, dtype=np.int64) - np.repeat(seg_base, counts)
+    gather = np.repeat(u_start[codes], counts) + within
+    terms = all_texts[gather]
+    pos = np.repeat(start_pos, counts) + all_rel[gather]
+    rows = np.repeat(row_idx, counts)
+
+    if cfg.stop_words:
+        keep = ~pd.Series(terms, dtype=object).isin(cfg.stop_words).to_numpy()
+        terms, rows, pos = terms[keep], rows[keep], pos[keep]
+    doc_len = np.bincount(rows, minlength=n).astype(np.int64)
+    return terms, rows, pos, doc_len
 
 
 def _flatten_tokens_wd(texts: pd.Series, cfg: AnalyzerConfig):

@@ -579,12 +579,15 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
         return t
 
     def many(text: str) -> list[str]:
-        # chains that re-tokenize (wd) or change the token boundaries
-        # (char filters / pattern tokenizer) run the full analyzer —
-        # one query term may become several ('data-driven' under a
-        # hyphen-joining char filter becomes 'datadriven')
+        # chains that re-tokenize (wd / cjk bigram) or change the token
+        # boundaries (char filters / pattern tokenizer) run the full
+        # analyzer — one query term may become several ('data-driven'
+        # under a hyphen-joining char filter becomes 'datadriven'; a CJK
+        # run becomes its bigram sequence, and the multi-bigram Term ->
+        # OR-of-parts below is QueryBuilder.analyzeMultiBoolean's shape)
         if not (cfg.word_delimiter or getattr(cfg, "char_filters", ())
-                or getattr(cfg, "token_pattern", "")):
+                or getattr(cfg, "token_pattern", "")
+                or getattr(cfg, "cjk_bigram", 0)):
             return [one(text)]
         from ..kernels.analyzer import tokenize_one
 

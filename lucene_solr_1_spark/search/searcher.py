@@ -212,7 +212,8 @@ class LuceneSparkSearcher:
                 or getattr(cfg, "common_grams", frozenset())
                 or getattr(cfg, "compound_dict", frozenset())
                 or getattr(cfg, "char_filters", ())
-                or getattr(cfg, "token_pattern", "")):
+                or getattr(cfg, "token_pattern", "")
+                or getattr(cfg, "cjk_bigram", 0)):
             # standard/english indexes: today's raw-term behavior, exactly
             return q
         from ..index.segment import KEYWORD_FIELDS

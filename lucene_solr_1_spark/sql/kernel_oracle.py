@@ -2513,6 +2513,93 @@ matched AS (
 """.strip()
 
 
+CJK_ANNOTATIONS = (
+    # three plants over the ASCII corpus: a 3-char Han run (two
+    # overlapping bigrams, one shared with the 2-char plant), a 2-char
+    # run (one bigram) and a lone ideograph (unigram form)
+    (r"\bdata\b", "会社員"),
+    (r"\bmerge\b", "会社"),
+    (r"\bwindow\b", "図"),
+)
+
+# DuckDB RE2 twin of the engine's \w+ tokenizer over the ASCII corpus
+# plus the planted CJK: ASCII words or runs of CJK script chars (after
+# the bigram replay below, every CJK run IS one emitted token)
+CJK_TOKEN_PATTERN = (
+    r"[a-z0-9_]+|[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]+"
+)
+
+
+def cjk_annotated_text_sql(col: str = "text") -> str:
+    expr = col
+    for pat, rep in CJK_ANNOTATIONS:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return expr
+
+
+def kernel_cjk_duck(query_text: str, k: int = 10) -> str:
+    """Twin of a query against the CJK-bigram index over the annotated
+    view (cjk/CJKBigramFilter.java + CJKAnalyzer.java:89-96): the corpus
+    replays annotate -> bigram-expand -> tokenize -> stop before the
+    quantized float32 BM25 (dl = post-stop emitted-token count). The
+    bigram expansion of each planted CJK string is generated by the
+    ENGINE'S OWN cjk_expand (kernels/cjk.py — itself pinned by
+    TestCJKBigramFilter-mirroring goldens), written back as a
+    space-separated token stream; longest plants replace first so the
+    3-char run never collides with its 2-char prefix plant. The query
+    text runs the same chain (tokenize_one under the CJK config): one
+    bigram -> TermQuery, several -> the SHOULD sum the engine's
+    Bool-of-parts produces."""
+    from ..kernels.analyzer import CJK as _CJK_CFG, tokenize_one
+    from ..kernels.cjk import CJK_STOP_WORDS, cjk_expand
+
+    q_terms = tuple(tokenize_one(query_text, _CJK_CFG)[0])
+    if not q_terms:
+        raise ValueError("query analyzes to no tokens under the CJK chain")
+    expr = cjk_annotated_text_sql("lower(text)")
+    plants = sorted({rep for _, rep in CJK_ANNOTATIONS},
+                    key=len, reverse=True)
+    for p in plants:
+        parts, _width = cjk_expand(p)
+        stream = " ".join(t for t, _ in parts)
+        if stream != p:
+            expr = f"replace({expr}, {_sql_str(p)}, {_sql_str(stream)})"
+    toks = f"regexp_extract_all({expr}, '{CJK_TOKEN_PATTERN}')"
+    stop_list = _sql_list(sorted(CJK_STOP_WORDS))
+    cache_expr = _norm_cache_expr()
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest({toks}) AS rt FROM documents
+),
+tok AS (SELECT doc_id, rt AS term FROM raw WHERE rt NOT IN ({stop_list})),
+dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list(q_terms)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+{_weights_cte({})},
+{_scores_cte()},
+matched AS (
+  SELECT doc_id, CAST(sum(s::DOUBLE) AS REAL) AS score32 FROM s GROUP BY 1
+)
+{_topk_select(k)}
+""".strip()
+
+
 FRENCH_ANNOTATIONS = (
     (r"\bmerges\b", "adorateur"),
     (r"\bmerge\b", "adoration"),
