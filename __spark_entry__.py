@@ -339,17 +339,21 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
     )
 
     from lucene_solr_1_spark.kernels.analyzer import (
+        DANISH,
+        DUTCH,
         FINNISH,
         FRENCH_MINIMAL,
         GERMAN_MINIMAL,
         NORWEGIAN,
+        ROMANIAN,
         RUSSIAN,
     )
 
     cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN,
            "sv": SWEDISH, "hu": HUNGARIAN, "fi": FINNISH,
            "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL,
-           "nb": NORWEGIAN, "ru": RUSSIAN}[lang]
+           "nb": NORWEGIAN, "ru": RUSSIAN,
+           "nl": DUTCH, "da": DANISH, "ro": ROMANIAN}[lang]
     return _annotated_index(spark, sf_dir, f"light_{lang}",
                             KO.LIGHT_ANNOTATIONS[lang], cfg)
 
@@ -1300,6 +1304,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_norwegian_stem"] = _norwegian_stem
     q["fts_russian_stem"] = _russian_stem
 
+    def _dutch_stem(s, d):
+        # r5 snowball program (vocab-pinned): 'katten' -> 'kat'
+        # (katten/kat/kats planted)
+        return _kernel_hits_df(s, _get_light_index(s, d, "nl"),
+                               Term("katten"), k=10)
+
+    def _danish_stem(s, d):
+        # r5 snowball program: 'skolens' -> 'skol' (skolen/skoler/skole)
+        return _kernel_hits_df(s, _get_light_index(s, d, "da"),
+                               Term("skolens"), k=10)
+
+    def _romanian_stem(s, d):
+        # r5 snowball program: 'cartea' -> 'cart' (cartea/carte/cartile)
+        return _kernel_hits_df(s, _get_light_index(s, d, "ro"),
+                               Term("cartea"), k=10)
+
+    q["fts_dutch_stem"] = _dutch_stem
+    q["fts_danish_stem"] = _danish_stem
+    q["fts_romanian_stem"] = _romanian_stem
+
     def _cjk_bigram(s, d):
         # r5: CJKBigramFilter — '会社' analyzes to ONE bigram; docs that
         # planted 会社員 contribute the 会社 bigram too (overlap)
@@ -1612,6 +1636,9 @@ def oracle_sql() -> dict[str, str]:
             "fr_min", "portes", k=10),
         "fts_norwegian_stem": KO.kernel_light_term_duck("nb", "husets", k=10),
         "fts_russian_stem": KO.kernel_light_term_duck("ru", "книгах", k=10),
+        "fts_dutch_stem": KO.kernel_light_term_duck("nl", "katten", k=10),
+        "fts_danish_stem": KO.kernel_light_term_duck("da", "skolens", k=10),
+        "fts_romanian_stem": KO.kernel_light_term_duck("ro", "cartea", k=10),
         "fts_cjk_bigram": KO.kernel_cjk_duck("会社", k=10),
         "fts_cjk_bigram_or": KO.kernel_cjk_duck("会社員", k=10),
         "grouping_group_facet": R.group_facets_duck("query"),

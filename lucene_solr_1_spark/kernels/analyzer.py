@@ -41,6 +41,8 @@ from .romance import (FINNISH_STOP_WORDS, HUNGARIAN_STOP_WORDS,
                       NORWEGIAN_STOP_WORDS, PORTUGUESE_STOP_WORDS,
                       RUSSIAN_STOP_WORDS, SPANISH_STOP_WORDS,
                       SWEDISH_STOP_WORDS, light_stem, light_stem_array)
+from .snowball import (DANISH_STOP_WORDS, DUTCH_STOP_WORDS,
+                       ROMANIAN_STOP_WORDS)
 from .htmlstrip import html_strip, html_strip_series
 from .phonetic import phonetic_code
 from .porter import porter_stem, stem_array, strip_possessive
@@ -440,6 +442,14 @@ FRENCH_MINIMAL = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS,
 # decompose over the testdata vocabulary.
 COMPOUND_DICT = frozenset({"custom", "tom", "wind", "col", "tab", "stream"})
 COMPOUND = AnalyzerConfig(compound_dict=COMPOUND_DICT)
+# Snowball-program analyzers (da/DanishAnalyzer.java:103-109,
+# nl/DutchAnalyzer.java:147-156 with its DEFAULT_STEM_DICT override,
+# ro/RomanianAnalyzer.java:106-112): snowball stops + SnowballFilter,
+# riding the 1:1 light_lang registry (kernels/snowball.py, vocab-pinned)
+DANISH = AnalyzerConfig(stop_words=DANISH_STOP_WORDS, light_lang="da")
+DUTCH = AnalyzerConfig(stop_words=DUTCH_STOP_WORDS, light_lang="nl")
+ROMANIAN = AnalyzerConfig(stop_words=ROMANIAN_STOP_WORDS,
+                          light_lang="ro")
 # CJKAnalyzer.java:89-96 chain (width -> lower -> bigram -> stopwords.txt)
 CJK = AnalyzerConfig(stop_words=CJK_STOP_WORDS, cjk_bigram=CJK_ALL)
 # the combined unigram+bigram index (CJKBigramFilter outputUnigrams=true)
@@ -480,6 +490,9 @@ ANALYZERS: dict = {
     "norwegian_minimal": NORWEGIAN_MINIMAL,
     "cjk": CJK,
     "cjk_unibi": CJK_UNIBI,
+    "danish": DANISH,
+    "dutch": DUTCH,
+    "romanian": ROMANIAN,
 }
 
 

@@ -751,6 +751,12 @@ def _nn_minimal(s: str) -> str:
     return norwegian_minimal_stem(s, bokmaal=False, nynorsk=True)
 
 
+# Snowball programs ride the same 1:1 registry (kernels/snowball.py;
+# vocab-pinned bit-exact like the UniNE families)
+from .snowball import danish_stem as _da_snowball  # noqa: E402
+from .snowball import dutch_term as _nl_snowball  # noqa: E402
+from .snowball import romanian_stem as _ro_snowball  # noqa: E402
+
 LIGHT_STEMMERS = {
     "es": spanish_light_stem,
     "pt": portuguese_light_stem,
@@ -765,6 +771,9 @@ LIGHT_STEMMERS = {
     "nn": _nn_light,
     "nb_min": _nb_minimal,
     "nn_min": _nn_minimal,
+    "da": _da_snowball,
+    "nl": _nl_snowball,
+    "ro": _ro_snowball,
 }
 
 

@@ -2403,6 +2403,14 @@ LIGHT_ANNOTATIONS = {
     # cannot host Cyrillic
     "ru": ((r"\bdata\b", "книга"), (r"\bmerge\b", "книги"),
            (r"\bwindow\b", "книгу")),
+    # snowball programs (kernels/snowball.py): ASCII inflections so the
+    # shared TOKEN_PATTERN hosts them
+    "nl": ((r"\bdata\b", "katten"), (r"\bmerge\b", "kat"),
+           (r"\bwindow\b", "kats")),
+    "da": ((r"\bdata\b", "skolen"), (r"\bmerge\b", "skoler"),
+           (r"\bwindow\b", "skole")),
+    "ro": ((r"\bdata\b", "cartea"), (r"\bmerge\b", "carte"),
+           (r"\bwindow\b", "cartile")),
 }
 
 # DuckDB RE2 class covering the engine's \w+ tokenizer over the ASCII
@@ -2455,6 +2463,8 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
     from ..kernels.french import FRENCH_STOP_WORDS
     from ..kernels.german import GERMAN_STOP_WORDS
     from ..kernels.romance import FINNISH_STOP_WORDS, NORWEGIAN_STOP_WORDS
+    from ..kernels.snowball import (DANISH_STOP_WORDS, DUTCH_STOP_WORDS,
+                                    ROMANIAN_STOP_WORDS)
 
     stops = {"es": SPANISH_STOP_WORDS, "pt": PORTUGUESE_STOP_WORDS,
              "it": ITALIAN_STOP_WORDS, "sv": SWEDISH_STOP_WORDS,
@@ -2462,7 +2472,10 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
              "de_min": GERMAN_STOP_WORDS,
              "fr_min": FRENCH_STOP_WORDS,
              "nb": NORWEGIAN_STOP_WORDS,
-             "ru": RUSSIAN_STOP_WORDS}[lang]
+             "ru": RUSSIAN_STOP_WORDS,
+             "nl": DUTCH_STOP_WORDS,
+             "da": DANISH_STOP_WORDS,
+             "ro": ROMANIAN_STOP_WORDS}[lang]
     tok_pat = RU_TOKEN_PATTERN if lang == "ru" else TOKEN_PATTERN
     stemmed = light_stem(lang, query_text.lower())
     toks = (
