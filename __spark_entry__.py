@@ -1419,6 +1419,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_interval_unordered"] = _iv_unordered
     q["fts_interval_ordered_maxgaps"] = _iv_ordered
 
+    # Interval combinators (round 5): or under ordered, containing /
+    # notContaining filters, minimum-should-match — each the relational
+    # expression of the kernel combinators pinned by the brute-force
+    # fuzz in tests/test_interval_combinators.py
+    def _iv_or_ordered(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_ordered_or_spark(s, d, "fast", ("sort", "merge"), k=10)
+
+    def _iv_containing(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_containing_spark(s, d, "query", "merge", "fast", k=10)
+
+    def _iv_notcontaining(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_containing_spark(
+            s, d, "query", "merge", "fast", k=10, negate=True
+        )
+
+    def _iv_atleast(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_atleast_spark(s, d, ("query", "sort", "fast"), k=10)
+
+    q["fts_interval_or_ordered"] = _iv_or_ordered
+    q["fts_interval_containing"] = _iv_containing
+    q["fts_interval_notcontaining"] = _iv_notcontaining
+    q["fts_interval_atleast"] = _iv_atleast
+
     # MemoryIndex-style percolation: docs matched against registered queries
     q["monitor_percolate"] = lambda s, d: R.monitor_percolate_spark(s, d)
     # hybrid lexical+vector retrieval (reciprocal-rank fusion)
@@ -1563,6 +1594,18 @@ def oracle_sql() -> dict[str, str]:
         "fts_interval_ordered_maxgaps": __import__(
             "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
         ).interval_ordered_duck("fast", "sort", k=10, max_gaps=8),
+        "fts_interval_or_ordered": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_ordered_or_duck("fast", ("sort", "merge"), k=10),
+        "fts_interval_containing": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_containing_duck("query", "merge", "fast", k=10),
+        "fts_interval_notcontaining": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_containing_duck("query", "merge", "fast", k=10, negate=True),
+        "fts_interval_atleast": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_atleast_duck(("query", "sort", "fast"), k=10),
         "hybrid_rrf": similarity.hybrid_rrf_duck(
             "query", query_vec_id=0, n=50, k=10
         ),

@@ -311,17 +311,32 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
     if isinstance(q, MatchNone):
         return {"type": "matchnone"}
     if isinstance(q, IntervalsQuery):
-        if len(q.terms) < 2:
-            raise ValueError("IntervalsQuery needs at least two term sources")
-        if not q.ordered and len(q.terms) != 2:
-            raise ValueError(
-                "unordered IntervalsQuery supports exactly two sources"
-            )
+        from .query import interval_min_extent, interval_source_terms
+
+        if q.source is not None:
+            src = _iv_normalize(q.source)
+            terms = tuple(sorted(interval_source_terms(q.source)))
+            min_extent = interval_min_extent(q.source)
+        else:
+            if len(q.terms) < 2:
+                raise ValueError(
+                    "IntervalsQuery needs at least two term sources")
+            if not q.ordered and len(q.terms) != 2:
+                raise ValueError(
+                    "unordered IntervalsQuery supports exactly two sources"
+                )
+            src = {
+                "kind": "ordered" if q.ordered else "unordered",
+                "sources": [{"kind": "term", "text": t} for t in q.terms],
+            }
+            terms = tuple(q.terms)
+            min_extent = len(q.terms)
         return {
             "type": "intervals",
-            "terms": tuple(q.terms),
+            "terms": terms,
             "field": q.field,
-            "ordered": bool(q.ordered),
+            "source": src,
+            "min_extent": int(min_extent),
             "max_gaps": None if q.max_gaps is None else int(q.max_gaps),
             "pivot": F32(q.pivot),
             "weight": F32(boost),
@@ -987,98 +1002,296 @@ def _eval_multiphrase(node, seg, cache):
     return docs, s.astype(np.float64)
 
 
+def _iv_normalize(src) -> dict:
+    """Interval-source dataclass tree (query.ITerm/IOr/...) → the plain
+    nested-dict plan nodes the worker-side evaluator consumes.
+    Multi-term leaves must be expanded first (searcher.expand)."""
+    from .query import (IAtLeast, IContaining, INotContaining, IOr,
+                        IOrdered, IPrefix, ITerm, IUnordered, IWildcard)
+
+    if isinstance(src, ITerm):
+        return {"kind": "term", "text": src.text}
+    if isinstance(src, (IPrefix, IWildcard)):
+        raise ValueError(
+            f"unexpanded multi-term interval source: {src!r} — "
+            "call searcher.expand() first"
+        )
+    if isinstance(src, (IOrdered, IUnordered)):
+        if len(src.sources) < 2:
+            raise ValueError("ordered/unordered needs >= 2 sources")
+        kind = "ordered" if isinstance(src, IOrdered) else "unordered"
+        return {"kind": kind,
+                "sources": [_iv_normalize(s) for s in src.sources]}
+    if isinstance(src, IOr):
+        if not src.sources:
+            raise ValueError("or needs >= 1 source")
+        return {"kind": "or",
+                "sources": [_iv_normalize(s) for s in src.sources]}
+    if isinstance(src, IContaining):
+        return {"kind": "containing", "big": _iv_normalize(src.big),
+                "small": _iv_normalize(src.small)}
+    if isinstance(src, INotContaining):
+        return {"kind": "not_containing",
+                "big": _iv_normalize(src.minuend),
+                "small": _iv_normalize(src.subtrahend)}
+    if isinstance(src, IAtLeast):
+        if not (1 <= src.min_should_match <= len(src.sources)):
+            raise ValueError("atLeast needs 1 <= n <= len(sources)")
+        if len(src.sources) > 8:
+            raise ValueError(
+                "atLeast supports at most 8 sources (subset expansion)")
+        return {"kind": "at_least", "msm": int(src.min_should_match),
+                "sources": [_iv_normalize(s) for s in src.sources]}
+    raise TypeError(f"not an interval source: {src!r}")
+
+
+_EMPTY_IV = (np.empty(0, dtype=np.int64),) * 3
+
+
+def _iv_minimalize(d, s, e):
+    """(doc, start, end) triples → the minimal set: drop every interval
+    that contains another distinct member (Vigna semantics). Sorted by
+    (doc, start); within a doc the survivors have strictly increasing
+    starts AND ends."""
+    if len(d) == 0:
+        return d, s, e
+    order = np.lexsort((e, s, d))
+    d, s, e = d[order], s[order], e[order]
+    # smallest end of each (doc, start) group wins (the others nest it)
+    first = np.ones(len(d), dtype=bool)
+    first[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+    d, s, e = d[first], s[first], e[first]
+    # starts now strictly increase per doc: i is non-minimal iff some
+    # later same-doc interval has end <= end_i. Packed global suffix-min
+    # works because doc majorizes the key (positions < _POS_SHIFT).
+    packed = d * _POS_SHIFT + e
+    suff = np.minimum.accumulate(packed[::-1])[::-1]
+    keep = np.ones(len(d), dtype=bool)
+    keep[:-1] = suff[1:] > packed[:-1]
+    return d[keep], s[keep], e[keep]
+
+
+def _iv_term_stream(seg: SegmentData, field: str, text: str, cand):
+    """All [p, p] occurrence intervals of a term, restricted to the
+    candidate docs; sorted by (doc, pos)."""
+    p = seg.positions((field, text))
+    if p is None:
+        return _EMPTY_IV
+    docs, freqs, starts, pos = p
+    if cand is not None:
+        m = np.isin(docs, cand, assume_unique=True)
+        docs, freqs, starts = docs[m], freqs[m], starts[m]
+    if len(docs) == 0:
+        return _EMPTY_IV
+    cnt = freqs.astype(np.int64)
+    flat = pos[_run_take(starts, cnt)].astype(np.int64)
+    d = np.repeat(docs.astype(np.int64), cnt)
+    return d, flat, flat.copy()
+
+
+def _iv_ordered_eval(children):
+    """OrderedIntervalIterator: greedy chain from every first-source
+    interval to the earliest following interval of each next source
+    (minimal per-child streams have ends ascending with starts, so the
+    first fit is the tightest), then the adjacent minimality cut (chain
+    ends are non-decreasing in start order)."""
+    d, s, e = children[0]
+    if len(d) == 0:
+        return _EMPTY_IV
+    valid = np.ones(len(d), dtype=bool)
+    for dj, sj, ej in children[1:]:
+        if len(dj) == 0:
+            return _EMPTY_IV
+        pk = dj * _POS_SHIFT + sj
+        tgt = d * _POS_SHIFT + e + 1
+        idx = np.searchsorted(pk, tgt, side="left")
+        ok = idx < len(pk)
+        ic = np.minimum(idx, len(pk) - 1)
+        ok &= dj[ic] == d
+        e = np.where(ok, ej[ic], e)
+        valid &= ok
+    d, s, e = d[valid], s[valid], e[valid]
+    if len(d):
+        keep = np.ones(len(d), dtype=bool)
+        keep[:-1] = (d[1:] != d[:-1]) | (e[:-1] < e[1:])
+        d, s, e = d[keep], s[keep], e[keep]
+    return d, s, e
+
+
+def _iv_unordered_eval(children):
+    """UnorderedIntervalIterator (overlaps allowed), n-ary: every
+    stream element anchors a candidate window as its left edge; per
+    source the completion is the first interval at-or-after the anchor
+    (minimal streams ⇒ that is also the one with the smallest end);
+    window end = max of the completions. Minimalizing the anchored
+    candidates equals minimalizing all one-per-source combinations."""
+    if any(len(c[0]) == 0 for c in children):
+        return _EMPTY_IV
+    d = np.concatenate([c[0] for c in children])
+    s = np.concatenate([c[1] for c in children])
+    e = np.concatenate([c[2] for c in children])
+    lab = np.concatenate(
+        [np.full(len(c[0]), i, dtype=np.int64)
+         for i, c in enumerate(children)]
+    )
+    order = np.lexsort((s, d))
+    d, s, e, lab = d[order], s[order], e[order], lab[order]
+    pk = d * _POS_SHIFT + s
+    n = len(d)
+    big = np.full(n, -1, dtype=np.int64)
+    ok = np.ones(n, dtype=bool)
+    for i in range(len(children)):
+        idxs = np.flatnonzero(lab == i)
+        p = np.searchsorted(pk[idxs], pk, side="left")
+        has = p < len(idxs)
+        ic = idxs[np.minimum(p, len(idxs) - 1)]
+        good = has & (d[ic] == d)
+        ok &= good
+        big = np.maximum(big, np.where(good, e[ic], -1))
+    return _iv_minimalize(d[ok], s[ok], big[ok])
+
+
+def _iv_containing_eval(big, small, negate: bool):
+    """ContainingIntervalFunction / NonContainingIntervalFunction: keep
+    the big intervals that do (containing) / do not (notContaining)
+    have a small interval nested inside. The first small at-or-after
+    the big's start has the smallest end among those (minimal stream),
+    so one searchsorted decides."""
+    db, sb, eb = big
+    if len(db) == 0:
+        return _EMPTY_IV
+    ds, ss, es = small
+    if len(ds) == 0:
+        return (db, sb, eb) if negate else _EMPTY_IV
+    pk_s = ds * _POS_SHIFT + ss
+    idx = np.searchsorted(pk_s, db * _POS_SHIFT + sb, side="left")
+    has = idx < len(pk_s)
+    ic = np.minimum(idx, len(pk_s) - 1)
+    contains = has & (ds[ic] == db) & (es[ic] <= eb)
+    keep = ~contains if negate else contains
+    return db[keep], sb[keep], eb[keep]
+
+
+def _iv_at_least_eval(children, msm: int):
+    """MinimumShouldMatchIntervalsSource: minimal spans over >= msm of
+    the sources == the minimalized union of unordered(subset) over all
+    msm-subsets (a span covering >= msm sources covers some subset
+    fully; minimality transfers both ways)."""
+    from itertools import combinations
+
+    parts = [
+        _iv_unordered_eval([children[i] for i in combo])
+        if msm > 1 else children[combo[0]]
+        for combo in combinations(range(len(children)), msm)
+    ]
+    return _iv_minimalize(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )
+
+
+def _iv_docs(src: dict, seg: SegmentData, field: str):
+    """Candidate doc ids a source can match in (sorted): the scan-prune
+    analog of ConjunctionDISI — conjunctions intersect, disjunctions
+    union, atLeast counts, differences keep the minuend side."""
+    kind = src["kind"]
+    if kind == "term":
+        p = seg.positions((field, src["text"]))
+        return p[0].astype(np.int64) if p is not None else _EMPTY_IV[0]
+    if kind in ("ordered", "unordered"):
+        out = None
+        for c in src["sources"]:
+            dc = _iv_docs(c, seg, field)
+            out = dc if out is None else np.intersect1d(
+                out, dc, assume_unique=True)
+        return out
+    if kind == "or":
+        out = _EMPTY_IV[0]
+        for c in src["sources"]:
+            out = np.union1d(out, _iv_docs(c, seg, field))
+        return out
+    if kind == "containing":
+        return np.intersect1d(
+            _iv_docs(src["big"], seg, field),
+            _iv_docs(src["small"], seg, field), assume_unique=True)
+    if kind == "not_containing":
+        return _iv_docs(src["big"], seg, field)
+    if kind == "at_least":
+        allc = np.concatenate(
+            [_iv_docs(c, seg, field) for c in src["sources"]])
+        uniq, cnt = np.unique(allc, return_counts=True)
+        return uniq[cnt >= src["msm"]]
+    raise ValueError(f"unknown interval source kind {kind!r}")
+
+
+def _iv_eval(src: dict, seg: SegmentData, field: str, cand):
+    """Recursive minimal-interval evaluation → (doc, start, end) arrays
+    sorted by (doc, start). Term streams restrict to the root's
+    candidate docs; every combinator preserves minimality."""
+    kind = src["kind"]
+    if kind == "term":
+        return _iv_term_stream(seg, field, src["text"], cand)
+    if kind in ("ordered", "unordered", "or", "at_least"):
+        children = [_iv_eval(c, seg, field, cand) for c in src["sources"]]
+        if kind == "ordered":
+            return _iv_ordered_eval(children)
+        if kind == "unordered":
+            return _iv_unordered_eval(children)
+        if kind == "or":
+            return _iv_minimalize(
+                np.concatenate([c[0] for c in children]),
+                np.concatenate([c[1] for c in children]),
+                np.concatenate([c[2] for c in children]),
+            )
+        return _iv_at_least_eval(children, src["msm"])
+    if kind in ("containing", "not_containing"):
+        big = _iv_eval(src["big"], seg, field, cand)
+        small = _iv_eval(src["small"], seg, field, cand)
+        return _iv_containing_eval(big, small, kind == "not_containing")
+    raise ValueError(f"unknown interval source kind {kind!r}")
+
+
 def _eval_intervals(node: dict, seg: SegmentData):
     """IntervalQuery evaluation, batched across ALL candidate docs
     (sandbox intervals module; no per-doc Python — same packed-key
-    idioms as the phrase/span paths):
-
-    - ordered (OrderedIntervalIterator): chain from EVERY occurrence of
-      the first source to the earliest following occurrence of each next
-      source (one packed-key searchsorted per slot), then keep the
-      minimal set — starts are ascending and chain ends non-decreasing,
-      so interval i is minimal iff its end is strictly below the next
-      same-doc end (equal ends ⇒ the later start nests inside).
-    - unordered pair (UnorderedIntervalIterator, 2 sources): the minimal
-      intervals are exactly the ADJACENT different-label pairs of the
-      merged occurrence stream — one argsort over packed keys.
+    idioms as the phrase/span paths). The source tree evaluates
+    bottom-up through the minimal-interval combinators above; the
+    legacy flat shapes compile to ordered/unordered trees over term
+    leaves and take exactly the code path they always did.
 
     freq accumulates in float32 in interval order
     (IntervalScorer.java:62-70: freq += 1/max(length − minExtent + 1, 1),
-    minExtent = number of term sources); score =
+    minExtent = IntervalsSource.minExtent of the root); score =
     f32(weight · (1 − pivot / (pivot + freq))) — the saturation function
     (IntervalScoreFunction.java), all-float32 op order."""
-    terms = node["terms"]
     field = node.get("field", "content")
-    n = len(terms)
-    post = [seg.positions((field, t)) for t in terms]
-    if any(p is None for p in post):
-        return _EMPTY_I, _EMPTY_F
-    cand = post[0][0]
-    for d, *_ in post[1:]:
-        cand = cand[np.isin(cand, d, assume_unique=True)]
+    src = node["source"]
+    cand = _iv_docs(src, seg, field)
     if len(cand) == 0:
         return _EMPTY_I, _EMPTY_F
-    D = len(cand)
-    flats, cnts = [], []
-    for p in post:
-        flat, cnt, _off = _slices_for(p, cand)
-        flats.append(flat)
-        cnts.append(cnt)
-    didx = [np.repeat(np.arange(D, dtype=np.int64), c) for c in cnts]
-    if node["ordered"]:
-        d0 = didx[0]
-        s0 = flats[0]
-        e0 = flats[0]
-        valid = np.ones(len(s0), dtype=bool)
-        for j in range(1, n):
-            pk_j = didx[j] * _POS_SHIFT + flats[j]
-            tgt = d0 * _POS_SHIFT + e0 + 1
-            idx = np.searchsorted(pk_j, tgt, side="left")
-            ok = idx < len(pk_j)
-            idx_c = np.minimum(idx, len(pk_j) - 1)
-            ok &= (pk_j[idx_c] // _POS_SHIFT) == d0
-            e0 = np.where(ok, pk_j[idx_c] % _POS_SHIFT, e0)
-            valid &= ok
-        d0, s0, e0 = d0[valid], s0[valid], e0[valid]
-        if len(d0):
-            keep = np.ones(len(d0), dtype=bool)
-            keep[:-1] = (d0[1:] != d0[:-1]) | (e0[:-1] < e0[1:])
-            d0, s0, e0 = d0[keep], s0[keep], e0[keep]
-    else:
-        k = np.concatenate(
-            [didx[0] * _POS_SHIFT + flats[0], didx[1] * _POS_SHIFT + flats[1]]
-        )
-        lab = np.concatenate(
-            [np.zeros(len(flats[0]), dtype=np.int8),
-             np.ones(len(flats[1]), dtype=np.int8)]
-        )
-        order = np.argsort(k, kind="stable")  # positions unique per doc
-        k, lab = k[order], lab[order]
-        if len(k) < 2:
-            return _EMPTY_I, _EMPTY_F
-        sel = ((k[1:] // _POS_SHIFT) == (k[:-1] // _POS_SHIFT)) & (
-            lab[1:] != lab[:-1]
-        )
-        d0 = (k[1:] // _POS_SHIFT)[sel]
-        s0 = (k[:-1] % _POS_SHIFT)[sel]
-        e0 = (k[1:] % _POS_SHIFT)[sel]
+    d0, s0, e0 = _iv_eval(src, seg, field, cand)
     if len(d0) == 0:
         return _EMPTY_I, _EMPTY_F
     length = e0 - s0 + 1
+    mex = np.int64(node["min_extent"])
     if node["max_gaps"] is not None:
-        m = (length - np.int64(n)) <= node["max_gaps"]
+        m = (length - mex) <= node["max_gaps"]
         d0, length = d0[m], length[m]
         if len(d0) == 0:
             return _EMPTY_I, _EMPTY_F
     contrib = (
-        1.0 / np.maximum(length - np.int64(n) + 1, 1).astype(np.float64)
+        1.0 / np.maximum(length - mex + 1, 1).astype(np.float64)
     ).astype(F32)
-    freq = np.zeros(D, dtype=F32)
-    np.add.at(freq, d0, contrib)  # index order == interval order per doc
-    hit = freq > 0
+    first = np.ones(len(d0), dtype=bool)
+    first[1:] = d0[1:] != d0[:-1]
+    uniq = d0[first]
+    inv = np.cumsum(first) - 1
+    freq = np.zeros(len(uniq), dtype=F32)
+    np.add.at(freq, inv, contrib)  # index order == interval order per doc
     pivot, w = node["pivot"], node["weight"]
-    score = (w * (F32(1.0) - pivot / (pivot + freq[hit]))).astype(F32)
-    return cand[hit], score.astype(np.float64)
+    score = (w * (F32(1.0) - pivot / (pivot + freq))).astype(F32)
+    return uniq, score.astype(np.float64)
 
 
 def _slices_for(post_i, cand: np.ndarray):

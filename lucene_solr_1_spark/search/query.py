@@ -435,26 +435,147 @@ class CommonTerms(Query):
     field: str = DEFAULT_FIELD
 
 
+# --- Interval sources (Intervals.java factory surface) -------------------
+# Each node denotes a per-doc MINIMAL interval set (Vigna semantics: no
+# member nests inside another). Composition rules live in
+# kernel._iv_eval; the brute-force contract in tests/test_intervals_*.
+
+
+@dataclass(frozen=True)
+class ITerm:
+    """Intervals.term — every occurrence as a [p, p] interval."""
+    text: str
+
+
+@dataclass(frozen=True)
+class IPrefix:
+    """Intervals.prefix (MultiTermIntervalsSource.java:38-60): expands
+    against the term dictionary, capped at max_expansions (the reference
+    throws past 128; the searcher rewrite raises ValueError)."""
+    prefix: str
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class IWildcard:
+    """Intervals.wildcard — '*'/'?' pattern, same expansion cap."""
+    pattern: str
+    max_expansions: int = 128
+
+
+@dataclass(frozen=True)
+class IOrdered:
+    """Intervals.ordered — chained sub-intervals, each starting after
+    the previous one ends (OrderedIntervalIterator)."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IUnordered:
+    """Intervals.unordered — minimal spans containing one interval from
+    every sub-source, overlaps allowed (UnorderedIntervalIterator)."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IOr:
+    """Intervals.or (DisjunctionIntervalsSource) — minimalized union."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IContaining:
+    """Intervals.containing (FilteringConjunctionIntervalsSource +
+    ContainingIntervalFunction): big intervals that contain a small."""
+    big: object
+    small: object
+
+
+@dataclass(frozen=True)
+class INotContaining:
+    """Intervals.notContaining (DifferenceIntervalsSource +
+    NonContainingIntervalFunction): minuend intervals containing no
+    subtrahend interval."""
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IAtLeast:
+    """Intervals.atLeast (MinimumShouldMatchIntervalsSource): minimal
+    spans containing intervals from >= min_should_match sub-sources."""
+    sources: tuple
+    min_should_match: int
+
+
+def interval_source_terms(src) -> set:
+    """All concrete leaf terms of a source tree (multi-term leaves must
+    be expanded first — the searcher rewrite does this)."""
+    if isinstance(src, ITerm):
+        return {src.text}
+    if isinstance(src, (IPrefix, IWildcard)):
+        raise TypeError(
+            f"unexpanded multi-term interval source: {src!r} — "
+            "call expand() first"
+        )
+    if isinstance(src, (IOrdered, IUnordered, IOr)):
+        return set().union(*(interval_source_terms(s) for s in src.sources))
+    if isinstance(src, IContaining):
+        return interval_source_terms(src.big) | interval_source_terms(src.small)
+    if isinstance(src, INotContaining):
+        return interval_source_terms(src.minuend) | interval_source_terms(
+            src.subtrahend)
+    if isinstance(src, IAtLeast):
+        return set().union(*(interval_source_terms(s) for s in src.sources))
+    raise TypeError(f"not an interval source: {src!r}")
+
+
+def interval_min_extent(src) -> int:
+    """IntervalsSource.minExtent: term/multi-term 1; conjunctions sum
+    (ConjunctionIntervalsSource.java:66-71); or takes the min
+    (DisjunctionIntervalsSource.java:94-99); filters/differences pass
+    the kept side through; atLeast sums the n smallest
+    (MinimumShouldMatchIntervalsSource.java:95-106)."""
+    if isinstance(src, (ITerm, IPrefix, IWildcard)):
+        return 1
+    if isinstance(src, (IOrdered, IUnordered)):
+        return sum(interval_min_extent(s) for s in src.sources)
+    if isinstance(src, IOr):
+        return min(interval_min_extent(s) for s in src.sources)
+    if isinstance(src, IContaining):
+        return interval_min_extent(src.big)
+    if isinstance(src, INotContaining):
+        return interval_min_extent(src.minuend)
+    if isinstance(src, IAtLeast):
+        exts = sorted(interval_min_extent(s) for s in src.sources)
+        return sum(exts[:src.min_should_match])
+    raise TypeError(f"not an interval source: {src!r}")
+
+
 @dataclass(frozen=True)
 class IntervalsQuery(Query):
-    """IntervalQuery over term sources (the sandbox intervals module:
-    sandbox/.../search/intervals/IntervalQuery.java, Intervals.java,
-    IntervalFunction.java): minimal-interval ordered/unordered proximity
+    """IntervalQuery over interval sources (the sandbox intervals
+    module: sandbox/.../search/intervals/IntervalQuery.java,
+    Intervals.java, IntervalFunction.java): minimal-interval proximity
     scored with the saturation function
     f32(weight · (1 − pivot / (pivot + freq))),
     freq = Σ 1 / max(length − minExtent + 1, 1) over the doc's minimal
-    intervals (IntervalScorer.java:62-70), minExtent = len(terms).
+    intervals (IntervalScorer.java:62-70).
 
-    ordered=True chains any number of term sources
-    (OrderedIntervalIterator); unordered supports exactly two (the
-    closed-form pair shape). max_gaps filters intervals with
-    length − minExtent > max_gaps before accumulation
-    (Intervals.maxgaps)."""
-    terms: tuple
+    Legacy flat shape: `terms` + ordered=True chains any number of term
+    sources (OrderedIntervalIterator); unordered supports exactly two
+    (the closed-form pair shape). The combinator shape passes `source`
+    (a tree of ITerm/IPrefix/IWildcard/IOrdered/IUnordered/IOr/
+    IContaining/INotContaining/IAtLeast) and ignores `terms`/`ordered`;
+    n-ary IUnordered is supported there. max_gaps filters intervals
+    with length − minExtent > max_gaps before accumulation
+    (Intervals.maxgaps over the root source)."""
+    terms: tuple = ()
     ordered: bool = False
     max_gaps: int | None = None
     pivot: float = 1.0
     field: str = DEFAULT_FIELD
+    source: object = None
 
 
 MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount
@@ -883,7 +1004,11 @@ def query_terms(q: Query) -> set:
     """All (field, term) posting keys the query touches (after expansion)."""
     if isinstance(q, Term):
         return {(q.field, q.text)}
-    if isinstance(q, (Synonym, Phrase, IntervalsQuery)):
+    if isinstance(q, IntervalsQuery):
+        if q.source is not None:
+            return {(q.field, t) for t in interval_source_terms(q.source)}
+        return {(q.field, t) for t in q.terms}
+    if isinstance(q, (Synonym, Phrase)):
         return {(q.field, t) for t in q.terms}
     if isinstance(q, MultiPhrase):
         return {(q.field, t) for slot in q.positions for t in slot}

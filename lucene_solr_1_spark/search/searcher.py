@@ -428,6 +428,13 @@ class LuceneSparkSearcher:
 
         if isinstance(q, _SPAN + (_SMT,)):
             return self._expand_span_tree(q)
+        from .query import IntervalsQuery as _IQ
+
+        if isinstance(q, _IQ) and q.source is not None:
+            from dataclasses import replace as _dc_replace
+
+            return _dc_replace(
+                q, source=self._expand_interval_tree(q.source, q.field))
         if isinstance(q, self._MTQ_TYPES):
             terms = self._expand_terms(self._mtq_cond(q))
         elif isinstance(q, Bool):
@@ -474,6 +481,61 @@ class LuceneSparkSearcher:
         if len(terms) == 1:
             return Term(terms[0], field=q.field)
         return Bool.of(*((Occur.SHOULD, Term(t, field=q.field)) for t in terms))
+
+    def _expand_interval_tree(self, src, field: str):
+        """Interval-source rewrite: replace every IPrefix/IWildcard leaf
+        with an IOr of ITerms expanded from the live term dictionary
+        (MultiTermIntervalsSource.java:41-85 — the reference walks the
+        automaton's TermsEnum and THROWS past maxExpansions, default 128
+        (Intervals.java:85-107); we raise ValueError at the same cap).
+        Combinator interiors are rebuilt with dataclasses.replace."""
+        from dataclasses import replace as _dc_replace
+
+        from .query import (IAtLeast, IContaining, INotContaining, IOr,
+                            IOrdered, IPrefix, ITerm, IUnordered,
+                            IWildcard)
+
+        w = self._expand_interval_tree
+        if isinstance(src, ITerm):
+            return src
+        if isinstance(src, (IPrefix, IWildcard)):
+            col = F.col("term")
+            if isinstance(src, IPrefix):
+                cond = col.startswith(src.prefix)
+                what = f"prefix {src.prefix!r}"
+            else:
+                rx = ("^" + re.escape(src.pattern)
+                      .replace(r"\*", ".*").replace(r"\?", ".") + "$")
+                cond = col.rlike(rx)
+                what = f"wildcard {src.pattern!r}"
+            cap = src.max_expansions
+            rows = (
+                self._postings.where((F.col("field") == field) & cond)
+                .select("term").distinct()
+                .orderBy("term").limit(cap + 1).collect()
+            )
+            if len(rows) > cap:
+                raise ValueError(
+                    f"interval {what} expanded to too many terms "
+                    f"(limit {cap})"
+                )
+            if not rows:
+                # impossible leaf — never indexed, yields no intervals
+                return ITerm("\x00<no-expansion>")
+            if len(rows) == 1:
+                return ITerm(rows[0]["term"])
+            return IOr(tuple(ITerm(r["term"]) for r in rows))
+        if isinstance(src, (IOrdered, IUnordered, IOr, IAtLeast)):
+            return _dc_replace(
+                src, sources=tuple(w(s, field) for s in src.sources))
+        if isinstance(src, IContaining):
+            return _dc_replace(
+                src, big=w(src.big, field), small=w(src.small, field))
+        if isinstance(src, INotContaining):
+            return _dc_replace(
+                src, minuend=w(src.minuend, field),
+                subtrahend=w(src.subtrahend, field))
+        raise TypeError(f"not an interval source: {src!r}")
 
     def _expand_span_tree(self, q):
         """SpanMultiTermQueryWrapper rewrite

@@ -131,6 +131,155 @@ def interval_ordered_spark(
     return _score_agg(pairs, weight, pivot, max_gaps, k)
 
 
+def interval_ordered_or_spark(
+    spark, sf_dir, t1: str, alts: tuple, k: int = 10,
+    max_gaps: int | None = None, weight: float = 1.0,
+    pivot: float = DEFAULT_PIVOT,
+) -> DataFrame:
+    """Intervals.ordered(t1, Intervals.or(*alts))
+    (DisjunctionIntervalsSource under OrderedIntervalIterator): the
+    or-source's minimal intervals are every occurrence of any
+    alternative, so the ordered-pair closed form holds with label B =
+    the alternative set — each B occurrence pairs with the last t1
+    before it, kept when it is the FIRST B after that t1. minExtent =
+    1 + min(1, ...) = 2, same as the plain pair."""
+    from pyspark.sql import Window
+
+    terms = [t1, *alts]
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).where(F.col("term").isin(terms))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_b = F.col("term").isin(list(alts))
+    pairs = (
+        tok.withColumn(
+            "prev_a", F.max(F.when(F.col("term") == t1, F.col("pos"))).over(w)
+        )
+        .withColumn("prev_b", F.max(F.when(is_b, F.col("pos"))).over(w))
+        .where(
+            is_b
+            & F.col("prev_a").isNotNull()
+            & (F.col("prev_b").isNull() | (F.col("prev_b") < F.col("prev_a")))
+        )
+        .select("doc_id", F.col("prev_a").alias("start"), F.col("pos").alias("end"))
+    )
+    return _score_agg(pairs, weight, pivot, max_gaps, k)
+
+
+def _unordered_pairs(tok: DataFrame, t1: str, t2: str) -> DataFrame:
+    """Minimal unordered(t1, t2) intervals: adjacent different-label
+    pairs of the merged per-doc occurrence stream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sub = tok.where(F.col("term").isin([t1, t2]))
+    return (
+        sub.withColumn("prev_pos", F.lag("pos").over(w))
+        .withColumn("prev_term", F.lag("term").over(w))
+        .where(
+            F.col("prev_term").isNotNull() & (F.col("prev_term") != F.col("term"))
+        )
+        .select("doc_id", F.col("prev_pos").alias("start"), F.col("pos").alias("end"))
+    )
+
+
+def interval_containing_spark(
+    spark, sf_dir, t1: str, t2: str, small: str, k: int = 10,
+    negate: bool = False, max_gaps: int | None = None,
+    weight: float = 1.0, pivot: float = DEFAULT_PIVOT,
+) -> DataFrame:
+    """Intervals.containing(unordered(t1, t2), small) — or notContaining
+    with negate=True (FilteringConjunctionIntervalsSource /
+    DifferenceIntervalsSource): keep the big minimal intervals that do
+    (don't) have a `small` occurrence nested inside. Realized without a
+    range join: union the intervals (anchored at start) with the small
+    occurrences into one per-doc stream; `next_small` = the first small
+    position at-or-after each interval's start (a suffix-min window,
+    interval rows ordered before same-position small rows so a small AT
+    the start stays in frame); contained iff next_small <= end.
+    minExtent = minExtent(big) = 2 either way."""
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).where(F.col("term").isin([t1, t2, small]))
+    pairs = _unordered_pairs(tok, t1, t2)
+    sm = tok.where(F.col("term") == small).select(
+        "doc_id", F.col("pos"), F.lit(1).alias("is_small"),
+        F.lit(None).cast("int").alias("end"),
+    )
+    ev = pairs.select(
+        "doc_id", F.col("start").alias("pos"), F.lit(0).alias("is_small"),
+        "end",
+    ).unionByName(sm)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "is_small")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    withnext = ev.withColumn(
+        "next_small",
+        F.min(F.when(F.col("is_small") == 1, F.col("pos"))).over(w),
+    ).where(F.col("is_small") == 0)
+    if negate:
+        kept = withnext.where(
+            F.col("next_small").isNull() | (F.col("next_small") > F.col("end"))
+        )
+    else:
+        kept = withnext.where(F.col("next_small") <= F.col("end"))
+    ivs = kept.select("doc_id", F.col("pos").alias("start"), "end")
+    return _score_agg(ivs, weight, pivot, max_gaps, k)
+
+
+def interval_atleast_spark(
+    spark, sf_dir, terms: tuple, k: int = 10,
+    max_gaps: int | None = None, weight: float = 1.0,
+    pivot: float = DEFAULT_PIVOT,
+) -> DataFrame:
+    """Intervals.atLeast(2, *terms) over three term sources
+    (MinimumShouldMatchIntervalsSource): the minimal spans covering >= 2
+    of the sources are the minimalized union of the three pairwise
+    unordered minimal sets. Minimalization over the union: smallest end
+    per (doc, start), then keep intervals whose end is strictly below
+    every later-start end (one suffix-min window)."""
+    from pyspark.sql import Window
+
+    a, b, c = terms
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).where(F.col("term").isin(list(terms)))
+    cands = (
+        _unordered_pairs(tok, a, b)
+        .unionByName(_unordered_pairs(tok, a, c))
+        .unionByName(_unordered_pairs(tok, b, c))
+    )
+    per_start = cands.groupBy("doc_id", "start").agg(F.min("end").alias("end"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ivs = (
+        per_start.withColumn("suff_min", F.min("end").over(w))
+        .where(F.col("suff_min").isNull() | (F.col("suff_min") > F.col("end")))
+        .select("doc_id", "start", "end")
+    )
+    return _score_agg(ivs, weight, pivot, max_gaps, k)
+
+
 def _duck_pair_cte(t1: str, t2: str) -> str:
     te = duck_tokens_expr()
     return f"""
@@ -204,6 +353,137 @@ pairs AS (
   FROM lab
   WHERE term = '{t2}' AND prev_a IS NOT NULL
     AND (prev_b IS NULL OR prev_b < prev_a)
+),
+{_duck_score_select(weight, pivot, max_gaps, k)}
+""".strip()
+
+
+def _duck_set_cte(terms) -> str:
+    te = duck_tokens_expr()
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+tok0 AS (
+  SELECT doc_id, unnest({te}) AS term, generate_subscripts({te}, 1) - 1 AS pos
+  FROM documents
+),
+tok AS (SELECT * FROM tok0 WHERE term IN ({inlist}))
+""".strip()
+
+
+def interval_ordered_or_duck(
+    t1: str, alts: tuple, k: int = 10, max_gaps: int | None = None,
+    weight: float = 1.0, pivot: float = DEFAULT_PIVOT,
+) -> str:
+    """Twin of interval_ordered_or_spark: ordered(t1, or(*alts))."""
+    b_list = ", ".join(f"'{a}'" for a in alts)
+    return f"""
+WITH {_duck_set_cte((t1, *alts))},
+lab AS (
+  SELECT doc_id, pos, term,
+         max(CASE WHEN term = '{t1}' THEN pos END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_a,
+         max(CASE WHEN term IN ({b_list}) THEN pos END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_b
+  FROM tok
+),
+pairs AS (
+  SELECT doc_id, prev_a AS start, pos AS "end"
+  FROM lab
+  WHERE term IN ({b_list}) AND prev_a IS NOT NULL
+    AND (prev_b IS NULL OR prev_b < prev_a)
+),
+{_duck_score_select(weight, pivot, max_gaps, k)}
+""".strip()
+
+
+_DUCK_UNORD_PAIRS = """
+{name} AS (
+  SELECT doc_id,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS start,
+         pos AS "end"
+  FROM (
+    SELECT doc_id, pos, term,
+           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_term
+    FROM tok WHERE term IN ('{a}', '{b}')
+  )
+  QUALIFY prev_term IS NOT NULL AND prev_term <> term
+)
+""".strip()
+
+
+def interval_containing_duck(
+    t1: str, t2: str, small: str, k: int = 10, negate: bool = False,
+    max_gaps: int | None = None, weight: float = 1.0,
+    pivot: float = DEFAULT_PIVOT,
+) -> str:
+    """Twin of interval_containing_spark: containing / notContaining of
+    unordered(t1, t2) against a term subtrahend — same event-stream
+    suffix-min formulation (interval rows order before same-position
+    small rows so a small at the start stays in frame)."""
+    big = _DUCK_UNORD_PAIRS.format(name="big", a=t1, b=t2)
+    keep = (
+        "(next_small IS NULL OR next_small > \"end\")"
+        if negate else "next_small <= \"end\""
+    )
+    return f"""
+WITH {_duck_set_cte((t1, t2, small))},
+{big},
+ev AS (
+  SELECT doc_id, start AS pos, 0 AS is_small, "end" FROM big
+  UNION ALL
+  SELECT doc_id, pos, 1 AS is_small, NULL AS "end"
+  FROM tok WHERE term = '{small}'
+),
+marked AS (
+  SELECT doc_id, pos, is_small, "end",
+         min(CASE WHEN is_small = 1 THEN pos END)
+           OVER (PARTITION BY doc_id ORDER BY pos, is_small
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_small
+  FROM ev
+),
+pairs AS (
+  SELECT doc_id, pos AS start, "end"
+  FROM marked WHERE is_small = 0 AND {keep}
+),
+{_duck_score_select(weight, pivot, max_gaps, k)}
+""".strip()
+
+
+def interval_atleast_duck(
+    terms: tuple, k: int = 10, max_gaps: int | None = None,
+    weight: float = 1.0, pivot: float = DEFAULT_PIVOT,
+) -> str:
+    """Twin of interval_atleast_spark: atLeast(2 of 3) = minimalized
+    union of the pairwise unordered minimal sets."""
+    a, b, c = terms
+    p_ab = _DUCK_UNORD_PAIRS.format(name="p_ab", a=a, b=b)
+    p_ac = _DUCK_UNORD_PAIRS.format(name="p_ac", a=a, b=c)
+    p_bc = _DUCK_UNORD_PAIRS.format(name="p_bc", a=b, b=c)
+    return f"""
+WITH {_duck_set_cte(terms)},
+{p_ab},
+{p_ac},
+{p_bc},
+cands AS (
+  SELECT * FROM p_ab UNION SELECT * FROM p_ac UNION SELECT * FROM p_bc
+),
+per_start AS (
+  SELECT doc_id, start, min("end") AS "end"
+  FROM cands GROUP BY doc_id, start
+),
+pairs AS (
+  SELECT doc_id, start, "end"
+  FROM (
+    SELECT doc_id, start, "end",
+           min("end") OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             AS suff_min
+    FROM per_start
+  )
+  WHERE suff_min IS NULL OR suff_min > "end"
 ),
 {_duck_score_select(weight, pivot, max_gaps, k)}
 """.strip()
