@@ -388,6 +388,26 @@ def _get_compound_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher
     return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
 
 
+def _get_hyphen_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
+    """Index built with the HYPHENATION analyzer (HyphenationCompound
+    WordTokenFilter over kernels/analyzer.HYPHEN_SPEC/HYPHEN_DICT) on
+    the PLAIN documents corpus — hyphen-point-aligned parts ride in the
+    postings at the base tokens' positions; the DuckDB twin derives its
+    mapping table from the same hyphen_decompose over the testdata
+    vocabulary."""
+    from lucene_solr_1_spark.kernels.analyzer import HYPHENATION
+
+    key = ("hyphenation", sf_dir)
+    if key not in _INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="sgidx_hy_")
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, num_segments=4,
+            cfg=HYPHENATION,
+        )
+        _INDEX_CACHE[key] = d
+    return LuceneSparkSearcher(spark, _INDEX_CACHE[key])
+
+
 def _get_cgrams_index(spark: SparkSession, sf_dir: str) -> LuceneSparkSearcher:
     """Index built with the COMMON_GRAMS_EN analyzer (CommonGramsFilter
     over {'the','a'}) on the PLAIN documents corpus — unigrams plus
@@ -1347,6 +1367,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                Term("customer"), k=10)
 
     q["fts_compound_word"] = _compound_recall
+
+    def _compound_hyphenation(s, d):
+        # HyphenationCompoundWordTokenFilter: 'customer' re-analyzes to
+        # SynonymQuery(customer, cus, custom, tom) against the
+        # hyphen-point-aligned subword index (the reference's default
+        # decompounding mode when no full dictionary exists)
+        return _kernel_hits_df(s, _get_hyphen_index(s, d),
+                               Term("customer"), k=10)
+
+    q["fts_compound_hyphenation"] = _compound_hyphenation
     q["index_field_stats"] = _field_stats
     q["fts_realtime_get"] = _rtg
     q["fts_complex_phrase"] = _complex_phrase
@@ -1667,6 +1697,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fts_french_stem": KO.kernel_french_term_duck("adoratrices", k=10),
         "fts_compound_word": KO.kernel_compound_synonym_duck("customer", k=10),
+        "fts_compound_hyphenation": KO.kernel_hyphen_synonym_duck(
+            "customer", k=10
+        ),
         "fts_spanish_stem": KO.kernel_light_term_duck("es", "libras", k=10),
         "fts_portuguese_stem": KO.kernel_light_term_duck("pt", "livras", k=10),
         "fts_italian_stem": KO.kernel_light_term_duck("it", "ragazze", k=10),

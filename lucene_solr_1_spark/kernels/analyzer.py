@@ -32,6 +32,8 @@ import pandas as pd
 from .cjk import CJK_ALL, CJK_STOP_WORDS, cjk_expand, cjk_width_fold
 from .commongrams import common_grams_stream
 from .compound import decompose as compound_decompose
+from .hyphenation import (HyphenationSpec, hyphen_decompose,
+                          parse_pattern_values)
 from .french import (FRENCH_ARTICLES, FRENCH_STOP_WORDS, elide,
                      french_array, french_term)
 from .german import (GERMAN_STOP_WORDS, german_array, german_normalize,
@@ -205,6 +207,18 @@ class AnalyzerConfig:
     # kept) — the Germanic compound-recall idiom. Query-side Terms become
     # SynonymQuery(term, *subwords). frozenset() = filter absent.
     compound_dict: frozenset = frozenset()
+    # HyphenationCompoundWordTokenFilter (compound/HyphenationCompound
+    # WordTokenFilter.java:135-205 decompose over a Liang/TeX pattern
+    # grammar — kernels/hyphenation.py pins the hyphenator and the
+    # decompose contract with the reference's public da_UTF8.xml
+    # goldens): every token >= 5 chars additionally emits the parts
+    # between its hyphen points AT THE SAME POSITION (posIncr 0,
+    # original kept), dictionary-filtered when hyphen_dict is set,
+    # every min/max-sized part when hyphen_dict is None (the
+    # reference's no-dictionary mode). None = filter absent; exclusive
+    # with compound_dict (one compound mode per chain).
+    hyphen_spec: object = None
+    hyphen_dict: frozenset | None = None
     # SynonymGraphFilter + FlattenGraphFilter at index time
     # (synonym/SynonymGraphFilter.java:426-545, core/FlattenGraphFilter
     # .java:268-340 — kernels/synonyms.py pins the graph+flatten
@@ -301,6 +315,20 @@ class AnalyzerConfig:
                 "(+ stop words): DictionaryCompoundWordTokenFilter sits "
                 "directly after the stop filter in the reference chains"
             )
+        if self.hyphen_dict is not None and self.hyphen_spec is None:
+            raise ValueError("hyphen_dict requires hyphen_spec")
+        if self.hyphen_spec is not None and (
+            self.stem or self.phonetic or self.word_delimiter
+            or self.synonyms or self.german or self.french
+            or self.common_grams or self.stem_keep_original
+            or self.compound_dict
+        ):
+            raise ValueError(
+                "hyphen_spec composes only with the standard chain "
+                "(+ stop words), and is exclusive with compound_dict — "
+                "one compound mode per chain, matching the reference's "
+                "either/or factory choice"
+            )
         if self.synonyms:
             if self.word_delimiter or self.phonetic or self.stem:
                 raise ValueError(
@@ -348,6 +376,8 @@ class AnalyzerConfig:
             stem_exclusions=self.stem_exclusions,
             synonyms=self.synonyms,
             compound_dict=self.compound_dict,
+            hyphen_spec=self.hyphen_spec,
+            hyphen_dict=self.hyphen_dict,
             cjk_bigram=self.cjk_bigram,
             cjk_output_unigrams=self.cjk_output_unigrams,
         )
@@ -442,6 +472,24 @@ FRENCH_MINIMAL = AnalyzerConfig(stop_words=FRENCH_STOP_WORDS,
 # decompose over the testdata vocabulary.
 COMPOUND_DICT = frozenset({"custom", "tom", "wind", "col", "tab", "stream"})
 COMPOUND = AnalyzerConfig(compound_dict=COMPOUND_DICT)
+# StandardAnalyzer + HyphenationCompoundWordTokenFilter: a tiny Liang
+# pattern grammar tuned to the testdata documents vocabulary ('s1t'
+# and 'm1e' hyphenate customer -> cus-tom-er, 'n1d' hyphenates
+# window -> win-dow) plus a subword dictionary — `customer` indexes
+# cus+custom+tom (hyphen-point-ALIGNED parts only, unlike the
+# every-offset dictionary scan above). The DuckDB twin derives its
+# mapping table from the SAME hyphen_decompose over the testdata
+# vocabulary; the hyphenator itself is pinned by the reference's
+# public da_UTF8.xml goldens in tests/test_hyphenation.py.
+HYPHEN_SPEC = HyphenationSpec(
+    classes=tuple((c, c) for c in "abcdefghijklmnopqrstuvwxyz"),
+    patterns=tuple(
+        parse_pattern_values(p) for p in ("s1t", "m1e", "n1d")
+    ),
+)
+HYPHEN_DICT = frozenset({"cus", "custom", "tom", "win", "dow"})
+HYPHENATION = AnalyzerConfig(hyphen_spec=HYPHEN_SPEC,
+                             hyphen_dict=HYPHEN_DICT)
 # Snowball-program analyzers (da/DanishAnalyzer.java:103-109,
 # nl/DutchAnalyzer.java:147-156 with its DEFAULT_STEM_DICT override,
 # ro/RomanianAnalyzer.java:106-112): snowball stops + SnowballFilter,
@@ -493,6 +541,7 @@ ANALYZERS: dict = {
     "danish": DANISH,
     "dutch": DUTCH,
     "romanian": ROMANIAN,
+    "hyphenation": HYPHENATION,
 }
 
 
@@ -564,6 +613,12 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             # position in discovery order (CompoundWordTokenFilterBase
             # .java:90-116)
             for sub in compound_decompose(tok, cfg.compound_dict):
+                terms.append(sub)
+                positions.append(pos)
+        if cfg.hyphen_spec is not None:
+            # hyphenation-driven parts, same stacking contract
+            for sub in hyphen_decompose(tok, cfg.hyphen_spec,
+                                        cfg.hyphen_dict):
                 terms.append(sub)
                 positions.append(pos)
     if cfg.synonyms:
@@ -639,7 +694,8 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     UDF hot path (no Spark-level per-row Python)."""
     src = texts.fillna("")
     if (cfg.phonetic or cfg.stem_keep_original or cfg.synonyms
-            or cfg.common_grams or cfg.compound_dict):
+            or cfg.common_grams or cfg.compound_dict
+            or cfg.hyphen_spec is not None):
         # stacked-token chains (posIncr-0 injection / graph rewrite):
         # route through the scalar twin so shingle/ngram consumers see
         # the full emitted stream — on the RAW source (tokenize_one
@@ -799,6 +855,8 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
         terms, row_idx, pos = _inject_common_grams(terms, row_idx, pos, cfg)
     if cfg.compound_dict:
         terms, row_idx, pos = _inject_compound(terms, row_idx, pos, cfg)
+    if cfg.hyphen_spec is not None:
+        terms, row_idx, pos = _inject_hyphen(terms, row_idx, pos, cfg)
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return terms, row_idx, pos, doc_len
 
@@ -823,6 +881,34 @@ def _inject_compound(terms, row_idx, pos, cfg: AnalyzerConfig):
     out_terms[first] = terms
     # scatter per (unique term, subword slot): loops vocabulary x
     # subwords (tiny), each fill vectorized over that term's occurrences
+    for u in np.nonzero(counts_u > 1)[0]:
+        occ = first[codes == u]
+        for j, sub in enumerate(subs_u[u]):
+            out_terms[occ + 1 + j] = sub
+    return out_terms, out_rows, out_pos
+
+
+def _inject_hyphen(terms, row_idx, pos, cfg: AnalyzerConfig):
+    """Vectorized HyphenationCompoundWordTokenFilter: after each token,
+    its hyphenation-derived parts at the SAME position (original kept).
+    Per-unique decomposition (Zipf) then the same variable-width segment
+    gather as _inject_compound — stream-identical to the scalar
+    tokenize_one ordering."""
+    from .hyphenation import hyphen_decompose as hdec
+
+    codes, uniq = pd.factorize(pd.Series(terms, dtype=object), sort=False)
+    subs_u = [hdec(u, cfg.hyphen_spec, cfg.hyphen_dict) for u in uniq]
+    counts_u = np.fromiter((1 + len(s) for s in subs_u), dtype=np.int64,
+                           count=len(subs_u))
+    counts = counts_u[codes]
+    total = int(counts.sum())
+    if total == len(terms):  # nothing decomposed
+        return terms, row_idx, pos
+    out_terms = np.empty(total, dtype=object)
+    out_rows = np.repeat(row_idx, counts)
+    out_pos = np.repeat(pos, counts)
+    first = np.cumsum(counts) - counts
+    out_terms[first] = terms
     for u in np.nonzero(counts_u > 1)[0]:
         occ = first[codes == u]
         for j, sub in enumerate(subs_u[u]):

@@ -760,6 +760,17 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
                     members = tuple(dict.fromkeys((t, *subs)))
                     if len(members) > 1:
                         return Synonym(members, field=node.field)
+            if getattr(cfg, "hyphen_spec", None) is not None:
+                # HyphenationCompoundWordTokenFilter at query time:
+                # (term, *parts) at one position -> SynonymQuery;
+                # members dedupe like the dictionary-compound chain
+                from ..kernels.hyphenation import hyphen_decompose
+
+                subs = hyphen_decompose(t, cfg.hyphen_spec, cfg.hyphen_dict)
+                if subs:
+                    members = tuple(dict.fromkeys((t, *subs)))
+                    if len(members) > 1:
+                        return Synonym(members, field=node.field)
             return Term(t, field=node.field, df_override=node.df_override)
         if isinstance(node, MultiPhrase):
             if node.field in keyword_fields:
@@ -807,6 +818,20 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
 
                 slots = tuple(
                     tuple(dict.fromkeys((t, *decompose(t, cfg.compound_dict))))
+                    for t in terms
+                )
+                if any(len(s) > 1 for s in slots):
+                    return MultiPhrase(slots, slop=node.slop, field=node.field)
+            if getattr(cfg, "hyphen_spec", None) is not None:
+                # stacked hyphenation parts at a slot -> MultiPhrase
+                # alternatives, same shape as the dictionary chain
+                from ..kernels.hyphenation import hyphen_decompose
+
+                slots = tuple(
+                    tuple(dict.fromkeys(
+                        (t, *hyphen_decompose(t, cfg.hyphen_spec,
+                                              cfg.hyphen_dict))
+                    ))
                     for t in terms
                 )
                 if any(len(s) > 1 for s in slots):

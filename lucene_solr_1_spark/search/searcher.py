@@ -211,6 +211,7 @@ class LuceneSparkSearcher:
                 or getattr(cfg, "synonyms", ())
                 or getattr(cfg, "common_grams", frozenset())
                 or getattr(cfg, "compound_dict", frozenset())
+                or getattr(cfg, "hyphen_spec", None) is not None
                 or getattr(cfg, "char_filters", ())
                 or getattr(cfg, "token_pattern", "")
                 or getattr(cfg, "cjk_bigram", 0)):

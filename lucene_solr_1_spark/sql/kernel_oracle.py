@@ -1721,6 +1721,84 @@ def _compound_table_values() -> str:
     return ", ".join(rows) if rows else "('', '')"
 
 
+def _hyphen_table_values() -> str:
+    """(term, sub) VALUES rows for the HYPHENATION chain — one row per
+    (corpus token, emitted part), duplicates preserved in discovery
+    order. Derived from the ENGINE'S OWN hyphen_decompose over the
+    testdata vocab (the hyphenator itself is pinned by the reference's
+    public da_UTF8.xml goldens in tests/test_hyphenation.py)."""
+    from ..kernels.analyzer import HYPHEN_DICT, HYPHEN_SPEC
+    from ..kernels.hyphenation import hyphen_decompose
+
+    vocab = _corpus_vocab()
+    rows = []
+    for t in sorted(set(vocab)):
+        for sub in hyphen_decompose(t, HYPHEN_SPEC, HYPHEN_DICT):
+            rows.append(f"({_sql_str(t)}, {_sql_str(sub)})")
+    return ", ".join(rows) if rows else "('', '')"
+
+
+def kernel_hyphen_synonym_duck(query_text: str, k: int = 10) -> str:
+    """Twin of search(Term(query_text)) against a HYPHENATION index
+    (HyphenationCompoundWordTokenFilter.java:135-205): identical scoring
+    shape to the dictionary-compound twin — SynonymQuery(term, *parts),
+    freqs summed over DISTINCT members, dl includes the injected
+    parts — but the injected stream holds only hyphen-point-ALIGNED
+    parts (the mapping table differs, the algebra does not)."""
+    from ..kernels.analyzer import HYPHEN_DICT, HYPHEN_SPEC
+    from ..kernels.hyphenation import hyphen_decompose
+
+    term = query_text.lower()
+    members = list(dict.fromkeys(
+        [term] + hyphen_decompose(term, HYPHEN_SPEC, HYPHEN_DICT)
+    ))
+    cache_expr = _norm_cache_expr()
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+cp(t, sub) AS (VALUES {_hyphen_table_values()}),
+tok AS (
+  SELECT doc_id, term FROM base
+  UNION ALL
+  SELECT b.doc_id, c.sub AS term FROM base b JOIN cp c ON c.t = b.term
+),
+dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_ttf FROM dl),
+avgf AS (SELECT CAST(sum_ttf::DOUBLE / n_docs::DOUBLE AS REAL) AS a FROM tot),
+lt(len_i, len_f) AS (VALUES {length_table_values()}),
+dlq AS (
+  SELECT d.doc_id, arg_max(l.len_f, l.len_i) AS len_f
+  FROM dl d JOIN lt l ON l.len_i <= d.dl GROUP BY d.doc_id
+),
+cache AS (
+  SELECT q.doc_id, {cache_expr} AS c FROM dlq q CROSS JOIN avgf av
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_sql_list(members)}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT CAST(sum(CAST({_idf32('dfr.df', 'tot.n_docs')} AS DOUBLE)) AS REAL) AS w
+  FROM dfr CROSS JOIN tot
+),
+ftot AS (SELECT doc_id, sum(tf) AS tf FROM tf GROUP BY 1),
+matched AS (
+  SELECT f.doc_id,
+         CAST(w.w * CAST(CAST(f.tf AS REAL)::DOUBLE /
+              (CAST(f.tf AS REAL)::DOUBLE + c.c::DOUBLE) AS REAL) AS REAL)
+           AS score32
+  FROM ftot f CROSS JOIN w JOIN cache c ON c.doc_id = f.doc_id
+)
+{_topk_select(k)}
+""".strip()
+
+
 def kernel_compound_synonym_duck(query_text: str, k: int = 10) -> str:
     """Twin of search(Term(query_text)) against a COMPOUND index: the
     searcher's re-analysis yields SynonymQuery(term, *subwords) — freqs
