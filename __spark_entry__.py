@@ -854,6 +854,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fts_numeric_in_set"] = _numeric_in_set
+
+    # Multi-dim range fields (document/LongRange.java newIntersectsQuery/
+    # newWithinQuery/newCrossesQuery): the doc's stored range is
+    # [dl, n_chars] (token count <= char count always holds); each
+    # relation rides the cogrouped doc-values channel as a FILTER
+    def _range_rel(rel, lo, hi):
+        def inner(s, d):
+            from lucene_solr_1_spark.search.query import RangeField
+
+            return _kernel_hits_df(
+                s,
+                _get_index(s, d),
+                Bool.of(
+                    (Occur.MUST, Term("query")),
+                    (Occur.FILTER, RangeField(
+                        dims=(("dl", "n_chars"),), lower=(lo,), upper=(hi,),
+                        relation=rel,
+                    )),
+                ),
+                k=10,
+            )
+
+        return inner
+
+    q["fts_range_field_intersects"] = _range_rel("intersects", 200, 280)
+    q["fts_range_field_within"] = _range_rel("within", 30, 400)
+    q["fts_range_field_crosses"] = _range_rel("crosses", 30, 400)
     q["fts_kernel_bool"] = lambda s, d: _kernel_hits_df(
         s,
         _get_index(s, d),
@@ -1860,6 +1887,23 @@ FROM m ORDER BY rank LIMIT 15
             must=("query",), k=10,
             filter_sql="dl.dl IN ({})".format(
                 ", ".join(str(v) for v in range(30, 61, 3))
+            ),
+        ),
+        # RangeFieldQuery relations over the [dl, n_chars] doc range
+        # (f.min=dl, f.max=length(text)); crosses = intersects && !within
+        "fts_range_field_intersects": KO.kernel_bool_duck(
+            must=("query",), k=10,
+            filter_sql="dl.dl <= 280 AND length(doc.text) >= 200",
+        ),
+        "fts_range_field_within": KO.kernel_bool_duck(
+            must=("query",), k=10,
+            filter_sql="dl.dl >= 30 AND length(doc.text) <= 400",
+        ),
+        "fts_range_field_crosses": KO.kernel_bool_duck(
+            must=("query",), k=10,
+            filter_sql=(
+                "(dl.dl <= 400 AND length(doc.text) >= 30) "
+                "AND NOT (dl.dl >= 30 AND length(doc.text) <= 400)"
             ),
         ),
         **{name: SE.stream_duck(expr) for name, expr in _STREAM_EXPRS.items()},

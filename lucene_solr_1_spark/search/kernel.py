@@ -29,7 +29,8 @@ from .query import (
     FunctionScore, MatchAll,
     SpanPositionRange,
     IntervalsQuery, MultiPhrase,
-    MatchNone, NumericRange, NumericSet, Occur, Phrase, Query, SPAN_TYPES,
+    MatchNone, NumericRange, NumericSet, Occur, Phrase, Query,
+    RangeField, SPAN_TYPES,
     SpanFirst,
     PayloadScore, SpanContaining, SpanNear, SpanNot, SpanOr, SpanTerm,
     SpanWithin, Synonym,
@@ -341,7 +342,7 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
             "pivot": F32(q.pivot),
             "weight": F32(boost),
         }
-    if isinstance(q, (NumericRange, NumericSet)):
+    if isinstance(q, (NumericRange, NumericSet, RangeField)):
         return {
             "type": "docidset",
             "set_id": numeric_set_id(q),
@@ -381,10 +382,17 @@ def compile_plan(q: Query, global_df: dict, doc_count, boost: float = 1.0,
 
 
 def numeric_set_id(q) -> str:
-    """Stable channel key for a doc-values filter leaf (NumericRange or
-    NumericSet) — distinct filters get distinct cogroup set_ids."""
+    """Stable channel key for a doc-values filter leaf (NumericRange,
+    NumericSet or RangeField) — distinct filters get distinct cogroup
+    set_ids (the key space stays injective across all three)."""
     if isinstance(q, NumericSet):
         return f"{q.field}:in:" + ",".join(str(v) for v in q.values)
+    if isinstance(q, RangeField):
+        dims = ";".join(
+            f"{mn},{mx},{lo},{hi}"
+            for (mn, mx), lo, hi in zip(q.dims, q.lower, q.upper)
+        )
+        return f"range:{q.relation}:{dims}"
     return f"{q.field}:{q.lower}:{q.upper}"
 
 

@@ -399,6 +399,35 @@ class NumericRange(Query):
 
 
 @dataclass(frozen=True)
+class RangeField(Query):
+    """Multi-dimensional range field query (document/RangeFieldQuery
+    .java:62-213 relation algebra; document/LongRange.java:183-208
+    factory surface): the doc's stored range per dimension is a
+    (min_column, max_column) pair of numeric doc-values columns; the
+    query carries [lower, upper] per dimension plus a relation, and a
+    doc matches when the relation holds on EVERY dimension
+    (RangeFieldQuery.QueryType.matches ANDs the per-dim tests; CROSSES
+    = INTERSECTS && !WITHIN over the whole box,
+    RangeFieldQuery.java:192-193). Constant-score; rides the same
+    cogrouped doc-values channel as NumericRange/NumericSet."""
+    dims: tuple  # ((min_col, max_col), ...), 1..4 dimensions
+    lower: tuple  # query box min per dimension
+    upper: tuple  # query box max per dimension
+    relation: str = "intersects"  # intersects | within | contains | crosses
+
+    def __post_init__(self):
+        if not (1 <= len(self.dims) <= 4):
+            raise ValueError("RangeField supports 1..4 dimensions")
+        if len(self.lower) != len(self.dims) or len(self.upper) != len(self.dims):
+            raise ValueError("lower/upper must have one bound per dimension")
+        if self.relation not in ("intersects", "within", "contains", "crosses"):
+            raise ValueError(f"unknown range relation {self.relation!r}")
+        object.__setattr__(self, "dims", tuple(tuple(d) for d in self.dims))
+        object.__setattr__(self, "lower", tuple(int(v) for v in self.lower))
+        object.__setattr__(self, "upper", tuple(int(v) for v in self.upper))
+
+
+@dataclass(frozen=True)
 class NumericSet(Query):
     """PointInSetQuery analog (search/PointInSetQuery.java:63 — the
     query IntPoint.newSetQuery builds): docs whose numeric doc-value is
@@ -962,7 +991,7 @@ def numeric_ranges(q: Query) -> set:
     """All NumericRange / NumericSet leaves in a query tree (resolved by
     the searcher against the doc-values columns of the norms table before
     scoring)."""
-    if isinstance(q, (NumericRange, NumericSet)):
+    if isinstance(q, (NumericRange, NumericSet, RangeField)):
         return {q}
     if isinstance(q, (Boost, ConstantScore, FunctionScore)):
         return numeric_ranges(q.query)
@@ -1047,7 +1076,8 @@ def query_terms(q: Query) -> set:
         return set().union(*(query_terms(c.query) for c in q.clauses)) if q.clauses else set()
     if isinstance(q, (DisjunctionMax, Covering)):
         return set().union(*(query_terms(s) for s in q.queries)) if q.queries else set()
-    if isinstance(q, (MatchAll, MatchNone, NumericRange, NumericSet)):
+    if isinstance(q, (MatchAll, MatchNone, NumericRange, NumericSet,
+                      RangeField)):
         return set()
     raise TypeError(f"unexpanded multi-term query: {q!r} — call expand() first")
 

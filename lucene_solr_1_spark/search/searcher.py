@@ -670,8 +670,46 @@ class LuceneSparkSearcher:
         full projection per FunctionScore value-source field (val = the
         doc-value) — all unioned, all distributed (the docvalues columnar
         read analog; no driver-side collect)."""
+        from .query import RangeField
+
         out = None
         for nr in sorted(nrs, key=K.numeric_set_id):
+            if isinstance(nr, RangeField):
+                for mn, mx in nr.dims:
+                    for col in (mn, mx):
+                        if col not in NUMERIC_DOCVALUES:
+                            raise ValueError(
+                                f"unknown numeric doc-values field {col!r};"
+                                f" available: {NUMERIC_DOCVALUES}"
+                            )
+                # RangeFieldQuery.QueryType per-dim relations, ANDed over
+                # dimensions (parquet pushes the comparisons into the
+                # doc-values scan exactly like the BETWEEN path)
+                def _rel(rel):
+                    cond = F.lit(True)
+                    for (mn, mx), lo, hi in zip(nr.dims, nr.lower, nr.upper):
+                        if rel == "intersects":
+                            c = (F.col(mn) <= hi) & (F.col(mx) >= lo)
+                        elif rel == "within":
+                            c = (F.col(mn) >= lo) & (F.col(mx) <= hi)
+                        else:  # contains
+                            c = (F.col(mn) <= lo) & (F.col(mx) >= hi)
+                        cond = cond & c
+                    return cond
+
+                if nr.relation == "crosses":
+                    # INTERSECTS && !WITHIN over the whole box
+                    # (RangeFieldQuery.java:192-193)
+                    cond = _rel("intersects") & ~_rel("within")
+                else:
+                    cond = _rel(nr.relation)
+                part = self._norms.where(cond).select(
+                    "segment_id", "doc_id",
+                    F.lit(K.numeric_set_id(nr)).alias("set_id"),
+                    F.lit(None).cast("double").alias("val"),
+                )
+                out = part if out is None else out.unionByName(part)
+                continue
             if nr.field not in NUMERIC_DOCVALUES:
                 raise ValueError(
                     f"unknown numeric doc-values field {nr.field!r}; "
