@@ -84,6 +84,10 @@ _STREAM_EXPRS = {
 # classification input text (kNN / naive Bayes over the lang class field):
 # common corpus terms so retrieval is non-trivial at every shipped SF
 _CLS_TEXT = "query merge spark sort data window"
+# geo_polygon gate pentagon (no horizontal edges — the ray-cast crossing
+# test requires them perturbed; ~97 synthetic points fall inside at sf0.01)
+_POLY_LATS = (10.37, 55.91, 30.23, -20.57, -45.11)
+_POLY_LONS = (-120.3, -10.2, 79.6, 60.4, -80.7)
 
 # page-1-last sort key of fts_sort_by_field at the driver's correctness
 # SF (0.01): searchAfter pages strictly past this (lang, n_chars, doc_id)
@@ -1447,9 +1451,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return G.geo_distance_range_spark(s, d, 48.85, 2.35, 1200.0)
 
+    def _geo_polygon(s, d):
+        from lucene_solr_1_spark.sql import geo as G
+
+        return G.geo_polygon_spark(s, d, _POLY_LATS, _POLY_LONS)
+
     q["geo_bbox"] = _geo_box
     q["geo_distance_topk"] = _geo_knn
     q["geo_distance_range"] = _geo_range
+    q["geo_polygon"] = _geo_polygon
 
     # --- Solr pivot facets / collapse+expand / spell+suggest widening ---
     q["facet_pivot"] = lambda s, d: R.pivot_facets_spark(s, d, "query")
@@ -1680,6 +1690,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance_topk": __import__(
             "lucene_solr_1_spark.sql.geo", fromlist=["x"]
         ).geo_distance_topk_duck(48.85, 2.35, k=10),
+        "geo_polygon": __import__(
+            "lucene_solr_1_spark.sql.geo", fromlist=["x"]
+        ).geo_polygon_duck(_POLY_LATS, _POLY_LONS),
         "geo_distance_range": __import__(
             "lucene_solr_1_spark.sql.geo", fromlist=["x"]
         ).geo_distance_range_duck(48.85, 2.35, 1200.0),

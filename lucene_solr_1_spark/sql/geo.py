@@ -147,3 +147,82 @@ SELECT doc_id, round(dist_km, 4) AS dist_km FROM d
 WHERE round(dist_km, 4) <= {float(radius_km)}
 ORDER BY doc_id
 """.strip()
+
+
+def _validate_polygon(lats: tuple, lons: tuple) -> None:
+    if len(lats) != len(lons) or len(lats) < 3:
+        raise ValueError("polygon needs >= 3 (lat, lon) vertices")
+    for i in range(len(lats)):
+        j = (i + 1) % len(lats)
+        if lats[i] == lats[j]:
+            raise ValueError(
+                "horizontal polygon edges are not supported (the ray-cast "
+                "crossing test is undefined on them; perturb the vertex)"
+            )
+
+
+def _polygon_inside_sql(lats: tuple, lons: tuple) -> str:
+    """Even-odd ray-cast point-in-polygon (the crossing-number algorithm
+    Polygon2D realizes as an edge tree, geo/Polygon2D.java:143-188
+    internalContains / EdgeTree crossings): count edges whose Y-span
+    brackets the point and whose X at the point's Y lies right of it;
+    odd = inside. ONE generator emits the SAME SQL text for Spark and
+    DuckDB — multiply/divide only (IEEE-identical, no libm), the CASE
+    guard keeps the division off horizontal-miss edges."""
+    _validate_polygon(lats, lons)
+    n = len(lats)
+    terms = []
+    for i in range(n):
+        j = (i + 1) % n
+        yi, xi = float(lats[i]), float(lons[i])
+        yj, xj = float(lats[j]), float(lons[j])
+        terms.append(
+            f"(CASE WHEN (({yi!r} > lat) <> ({yj!r} > lat)) AND "
+            f"(lon < ({xj!r} - {xi!r}) * (lat - {yi!r}) / ({yj!r} - {yi!r})"
+            f" + {xi!r}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2) = 1"
+
+
+def geo_polygon_spark(
+    spark: SparkSession, sf_dir: str, lats: tuple, lons: tuple
+) -> DataFrame:
+    """LatLonPoint.newPolygonQuery (document/LatLonPoint.java:262,
+    geo/Polygon.java): docs whose point falls inside the polygon.
+    Plan shape: the polygon's bounding box is a plain range predicate
+    (the BKD coarse pass — on stored coordinate columns it reaches the
+    parquet scan as min/max pruning) and only box survivors evaluate
+    the unrolled ray-cast CASE chain (the Polygon2D exact pass), all
+    inside whole-stage codegen."""
+    _validate_polygon(lats, lons)
+    pts = _with_coords(spark, sf_dir)
+    boxed = pts.where(
+        (F.col("lat") >= float(min(lats))) & (F.col("lat") <= float(max(lats)))
+        & (F.col("lon") >= float(min(lons))) & (F.col("lon") <= float(max(lons)))
+    )
+    return (
+        boxed.where(F.expr(_polygon_inside_sql(lats, lons)))
+        .orderBy("doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("lat"), 4).alias("lat"),
+            F.round(F.col("lon"), 4).alias("lon"),
+        )
+    )
+
+
+def geo_polygon_duck(lats: tuple, lons: tuple) -> str:
+    """Twin of geo_polygon_spark — same bbox prefilter, same generated
+    ray-cast expression text."""
+    _validate_polygon(lats, lons)
+    return f"""
+WITH pts AS (SELECT doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM documents),
+boxed AS (
+  SELECT * FROM pts
+  WHERE lat >= {float(min(lats))} AND lat <= {float(max(lats))}
+    AND lon >= {float(min(lons))} AND lon <= {float(max(lons))}
+)
+SELECT doc_id, round(lat, 4) AS lat, round(lon, 4) AS lon
+FROM boxed WHERE {_polygon_inside_sql(lats, lons)}
+ORDER BY doc_id
+""".strip()

@@ -191,3 +191,76 @@ def test_geo_distance_range_is_filter_of_topk(spark, docs_pdf):
     assert set(got["doc_id"]) == set(want)
     for d, km in zip(got["doc_id"], got["dist_km"]):
         assert abs(km - want[int(d)]) < 1e-3
+
+
+def _pip_bruteforce(lat, lon, lats, lons):
+    """Independent even-odd ray cast (no shared expression text)."""
+    n = len(lats)
+    inside = False
+    for i in range(n):
+        j = (i + 1) % n
+        yi, xi, yj, xj = lats[i], lons[i], lats[j], lons[j]
+        if (yi > lat) != (yj > lat):
+            xcross = (xj - xi) * (lat - yi) / (yj - yi) + xi
+            if lon < xcross:
+                inside = not inside
+    return inside
+
+
+def test_geo_polygon_membership(spark, docs_pdf):
+    lats = (10.37, 55.91, 30.23, -20.57, -45.11)
+    lons = (-120.3, -10.2, 79.6, 60.4, -80.7)
+    got = G.geo_polygon_spark(spark, SF, lats, lons).toPandas()
+    want = {
+        int(d)
+        for d in docs_pdf["doc_id"]
+        if _pip_bruteforce(*_coords(int(d)), lats, lons)
+    }
+    assert set(got["doc_id"]) == want
+    assert want  # the pentagon must actually contain points
+    assert want != set(docs_pdf["doc_id"].astype(int))  # ...but not all
+    # sorted by doc_id, coordinates round-trip
+    assert list(got["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_geo_polygon_concave(spark, docs_pdf):
+    """A concave (arrow-head) polygon: the notch must exclude points a
+    convex hull would keep — exercises even-odd parity > 1 crossing."""
+    lats = (-40.13, 60.17, -40.13, 5.23)
+    lons = (-150.7, 0.1, 150.9, 0.1)  # notch points back up at (5.2, 0.1)
+    got = G.geo_polygon_spark(spark, SF, lats, lons).toPandas()
+    want = {
+        int(d)
+        for d in docs_pdf["doc_id"]
+        if _pip_bruteforce(*_coords(int(d)), lats, lons)
+    }
+    assert set(got["doc_id"]) == want and want
+    # at least one bbox point is outside the concave shape
+    in_box = {
+        int(d) for d in docs_pdf["doc_id"]
+        if -40.13 <= _coords(int(d))[0] <= 60.17
+        and -150.7 <= _coords(int(d))[1] <= 150.9
+    }
+    assert in_box - want
+
+
+def test_geo_polygon_rejects_degenerate():
+    with pytest.raises(ValueError, match=">= 3"):
+        G.geo_polygon_duck((1.0, 2.0), (3.0, 4.0))
+    with pytest.raises(ValueError, match="horizontal"):
+        G.geo_polygon_duck((10.0, 10.0, 20.0), (0.0, 5.0, 2.0))
+
+
+def test_geo_polygon_plan_shape(spark):
+    """One parquet scan, bbox + ray-cast fused into a single Filter
+    (pure expressions — codegen-able), no join, and the only exchange
+    is the final doc_id sort."""
+    lats = (10.37, 55.91, 30.23, -20.57, -45.11)
+    lons = (-120.3, -10.2, 79.6, 60.4, -80.7)
+    plan = G.geo_polygon_spark(
+        spark, SF, lats, lons
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "CASE WHEN" in plan  # ray-cast chain inlined in the Filter
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1  # only the final sort
