@@ -73,11 +73,22 @@ def osa(a: str, b: str) -> int:
     return prev[lb]
 
 
+_BATCH_CUTOFF = 64  # below this the scalar DP beats matrix setup cost
+
+
 def osa_series(terms: pd.Series, text: str) -> pd.Series:
-    """OSA distance of each term to `text`, memoized per unique term
-    (Zipf: the candidate dictionary slice is far smaller than any
-    posting stream it gates)."""
-    uniq = {t: osa(t, text) for t in pd.unique(terms.astype(str))}
+    """OSA distance of each term to `text`, computed once per unique
+    term (Zipf: the candidate dictionary slice is far smaller than any
+    posting stream it gates). Large slices run the NumPy char-matrix
+    DP (kernels/batchdist.osa_batch — fuzz-pinned row-identical to the
+    scalar), so per-candidate cost is vectorized, not a Python loop."""
+    u = pd.unique(terms.astype(str))
+    if len(u) >= _BATCH_CUTOFF:
+        from .batchdist import osa_batch
+
+        uniq = dict(zip(u, osa_batch(list(u), text)))
+    else:
+        uniq = {t: osa(t, text) for t in u}
     return terms.map(uniq).astype("int32")
 
 

@@ -94,16 +94,43 @@ DISTANCES = {
 }
 
 
+_BATCH_CUTOFF = 64  # below this the scalar beats matrix setup cost
+
+_BATCHED = {
+    "jaro_winkler": "jaro_winkler_batch",
+    "ngram": "ngram_batch",
+}
+
+
+def distance_series(terms, text: str, distance: str):
+    """Per-unique StringDistance scores for a term Series — the NumPy
+    char-matrix batch (kernels/batchdist, fuzz-pinned row-identical to
+    the scalars) for large slices, the memoized scalar below the
+    cutoff."""
+    import pandas as pd
+
+    fn = DISTANCES[distance]
+    u = pd.unique(terms.astype(str))
+    if len(u) >= _BATCH_CUTOFF:
+        from . import batchdist
+
+        batch = getattr(batchdist, _BATCHED[distance])
+        uniq = dict(zip(u, (round(float(v), 4) for v in batch(list(u), text))))
+    else:
+        uniq = {t: round(fn(t, text), 4) for t in u}
+    return terms.map(uniq).astype("float64")
+
+
 def distance_udf(text: str, distance: str):
     """Arrow-batched pandas UDF scoring terms against `text` with the
     named StringDistance, rounded to 4 like the relational twins."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    fn = DISTANCES[distance]
+    DISTANCES[distance]  # unknown name raises HERE, not on the executor
 
     def _dist(terms):
-        return terms.map(lambda t: round(fn(t, text), 4))
+        return distance_series(terms, text, distance)
 
     _dist.__annotations__ = {"terms": pd.Series, "return": pd.Series}
     return pandas_udf(_dist, "double")
