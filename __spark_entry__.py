@@ -1517,6 +1517,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_interval_notcontaining"] = _iv_notcontaining
     q["fts_interval_atleast"] = _iv_atleast
 
+    def _iv_phrase(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_phrase_spark(s, d, "fast", "sort", k=10)
+
+    def _iv_before(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_before_spark(s, d, "query", "merge", k=10)
+
+    def _iv_maxwidth(s, d):
+        from lucene_solr_1_spark.sql import intervals as IV
+
+        return IV.interval_maxwidth_spark(s, d, "query", "merge", 6, k=10)
+
+    q["fts_interval_phrase"] = _iv_phrase
+    q["fts_interval_before"] = _iv_before
+    q["fts_interval_maxwidth"] = _iv_maxwidth
+
     # MemoryIndex-style percolation: docs matched against registered queries
     q["monitor_percolate"] = lambda s, d: R.monitor_percolate_spark(s, d)
     # hybrid lexical+vector retrieval (reciprocal-rank fusion)
@@ -1673,6 +1692,15 @@ def oracle_sql() -> dict[str, str]:
         "fts_interval_atleast": __import__(
             "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
         ).interval_atleast_duck(("query", "sort", "fast"), k=10),
+        "fts_interval_phrase": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_phrase_duck("fast", "sort", k=10),
+        "fts_interval_before": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_before_duck("query", "merge", k=10),
+        "fts_interval_maxwidth": __import__(
+            "lucene_solr_1_spark.sql.intervals", fromlist=["x"]
+        ).interval_maxwidth_duck("query", "merge", 6, k=10),
         "hybrid_rrf": similarity.hybrid_rrf_duck(
             "query", query_vec_id=0, n=50, k=10
         ),

@@ -1014,8 +1014,11 @@ def _iv_normalize(src) -> dict:
     """Interval-source dataclass tree (query.ITerm/IOr/...) → the plain
     nested-dict plan nodes the worker-side evaluator consumes.
     Multi-term leaves must be expanded first (searcher.expand)."""
-    from .query import (IAtLeast, IContaining, INotContaining, IOr,
-                        IOrdered, IPrefix, ITerm, IUnordered, IWildcard)
+    from .query import (IAtLeast, IContainedBy, IContaining, IExtend,
+                        IFixField, IMaxGaps, IMaxWidth, INonOverlapping,
+                        INotContainedBy, INotContaining, IOffset, IOr,
+                        IOrdered, IOverlapping, IPhrase, IPrefix, ITerm,
+                        IUnordered, IWildcard, interval_min_extent)
 
     if isinstance(src, ITerm):
         return {"kind": "term", "text": src.text}
@@ -1024,10 +1027,11 @@ def _iv_normalize(src) -> dict:
             f"unexpanded multi-term interval source: {src!r} — "
             "call searcher.expand() first"
         )
-    if isinstance(src, (IOrdered, IUnordered)):
+    if isinstance(src, (IOrdered, IUnordered, IPhrase)):
         if len(src.sources) < 2:
-            raise ValueError("ordered/unordered needs >= 2 sources")
-        kind = "ordered" if isinstance(src, IOrdered) else "unordered"
+            raise ValueError("ordered/unordered/phrase needs >= 2 sources")
+        kind = {IOrdered: "ordered", IUnordered: "unordered",
+                IPhrase: "phrase"}[type(src)]
         return {"kind": kind,
                 "sources": [_iv_normalize(s) for s in src.sources]}
     if isinstance(src, IOr):
@@ -1042,6 +1046,43 @@ def _iv_normalize(src) -> dict:
         return {"kind": "not_containing",
                 "big": _iv_normalize(src.minuend),
                 "small": _iv_normalize(src.subtrahend)}
+    if isinstance(src, IContainedBy):
+        return {"kind": "contained_by", "small": _iv_normalize(src.small),
+                "big": _iv_normalize(src.big)}
+    if isinstance(src, INotContainedBy):
+        return {"kind": "not_contained_by",
+                "small": _iv_normalize(src.small),
+                "big": _iv_normalize(src.big)}
+    if isinstance(src, IOverlapping):
+        return {"kind": "overlapping", "source": _iv_normalize(src.source),
+                "reference": _iv_normalize(src.reference)}
+    if isinstance(src, INonOverlapping):
+        return {"kind": "non_overlapping",
+                "source": _iv_normalize(src.minuend),
+                "reference": _iv_normalize(src.subtrahend)}
+    if isinstance(src, IMaxWidth):
+        if src.width < 1:
+            raise ValueError("maxwidth needs width >= 1")
+        return {"kind": "max_width", "width": int(src.width),
+                "source": _iv_normalize(src.source)}
+    if isinstance(src, IMaxGaps):
+        if src.gaps < 0:
+            raise ValueError("maxgaps needs gaps >= 0")
+        return {"kind": "max_gaps", "gaps": int(src.gaps),
+                "sub_extent": int(interval_min_extent(src.source)),
+                "source": _iv_normalize(src.source)}
+    if isinstance(src, IExtend):
+        if src.before < 0 or src.after < 0:
+            raise ValueError("extend needs before/after >= 0")
+        return {"kind": "extend", "before": int(src.before),
+                "after": int(src.after),
+                "source": _iv_normalize(src.source)}
+    if isinstance(src, IOffset):
+        return {"kind": "offset", "before": bool(src.before),
+                "source": _iv_normalize(src.source)}
+    if isinstance(src, IFixField):
+        return {"kind": "fixfield", "field": src.field,
+                "source": _iv_normalize(src.source)}
     if isinstance(src, IAtLeast):
         if not (1 <= src.min_should_match <= len(src.sources)):
             raise ValueError("atLeast needs 1 <= n <= len(sources)")
@@ -1207,7 +1248,7 @@ def _iv_docs(src: dict, seg: SegmentData, field: str):
     if kind == "term":
         p = seg.positions((field, src["text"]))
         return p[0].astype(np.int64) if p is not None else _EMPTY_IV[0]
-    if kind in ("ordered", "unordered"):
+    if kind in ("ordered", "unordered", "phrase"):
         out = None
         for c in src["sources"]:
             dc = _iv_docs(c, seg, field)
@@ -1225,6 +1266,22 @@ def _iv_docs(src: dict, seg: SegmentData, field: str):
             _iv_docs(src["small"], seg, field), assume_unique=True)
     if kind == "not_containing":
         return _iv_docs(src["big"], seg, field)
+    if kind == "contained_by":
+        return np.intersect1d(
+            _iv_docs(src["small"], seg, field),
+            _iv_docs(src["big"], seg, field), assume_unique=True)
+    if kind == "not_contained_by":
+        return _iv_docs(src["small"], seg, field)
+    if kind == "overlapping":
+        return np.intersect1d(
+            _iv_docs(src["source"], seg, field),
+            _iv_docs(src["reference"], seg, field), assume_unique=True)
+    if kind == "non_overlapping":
+        return _iv_docs(src["source"], seg, field)
+    if kind in ("max_width", "max_gaps", "extend", "offset"):
+        return _iv_docs(src["source"], seg, field)
+    if kind == "fixfield":
+        return _iv_docs(src["source"], seg, src["field"])
     if kind == "at_least":
         allc = np.concatenate(
             [_iv_docs(c, seg, field) for c in src["sources"]])
@@ -1233,19 +1290,115 @@ def _iv_docs(src: dict, seg: SegmentData, field: str):
     raise ValueError(f"unknown interval source kind {kind!r}")
 
 
+def _iv_phrase_eval(children):
+    """BLOCK IntervalFunction (Intervals.phrase): exact adjacency —
+    each next child interval must start at the previous end + 1 (in a
+    minimal stream starts are unique per doc, so one searchsorted
+    equality probe decides)."""
+    d, s, e = children[0]
+    if len(d) == 0:
+        return _EMPTY_IV
+    valid = np.ones(len(d), dtype=bool)
+    for dj, sj, ej in children[1:]:
+        if len(dj) == 0:
+            return _EMPTY_IV
+        pk = dj * _POS_SHIFT + sj
+        tgt = d * _POS_SHIFT + e + 1
+        idx = np.searchsorted(pk, tgt, side="left")
+        ok = idx < len(pk)
+        ic = np.minimum(idx, len(pk) - 1)
+        ok &= pk[ic] == tgt
+        e = np.where(ok, ej[ic], e)
+        valid &= ok
+    return _iv_minimalize(d[valid], s[valid], e[valid])
+
+
+def _iv_contained_by_eval(small, big, negate: bool):
+    """ContainedByIntervalFunction / NOT_CONTAINED_BY: keep the small
+    intervals nested inside (not nested inside) some big interval. The
+    big side may be a RAW (non-minimal) mapped stream — extend/offset
+    envelopes must not be minimalized away (the before/after
+    construction depends on them) — so the exists-test is a per-doc
+    prefix-max: among bigs with start <= s.start, is the max end
+    >= s.end? (doc majorizes the packed key, so a global running max
+    never crosses docs upward.)"""
+    ds, ss, es = small
+    if len(ds) == 0:
+        return _EMPTY_IV
+    db, sb, eb = big
+    if len(db) == 0:
+        return (ds, ss, es) if negate else _EMPTY_IV
+    pk_start = db * _POS_SHIFT + sb
+    prefmax = np.maximum.accumulate(db * _POS_SHIFT + eb)
+    idx = np.searchsorted(pk_start, ds * _POS_SHIFT + ss, side="right") - 1
+    has = idx >= 0
+    pm = prefmax[np.maximum(idx, 0)]
+    inside = has & (pm >= ds * _POS_SHIFT + es)
+    keep = ~inside if negate else inside
+    return ds[keep], ss[keep], es[keep]
+
+
+def _iv_overlapping_eval(source, reference, negate: bool):
+    """OVERLAPPING / NON_OVERLAPPING IntervalFunctions: keep source
+    intervals that share (don't share) >= 1 position with a reference
+    interval. The reference may be RAW (see _iv_contained_by_eval), so
+    the exists-test is the prefix-max form: among refs with start <=
+    s.end, is the max end >= s.start?"""
+    d, s, e = source
+    if len(d) == 0:
+        return _EMPTY_IV
+    dr, sr, er = reference
+    if len(dr) == 0:
+        return (d, s, e) if negate else _EMPTY_IV
+    pk_start = dr * _POS_SHIFT + sr
+    prefmax = np.maximum.accumulate(dr * _POS_SHIFT + er)
+    idx = np.searchsorted(pk_start, d * _POS_SHIFT + e, side="right") - 1
+    has = idx >= 0
+    pm = prefmax[np.maximum(idx, 0)]
+    overlaps = has & (pm >= d * _POS_SHIFT + s)
+    keep = ~overlaps if negate else overlaps
+    return d[keep], s[keep], e[keep]
+
+
+def _iv_eval_raw(src: dict, seg: SegmentData, field: str, cand):
+    """Filter-side stream evaluation: extend/offset map their
+    underlying intervals 1:1 WITHOUT re-minimalizing, exactly like
+    ExtendedIntervalsSource/OffsetIntervalsSource (dropping an envelope
+    that contains another would weaken the exists-tests — the
+    before/after construction depends on the widest ones surviving).
+    Output sorted by (doc, start, end); every other node is evaluated
+    minimally as usual."""
+    kind = src["kind"]
+    if kind == "extend":
+        d, s, e = _iv_eval_raw(src["source"], seg, field, cand)
+        s2 = np.maximum(s - src["before"], 0)
+        e2 = e + src["after"]
+        order = np.lexsort((e2, s2, d))
+        return d[order], s2[order], e2[order]
+    if kind == "offset":
+        d, s, e = _iv_eval_raw(src["source"], seg, field, cand)
+        p = np.maximum(s - 1, 0) if src["before"] else e + 1
+        order = np.lexsort((p, d))
+        return d[order], p[order], p[order].copy()
+    return _iv_eval(src, seg, field, cand)
+
+
 def _iv_eval(src: dict, seg: SegmentData, field: str, cand):
     """Recursive minimal-interval evaluation → (doc, start, end) arrays
     sorted by (doc, start). Term streams restrict to the root's
-    candidate docs; every combinator preserves minimality."""
+    candidate docs; every combinator preserves minimality (re-running
+    _iv_minimalize where an operation could break it)."""
     kind = src["kind"]
     if kind == "term":
         return _iv_term_stream(seg, field, src["text"], cand)
-    if kind in ("ordered", "unordered", "or", "at_least"):
+    if kind in ("ordered", "unordered", "phrase", "or", "at_least"):
         children = [_iv_eval(c, seg, field, cand) for c in src["sources"]]
         if kind == "ordered":
             return _iv_ordered_eval(children)
         if kind == "unordered":
             return _iv_unordered_eval(children)
+        if kind == "phrase":
+            return _iv_phrase_eval(children)
         if kind == "or":
             return _iv_minimalize(
                 np.concatenate([c[0] for c in children]),
@@ -1257,6 +1410,30 @@ def _iv_eval(src: dict, seg: SegmentData, field: str, cand):
         big = _iv_eval(src["big"], seg, field, cand)
         small = _iv_eval(src["small"], seg, field, cand)
         return _iv_containing_eval(big, small, kind == "not_containing")
+    if kind in ("contained_by", "not_contained_by"):
+        small = _iv_eval(src["small"], seg, field, cand)
+        big = _iv_eval_raw(src["big"], seg, field, cand)
+        return _iv_contained_by_eval(small, big, kind == "not_contained_by")
+    if kind in ("overlapping", "non_overlapping"):
+        source = _iv_eval(src["source"], seg, field, cand)
+        ref = _iv_eval_raw(src["reference"], seg, field, cand)
+        return _iv_overlapping_eval(source, ref, kind == "non_overlapping")
+    if kind == "max_width":
+        d, s, e = _iv_eval(src["source"], seg, field, cand)
+        keep = (e - s + 1) <= src["width"]
+        return d[keep], s[keep], e[keep]
+    if kind == "max_gaps":
+        d, s, e = _iv_eval(src["source"], seg, field, cand)
+        keep = (e - s + 1) - src["sub_extent"] <= src["gaps"]
+        return d[keep], s[keep], e[keep]
+    if kind in ("extend", "offset"):
+        # positional consumption (conjunctions, scoring) re-minimalizes
+        # the mapped stream; the filter sides above take the RAW stream
+        return _iv_minimalize(*_iv_eval_raw(src, seg, field, cand))
+    if kind == "fixfield":
+        # the wrapped source reads its own field's postings; term
+        # streams still restrict to the ROOT candidate docs
+        return _iv_eval(src["source"], seg, src["field"], cand)
     raise ValueError(f"unknown interval source kind {kind!r}")
 
 

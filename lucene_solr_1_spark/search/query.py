@@ -537,6 +537,142 @@ class IAtLeast:
     min_should_match: int
 
 
+@dataclass(frozen=True)
+class IPhrase:
+    """Intervals.phrase (ConjunctionIntervalsSource + BLOCK function):
+    sub-intervals in exact adjacency — each starts at the previous
+    one's end + 1."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IMaxWidth:
+    """Intervals.maxwidth (FilteredIntervalsSource, Intervals.java:
+    109-116): keep sub-intervals with end − start + 1 <= width."""
+    source: object
+    width: int
+
+
+@dataclass(frozen=True)
+class IMaxGaps:
+    """Intervals.maxgaps as a COMBINATOR (Intervals.java:123-130):
+    keep sub-intervals whose gaps <= the bound. gaps is realized as
+    width − minExtent(source), exact whenever the wrapped conjunction's
+    direct children are fixed-width (term / or-of-term) — the same
+    contract the root-level IntervalsQuery.max_gaps uses."""
+    source: object
+    gaps: int
+
+
+@dataclass(frozen=True)
+class IExtend:
+    """Intervals.extend (ExtendedIntervalsSource): every sub-interval
+    [s, e] widens to [max(s − before, 0), e + after]."""
+    source: object
+    before: int
+    after: int
+
+
+@dataclass(frozen=True)
+class IOffset:
+    """OffsetIntervalsSource (internal — the before/after building
+    block): a zero-length interval just before (max(0, start − 1)) or
+    just after (end + 1) each sub-interval."""
+    source: object
+    before: bool = True
+
+
+@dataclass(frozen=True)
+class IContainedBy:
+    """Intervals.containedBy (FilteringConjunctionIntervalsSource +
+    ContainedByIntervalFunction): small intervals nested inside some
+    big interval."""
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class INotContainedBy:
+    """Intervals.notContainedBy (DifferenceIntervalsSource +
+    NOT_CONTAINED_BY): small intervals NOT nested inside any big."""
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class IOverlapping:
+    """Intervals.overlapping (FilteringConjunctionIntervalsSource +
+    OVERLAPPING): source intervals sharing >= 1 position with a
+    reference interval."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class INonOverlapping:
+    """Intervals.nonOverlapping (DifferenceIntervalsSource +
+    NON_OVERLAPPING): minuend intervals sharing no position with any
+    subtrahend interval."""
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IFixField:
+    """Intervals.fixField (FixedFieldIntervalsSource): the wrapped
+    source reads postings from `field` regardless of the enclosing
+    query's field."""
+    field: str
+    source: object
+
+
+_IV_BIG = 1 << 29  # "unbounded" extend for before/after; stays < 2^32 packing
+
+
+def interval_within(source, positions, reference):
+    """Intervals.within (Intervals.java:244-249): source intervals
+    within `positions` of a reference interval — the reference's own
+    composition containedBy(source, extend(ref, positions, positions))."""
+    return IContainedBy(source, IExtend(reference, positions, positions))
+
+
+def interval_not_within(minuend, positions, subtrahend):
+    """Intervals.notWithin (Intervals.java:231-238):
+    nonOverlapping(minuend, extend(subtrahend, positions, positions))."""
+    return INonOverlapping(minuend, IExtend(subtrahend, positions, positions))
+
+
+def interval_before(source, reference):
+    """Intervals.before (Intervals.java:308-312): source intervals that
+    end before a reference interval starts —
+    containedBy(source, extend(offset(ref, before), MAX, 0))."""
+    return IContainedBy(source, IExtend(IOffset(reference, True), _IV_BIG, 0))
+
+
+def interval_after(source, reference):
+    """Intervals.after (Intervals.java:317-321)."""
+    return IContainedBy(source, IExtend(IOffset(reference, False), 0, _IV_BIG))
+
+
+def _iv_children(src) -> list:
+    """(child sources, recursing targets) of any interval node."""
+    if isinstance(src, (IOrdered, IUnordered, IOr, IAtLeast, IPhrase)):
+        return list(src.sources)
+    if isinstance(src, (IMaxWidth, IMaxGaps, IExtend, IOffset, IFixField)):
+        return [src.source]
+    if isinstance(src, IContaining):
+        return [src.big, src.small]
+    if isinstance(src, INotContaining):
+        return [src.minuend, src.subtrahend]
+    if isinstance(src, (IContainedBy, INotContainedBy)):
+        return [src.small, src.big]
+    if isinstance(src, IOverlapping):
+        return [src.source, src.reference]
+    if isinstance(src, INonOverlapping):
+        return [src.minuend, src.subtrahend]
+    raise TypeError(f"not an interval source: {src!r}")
+
+
 def interval_source_terms(src) -> set:
     """All concrete leaf terms of a source tree (multi-term leaves must
     be expanded first — the searcher rewrite does this)."""
@@ -547,27 +683,38 @@ def interval_source_terms(src) -> set:
             f"unexpanded multi-term interval source: {src!r} — "
             "call expand() first"
         )
-    if isinstance(src, (IOrdered, IUnordered, IOr)):
-        return set().union(*(interval_source_terms(s) for s in src.sources))
-    if isinstance(src, IContaining):
-        return interval_source_terms(src.big) | interval_source_terms(src.small)
-    if isinstance(src, INotContaining):
-        return interval_source_terms(src.minuend) | interval_source_terms(
-            src.subtrahend)
-    if isinstance(src, IAtLeast):
-        return set().union(*(interval_source_terms(s) for s in src.sources))
-    raise TypeError(f"not an interval source: {src!r}")
+    kids = _iv_children(src)
+    return set().union(*(interval_source_terms(s) for s in kids))
+
+
+def interval_field_terms(src, field: str) -> set:
+    """All (field, term) posting keys, respecting IFixField overrides."""
+    if isinstance(src, ITerm):
+        return {(field, src.text)}
+    if isinstance(src, (IPrefix, IWildcard)):
+        raise TypeError(
+            f"unexpanded multi-term interval source: {src!r} — "
+            "call expand() first"
+        )
+    if isinstance(src, IFixField):
+        return interval_field_terms(src.source, src.field)
+    kids = _iv_children(src)
+    return set().union(*(interval_field_terms(s, field) for s in kids))
 
 
 def interval_min_extent(src) -> int:
-    """IntervalsSource.minExtent: term/multi-term 1; conjunctions sum
-    (ConjunctionIntervalsSource.java:66-71); or takes the min
-    (DisjunctionIntervalsSource.java:94-99); filters/differences pass
-    the kept side through; atLeast sums the n smallest
-    (MinimumShouldMatchIntervalsSource.java:95-106)."""
+    """IntervalsSource.minExtent: term/multi-term 1; conjunctions
+    (ordered/unordered/phrase) sum (ConjunctionIntervalsSource.java:
+    66-71); or takes the min (DisjunctionIntervalsSource.java:94-99);
+    filters/differences pass the kept side through
+    (FilteredIntervalsSource.java:81, DifferenceIntervalsSource.java:91,
+    FilteringConjunctionIntervalsSource.java:36); atLeast sums the n
+    smallest (MinimumShouldMatchIntervalsSource.java:95-106); extend
+    adds before + after (ExtendedIntervalsSource.java:65-71); offset is
+    1 (OffsetIntervalsSource.java:152)."""
     if isinstance(src, (ITerm, IPrefix, IWildcard)):
         return 1
-    if isinstance(src, (IOrdered, IUnordered)):
+    if isinstance(src, (IOrdered, IUnordered, IPhrase)):
         return sum(interval_min_extent(s) for s in src.sources)
     if isinstance(src, IOr):
         return min(interval_min_extent(s) for s in src.sources)
@@ -575,6 +722,18 @@ def interval_min_extent(src) -> int:
         return interval_min_extent(src.big)
     if isinstance(src, INotContaining):
         return interval_min_extent(src.minuend)
+    if isinstance(src, (IContainedBy, INotContainedBy)):
+        return interval_min_extent(src.small)
+    if isinstance(src, IOverlapping):
+        return interval_min_extent(src.source)
+    if isinstance(src, INonOverlapping):
+        return interval_min_extent(src.minuend)
+    if isinstance(src, (IMaxWidth, IMaxGaps, IFixField)):
+        return interval_min_extent(src.source)
+    if isinstance(src, IExtend):
+        return src.before + interval_min_extent(src.source) + src.after
+    if isinstance(src, IOffset):
+        return 1
     if isinstance(src, IAtLeast):
         exts = sorted(interval_min_extent(s) for s in src.sources)
         return sum(exts[:src.min_should_match])
@@ -1060,7 +1219,7 @@ def query_terms(q: Query) -> set:
         return {(q.field, q.text)}
     if isinstance(q, IntervalsQuery):
         if q.source is not None:
-            return {(q.field, t) for t in interval_source_terms(q.source)}
+            return interval_field_terms(q.source, q.field)
         return {(q.field, t) for t in q.terms}
     if isinstance(q, (Synonym, Phrase)):
         return {(q.field, t) for t in q.terms}

@@ -492,13 +492,32 @@ class LuceneSparkSearcher:
         Combinator interiors are rebuilt with dataclasses.replace."""
         from dataclasses import replace as _dc_replace
 
-        from .query import (IAtLeast, IContaining, INotContaining, IOr,
-                            IOrdered, IPrefix, ITerm, IUnordered,
-                            IWildcard)
+        from .query import (IAtLeast, IContainedBy, IContaining, IExtend,
+                            IFixField, IMaxGaps, IMaxWidth,
+                            INonOverlapping, INotContainedBy,
+                            INotContaining, IOffset, IOr, IOrdered,
+                            IOverlapping, IPhrase, IPrefix, ITerm,
+                            IUnordered, IWildcard)
 
         w = self._expand_interval_tree
         if isinstance(src, ITerm):
             return src
+        if isinstance(src, IFixField):
+            # leaves under a fixField expand against ITS field's terms
+            return _dc_replace(src, source=w(src.source, src.field))
+        if isinstance(src, (IMaxWidth, IMaxGaps, IExtend, IOffset)):
+            return _dc_replace(src, source=w(src.source, field))
+        if isinstance(src, (IContainedBy, INotContainedBy)):
+            return _dc_replace(
+                src, small=w(src.small, field), big=w(src.big, field))
+        if isinstance(src, IOverlapping):
+            return _dc_replace(
+                src, source=w(src.source, field),
+                reference=w(src.reference, field))
+        if isinstance(src, INonOverlapping):
+            return _dc_replace(
+                src, minuend=w(src.minuend, field),
+                subtrahend=w(src.subtrahend, field))
         if isinstance(src, (IPrefix, IWildcard)):
             col = F.col("term")
             if isinstance(src, IPrefix):
@@ -526,7 +545,7 @@ class LuceneSparkSearcher:
             if len(rows) == 1:
                 return ITerm(rows[0]["term"])
             return IOr(tuple(ITerm(r["term"]) for r in rows))
-        if isinstance(src, (IOrdered, IUnordered, IOr, IAtLeast)):
+        if isinstance(src, (IOrdered, IUnordered, IOr, IAtLeast, IPhrase)):
             return _dc_replace(
                 src, sources=tuple(w(s, field) for s in src.sources))
         if isinstance(src, IContaining):

@@ -50,18 +50,24 @@ def _pair_tokens(spark, sf_dir, t1: str, t2: str) -> DataFrame:
 
 
 def _score_agg(intervals: DataFrame, weight: float, pivot: float,
-               max_gaps: int | None, k: int) -> DataFrame:
+               max_gaps: int | None, k: int,
+               min_extent: int = 2) -> DataFrame:
     """(doc_id, start, end) minimal intervals → per-doc freq + saturation
-    score, top-k. Shared by the ordered and unordered operators."""
+    score, top-k. Shared by all the interval operators; min_extent is
+    the root source's IntervalsSource.minExtent (2 for the two-term
+    conjunction shapes, 1 for single-term-output filters)."""
     if max_gaps is not None:
-        # gaps = length - minExtent = (end - start + 1) - 2
+        # gaps = length - minExtent
         intervals = intervals.where(
-            (F.col("end") - F.col("start") - 1) <= max_gaps
+            (F.col("end") - F.col("start") + 1 - min_extent) <= max_gaps
         )
     agg = intervals.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_intervals"),
         F.sum(
-            1.0 / F.greatest(F.col("end") - F.col("start"), F.lit(1))
+            1.0 / F.greatest(
+                F.col("end") - F.col("start") + F.lit(2 - min_extent),
+                F.lit(1),
+            )
         ).alias("freq"),
     )
     return (
@@ -280,6 +286,144 @@ def interval_atleast_spark(
     return _score_agg(ivs, weight, pivot, max_gaps, k)
 
 
+def interval_phrase_spark(
+    spark, sf_dir, t1: str, t2: str, k: int = 10,
+    weight: float = 1.0, pivot: float = DEFAULT_PIVOT,
+) -> DataFrame:
+    """Intervals.phrase(t1, t2) (ConjunctionIntervalsSource + BLOCK):
+    exact adjacency — every t2 occurrence directly following a t1.
+    Closed form: equi-join t1 positions with t2 positions at pos+1
+    (both sides pruned inside the scan); all blocks are width 2 and
+    mutually non-nested, so the set is already minimal."""
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).where(F.col("term").isin([t1, t2]))
+    a = tok.where(F.col("term") == t1).select(
+        F.col("doc_id").alias("a_doc"), F.col("pos").alias("start")
+    )
+    b = tok.where(F.col("term") == t2).select(
+        F.col("doc_id").alias("b_doc"), F.col("pos").alias("end")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_doc") == F.col("b_doc"))
+        & (F.col("end") == F.col("start") + 1),
+    ).select(F.col("a_doc").alias("doc_id"), "start", "end")
+    return _score_agg(pairs, weight, pivot, None, k)
+
+
+def interval_before_spark(
+    spark, sf_dir, t1: str, t2: str, k: int = 10,
+    weight: float = 1.0, pivot: float = DEFAULT_PIVOT,
+) -> DataFrame:
+    """Intervals.before(t1, t2): t1 occurrences that end before a t2
+    interval starts — containedBy(t1, extend(offset(t2, before), MAX,
+    0)), whose per-doc envelope is [0, max(0, max(t2.pos) − 1)]. One
+    groupBy(doc) max + a broadcastable join; minExtent = 1 (the kept
+    source side)."""
+    docs = load_documents(spark, sf_dir).withColumn(
+        "toks", F.expr(spark_tokens_expr())
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    ).where(F.col("term").isin([t1, t2]))
+    bound = (
+        tok.where(F.col("term") == t2)
+        .groupBy("doc_id")
+        .agg(F.greatest(F.max("pos") - 1, F.lit(0)).alias("cutoff"))
+    )
+    pairs = (
+        tok.where(F.col("term") == t1)
+        .join(bound, "doc_id")
+        .where(F.col("pos") <= F.col("cutoff"))
+        .select("doc_id", F.col("pos").alias("start"), F.col("pos").alias("end"))
+    )
+    return _score_agg(pairs, weight, pivot, None, k, min_extent=1)
+
+
+def interval_maxwidth_spark(
+    spark, sf_dir, t1: str, t2: str, width: int, k: int = 10,
+    weight: float = 1.0, pivot: float = DEFAULT_PIVOT,
+) -> DataFrame:
+    """Intervals.maxwidth(width, unordered(t1, t2))
+    (FilteredIntervalsSource): the unordered pair minimal set filtered
+    to end − start + 1 <= width."""
+    from pyspark.sql import Window
+
+    tok = _pair_tokens(spark, sf_dir, t1, t2)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.withColumn("prev_pos", F.lag("pos").over(w))
+        .withColumn("prev_term", F.lag("term").over(w))
+        .where(
+            F.col("prev_term").isNotNull() & (F.col("prev_term") != F.col("term"))
+        )
+        .select("doc_id", F.col("prev_pos").alias("start"), F.col("pos").alias("end"))
+        .where(F.col("end") - F.col("start") + 1 <= width)
+    )
+    return _score_agg(pairs, weight, pivot, None, k)
+
+
+def interval_phrase_duck(
+    t1: str, t2: str, k: int = 10, weight: float = 1.0,
+    pivot: float = DEFAULT_PIVOT,
+) -> str:
+    return f"""
+WITH {_duck_pair_cte(t1, t2)},
+pairs AS (
+  SELECT a.doc_id, a.pos AS start, b.pos AS "end"
+  FROM (SELECT doc_id, pos FROM tok WHERE term = '{t1}') a
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = '{t2}') b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+{_duck_score_select(weight, pivot, None, k)}
+""".strip()
+
+
+def interval_before_duck(
+    t1: str, t2: str, k: int = 10, weight: float = 1.0,
+    pivot: float = DEFAULT_PIVOT,
+) -> str:
+    return f"""
+WITH {_duck_pair_cte(t1, t2)},
+bound AS (
+  SELECT doc_id, greatest(max(pos) - 1, 0) AS cutoff
+  FROM tok WHERE term = '{t2}' GROUP BY doc_id
+),
+pairs AS (
+  SELECT t.doc_id, t.pos AS start, t.pos AS "end"
+  FROM tok t JOIN bound b ON b.doc_id = t.doc_id
+  WHERE t.term = '{t1}' AND t.pos <= b.cutoff
+),
+{_duck_score_select(weight, pivot, None, k, min_extent=1)}
+""".strip()
+
+
+def interval_maxwidth_duck(
+    t1: str, t2: str, width: int, k: int = 10, weight: float = 1.0,
+    pivot: float = DEFAULT_PIVOT,
+) -> str:
+    return f"""
+WITH {_duck_pair_cte(t1, t2)},
+pairs AS (
+  SELECT doc_id, start, "end" FROM (
+    SELECT doc_id,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS start,
+           pos AS "end",
+           lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_term,
+           term
+    FROM tok
+  )
+  WHERE prev_term IS NOT NULL AND prev_term <> term
+    AND "end" - start + 1 <= {width}
+),
+{_duck_score_select(weight, pivot, None, k)}
+""".strip()
+
+
 def _duck_pair_cte(t1: str, t2: str) -> str:
     te = duck_tokens_expr()
     return f"""
@@ -292,16 +436,18 @@ tok AS (SELECT * FROM tok0 WHERE term IN ('{t1}', '{t2}'))
 
 
 def _duck_score_select(
-    weight: float, pivot: float, max_gaps: int | None, k: int
+    weight: float, pivot: float, max_gaps: int | None, k: int,
+    min_extent: int = 2,
 ) -> str:
     gap_pred = (
-        f"WHERE (\"end\" - start - 1) <= {max_gaps}" if max_gaps is not None else ""
+        f"WHERE (\"end\" - start + 1 - {min_extent}) <= {max_gaps}"
+        if max_gaps is not None else ""
     )
     return f"""
 flt AS (SELECT * FROM pairs {gap_pred}),
 agg AS (
   SELECT doc_id, count(*)::BIGINT AS n_intervals,
-         sum(1.0 / greatest("end" - start, 1)) AS freq
+         sum(1.0 / greatest("end" - start + {2 - min_extent}, 1)) AS freq
   FROM flt GROUP BY doc_id
 )
 SELECT doc_id, n_intervals, round(freq, 4) AS freq,

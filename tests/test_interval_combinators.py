@@ -17,8 +17,12 @@ import pytest
 from lucene_solr_1_spark.index.builder import build_index
 from lucene_solr_1_spark.kernels.analyzer import tokenize_one
 from lucene_solr_1_spark.search.query import (
-    IAtLeast, IContaining, INotContaining, IntervalsQuery, IOr, IOrdered,
-    IPrefix, ITerm, IUnordered, IWildcard, interval_min_extent,
+    IAtLeast, IContainedBy, IContaining, IExtend, IFixField, IMaxGaps,
+    IMaxWidth, INonOverlapping, INotContainedBy, INotContaining,
+    IntervalsQuery, IOffset, IOr, IOrdered, IOverlapping, IPhrase,
+    IPrefix, ITerm, IUnordered, IWildcard, interval_after,
+    interval_before, interval_min_extent, interval_not_within,
+    interval_within,
 )
 from lucene_solr_1_spark.search.searcher import LuceneSparkSearcher
 
@@ -81,7 +85,71 @@ def _bf_src(toks, src):
             for pick in itertools.product(*(kids[i] for i in combo))
         }
         return _minimal(cands)
+    if isinstance(src, IPhrase):
+        kids = [_bf_src(toks, s) for s in src.sources]
+        cands = {
+            (combo[0][0], combo[-1][1])
+            for combo in itertools.product(*kids)
+            if all(b[0] == a[1] + 1 for a, b in zip(combo, combo[1:]))
+        }
+        return _minimal(cands)
+    if isinstance(src, IMaxWidth):
+        return [iv for iv in _bf_src(toks, src.source)
+                if iv[1] - iv[0] + 1 <= src.width]
+    if isinstance(src, IMaxGaps):
+        mex = interval_min_extent(src.source)
+        return [iv for iv in _bf_src(toks, src.source)
+                if (iv[1] - iv[0] + 1) - mex <= src.gaps]
+    if isinstance(src, IExtend):
+        return _minimal({
+            (max(s - src.before, 0), e + src.after)
+            for s, e in _bf_src(toks, src.source)
+        })
+    if isinstance(src, IOffset):
+        return _minimal({
+            ((max(s - 1, 0),) * 2 if src.before else (e + 1, e + 1))
+            for s, e in _bf_src(toks, src.source)
+        })
+    if isinstance(src, IContainedBy):
+        small = _bf_src(toks, src.small)
+        big = _bf_raw(toks, src.big)  # filter side: RAW mapped stream
+        return [sm for sm in small
+                if any(b[0] <= sm[0] and sm[1] <= b[1] for b in big)]
+    if isinstance(src, INotContainedBy):
+        small = _bf_src(toks, src.small)
+        big = _bf_raw(toks, src.big)
+        return [sm for sm in small
+                if not any(b[0] <= sm[0] and sm[1] <= b[1] for b in big)]
+    if isinstance(src, IOverlapping):
+        srcs = _bf_src(toks, src.source)
+        refs = _bf_raw(toks, src.reference)
+        return [s for s in srcs
+                if any(r[0] <= s[1] and s[0] <= r[1] for r in refs)]
+    if isinstance(src, INonOverlapping):
+        srcs = _bf_src(toks, src.minuend)
+        refs = _bf_raw(toks, src.subtrahend)
+        return [s for s in srcs
+                if not any(r[0] <= s[1] and s[0] <= r[1] for r in refs)]
+    if isinstance(src, IFixField):
+        return _bf_src(toks, src.source)  # single-field brute corpus
     raise TypeError(src)
+
+
+def _bf_raw(toks, src):
+    """Filter-side set: extend/offset map WITHOUT re-minimalizing
+    (ExtendedIntervalsSource maps 1:1 — the exists-tests must see every
+    envelope); any other node contributes its minimal set."""
+    if isinstance(src, IExtend):
+        return sorted({
+            (max(s - src.before, 0), e + src.after)
+            for s, e in _bf_raw(toks, src.source)
+        })
+    if isinstance(src, IOffset):
+        return sorted({
+            ((max(s - 1, 0),) * 2 if src.before else (e + 1, e + 1))
+            for s, e in _bf_raw(toks, src.source)
+        })
+    return _bf_src(toks, src)
 
 
 def _bf_score(toks, src, max_gaps=None, pivot=1.0):
@@ -173,6 +241,141 @@ def test_nested_with_maxgaps(searcher, corpus_tokens):
         IUnordered((IOr((T("return"), T("class"))), T("public"))),
         max_gaps=4,
     )
+
+
+def test_phrase_block_adjacency(searcher, corpus_tokens):
+    _check(searcher, corpus_tokens, IPhrase((T("public"), T("static"))))
+
+
+def test_phrase_with_extend_gap(searcher, corpus_tokens):
+    """The Intervals.extend docstring example: 'a b [up to 2 arbitrary
+    terms] c' as phrase(a, extend(b, 0, 2), c)."""
+    _check(
+        searcher, corpus_tokens,
+        IPhrase((T("public"), IExtend(T("static"), 0, 2), T("return"))),
+        expect_hits=False,  # corpus-dependent; brute force decides
+    )
+    # and a 2-ary shape guaranteed to hit
+    _check(
+        searcher, corpus_tokens,
+        IPhrase((T("return"), IExtend(T("int"), 0, 1))),
+        expect_hits=False,
+    )
+
+
+def test_maxwidth_filter(searcher, corpus_tokens):
+    _check(
+        searcher, corpus_tokens,
+        IMaxWidth(IUnordered((T("return"), T("class"))), 6),
+    )
+
+
+def test_maxgaps_combinator(searcher, corpus_tokens):
+    _check(
+        searcher, corpus_tokens,
+        IMaxGaps(IOrdered((T("public"), T("return"))), 3),
+    )
+
+
+def test_contained_by(searcher, corpus_tokens):
+    _check(
+        searcher, corpus_tokens,
+        IContainedBy(T("int"), IUnordered((T("return"), T("class")))),
+    )
+
+
+def test_not_contained_by(searcher, corpus_tokens):
+    _check(
+        searcher, corpus_tokens,
+        INotContainedBy(T("int"), IUnordered((T("return"), T("class")))),
+    )
+
+
+def test_overlapping(searcher, corpus_tokens):
+    _check(
+        searcher, corpus_tokens,
+        IOverlapping(
+            IUnordered((T("return"), T("class"))),
+            IOrdered((T("public"), T("static"))),
+        ),
+        expect_hits=False,
+    )
+
+
+def test_non_overlapping(searcher, corpus_tokens):
+    _check(
+        searcher, corpus_tokens,
+        INonOverlapping(
+            IUnordered((T("return"), T("class"))),
+            IOrdered((T("public"), T("static"))),
+        ),
+        expect_hits=False,
+    )
+
+
+def test_within_sugar(searcher, corpus_tokens):
+    src = interval_within(T("return"), 2, T("class"))
+    _check(searcher, corpus_tokens, src)
+    # independent semantics: a return within <=2 positions of a class
+    for toks in corpus_tokens[:16]:
+        got = {iv[0] for iv in _bf_src(toks, src)}
+        want = {
+            i for i, t in enumerate(toks) if t == "return"
+            and any(
+                tj == "class" and abs(j - i) <= 2
+                for j, tj in enumerate(toks)
+            )
+        }
+        assert got == want
+
+
+def test_before_after_sugar(searcher, corpus_tokens):
+    b = interval_before(T("return"), T("class"))
+    a = interval_after(T("return"), T("class"))
+    _check(searcher, corpus_tokens, b)
+    _check(searcher, corpus_tokens, a)
+    # independent semantics on a directed stream
+    toks = ["return", "x", "class", "return", "class", "return"]
+    got_b = {iv[0] for iv in _bf_src(toks, b)}
+    # 'before': return ends at or before max(0, class.start - 1)
+    assert got_b == {0, 3}
+    got_a = {iv[0] for iv in _bf_src(toks, a)}
+    assert got_a == {3, 5}
+
+
+def test_not_within_sugar(searcher, corpus_tokens):
+    _check(
+        searcher, corpus_tokens,
+        interval_not_within(T("return"), 1, T("class")),
+    )
+
+
+def test_fixfield_same_field_noop(searcher):
+    a = searcher.search(
+        IntervalsQuery(source=IOrdered((T("public"), T("static")))),
+        k=100, with_stored=False,
+    )
+    b = searcher.search(
+        IntervalsQuery(
+            source=IFixField("content", IOrdered((T("public"), T("static"))))
+        ),
+        k=100, with_stored=False,
+    )
+    assert a["global_doc_id"].tolist() == b["global_doc_id"].tolist()
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(np.float32), b["score"].to_numpy(np.float32)
+    )
+
+
+def test_fixfield_dispatches_other_field():
+    from lucene_solr_1_spark.search.query import (
+        IntervalsQuery as IQ, query_terms,
+    )
+
+    q = IQ(source=IUnordered((
+        T("return"), IFixField("path", ITerm("main")),
+    )))
+    assert query_terms(q) == {("content", "return"), ("path", "main")}
 
 
 def test_legacy_shape_equals_source_tree(searcher):
@@ -329,19 +532,50 @@ def test_fuzz_random_trees(spark, tmp_path_factory):
     def rand_src(depth):
         kinds = ["term"] if depth == 0 else [
             "term", "or", "ordered", "unordered", "containing",
-            "not_containing", "at_least",
+            "not_containing", "at_least", "phrase", "max_width",
+            "max_gaps", "extend", "contained_by", "not_contained_by",
+            "overlapping", "non_overlapping", "within", "not_within",
+            "before", "after",
         ]
         k = kinds[int(rng.integers(len(kinds)))]
         if k == "term":
             return T(str(rng.choice(vocab)))
-        if k in ("or", "ordered", "unordered"):
+        if k in ("or", "ordered", "unordered", "phrase"):
             n = int(rng.integers(2, 4))
-            cls = {"or": IOr, "ordered": IOrdered, "unordered": IUnordered}[k]
+            cls = {"or": IOr, "ordered": IOrdered,
+                   "unordered": IUnordered, "phrase": IPhrase}[k]
             return cls(tuple(rand_src(depth - 1) for _ in range(n)))
         if k == "containing":
             return IContaining(rand_src(depth - 1), rand_src(depth - 1))
         if k == "not_containing":
             return INotContaining(rand_src(depth - 1), rand_src(depth - 1))
+        if k == "max_width":
+            return IMaxWidth(rand_src(depth - 1), int(rng.integers(1, 9)))
+        if k == "max_gaps":
+            return IMaxGaps(rand_src(depth - 1), int(rng.integers(0, 5)))
+        if k == "extend":
+            return IExtend(rand_src(depth - 1), int(rng.integers(0, 3)),
+                           int(rng.integers(0, 3)))
+        if k == "contained_by":
+            return IContainedBy(rand_src(depth - 1), rand_src(depth - 1))
+        if k == "not_contained_by":
+            return INotContainedBy(rand_src(depth - 1), rand_src(depth - 1))
+        if k == "overlapping":
+            return IOverlapping(rand_src(depth - 1), rand_src(depth - 1))
+        if k == "non_overlapping":
+            return INonOverlapping(rand_src(depth - 1), rand_src(depth - 1))
+        if k == "within":
+            return interval_within(rand_src(depth - 1),
+                                   int(rng.integers(0, 4)),
+                                   rand_src(depth - 1))
+        if k == "not_within":
+            return interval_not_within(rand_src(depth - 1),
+                                       int(rng.integers(0, 4)),
+                                       rand_src(depth - 1))
+        if k == "before":
+            return interval_before(rand_src(depth - 1), rand_src(depth - 1))
+        if k == "after":
+            return interval_after(rand_src(depth - 1), rand_src(depth - 1))
         n = int(rng.integers(2, 4))
         return IAtLeast(
             tuple(rand_src(depth - 1) for _ in range(n)),
