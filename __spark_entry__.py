@@ -345,6 +345,7 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
     from lucene_solr_1_spark.kernels.analyzer import (
         DANISH,
         DUTCH,
+        ENGLISH_SNOWBALL,
         FINNISH,
         FRENCH_MINIMAL,
         GERMAN_MINIMAL,
@@ -357,7 +358,8 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
            "sv": SWEDISH, "hu": HUNGARIAN, "fi": FINNISH,
            "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL,
            "nb": NORWEGIAN, "ru": RUSSIAN,
-           "nl": DUTCH, "da": DANISH, "ro": ROMANIAN}[lang]
+           "nl": DUTCH, "da": DANISH, "ro": ROMANIAN,
+           "en": ENGLISH_SNOWBALL}[lang]
     return _annotated_index(spark, sf_dir, f"light_{lang}",
                             KO.LIGHT_ANNOTATIONS[lang], cfg)
 
@@ -1375,6 +1377,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_danish_stem"] = _danish_stem
     q["fts_romanian_stem"] = _romanian_stem
 
+    def _english_snowball(s, d):
+        # r5 Porter2 program: 'running' -> 'run' (running/runs/run)
+        return _kernel_hits_df(s, _get_light_index(s, d, "en"),
+                               Term("running"), k=10)
+
+    q["fts_english_snowball_stem"] = _english_snowball
+
     def _cjk_bigram(s, d):
         # r5: CJKBigramFilter — '会社' analyzes to ONE bigram; docs that
         # planted 会社員 contribute the 会社 bigram too (overlap)
@@ -1782,6 +1791,9 @@ def oracle_sql() -> dict[str, str]:
         "fts_russian_stem": KO.kernel_light_term_duck("ru", "книгах", k=10),
         "fts_dutch_stem": KO.kernel_light_term_duck("nl", "katten", k=10),
         "fts_danish_stem": KO.kernel_light_term_duck("da", "skolens", k=10),
+        "fts_english_snowball_stem": KO.kernel_light_term_duck(
+            "en", "running", k=10
+        ),
         "fts_romanian_stem": KO.kernel_light_term_duck("ro", "cartea", k=10),
         "fts_cjk_bigram": KO.kernel_cjk_duck("会社", k=10),
         "fts_cjk_bigram_or": KO.kernel_cjk_duck("会社員", k=10),

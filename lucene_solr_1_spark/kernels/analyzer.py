@@ -495,6 +495,12 @@ HYPHENATION = AnalyzerConfig(hyphen_spec=HYPHEN_SPEC,
 # ro/RomanianAnalyzer.java:106-112): snowball stops + SnowballFilter,
 # riding the 1:1 light_lang registry (kernels/snowball.py, vocab-pinned)
 DANISH = AnalyzerConfig(stop_words=DANISH_STOP_WORDS, light_lang="da")
+# SnowballFilter("English") — the Porter2 program (snowball/ext/
+# EnglishStemmer.java; the Solr SnowballPorterFilterFactory
+# language="English" idiom), distinct from the classic PorterStemFilter
+# chain above; vocab-pinned bit-exact (29,417 words)
+ENGLISH_SNOWBALL = AnalyzerConfig(stop_words=ENGLISH_STOP_WORDS,
+                                  light_lang="en")
 DUTCH = AnalyzerConfig(stop_words=DUTCH_STOP_WORDS, light_lang="nl")
 ROMANIAN = AnalyzerConfig(stop_words=ROMANIAN_STOP_WORDS,
                           light_lang="ro")
@@ -542,6 +548,7 @@ ANALYZERS: dict = {
     "dutch": DUTCH,
     "romanian": ROMANIAN,
     "hyphenation": HYPHENATION,
+    "english_snowball": ENGLISH_SNOWBALL,
 }
 
 

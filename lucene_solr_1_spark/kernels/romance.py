@@ -755,6 +755,7 @@ def _nn_minimal(s: str) -> str:
 # vocab-pinned bit-exact like the UniNE families)
 from .snowball import danish_stem as _da_snowball  # noqa: E402
 from .snowball import dutch_term as _nl_snowball  # noqa: E402
+from .snowball import english_stem as _en_snowball  # noqa: E402
 from .snowball import romanian_stem as _ro_snowball  # noqa: E402
 
 LIGHT_STEMMERS = {
@@ -774,6 +775,7 @@ LIGHT_STEMMERS = {
     "da": _da_snowball,
     "nl": _nl_snowball,
     "ro": _ro_snowball,
+    "en": _en_snowball,
 }
 
 

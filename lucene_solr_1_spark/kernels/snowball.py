@@ -483,3 +483,212 @@ ROMANIAN_STOP_WORDS = frozenset({
     "încotro", "încât", "încît", "între", "întrucât", "întrucît",
     "îţi", "ăla", "ălea", "ăsta", "ăstea", "ăştia", "şi", "ţi", "ţie",
 })
+
+
+# ---------------------------------------------------------------------------
+# English (Porter2) — the SnowballFilter("English") program
+# (org/tartarus/snowball/ext/EnglishStemmer.java; the published english.sbl
+# algorithm). Pinned bit-exact against the reference's english/voc.txt in
+# tests/test_snowball.py. NOTE: this is the snowball Porter2 program, NOT
+# the classic PorterStemFilter in kernels/porter.py — Lucene ships both.
+# ---------------------------------------------------------------------------
+
+_EN_VOWELS = frozenset("aeiouy")
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_VALID = frozenset("cdeghkmnrt")
+
+_EN_EXCEPTION1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXCEPTION2 = frozenset({
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed",
+})
+
+
+def _en_is_vowel(w: str, i: int) -> bool:
+    return w[i] in "aeiouy"  # Y (marked consonant) is uppercase
+
+
+def _en_short_syllable_at(w: str, i: int) -> bool:
+    """Short syllable ending at index i+1 (spec: either a vowel followed
+    by a non-vowel other than w/x/Y and preceded by a non-vowel, or a
+    vowel at the beginning followed by a non-vowel)."""
+    if i < 0 or i + 1 >= len(w):
+        return False
+    if not _en_is_vowel(w, i) or _en_is_vowel(w, i + 1):
+        return False
+    if w[i + 1] in "wxY":
+        return False if i > 0 else False
+    if i == 0:
+        return True
+    return not _en_is_vowel(w, i - 1)
+
+
+def _en_ends_short_syllable(w: str) -> bool:
+    n = len(w)
+    if n < 2:
+        return False
+    if n == 2:
+        return _en_is_vowel(w, 0) and not _en_is_vowel(w, 1)
+    # vowel at n-2, non-vowel non-wxY at n-1, non-vowel at n-3
+    return (
+        _en_is_vowel(w, n - 2)
+        and not _en_is_vowel(w, n - 1)
+        and w[n - 1] not in "wxY"
+        and not _en_is_vowel(w, n - 3)
+    )
+
+
+def _en_r1(w: str) -> int:
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            return len(pre)
+    return _std_region(w, frozenset("aeiouy"))
+
+
+def english_stem(word: str) -> str:
+    """Porter2 (snowball English): exception lists, Y-marking, R1/R2
+    with the gener/commun/arsen override, steps 0-5, postlude."""
+    w = word
+    if w in _EN_EXCEPTION1:
+        return _EN_EXCEPTION1[w]
+    if len(w) <= 2:
+        return w
+    # prelude: strip one leading apostrophe (the length-3 gate applies
+    # to the ORIGINAL word only); mark consonant-y as Y
+    if w.startswith("'"):
+        w = w[1:]
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in "aeiouy":
+            chars[i] = "Y"
+    w = "".join(chars)
+    p1 = _en_r1(w)
+    p2 = _std_region(w, frozenset("aeiouy"), start=p1)
+
+    # Step 0: longest of 's' / 's / '
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-3] + ("i" if len(w) > 4 else "ie")
+    elif w.endswith("us") or w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        # delete if the preceding part contains a vowel NOT immediately
+        # before the s
+        if any(_en_is_vowel(w, i) for i in range(0, len(w) - 2)):
+            w = w[:-1]
+
+    if w in _EN_EXCEPTION2:
+        return w
+
+    # Step 1b
+    done_1b = False
+    for suf in ("eedly", "eed"):
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                w = w[: -len(suf)] + "ee"
+            done_1b = True
+            break
+    if not done_1b:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(_en_is_vowel(stem, i) for i in range(len(stem))):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w = w + "e"
+                    elif w.endswith(_EN_DOUBLES):
+                        w = w[:-1]
+                    elif _en_ends_short_syllable(w) and p1 >= len(w):
+                        w = w + "e"
+                break
+
+    # Step 1c: y/Y -> i after a non-vowel that is not the first letter
+    if (
+        len(w) > 2
+        and w[-1] in "yY"
+        and not _en_is_vowel(w, len(w) - 2)
+    ):
+        w = w[:-1] + "i"
+
+    # Step 2 (suffix must lie in R1); longest match governs
+    _STEP2 = (
+        ("ization", "ize"), ("ational", "ate"), ("ousness", "ous"),
+        ("iveness", "ive"), ("fulness", "ful"), ("biliti", "ble"),
+        ("lessli", "less"), ("tional", "tion"), ("ation", "ate"),
+        ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+        ("iviti", "ive"), ("fulli", "ful"), ("entli", "ent"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"), ("ogi", None), ("li", None),
+    )
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                if suf == "ogi":
+                    if len(w) > 3 and w[-4] == "l":
+                        w = w[:-1]  # ogi -> og
+                elif suf == "li":
+                    if len(w) > 2 and w[-3] in _EN_LI_VALID:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    # Step 3 (in R1; 'ative' requires R2)
+    _STEP3 = (
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ative", ""),
+        ("ical", "ic"), ("ness", ""), ("ful", ""),
+    )
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p1:
+                if suf == "ative":
+                    if len(w) - len(suf) >= p2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    # Step 4 (in R2); longest match
+    _STEP4 = (
+        "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+        "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er",
+        "ic",
+    )
+    for suf in _STEP4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= p2:
+                if suf == "ion":
+                    if len(w) > 3 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+
+    # Step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= p2 or (
+            len(w) - 1 >= p1 and not _en_ends_short_syllable(w[:-1])
+        ):
+            w = w[:-1]
+    elif w.endswith("l"):
+        if len(w) - 1 >= p2 and len(w) > 1 and w[-2] == "l":
+            w = w[:-1]
+
+    return w.replace("Y", "y")

@@ -2489,6 +2489,10 @@ LIGHT_ANNOTATIONS = {
            (r"\bwindow\b", "skole")),
     "ro": ((r"\bdata\b", "cartea"), (r"\bmerge\b", "carte"),
            (r"\bwindow\b", "cartile")),
+    # Porter2 English (snowball "en" program, r5): three inflections of
+    # run- that all stem to 'run'
+    "en": ((r"\bdata\b", "running"), (r"\bmerge\b", "runs"),
+           (r"\bwindow\b", "run")),
 }
 
 # DuckDB RE2 class covering the engine's \w+ tokenizer over the ASCII
@@ -2544,6 +2548,8 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
     from ..kernels.snowball import (DANISH_STOP_WORDS, DUTCH_STOP_WORDS,
                                     ROMANIAN_STOP_WORDS)
 
+    from ..kernels.analyzer import ENGLISH_STOP_WORDS
+
     stops = {"es": SPANISH_STOP_WORDS, "pt": PORTUGUESE_STOP_WORDS,
              "it": ITALIAN_STOP_WORDS, "sv": SWEDISH_STOP_WORDS,
              "hu": HUNGARIAN_STOP_WORDS, "fi": FINNISH_STOP_WORDS,
@@ -2553,7 +2559,8 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
              "ru": RUSSIAN_STOP_WORDS,
              "nl": DUTCH_STOP_WORDS,
              "da": DANISH_STOP_WORDS,
-             "ro": ROMANIAN_STOP_WORDS}[lang]
+             "ro": ROMANIAN_STOP_WORDS,
+             "en": ENGLISH_STOP_WORDS}[lang]
     tok_pat = RU_TOKEN_PATTERN if lang == "ru" else TOKEN_PATTERN
     stemmed = light_stem(lang, query_text.lower())
     toks = (

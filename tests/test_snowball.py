@@ -37,6 +37,9 @@ def _vocab(lang: str):
     ("danish", danish_stem),
     ("dutch", dutch_stem),
     ("romanian", romanian_stem),
+    ("english", __import__(
+        "lucene_solr_1_spark.kernels.snowball", fromlist=["x"]
+    ).english_stem),
 ])
 def test_snowball_canonical_vocabulary(lang, fn):
     voc, out = _vocab(lang)
@@ -114,3 +117,33 @@ def test_scalar_matches_vectorized(cfg):
     vec = analyze_series(pd.Series(texts), cfg)
     for text, got in zip(texts, vec):
         assert list(got) == tokenize_one(text, cfg)[0]
+
+
+def test_english_porter2_shapes():
+    from lucene_solr_1_spark.kernels.snowball import english_stem as en
+
+    # Porter2 departures from classic Porter (kernels/porter.py)
+    assert en("generously") == "generous"   # gener- R1 override
+    assert en("communism") == "communism"   # commun- override: ism not in R2
+    assert en("dying") == "die"             # exception1
+    assert en("skies") == "sky"
+    assert en("news") == "news"             # invariant
+    assert en("proceed") == "proceed"       # exception2 after step 1a
+    assert en("conflated") == "conflat"
+    assert en("hopping") == "hop"           # undouble
+    assert en("hoping") == "hope"           # short-syllable +e
+    assert en("cry") == "cri"
+    assert en("say") == "say"               # y after vowel is Y, kept
+    assert en("'twas") == "twas"            # prelude strips '; vowel gates s
+
+
+def test_english_porter2_differs_from_classic_porter():
+    """Lucene ships BOTH: PorterStemFilter (kernels/porter.py) and
+    SnowballFilter("English") — they are different algorithms and the
+    engine keeps them distinct."""
+    from lucene_solr_1_spark.kernels.porter import porter_stem
+    from lucene_solr_1_spark.kernels.snowball import english_stem
+
+    # 'generously': Porter2's gener- region override vs classic
+    assert english_stem("generously") != porter_stem("generously")
+    assert english_stem("dying") == "die" and porter_stem("dying") == "dy"
