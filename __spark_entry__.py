@@ -352,6 +352,7 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
         NORWEGIAN,
         ROMANIAN,
         RUSSIAN,
+        TURKISH,
     )
 
     cfg = {"es": SPANISH, "pt": PORTUGUESE, "it": ITALIAN,
@@ -359,7 +360,7 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
            "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL,
            "nb": NORWEGIAN, "ru": RUSSIAN,
            "nl": DUTCH, "da": DANISH, "ro": ROMANIAN,
-           "en": ENGLISH_SNOWBALL}[lang]
+           "en": ENGLISH_SNOWBALL, "tr": TURKISH}[lang]
     return _annotated_index(spark, sf_dir, f"light_{lang}",
                             KO.LIGHT_ANNOTATIONS[lang], cfg)
 
@@ -1384,6 +1385,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_english_snowball_stem"] = _english_snowball
 
+    def _turkish_stem(s, d):
+        # r5 snowball Turkish: 'kitabı' -> 'kitap' (accusative + final-b
+        # devoicing) matches kitaplar/kitabı/kitapta
+        return _kernel_hits_df(s, _get_light_index(s, d, "tr"),
+                               Term("kitabı"), k=10)
+
+    q["fts_turkish_stem"] = _turkish_stem
+
     def _cjk_bigram(s, d):
         # r5: CJKBigramFilter — '会社' analyzes to ONE bigram; docs that
         # planted 会社員 contribute the 会社 bigram too (overlap)
@@ -1794,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_english_snowball_stem": KO.kernel_light_term_duck(
             "en", "running", k=10
         ),
+        "fts_turkish_stem": KO.kernel_light_term_duck("tr", "kitabı", k=10),
         "fts_romanian_stem": KO.kernel_light_term_duck("ro", "cartea", k=10),
         "fts_cjk_bigram": KO.kernel_cjk_duck("会社", k=10),
         "fts_cjk_bigram_or": KO.kernel_cjk_duck("会社員", k=10),

@@ -34,6 +34,7 @@ from .commongrams import common_grams_stream
 from .compound import decompose as compound_decompose
 from .hyphenation import (HyphenationSpec, hyphen_decompose,
                           parse_pattern_values)
+from .turkish import TURKISH_STOP_WORDS, strip_apostrophe, turkish_lower
 from .french import (FRENCH_ARTICLES, FRENCH_STOP_WORDS, elide,
                      french_array, french_term)
 from .german import (GERMAN_STOP_WORDS, german_array, german_normalize,
@@ -240,6 +241,11 @@ class AnalyzerConfig:
     # index): bigrams stack at their first unigram's position
     # (posInc 0, CJKBigramFilter.java:300-308).
     cjk_output_unigrams: bool = False
+    # TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java:49-90):
+    # I→ı (or i when a combining dot above follows), İ→i, everything
+    # else standard lowercase — replaces the plain lower() step in
+    # every analysis path. Composes with the Turkish snowball chain.
+    turkish_case: bool = False
 
     def __post_init__(self):
         if self.stem_keep_original and not self.stem:
@@ -342,6 +348,14 @@ class AnalyzerConfig:
                 )
         if self.cjk_output_unigrams and not self.cjk_bigram:
             raise ValueError("cjk_output_unigrams requires cjk_bigram")
+        if self.turkish_case and (
+            not self.lowercase or self.word_delimiter or self.cjk_bigram
+            or self.ascii_fold
+        ):
+            raise ValueError(
+                "turkish_case replaces the plain lowercase step "
+                "(requires lowercase=True; exclusive with wd/cjk/fold)"
+            )
         if self.cjk_bigram and (
             self.stem or self.german or self.french or self.light_lang
             or self.word_delimiter or self.phonetic or self.synonyms
@@ -378,6 +392,7 @@ class AnalyzerConfig:
             compound_dict=self.compound_dict,
             hyphen_spec=self.hyphen_spec,
             hyphen_dict=self.hyphen_dict,
+            turkish_case=self.turkish_case,
             cjk_bigram=self.cjk_bigram,
             cjk_output_unigrams=self.cjk_output_unigrams,
         )
@@ -501,6 +516,14 @@ DANISH = AnalyzerConfig(stop_words=DANISH_STOP_WORDS, light_lang="da")
 # chain above; vocab-pinned bit-exact (29,417 words)
 ENGLISH_SNOWBALL = AnalyzerConfig(stop_words=ENGLISH_STOP_WORDS,
                                   light_lang="en")
+# TurkishAnalyzer (tr/TurkishAnalyzer.java:103-112): TurkishLowerCase
+# (dotted/dotless I) + snowball stops + the snowball Turkish program —
+# the largest snowball stemmer, vocab-pinned bit-exact (96,325 words).
+# (ApostropheFilter is structurally a no-op here: the engine tokenizer
+# never emits apostrophes inside tokens; kernels/turkish.py ships
+# strip_apostrophe for faithful standalone use.)
+TURKISH = AnalyzerConfig(stop_words=TURKISH_STOP_WORDS,
+                         light_lang="tr", turkish_case=True)
 DUTCH = AnalyzerConfig(stop_words=DUTCH_STOP_WORDS, light_lang="nl")
 ROMANIAN = AnalyzerConfig(stop_words=ROMANIAN_STOP_WORDS,
                           light_lang="ro")
@@ -549,6 +572,7 @@ ANALYZERS: dict = {
     "romanian": ROMANIAN,
     "hyphenation": HYPHENATION,
     "english_snowball": ENGLISH_SNOWBALL,
+    "turkish": TURKISH,
 }
 
 
@@ -576,7 +600,7 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
     # tokenize-then-LowerCaseFilter on ASCII-dominant code text, and keeps
     # this path byte-identical to the vectorized analyze_series path.
     if cfg.lowercase:
-        text = text.lower()
+        text = turkish_lower(text) if cfg.turkish_case else text.lower()
     if cfg.ascii_fold:
         text = ascii_fold(text)
     tok_re = re.compile(cfg.token_pattern) if cfg.token_pattern else _TOKEN_RE
@@ -591,6 +615,8 @@ def tokenize_one(text: str, cfg: AnalyzerConfig = STANDARD) -> tuple[list, list]
             tok = elide(tok)  # ElisionFilter BEFORE the stop check
         if cfg.light_lang == "it":
             tok = elide(tok, ITALIAN_ARTICLES)  # ItalianAnalyzer.java:128
+        if cfg.turkish_case:
+            tok = strip_apostrophe(tok)  # ApostropheFilter, pre-stop
         if tok in cfg.stop_words:
             continue  # position consumed (FilteringTokenFilter)
         excluded = tok in cfg.stem_exclusions  # SetKeywordMarkerFilter
@@ -718,7 +744,7 @@ def analyze_series(texts: pd.Series, cfg: AnalyzerConfig = STANDARD) -> pd.Serie
     if cfg.cjk_bigram:
         return src.map(lambda t: _tokenize_one_cjk(t, cfg)[0])
     if cfg.lowercase:
-        src = src.str.lower()
+        src = src.map(turkish_lower) if cfg.turkish_case else src.str.lower()
     if cfg.ascii_fold:
         src = src.str.translate(_FOLD_TABLE)
     tok_re = re.compile(cfg.token_pattern) if cfg.token_pattern else _TOKEN_RE
@@ -744,6 +770,8 @@ def _filter_tokens(toks: list, cfg: AnalyzerConfig) -> list:
             t = elide(t)
         if cfg.light_lang == "it":
             t = elide(t, ITALIAN_ARTICLES)
+        if cfg.turkish_case:
+            t = strip_apostrophe(t)
         if t in cfg.stop_words:
             continue
         excluded = t in cfg.stem_exclusions
@@ -786,7 +814,7 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
     n = len(texts)
     src = texts.fillna("")
     if cfg.lowercase:
-        src = src.str.lower()
+        src = src.map(turkish_lower) if cfg.turkish_case else src.str.lower()
     if cfg.ascii_fold:
         src = src.str.translate(_FOLD_TABLE)
     tok_re = re.compile(cfg.token_pattern) if cfg.token_pattern else _TOKEN_RE
@@ -818,6 +846,14 @@ def flatten_tokens(texts: pd.Series, cfg: AnalyzerConfig = STANDARD):
             terms = term_s.to_numpy(dtype=object).copy()
             idx = np.nonzero(has_apos)[0]
             terms[idx] = [elide(t, arts) for t in terms[idx]]
+            term_s = pd.Series(terms, dtype=object)
+    if cfg.turkish_case:
+        # ApostropheFilter pre-stop: rewrite only tokens carrying one
+        has_apos = term_s.str.contains("['’]", regex=True).to_numpy()
+        if has_apos.any():
+            terms = term_s.to_numpy(dtype=object).copy()
+            idx = np.nonzero(has_apos)[0]
+            terms[idx] = [strip_apostrophe(t) for t in terms[idx]]
             term_s = pd.Series(terms, dtype=object)
     if cfg.stop_words:
         keep &= ~term_s.isin(cfg.stop_words).to_numpy()

@@ -757,6 +757,7 @@ from .snowball import danish_stem as _da_snowball  # noqa: E402
 from .snowball import dutch_term as _nl_snowball  # noqa: E402
 from .snowball import english_stem as _en_snowball  # noqa: E402
 from .snowball import romanian_stem as _ro_snowball  # noqa: E402
+from .turkish import turkish_stem as _tr_snowball  # noqa: E402
 
 LIGHT_STEMMERS = {
     "es": spanish_light_stem,
@@ -776,6 +777,7 @@ LIGHT_STEMMERS = {
     "nl": _nl_snowball,
     "ro": _ro_snowball,
     "en": _en_snowball,
+    "tr": _tr_snowball,
 }
 
 

@@ -855,7 +855,12 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
 
         t = strip_possessive(text) if cfg.possessive else text
         if cfg.lowercase:
-            t = t.lower()
+            if getattr(cfg, "turkish_case", False):
+                from ..kernels.turkish import turkish_lower
+
+                t = turkish_lower(t)
+            else:
+                t = t.lower()
         if cfg.ascii_fold:
             t = ascii_fold(t)
         return t
@@ -883,6 +888,10 @@ def analyze_query_terms(q: Query, cfg, keyword_fields: frozenset) -> Query:
 
             if lang == "it":
                 t = elide(t, ITALIAN_ARTICLES)
+            if getattr(cfg, "turkish_case", False):
+                from ..kernels.turkish import strip_apostrophe
+
+                t = strip_apostrophe(t)  # ApostropheFilter pre-stop
             if t not in cfg.stop_words and t not in excl:
                 t = light_stem(lang, t)
         return t

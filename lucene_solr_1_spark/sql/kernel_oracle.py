@@ -2493,12 +2493,22 @@ LIGHT_ANNOTATIONS = {
     # run- that all stem to 'run'
     "en": ((r"\bdata\b", "running"), (r"\bmerge\b", "runs"),
            (r"\bwindow\b", "run")),
+    # snowball Turkish (r5): plural (lAr, the flag-unsetting nominal
+    # branch), accusative (sU + final-b devoicing: kitabı -> kitap) and
+    # locative (DA) of kitap — all stem to 'kitap'; the twin runs a
+    # Turkish-letter token pattern (TR_TOKEN_PATTERN)
+    "tr": ((r"\bdata\b", "kitaplar"), (r"\bmerge\b", "kitabı"),
+           (r"\bwindow\b", "kitapta")),
 }
 
 # DuckDB RE2 class covering the engine's \w+ tokenizer over the ASCII
 # corpus plus the Cyrillic annotation vocabulary; lower() in DuckDB is
 # Unicode-aware, matching the engine's str.lower()
 RU_TOKEN_PATTERN = "[a-zа-яё0-9_]+"
+# ... and the Turkish annotation vocabulary (the corpus is verified
+# all-lowercase/apostrophe-free, so TurkishLowerCaseFilter and
+# ApostropheFilter are identity here and plain lower() matches)
+TR_TOKEN_PATTERN = "[a-z0-9_çğıöşü]+"
 
 
 def light_annotated_text_sql(lang: str, col: str = "text") -> str:
@@ -2515,7 +2525,8 @@ def _light_stem_table_values(lang: str) -> str:
 
     vocab = _corpus_vocab(
         light_annotated_text_sql(lang, "lower(text)"),
-        token_pattern=RU_TOKEN_PATTERN if lang == "ru" else TOKEN_PATTERN,
+        token_pattern={"ru": RU_TOKEN_PATTERN, "tr": TR_TOKEN_PATTERN}.get(
+            lang, TOKEN_PATTERN),
     )
     rows = [
         f"({_sql_str(t)}, {_sql_str(light_stem(lang, t))})"
@@ -2560,17 +2571,24 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
              "nl": DUTCH_STOP_WORDS,
              "da": DANISH_STOP_WORDS,
              "ro": ROMANIAN_STOP_WORDS,
-             "en": ENGLISH_STOP_WORDS}[lang]
-    tok_pat = RU_TOKEN_PATTERN if lang == "ru" else TOKEN_PATTERN
+             "en": ENGLISH_STOP_WORDS,
+             "tr": __import__(
+                 "lucene_solr_1_spark.kernels.turkish", fromlist=["x"]
+             ).TURKISH_STOP_WORDS}[lang]
+    tok_pat = {"ru": RU_TOKEN_PATTERN, "tr": TR_TOKEN_PATTERN}.get(
+        lang, TOKEN_PATTERN)
     stemmed = light_stem(lang, query_text.lower())
     toks = (
         f"regexp_extract_all({light_annotated_text_sql(lang, 'lower(text)')}, "
         f"'{tok_pat}')"
     )
     # the ASCII pattern can never emit a non-ASCII stopword, so filtering
-    # those out keeps the IN-list small; the Russian pattern CAN, so its
-    # list ships whole (Cyrillic literals are plain UTF-8 to DuckDB)
-    keep = stops if lang == "ru" else (w for w in stops if w.isascii())
+    # those out keeps the IN-list small; the Russian/Turkish patterns
+    # CAN, so those lists ship whole (UTF-8 literals to DuckDB)
+    keep = (
+        stops if lang in ("ru", "tr")
+        else (w for w in stops if w.isascii())
+    )
     stop_list = _sql_list(sorted(keep))
     cache_expr = _norm_cache_expr()
     return f"""
