@@ -351,6 +351,7 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
         GERMAN_MINIMAL,
         NORWEGIAN,
         ROMANIAN,
+        ARABIC,
         RUSSIAN,
         TURKISH,
     )
@@ -360,7 +361,7 @@ def _get_light_index(spark: SparkSession, sf_dir: str,
            "de_min": GERMAN_MINIMAL, "fr_min": FRENCH_MINIMAL,
            "nb": NORWEGIAN, "ru": RUSSIAN,
            "nl": DUTCH, "da": DANISH, "ro": ROMANIAN,
-           "en": ENGLISH_SNOWBALL, "tr": TURKISH}[lang]
+           "en": ENGLISH_SNOWBALL, "tr": TURKISH, "ar": ARABIC}[lang]
     return _annotated_index(spark, sf_dir, f"light_{lang}",
                             KO.LIGHT_ANNOTATIONS[lang], cfg)
 
@@ -1393,6 +1394,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fts_turkish_stem"] = _turkish_stem
 
+    def _arabic_stem(s, d):
+        # r5 Arabic light-8: 'ساهدين' -> 'ساهد' matches the plural,
+        # feminine and al-article inflections
+        return _kernel_hits_df(s, _get_light_index(s, d, "ar"),
+                               Term("ساهدين"), k=10)
+
+    q["fts_arabic_stem"] = _arabic_stem
+
     def _cjk_bigram(s, d):
         # r5: CJKBigramFilter — '会社' analyzes to ONE bigram; docs that
         # planted 会社員 contribute the 会社 bigram too (overlap)
@@ -1804,6 +1813,7 @@ def oracle_sql() -> dict[str, str]:
             "en", "running", k=10
         ),
         "fts_turkish_stem": KO.kernel_light_term_duck("tr", "kitabı", k=10),
+        "fts_arabic_stem": KO.kernel_light_term_duck("ar", "ساهدين", k=10),
         "fts_romanian_stem": KO.kernel_light_term_duck("ro", "cartea", k=10),
         "fts_cjk_bigram": KO.kernel_cjk_duck("会社", k=10),
         "fts_cjk_bigram_or": KO.kernel_cjk_duck("会社員", k=10),

@@ -34,6 +34,7 @@ from .commongrams import common_grams_stream
 from .compound import decompose as compound_decompose
 from .hyphenation import (HyphenationSpec, hyphen_decompose,
                           parse_pattern_values)
+from .arabic import ARABIC_STOP_WORDS
 from .turkish import TURKISH_STOP_WORDS, strip_apostrophe, turkish_lower
 from .french import (FRENCH_ARTICLES, FRENCH_STOP_WORDS, elide,
                      french_array, french_term)
@@ -524,6 +525,10 @@ ENGLISH_SNOWBALL = AnalyzerConfig(stop_words=ENGLISH_STOP_WORDS,
 # strip_apostrophe for faithful standalone use.)
 TURKISH = AnalyzerConfig(stop_words=TURKISH_STOP_WORDS,
                          light_lang="tr", turkish_case=True)
+# ArabicAnalyzer (ar/ArabicAnalyzer.java:134-145): published stop list
+# + ArabicNormalizationFilter + the Larkey light-8 ArabicStemFilter
+# (kernels/arabic.py, pinned by the reference's own golden pairs)
+ARABIC = AnalyzerConfig(stop_words=ARABIC_STOP_WORDS, light_lang="ar")
 DUTCH = AnalyzerConfig(stop_words=DUTCH_STOP_WORDS, light_lang="nl")
 ROMANIAN = AnalyzerConfig(stop_words=ROMANIAN_STOP_WORDS,
                           light_lang="ro")
@@ -573,6 +578,7 @@ ANALYZERS: dict = {
     "hyphenation": HYPHENATION,
     "english_snowball": ENGLISH_SNOWBALL,
     "turkish": TURKISH,
+    "arabic": ARABIC,
 }
 
 

@@ -757,6 +757,7 @@ from .snowball import danish_stem as _da_snowball  # noqa: E402
 from .snowball import dutch_term as _nl_snowball  # noqa: E402
 from .snowball import english_stem as _en_snowball  # noqa: E402
 from .snowball import romanian_stem as _ro_snowball  # noqa: E402
+from .arabic import arabic_term as _ar_light  # noqa: E402
 from .turkish import turkish_stem as _tr_snowball  # noqa: E402
 
 LIGHT_STEMMERS = {
@@ -778,6 +779,7 @@ LIGHT_STEMMERS = {
     "ro": _ro_snowball,
     "en": _en_snowball,
     "tr": _tr_snowball,
+    "ar": _ar_light,
 }
 
 

@@ -2499,6 +2499,11 @@ LIGHT_ANNOTATIONS = {
     # Turkish-letter token pattern (TR_TOKEN_PATTERN)
     "tr": ((r"\bdata\b", "kitaplar"), (r"\bmerge\b", "kitabı"),
            (r"\bwindow\b", "kitapta")),
+    # Arabic light-8 (r5): masculine plural, teh-marbuta feminine, and
+    # the al- definite article of ساهد — all stem to the bare lemma;
+    # Arabic-block token pattern (AR_TOKEN_PATTERN)
+    "ar": ((r"\bdata\b", "ساهدون"), (r"\bmerge\b", "ساهدة"),
+           (r"\bwindow\b", "الساهد")),
 }
 
 # DuckDB RE2 class covering the engine's \w+ tokenizer over the ASCII
@@ -2509,6 +2514,9 @@ RU_TOKEN_PATTERN = "[a-zа-яё0-9_]+"
 # all-lowercase/apostrophe-free, so TurkishLowerCaseFilter and
 # ApostropheFilter are identity here and plain lower() matches)
 TR_TOKEN_PATTERN = "[a-z0-9_çğıöşü]+"
+# ... and the Arabic annotation vocabulary (Arabic block; lower() is
+# identity on Arabic)
+AR_TOKEN_PATTERN = "[a-z0-9_؀-ۿ]+"
 
 
 def light_annotated_text_sql(lang: str, col: str = "text") -> str:
@@ -2525,8 +2533,8 @@ def _light_stem_table_values(lang: str) -> str:
 
     vocab = _corpus_vocab(
         light_annotated_text_sql(lang, "lower(text)"),
-        token_pattern={"ru": RU_TOKEN_PATTERN, "tr": TR_TOKEN_PATTERN}.get(
-            lang, TOKEN_PATTERN),
+        token_pattern={"ru": RU_TOKEN_PATTERN, "tr": TR_TOKEN_PATTERN,
+                       "ar": AR_TOKEN_PATTERN}.get(lang, TOKEN_PATTERN),
     )
     rows = [
         f"({_sql_str(t)}, {_sql_str(light_stem(lang, t))})"
@@ -2574,9 +2582,12 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
              "en": ENGLISH_STOP_WORDS,
              "tr": __import__(
                  "lucene_solr_1_spark.kernels.turkish", fromlist=["x"]
-             ).TURKISH_STOP_WORDS}[lang]
-    tok_pat = {"ru": RU_TOKEN_PATTERN, "tr": TR_TOKEN_PATTERN}.get(
-        lang, TOKEN_PATTERN)
+             ).TURKISH_STOP_WORDS,
+             "ar": __import__(
+                 "lucene_solr_1_spark.kernels.arabic", fromlist=["x"]
+             ).ARABIC_STOP_WORDS}[lang]
+    tok_pat = {"ru": RU_TOKEN_PATTERN, "tr": TR_TOKEN_PATTERN,
+               "ar": AR_TOKEN_PATTERN}.get(lang, TOKEN_PATTERN)
     stemmed = light_stem(lang, query_text.lower())
     toks = (
         f"regexp_extract_all({light_annotated_text_sql(lang, 'lower(text)')}, "
@@ -2586,7 +2597,7 @@ def kernel_light_term_duck(lang: str, query_text: str, k: int = 10) -> str:
     # those out keeps the IN-list small; the Russian/Turkish patterns
     # CAN, so those lists ship whole (UTF-8 literals to DuckDB)
     keep = (
-        stops if lang in ("ru", "tr")
+        stops if lang in ("ru", "tr", "ar")
         else (w for w in stops if w.isascii())
     )
     stop_list = _sql_list(sorted(keep))
